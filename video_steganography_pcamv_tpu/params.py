@@ -1,0 +1,152 @@
+"""Encoder parameter system.
+
+Mirrors the reference's `x264_param_t` (/root/reference/x264.h:154-311) and
+its string-keyed parser `x264_param_parse` (/root/reference/common/common.c:208):
+every option is settable by name. Only the subset of options the TPU build
+implements is accepted; unknown keys raise.
+
+The stego options mirror `eparam` (/root/reference/x264.h:299-309). Unlike
+the reference — where `--key` and `--emfile` are parsed but never consumed
+(x264.c:518,525) — here they are functional: `key` seeds both the message
+generator and the STC parity matrix; `emfile` supplies the message bytes.
+This divergence is deliberate and documented.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# slice types
+SLICE_I = 0
+SLICE_P = 1
+SLICE_B = 2
+
+# ME methods (reference: x264.h X264_ME_*)
+ME_DIA = 0
+ME_HEX = 1
+ME_UMH = 2
+ME_ESA = 3
+
+_ME_NAMES = {"dia": ME_DIA, "hex": ME_HEX, "umh": ME_UMH, "esa": ME_ESA}
+
+
+@dataclass
+class StegoParams:
+    """Reference: eparam struct /root/reference/x264.h:299-309."""
+    em_rate: float = 0.0   # >1: bits/frame; (0,1]: bits per cover MV
+                           # (encoder.c:1828-1836)
+    key: int = 0           # seeds message + parity matrix (functional here)
+    em_file: str = ""      # message bytes from file (functional here)
+    stc_h: int = 10        # STC constraint height (encoder.c:1843 uses 10)
+    alpha_loc: float = 1.0  # local-optimality cost weight (encoder.c:1651)
+    alpha_com: float = 0.0  # MV-field complexity weight (encoder.c:1652, off)
+    mvc_c1: float = 2.0    # MVC multiplier, 2-MV partitions (encoder.c:1653)
+    mvc_c2: float = 0.7    # MVC multiplier slope, 4-MV groups
+    beta1: float = 1.4     # 2-neighbourhood candidate penalty (analyse.c:2393)
+    beta2: float = 4.0     # optimality-class-broken penalty (analyse.c:2394)
+
+    @property
+    def enabled(self) -> bool:
+        return self.em_rate > 0
+
+
+@dataclass
+class Params:
+    width: int = 0
+    height: int = 0
+    fps_num: int = 25
+    fps_den: int = 1
+
+    # GOP structure
+    keyint_max: int = 250
+    bframes: int = 0
+
+    # rate control (CQP only for now; reference ratecontrol.c modes later)
+    qp: int = 26
+    qp_min: int = 0
+    qp_max: int = 51
+    chroma_qp_offset: int = 0
+
+    # analysis
+    me_method: int = ME_ESA
+    me_range: int = 16
+    subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
+    dct_decimate: bool = True  # reference analyse.b_dct_decimate default on
+    partitions_8x8: bool = False  # P 16x16-only until partition trees land
+
+    # entropy / tools
+    cabac: bool = False
+    deblock: bool = False    # in-loop deblocking (slice-header disable if off)
+
+    # stego
+    stego: StegoParams = field(default_factory=StegoParams)
+
+    # misc
+    threads: int = 1
+    log_level: int = 2
+
+    def validate(self) -> None:
+        """Clamp/check (reference: x264_validate_parameters encoder.c:342)."""
+        assert self.width % 2 == 0 and self.height % 2 == 0, \
+            "dimensions must be even (4:2:0)"
+        self.qp = max(self.qp_min, min(self.qp_max, self.qp))
+        assert not self.cabac, "CABAC not yet implemented"
+        assert self.bframes == 0, "B-frames not yet implemented"
+        self.subpel = max(0, min(2, self.subpel))
+
+    @property
+    def mb_width(self) -> int:
+        return (self.width + 15) // 16
+
+    @property
+    def mb_height(self) -> int:
+        return (self.height + 15) // 16
+
+
+_BOOL = {"1": True, "0": False, "true": True, "false": False,
+         "yes": True, "no": False}
+
+
+def param_parse(p: Params, name: str, value: str) -> None:
+    """String-keyed option setter (reference: common/common.c:208)."""
+    name = name.replace("-", "_")
+    if name in ("qp", "qp_constant"):
+        p.qp = int(value)
+    elif name == "keyint":
+        p.keyint_max = int(value)
+    elif name == "me":
+        p.me_method = _ME_NAMES[value]
+    elif name == "merange":
+        p.me_range = int(value)
+    elif name == "subme":
+        p.subpel = int(value)
+    elif name == "cabac":
+        p.cabac = _BOOL[value.lower()]
+    elif name == "deblock":
+        p.deblock = _BOOL[value.lower()]
+    elif name == "dct_decimate":
+        p.dct_decimate = _BOOL[value.lower()]
+    elif name == "chroma_qp_offset":
+        p.chroma_qp_offset = int(value)
+    elif name == "bframes":
+        p.bframes = int(value)
+    elif name == "threads":
+        p.threads = int(value)
+    elif name == "fps":
+        if "/" in value:
+            n, d = value.split("/")
+            p.fps_num, p.fps_den = int(n), int(d)
+        else:
+            p.fps_num, p.fps_den = int(float(value) * 1000), 1000
+    # stego options (reference CLI: x264.c:394-402)
+    elif name == "emrate":
+        p.stego.em_rate = float(value)
+    elif name == "key":
+        p.stego.key = int(value)
+    elif name == "emfile":
+        p.stego.em_file = value
+    elif name == "stc_h":
+        p.stego.stc_h = int(value)
+    else:
+        raise KeyError(f"unknown option: {name}")
