@@ -1,14 +1,22 @@
 """Test config: run JAX on a virtual 8-device CPU mesh so multi-chip
-sharding logic is exercised without TPU hardware. Must run before any
-`import jax` in test modules."""
+sharding logic is exercised without TPU hardware.
+
+Note: this image pre-sets JAX_PLATFORMS=axon and the env var cannot be
+overridden from outside; jax.config.update() before backend init is the
+only reliable switch (gotcha recorded in .claude/skills/verify/SKILL.md).
+"""
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import sys
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,411 @@
+"""Verification decoder: Annex-B H.264 (baseline subset) -> planes + MB info.
+
+Independent of the encoder internals (shares only the spec constant
+tables). Purpose (SURVEY.md §4.3): prove the encoder's reconstruction
+matches a conforming decoder bit-exactly, and expose the motion-vector
+field for the blind stego extractor (the reference never shipped its
+extractor — stc_extract include commented out, analyse.c:43).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils.bitstream import BitReader, nal_unescape
+from ..encoder import vlc_tables as VT
+from . import recon as R
+
+CHROMA_QP = np.concatenate([
+    np.arange(30),
+    np.array([29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36, 36, 37, 37, 37,
+              38, 38, 38, 39, 39, 39, 39])]).astype(int)
+
+
+def _build_decode_map(codes, values):
+    m = {}
+    for code, val in zip(codes, values):
+        if code:
+            m[code] = val
+    return m
+
+# coeff_token decode maps per table: bitstring -> (total_coeff, t1s)
+_CT_MAPS = []
+for _tab in range(5):
+    codes = list(VT.COEFF_TOKEN[_tab])
+    vals = [((i // 4) + 1, i % 4) for i in range(64)]
+    codes.append(VT.COEFF0[_tab])
+    vals.append((0, 0))
+    _CT_MAPS.append(_build_decode_map(codes, vals))
+
+_TZ_MAPS = [_build_decode_map(row, range(16)) for row in VT.TOTAL_ZEROS]
+_TZDC_MAPS = [_build_decode_map(row, range(4)) for row in VT.TOTAL_ZEROS_DC]
+_RB_MAPS = [_build_decode_map(row, range(15)) for row in VT.RUN_BEFORE]
+
+
+def _read_vlc(br: BitReader, dmap: dict):
+    s = ""
+    for _ in range(20):
+        s += str(br.read1())
+        if s in dmap:
+            return dmap[s]
+    raise ValueError(f"VLC decode failure: {s}")
+
+
+def read_residual(br: BitReader, max_coeff: int, nc: int) -> list[int]:
+    """Spec 9.2 residual_block_cavlc. Returns scan-ordered levels."""
+    if nc == -1:
+        tab = 4
+    elif nc < 2:
+        tab = 0
+    elif nc < 4:
+        tab = 1
+    elif nc < 8:
+        tab = 2
+    else:
+        tab = 3
+    tc, t1s = _read_vlc(br, _CT_MAPS[tab])
+    levels = [0] * max_coeff
+    if tc == 0:
+        return levels
+
+    vals = []
+    for _ in range(t1s):
+        vals.append(-1 if br.read1() else 1)
+    sl = 1 if (tc > 10 and t1s < 3) else 0
+    for i in range(tc - t1s):
+        prefix = 0
+        while br.read1() == 0:
+            prefix += 1
+            assert prefix < 32
+        if sl == 0 and prefix == 14:
+            sz = 4
+        elif prefix >= 15:
+            sz = prefix - 3
+        else:
+            sz = sl
+        code = (min(15, prefix) << sl) + (br.read(sz) if sz else 0)
+        if prefix >= 15 and sl == 0:
+            code += 15
+        if prefix >= 16:
+            code += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1s < 3:
+            code += 2
+        val = (code + 2) >> 1 if code % 2 == 0 else -((code + 1) >> 1)
+        vals.append(val)
+        if sl == 0:
+            sl = 1
+        if abs(val) > (3 << (sl - 1)) and sl < 6:
+            sl += 1
+
+    if tc < max_coeff:
+        if max_coeff == 4:
+            tz = _read_vlc(br, _TZDC_MAPS[tc - 1])
+        else:
+            tz = _read_vlc(br, _TZ_MAPS[tc - 1])
+    else:
+        tz = 0
+
+    # place coefficients: vals[0] is the highest-frequency coefficient
+    runs = []
+    zeros_left = tz
+    for _ in range(tc - 1):
+        if zeros_left > 0:
+            run = _read_vlc(br, _RB_MAPS[min(zeros_left, 7) - 1])
+        else:
+            run = 0
+        runs.append(run)
+        zeros_left -= run
+    pos = tc - 1 + tz
+    for k, v in enumerate(vals):
+        levels[pos] = v
+        if k < len(runs):
+            pos -= 1 + runs[k]
+    return levels
+
+
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DecSPS:
+    width: int = 0
+    height: int = 0
+    log2_max_frame_num: int = 4
+    num_ref_frames: int = 1
+    crop = (0, 0, 0, 0)
+
+
+@dataclass
+class DecPPS:
+    pic_init_qp: int = 26
+    chroma_qp_index_offset: int = 0
+    num_ref_idx_l0_active: int = 1
+    deblocking_control_present: bool = True
+
+
+@dataclass
+class MBInfo:
+    """Per-MB decode record; MVs feed the blind extractor."""
+    mb_type: str = "SKIP"  # "I16x16", "P16x16", "SKIP"
+    mv: tuple = (0, 0)
+    qp: int = 0
+
+
+@dataclass
+class DecodedFrame:
+    y: np.ndarray
+    u: np.ndarray
+    v: np.ndarray
+    slice_type: int = 2
+    mbs: list = field(default_factory=list)
+
+
+def parse_nals(data: bytes):
+    """Split Annex-B stream into (nal_type, ref_idc, rbsp) tuples."""
+    out = []
+    i = 0
+    n = len(data)
+    starts = []
+    while i < n - 3:
+        if data[i] == 0 and data[i + 1] == 0:
+            if data[i + 2] == 1:
+                starts.append(i + 3)
+                i += 3
+                continue
+            if i < n - 4 and data[i + 2] == 0 and data[i + 3] == 1:
+                starts.append(i + 4)
+                i += 4
+                continue
+        i += 1
+    for k, s in enumerate(starts):
+        e = (starts[k + 1] - 3) if k + 1 < len(starts) else n
+        # trim preceding zeros of the next start code
+        while e > s and data[e - 1] == 0 and k + 1 < len(starts):
+            e -= 1
+        hdr = data[s]
+        out.append((hdr & 0x1F, (hdr >> 5) & 3, nal_unescape(data[s + 1:e])))
+    return out
+
+
+def parse_sps(rbsp: bytes) -> DecSPS:
+    br = BitReader(rbsp)
+    br.read(8)  # profile
+    br.read(8)  # constraints
+    br.read(8)  # level
+    br.read_ue()  # sps id
+    sps = DecSPS()
+    sps.log2_max_frame_num = br.read_ue() + 4
+    poc_type = br.read_ue()
+    assert poc_type == 2, "only poc_type 2 supported"
+    sps.num_ref_frames = br.read_ue()
+    br.read1()
+    mbw = br.read_ue() + 1
+    mbh = br.read_ue() + 1
+    frame_mbs_only = br.read1()
+    assert frame_mbs_only == 1
+    br.read1()  # direct_8x8
+    crop = br.read1()
+    cl = cr = ct = cb = 0
+    if crop:
+        cl, cr, ct, cb = (br.read_ue(), br.read_ue(),
+                          br.read_ue(), br.read_ue())
+    br.read1()  # vui
+    sps.width = mbw * 16 - 2 * (cl + cr)
+    sps.height = mbh * 16 - 2 * (ct + cb)
+    sps.crop = (cl, cr, ct, cb)
+    return sps
+
+
+def parse_pps(rbsp: bytes) -> DecPPS:
+    br = BitReader(rbsp)
+    pps = DecPPS()
+    br.read_ue()  # pps id
+    br.read_ue()  # sps id
+    assert br.read1() == 0, "CABAC not supported"
+    br.read1()  # pic_order_present
+    assert br.read_ue() == 0, "slice groups unsupported"
+    pps.num_ref_idx_l0_active = br.read_ue() + 1
+    br.read_ue()
+    br.read1()
+    br.read(2)
+    pps.pic_init_qp = 26 + br.read_se()
+    br.read_se()
+    pps.chroma_qp_index_offset = br.read_se()
+    pps.deblocking_control_present = bool(br.read1())
+    br.read1()
+    br.read1()
+    return pps
+
+
+class SliceDecoder:
+    """Decodes one frame (single slice)."""
+
+    def __init__(self, sps: DecSPS, pps: DecPPS):
+        self.sps, self.pps = sps, pps
+        self.mbw = (sps.width + 15) // 16
+        self.mbh = (sps.height + 15) // 16
+        self.y = np.zeros((self.mbh * 16, self.mbw * 16), np.int64)
+        self.u = np.zeros((self.mbh * 8, self.mbw * 8), np.int64)
+        self.v = np.zeros((self.mbh * 8, self.mbw * 8), np.int64)
+        self.nnz_y = np.zeros((4 * self.mbh, 4 * self.mbw), np.int32)
+        self.nnz_c = np.zeros((2, 2 * self.mbh, 2 * self.mbw), np.int32)
+        self.mb_intra = np.zeros((self.mbh, self.mbw), bool)
+        self.mbs: list[MBInfo] = []
+
+    def _nc(self, arr, by, bx):
+        has_l, has_t = bx > 0, by > 0
+        if has_l and has_t:
+            return int(arr[by, bx - 1] + arr[by - 1, bx] + 1) >> 1
+        if has_l:
+            return int(arr[by, bx - 1])
+        if has_t:
+            return int(arr[by - 1, bx])
+        return 0
+
+    def decode_i16x16(self, br: BitReader, mx: int, my: int, mb_type: int,
+                      qp: int):
+        mode = (mb_type - 1) % 4
+        cbp_chroma = ((mb_type - 1) // 4) % 3
+        cbp_luma = 15 if (mb_type - 1) >= 12 else 0
+        cmode = br.read_ue()
+        qp_delta = br.read_se()
+        qp = qp + qp_delta
+        qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
+                                    0, 51)])
+
+        gx, gy = 16 * mx, 16 * my
+        at, al = my > 0, mx > 0
+        top = self.y[gy - 1, gx:gx + 16] if at else np.zeros(16, np.int64)
+        left = self.y[gy:gy + 16, gx - 1] if al else np.zeros(16, np.int64)
+        tl = self.y[gy - 1, gx - 1] if (at and al) else 0
+        pred = R.pred_16x16(mode, top, left, tl, at, al)
+
+        # DC block
+        nc = self._nc(self.nnz_y, 4 * my, 4 * mx)
+        dc_lev = R.dezigzag(read_residual(br, 16, nc))
+        dc = R.ihadamard4x4(dc_lev)
+        dc = R.dequant_dc_luma(dc, qp)
+
+        blocks = np.zeros((4, 4, 4, 4), np.int64)  # [by,bx,r,c] dequant AC
+        from ..encoder.cavlc import LUMA_SCAN
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            if cbp_luma:
+                nc = self._nc(self.nnz_y, 4 * my + by, 4 * mx + bx)
+                lv = read_residual(br, 15, nc)
+                self.nnz_y[4 * my + by, 4 * mx + bx] = \
+                    sum(1 for x in lv if x)
+                blocks[by, bx] = R.dequant4x4(R.dezigzag([0] + lv), qp)
+            else:
+                self.nnz_y[4 * my + by, 4 * mx + bx] = 0
+        blocks[:, :, 0, 0] = dc
+        for by in range(4):
+            for bx in range(4):
+                py, px = gy + 4 * by, gx + 4 * bx
+                self.y[py:py + 4, px:px + 4] = R.recon_block4x4(
+                    pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
+                    blocks[by, bx])
+
+        self._decode_chroma(br, mx, my, cmode, cbp_chroma, qpc, intra=True)
+        self.mb_intra[my, mx] = True
+        return qp
+
+    def _decode_chroma(self, br, mx, my, cmode, cbp_chroma, qpc, intra):
+        gx, gy = 8 * mx, 8 * my
+        at, al = my > 0, mx > 0
+        from ..encoder.cavlc import CHROMA_SCAN
+        # spec residual() order: both chroma DC blocks first, then all ACs
+        dcs = []
+        for ch in range(2):
+            if cbp_chroma:
+                lv = read_residual(br, 4, -1)  # raster scan over the 2x2
+                dc2 = np.array([[lv[0], lv[1]], [lv[2], lv[3]]], np.int64)
+                dc = R.dequant_dc_chroma(R.ihadamard2x2(dc2), qpc)
+            else:
+                dc = np.zeros((2, 2), np.int64)
+            dcs.append(dc)
+        for ch, plane in ((0, self.u), (1, self.v)):
+            blocks = np.zeros((2, 2, 4, 4), np.int64)
+            if cbp_chroma == 2:
+                for blk in range(4):
+                    by, bx = CHROMA_SCAN[blk]
+                    nc = self._nc(self.nnz_c[ch], 2 * my + by, 2 * mx + bx)
+                    lv = read_residual(br, 15, nc)
+                    self.nnz_c[ch, 2 * my + by, 2 * mx + bx] = \
+                        sum(1 for x in lv if x)
+                    blocks[by, bx] = R.dequant4x4(R.dezigzag([0] + lv), qpc)
+            else:
+                self.nnz_c[ch, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+            blocks[:, :, 0, 0] = dcs[ch]
+
+            if intra:
+                top = plane[gy - 1, gx:gx + 8] if at else np.zeros(8, np.int64)
+                left = plane[gy:gy + 8, gx - 1] if al else np.zeros(8, np.int64)
+                tl = plane[gy - 1, gx - 1] if (at and al) else 0
+                pred = R.pred_chroma(cmode, top, left, tl, at, al)
+            else:
+                pred = self._inter_pred_chroma(ch, mx, my)
+            for by in range(2):
+                for bx in range(2):
+                    py, px = gy + 4 * by, gx + 4 * bx
+                    plane[py:py + 4, px:px + 4] = R.recon_block4x4(
+                        pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
+                        blocks[by, bx])
+
+    def _inter_pred_chroma(self, ch, mx, my):
+        raise NotImplementedError  # P slices land with the inter decoder
+
+    def decode_slice(self, br: BitReader, slice_type: int, qp: int):
+        assert slice_type in (2, 7), "only I slices in this decoder stage"
+        for my in range(self.mbh):
+            for mx in range(self.mbw):
+                mb_type = br.read_ue()
+                assert 1 <= mb_type <= 24, f"unsupported I mb_type {mb_type}"
+                qp = self.decode_i16x16(br, mx, my, mb_type, qp)
+                self.mbs.append(MBInfo("I16x16", (0, 0), qp))
+
+
+def decode_annexb(data: bytes) -> list[DecodedFrame]:
+    """Decode an Annex-B stream (I-frames at this stage)."""
+    sps = pps = None
+    frames = []
+    for nal_type, ref_idc, rbsp in parse_nals(data):
+        if nal_type == 7:
+            sps = parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = parse_pps(rbsp)
+        elif nal_type in (1, 5):
+            br = BitReader(rbsp)
+            first_mb = br.read_ue()
+            assert first_mb == 0, "multi-slice frames unsupported"
+            slice_type = br.read_ue()
+            br.read_ue()  # pps id
+            br.read(sps.log2_max_frame_num)  # frame_num
+            if nal_type == 5:
+                br.read_ue()  # idr_pic_id
+            if slice_type in (0, 5):
+                if br.read1():  # num_ref_idx_override
+                    br.read_ue()
+                assert br.read1() == 0  # no reordering
+            if nal_type == 5:
+                br.read1()
+                br.read1()
+            elif ref_idc != 0:
+                assert br.read1() == 0  # sliding window
+            qp = pps.pic_init_qp + br.read_se()
+            if pps.deblocking_control_present:
+                disable = br.read_ue()
+                if disable != 1:
+                    br.read_se()
+                    br.read_se()
+            dec = SliceDecoder(sps, pps)
+            dec.decode_slice(br, slice_type, qp)
+            h, w = sps.height, sps.width
+            frames.append(DecodedFrame(
+                y=dec.y[:h, :w].astype(np.uint8),
+                u=dec.u[:h // 2, :w // 2].astype(np.uint8),
+                v=dec.v[:h // 2, :w // 2].astype(np.uint8),
+                slice_type=slice_type, mbs=dec.mbs))
+    return frames

@@ -1,0 +1,158 @@
+"""Decoder-side reconstruction math (numpy, scalar per MB).
+
+Deliberately an *independent* implementation of the normative H.264
+inverse transforms / prediction (spec 8.3, 8.5) — not a reuse of the
+device ops — so encoder and decoder cross-check each other (the
+regression model of /root/reference/doc/regression_test.txt: encoder
+recon must equal an independent decoder's output bit-exactly).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# dequant V table, rows qp%6, cols position-class (0,0)/(1,1)/other
+_V = np.array([
+    [10, 13, 16], [11, 14, 18], [13, 16, 20],
+    [14, 18, 23], [16, 20, 25], [18, 23, 29]], dtype=np.int64)
+# position class: 0 = both-even (V col 10), 1 = mixed (13), 2 = both-odd (16)
+_POS = np.array([[(r & 1) + (c & 1) for c in range(4)] for r in range(4)])
+
+ZIG4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
+
+
+def dezigzag(levels) -> np.ndarray:
+    out = np.zeros((4, 4), np.int64)
+    for i, (r, c) in enumerate(ZIG4):
+        out[r, c] = levels[i]
+    return out
+
+
+def dequant4x4(block: np.ndarray, qp: int) -> np.ndarray:
+    v = _V[qp % 6][_POS] * 16
+    qbits = qp // 6 - 4
+    if qbits >= 0:
+        return (block * v) << qbits
+    f = 1 << (-qbits - 1)
+    return (block * v + f) >> (-qbits)
+
+
+def idct4x4(c: np.ndarray) -> np.ndarray:
+    """Normative inverse core transform (spec 8.5.12.2): horizontal pass
+    then vertical, both with the >>1 on odd terms; final (x+32)>>6 done
+    by caller."""
+    tmp = np.zeros((4, 4), np.int64)
+    for i in range(4):
+        s02 = c[i][0] + c[i][2]
+        d02 = c[i][0] - c[i][2]
+        s13 = c[i][1] + (c[i][3] >> 1)
+        d13 = (c[i][1] >> 1) - c[i][3]
+        tmp[i] = [s02 + s13, d02 + d13, d02 - d13, s02 - s13]
+    out = np.zeros((4, 4), np.int64)
+    for j in range(4):
+        s02 = tmp[0][j] + tmp[2][j]
+        d02 = tmp[0][j] - tmp[2][j]
+        s13 = tmp[1][j] + (tmp[3][j] >> 1)
+        d13 = (tmp[1][j] >> 1) - tmp[3][j]
+        out[0][j], out[1][j] = s02 + s13, d02 + d13
+        out[2][j], out[3][j] = d02 - d13, s02 - s13
+    return out
+
+
+def ihadamard4x4(c: np.ndarray) -> np.ndarray:
+    h = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1],
+                  [1, -1, 1, -1]], dtype=np.int64)
+    return h @ c @ h.T
+
+
+def dequant_dc_luma(dc: np.ndarray, qp: int) -> np.ndarray:
+    dmf = int(_V[qp % 6][0]) * 16
+    qbits = qp // 6 - 6
+    if qbits >= 0:
+        return dc * (dmf << qbits)
+    f = 1 << (-qbits - 1)
+    return (dc * dmf + f) >> (-qbits)
+
+
+def ihadamard2x2(c: np.ndarray) -> np.ndarray:
+    h = np.array([[1, 1], [1, -1]], dtype=np.int64)
+    return h @ c @ h.T
+
+
+def dequant_dc_chroma(dc: np.ndarray, qp: int) -> np.ndarray:
+    dmf = int(_V[qp % 6][0]) * 16
+    qbits = qp // 6 - 5
+    if qbits > 0:
+        return dc * (dmf << qbits)
+    return (dc * dmf) >> (-qbits)
+
+
+def recon_block4x4(pred: np.ndarray, coef: np.ndarray) -> np.ndarray:
+    r = (idct4x4(coef) + 32) >> 6
+    return np.clip(pred.astype(np.int64) + r, 0, 255)
+
+
+# ------------------------- intra prediction --------------------------------
+
+def pred_16x16(mode: int, top, left, topleft, at: bool, al: bool):
+    if mode == 0:
+        return np.tile(top, (16, 1))
+    if mode == 1:
+        return np.tile(left[:, None], (1, 16))
+    if mode == 2:
+        if at and al:
+            dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif at:
+            dc = (int(top.sum()) + 8) >> 4
+        elif al:
+            dc = (int(left.sum()) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, np.int64)
+    # planar
+    hg = sum(x * (int(top[7 + x]) - int(topleft if x == 8 else top[7 - x]))
+             for x in range(1, 9))
+    vg = sum(y * (int(left[7 + y]) - int(topleft if y == 8 else left[7 - y]))
+             for y in range(1, 9))
+    b = (5 * hg + 32) >> 6
+    c = (5 * vg + 32) >> 6
+    a = 16 * (int(top[15]) + int(left[15]))
+    ys, xs = np.mgrid[0:16, 0:16]
+    return np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, 255)
+
+
+def pred_chroma(mode: int, top, left, topleft, at: bool, al: bool):
+    if mode == 1:
+        return np.tile(left[:, None], (1, 8))
+    if mode == 2:
+        return np.tile(top, (8, 1))
+    if mode == 3:
+        hg = sum(x * (int(top[3 + x]) - int(topleft if x == 4 else top[3 - x]))
+                 for x in range(1, 5))
+        vg = sum(y * (int(left[3 + y]) - int(topleft if y == 4 else left[3 - y]))
+                 for y in range(1, 5))
+        b = (17 * hg + 16) >> 5
+        c = (17 * vg + 16) >> 5
+        a = 16 * (int(top[7]) + int(left[7]))
+        ys, xs = np.mgrid[0:8, 0:8]
+        return np.clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5, 0, 255)
+    # DC, per-quadrant (spec 8.3.4.1)
+    out = np.zeros((8, 8), np.int64)
+    t = [int(top[:4].sum()), int(top[4:].sum())]
+    l = [int(left[:4].sum()), int(left[4:].sum())]
+
+    def q(sum_t, sum_l, have_t, have_l):
+        if have_t and have_l:
+            return (sum_t + sum_l + 4) >> 3
+        if have_t:
+            return (sum_t + 2) >> 2
+        if have_l:
+            return (sum_l + 2) >> 2
+        return 128
+
+    out[:4, :4] = q(t[0], l[0], at, al)
+    out[:4, 4:] = (t[1] + 2) >> 2 if at else ((l[0] + 2) >> 2 if al else 128)
+    out[4:, :4] = (l[1] + 2) >> 2 if al else ((t[0] + 2) >> 2 if at else 128)
+    out[4:, 4:] = q(t[1], l[1], at, al)
+    return out

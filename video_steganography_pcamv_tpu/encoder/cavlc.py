@@ -1,0 +1,213 @@
+"""Host-side CAVLC entropy coder.
+
+Reference: /root/reference/encoder/cavlc.c (MB writer :288-717, residual
+block writer `block_residual_write_cavlc`) and common/vlc.c tables.
+Redesigned for the TPU pipeline: the device delivers per-MB level arrays
+(already quantized, block-ordered); this module is the serial bit-exact
+back half. It tracks per-4x4 total_coeff maps itself to derive the nC
+context (the reference threads this through mb.cache.non_zero_count,
+common/macroblock.c:914).
+
+A C++ twin of this module lives in native/ for throughput; this Python
+version is the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils.bitstream import BitWriter
+from . import vlc_tables as VT
+from ..ops.transform import ZIGZAG_4x4
+
+# luma blkIdx -> (by, bx) inside MB (spec 6.4.3 inverse 4x4 luma scan)
+LUMA_SCAN = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+             (2, 0), (2, 1), (3, 0), (3, 1), (2, 2), (2, 3), (3, 2), (3, 3)]
+# chroma blkIdx -> (by, bx)
+CHROMA_SCAN = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+
+def _write_vlc(bw: BitWriter, code: str) -> None:
+    assert code, "invalid VLC entry"
+    bw.write(len(code), int(code, 2) if set(code) != {"0"} else 0)
+
+
+def zigzag(block4x4: np.ndarray) -> list[int]:
+    return [int(block4x4[r, c]) for r, c in ZIGZAG_4x4]
+
+
+def write_residual(bw: BitWriter, levels: list[int], max_coeff: int,
+                   nc: int) -> int:
+    """CAVLC residual block (spec 9.2; reference encoder/cavlc.c
+    block_residual_write_cavlc). `levels` in scan order, len == max_coeff.
+    Returns total_coeff (for nnz tracking)."""
+    nz_pos = [i for i, l in enumerate(levels) if l != 0]
+    total_coeff = len(nz_pos)
+
+    if nc == -1:
+        tab = 4
+    elif nc < 2:
+        tab = 0
+    elif nc < 4:
+        tab = 1
+    elif nc < 8:
+        tab = 2
+    else:
+        tab = 3
+
+    if total_coeff == 0:
+        _write_vlc(bw, VT.COEFF0[tab])
+        return 0
+
+    # trailing ones: up to 3 consecutive |1|s at the high-frequency end
+    t1s = 0
+    for i in reversed(nz_pos):
+        if abs(levels[i]) == 1 and t1s < 3:
+            t1s += 1
+        else:
+            break
+    _write_vlc(bw, VT.COEFF_TOKEN[tab][(total_coeff - 1) * 4 + t1s])
+
+    # trailing one signs, high-to-low frequency
+    for i in reversed(nz_pos[total_coeff - t1s:]):
+        bw.write1(1 if levels[i] < 0 else 0)
+
+    # remaining levels
+    suffix_len = 1 if (total_coeff > 10 and t1s < 3) else 0
+    first = True
+    for k in range(total_coeff - t1s - 1, -1, -1):
+        val = levels[nz_pos[k]]
+        code = 2 * val - 2 if val > 0 else -2 * val - 1
+        if first and t1s < 3:
+            code -= 2
+        first = False
+        _write_level(bw, code, suffix_len)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(val) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+
+    if total_coeff < max_coeff:
+        tz = nz_pos[-1] + 1 - total_coeff
+        if max_coeff == 4:
+            _write_vlc(bw, VT.TOTAL_ZEROS_DC[total_coeff - 1][tz])
+        else:
+            _write_vlc(bw, VT.TOTAL_ZEROS[total_coeff - 1][tz])
+        zeros_left = tz
+        for k in range(total_coeff - 1, 0, -1):
+            if zeros_left <= 0:
+                break
+            run = nz_pos[k] - nz_pos[k - 1] - 1
+            _write_vlc(bw, VT.RUN_BEFORE[min(zeros_left, 7) - 1][run])
+            zeros_left -= run
+    return total_coeff
+
+
+def _write_level(bw: BitWriter, code: int, suffix_len: int) -> None:
+    """Level prefix/suffix coding (spec 9.2.2.1 inverted)."""
+    if suffix_len == 0:
+        if code < 14:
+            bw.write(code + 1, 1)  # `code` zeros then a 1
+            return
+        if code < 30:
+            bw.write(15, 1)  # prefix 14
+            bw.write(4, code - 14)
+            return
+        code -= 15  # decoder adds 15 when prefix>=15 && suffix_len==0
+        suffix_len_eff = 0
+    else:
+        suffix_len_eff = suffix_len
+        if code < (15 << suffix_len):
+            prefix = code >> suffix_len
+            bw.write(prefix + 1, 1)
+            bw.write(suffix_len, code & ((1 << suffix_len) - 1))
+            return
+    # escape: prefix >= 15 with suffix size prefix-3 (spec 9.2.2.1)
+    prefix = 15
+    while True:
+        sz = prefix - 3
+        base = (15 << suffix_len_eff) + (
+            ((1 << (prefix - 3)) - 4096) if prefix > 15 else 0)
+        if code - base < (1 << sz):
+            bw.write(prefix + 1, 1)
+            bw.write(sz, code - base)
+            return
+        prefix += 1
+        assert prefix < 32, "level too large for CAVLC"
+
+
+class FrameCavlc:
+    """Per-frame CAVLC state: nnz context maps + bit writer glue."""
+
+    def __init__(self, mbw: int, mbh: int):
+        self.mbw, self.mbh = mbw, mbh
+        self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
+        self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
+
+    def _nc(self, arr, by, bx) -> int:
+        """Neighbour context (spec 9.2.1): mean of available left/top
+        total_coeff."""
+        has_l, has_t = bx > 0, by > 0
+        if has_l and has_t:
+            return int(arr[by, bx - 1] + arr[by - 1, bx] + 1) >> 1
+        if has_l:
+            return int(arr[by, bx - 1])
+        if has_t:
+            return int(arr[by - 1, bx])
+        return 0
+
+    def write_i16x16_mb(self, bw: BitWriter, mx: int, my: int,
+                        mode: int, cmode: int, cbp_luma: int,
+                        cbp_chroma: int, luma_dc: np.ndarray,
+                        luma_ac: np.ndarray, chroma_dc: np.ndarray,
+                        chroma_ac: np.ndarray, qp_delta: int,
+                        in_p_slice: bool = False) -> None:
+        """One I_16x16 macroblock.
+
+        luma_dc: [4,4]; luma_ac: [4,4,4,4] (by,bx,r,c);
+        chroma_dc: [2,2,2] (uv,r,c); chroma_ac: [2,2,2,4,4] (uv,by,bx,r,c).
+        """
+        cbp01 = 1 if cbp_luma else 0
+        mb_type = 1 + mode + 4 * cbp_chroma + 12 * cbp01
+        if in_p_slice:
+            mb_type += 5  # P-slice intra offset (spec 7.4.5)
+        bw.write_ue(mb_type)
+        bw.write_ue(cmode)
+        bw.write_se(qp_delta)
+
+        # Intra16x16DCLevel: nC derived as for luma blk 0
+        gy, gx = 4 * my, 4 * mx
+        nc = self._nc(self.nnz_y, gy, gx)
+        write_residual(bw, zigzag(luma_dc), 16, nc)
+
+        # AC blocks (15 coeffs) if cbp_luma
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            yy, xx = gy + by, gx + bx
+            if cbp_luma:
+                nc = self._nc(self.nnz_y, yy, xx)
+                lv = zigzag(luma_ac[by, bx])[1:]
+                self.nnz_y[yy, xx] = write_residual(bw, lv, 15, nc)
+            else:
+                self.nnz_y[yy, xx] = 0
+
+        self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
+
+    def _write_chroma(self, bw, mx, my, cbp_chroma, chroma_dc, chroma_ac):
+        gy, gx = 2 * my, 2 * mx
+        if cbp_chroma:
+            for ch in range(2):
+                dc = chroma_dc[ch]
+                lv = [int(dc[0, 0]), int(dc[0, 1]), int(dc[1, 0]),
+                      int(dc[1, 1])]
+                write_residual(bw, lv, 4, -1)
+        for ch in range(2):
+            for blk in range(4):
+                by, bx = CHROMA_SCAN[blk]
+                yy, xx = gy + by, gx + bx
+                if cbp_chroma == 2:
+                    nc = self._nc(self.nnz_c[ch], yy, xx)
+                    lv = zigzag(chroma_ac[ch, by, bx])[1:]
+                    self.nnz_c[ch, yy, xx] = write_residual(bw, lv, 15, nc)
+                else:
+                    self.nnz_c[ch, yy, xx] = 0

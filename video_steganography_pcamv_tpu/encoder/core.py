@@ -1,0 +1,173 @@
+"""Encoder lifecycle + frame driver.
+
+Reference: x264_encoder_open/encode/close (encoder/encoder.c:630, 2113,
+2670) and the slice writer (:1176). TPU re-design: per frame, one jitted
+device program produces all decisions/levels/recon; the host then runs
+the serial entropy back-end and NAL packaging. No second encode pass is
+ever needed — stego flips are applied to the analysis results before the
+(single) reconstruction/entropy stage.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..params import Params, SLICE_I, SLICE_P
+from ..utils.bitstream import (BitWriter, nal_unit, NAL_SLICE, NAL_SLICE_IDR,
+                               NAL_SPS, NAL_PPS, NAL_PRIORITY_HIGHEST,
+                               NAL_PRIORITY_HIGH)
+from ..utils.yuv import Frame
+from ..ops.transform import chroma_qp
+from . import headers as H
+from . import intra as I
+from .cavlc import FrameCavlc
+
+
+@dataclass
+class EncodeStats:
+    frames: int = 0
+    bits: int = 0
+    ssd_y: int = 0
+    ssd_u: int = 0
+    ssd_v: int = 0
+    i_frames: int = 0
+    p_frames: int = 0
+    # stego counters (reference: h->stat.info, common/common.h:692-697)
+    mv_covers: int = 0
+    message_bits: int = 0
+    mv_flips: int = 0
+    elapsed: float = 0.0
+
+
+class Encoder:
+    """x264-style lifecycle: construct -> encode_frame per frame -> close."""
+
+    def __init__(self, params: Params):
+        params.validate()
+        self.p = params
+        self.sps = H.SPS(params.width, params.height,
+                         num_ref_frames=1,
+                         log2_max_frame_num=8)
+        self.pps = H.PPS(pic_init_qp=params.qp,
+                         chroma_qp_index_offset=params.chroma_qp_offset)
+        self.frame_num = 0
+        self.idr_pic_id = 0
+        self.stats = EncodeStats()
+        self.recon_prev = None  # reference planes (device) for P frames
+        self._headers_written = False
+        self._stego = None
+        if params.stego.enabled:
+            from ..stego.embed import StegoEngine
+            self._stego = StegoEngine(params)
+
+    # ------------------------------------------------------------------
+    def headers(self) -> bytes:
+        """SPS+PPS Annex-B chunk (x264_encoder_headers, encoder.c:901)."""
+        out = nal_unit(NAL_SPS, NAL_PRIORITY_HIGHEST, self.sps.write())
+        out += nal_unit(NAL_PPS, NAL_PRIORITY_HIGHEST, self.pps.write())
+        return out
+
+    def _pad(self, frame: Frame):
+        """Pad planes to MB multiples (edge replicate) and lift to int32
+        device arrays."""
+        mbw, mbh = self.p.mb_width, self.p.mb_height
+        y = np.asarray(frame.y, np.int32)
+        u = np.asarray(frame.u, np.int32)
+        v = np.asarray(frame.v, np.int32)
+        py, px = mbh * 16 - y.shape[0], mbw * 16 - y.shape[1]
+        if py or px:
+            y = np.pad(y, ((0, py), (0, px)), mode="edge")
+            u = np.pad(u, ((0, py // 2), (0, px // 2)), mode="edge")
+            v = np.pad(v, ((0, py // 2), (0, px // 2)), mode="edge")
+        return jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
+
+    def encode_frame(self, frame: Frame) -> bytes:
+        t0 = time.time()
+        is_idr = self.frame_num % self.p.keyint_max == 0
+        out = b""
+        if is_idr:
+            self.frame_num = 0
+            out += self.headers()
+        y, u, v = self._pad(frame)
+        if is_idr:
+            nal = self._encode_i(y, u, v)
+            out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
+            self.stats.i_frames += 1
+        else:
+            nal = self._encode_p(y, u, v)
+            out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
+            self.stats.p_frames += 1
+        self._accumulate_psnr(frame)
+        self.frame_num += 1
+        self.stats.frames += 1
+        self.stats.bits += 8 * len(out)
+        self.stats.elapsed += time.time() - t0
+        return out
+
+    # ------------------------------------------------------------------
+    def _encode_i(self, y, u, v) -> bytes:
+        p = self.p
+        qp = p.qp
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+        res = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width, p.mb_height)
+        res = {k: np.asarray(val) for k, val in res.items()}
+        self.recon_prev = (res["recon_y"], res["recon_u"], res["recon_v"])
+
+        bw = BitWriter()
+        H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_I,
+                             self.frame_num, qp, idr=True,
+                             idr_pic_id=self.idr_pic_id)
+        self.idr_pic_id = (self.idr_pic_id + 1) % 65536
+        fc = FrameCavlc(p.mb_width, p.mb_height)
+        for my in range(p.mb_height):
+            for mx in range(p.mb_width):
+                fc.write_i16x16_mb(
+                    bw, mx, my,
+                    int(res["mode"][my, mx]), int(res["cmode"][my, mx]),
+                    int(res["cbp_luma"][my, mx]),
+                    int(res["cbp_chroma"][my, mx]),
+                    res["luma_dc"][my, mx], res["luma_ac"][my, mx],
+                    res["chroma_dc"][my, mx], res["chroma_ac"][my, mx],
+                    qp_delta=0)
+        bw.rbsp_trailing()
+        return bw.get_bytes()
+
+    def _encode_p(self, y, u, v) -> bytes:
+        raise NotImplementedError("P frames arrive with the inter stage")
+
+    # ------------------------------------------------------------------
+    def _accumulate_psnr(self, frame: Frame):
+        if self.recon_prev is None:
+            return
+        ry, ru, rv = self.recon_prev
+        h, w = frame.y.shape
+        dy = ry[:h, :w].astype(np.int64) - frame.y.astype(np.int64)
+        du = ru[:h // 2, :w // 2].astype(np.int64) - frame.u.astype(np.int64)
+        dv = rv[:h // 2, :w // 2].astype(np.int64) - frame.v.astype(np.int64)
+        self.stats.ssd_y += int(np.sum(dy * dy))
+        self.stats.ssd_u += int(np.sum(du * du))
+        self.stats.ssd_v += int(np.sum(dv * dv))
+
+    def close(self) -> dict:
+        """Final summary (x264_encoder_close, encoder.c:2795-2884)."""
+        from ..ops.pixel import psnr_from_ssd
+        st = self.stats
+        n = max(1, st.frames)
+        npix_y = n * self.p.width * self.p.height
+        fps = st.frames / st.elapsed if st.elapsed > 0 else 0.0
+        return {
+            "frames": st.frames,
+            "fps": fps,
+            "kbps": (st.bits * self.p.fps_num / self.p.fps_den / n / 1000.0
+                     if n else 0.0),
+            "psnr_y": psnr_from_ssd(st.ssd_y, npix_y),
+            "psnr_u": psnr_from_ssd(st.ssd_u, npix_y // 4),
+            "psnr_v": psnr_from_ssd(st.ssd_v, npix_y // 4),
+            "mv_covers": st.mv_covers,
+            "message_bits": st.message_bits,
+            "mv_flips": st.mv_flips,
+        }

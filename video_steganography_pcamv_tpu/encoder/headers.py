@@ -1,0 +1,127 @@
+"""SPS / PPS / slice-header writers.
+
+Reference: /root/reference/encoder/set.c (x264_sps_init:77, sps_write:215,
+pps_init:368, pps_write:429) and the slice-header writer in
+encoder/encoder.c (x264_slice_header_init / x264_slice_header_write).
+Baseline-profile subset: CAVLC, frame_mbs_only, poc_type 2 (decode order
+== display order, valid for IPPP), single slice per frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..utils.bitstream import BitWriter
+
+PROFILE_BASELINE = 66
+
+SLICE_TYPE_P = 0
+SLICE_TYPE_I = 2
+
+
+@dataclass
+class SPS:
+    width: int
+    height: int
+    num_ref_frames: int = 1
+    log2_max_frame_num: int = 8
+    level_idc: int = 30
+    sps_id: int = 0
+
+    @property
+    def mb_width(self) -> int:
+        return (self.width + 15) // 16
+
+    @property
+    def mb_height(self) -> int:
+        return (self.height + 15) // 16
+
+    def write(self) -> bytes:
+        bw = BitWriter()
+        bw.write(8, PROFILE_BASELINE)
+        bw.write1(1)  # constraint_set0: baseline conforming
+        bw.write1(0)  # constraint_set1
+        bw.write1(0)  # constraint_set2
+        bw.write(5, 0)  # constraint_set3 + reserved
+        bw.write(8, self.level_idc)
+        bw.write_ue(self.sps_id)
+        bw.write_ue(self.log2_max_frame_num - 4)
+        bw.write_ue(2)  # pic_order_cnt_type
+        bw.write_ue(self.num_ref_frames)
+        bw.write1(0)  # gaps_in_frame_num_value_allowed
+        bw.write_ue(self.mb_width - 1)
+        bw.write_ue(self.mb_height - 1)
+        bw.write1(1)  # frame_mbs_only
+        bw.write1(1)  # direct_8x8_inference
+        crop_r = self.mb_width * 16 - self.width
+        crop_b = self.mb_height * 16 - self.height
+        if crop_r or crop_b:
+            bw.write1(1)
+            bw.write_ue(0)
+            bw.write_ue(crop_r // 2)
+            bw.write_ue(0)
+            bw.write_ue(crop_b // 2)
+        else:
+            bw.write1(0)
+        bw.write1(0)  # vui_parameters_present
+        bw.rbsp_trailing()
+        return bw.get_bytes()
+
+
+@dataclass
+class PPS:
+    pps_id: int = 0
+    sps_id: int = 0
+    pic_init_qp: int = 26
+    chroma_qp_index_offset: int = 0
+    num_ref_idx_l0_active: int = 1
+
+    def write(self) -> bytes:
+        bw = BitWriter()
+        bw.write_ue(self.pps_id)
+        bw.write_ue(self.sps_id)
+        bw.write1(0)  # entropy_coding_mode: CAVLC
+        bw.write1(0)  # pic_order_present
+        bw.write_ue(0)  # num_slice_groups - 1
+        bw.write_ue(self.num_ref_idx_l0_active - 1)
+        bw.write_ue(0)  # num_ref_idx_l1_active - 1
+        bw.write1(0)  # weighted_pred
+        bw.write(2, 0)  # weighted_bipred_idc
+        bw.write_se(self.pic_init_qp - 26)
+        bw.write_se(0)  # pic_init_qs
+        bw.write_se(self.chroma_qp_index_offset)
+        bw.write1(1)  # deblocking_filter_control_present
+        bw.write1(0)  # constrained_intra_pred
+        bw.write1(0)  # redundant_pic_cnt_present
+        bw.rbsp_trailing()
+        return bw.get_bytes()
+
+
+def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
+                       frame_num: int, qp: int, idr: bool,
+                       idr_pic_id: int = 0,
+                       disable_deblock: int = 1) -> None:
+    """Single-slice frame header (reference: encoder/encoder.c slice
+    header writer; fields per spec 7.3.3)."""
+    bw.write_ue(0)  # first_mb_in_slice
+    bw.write_ue(slice_type)
+    bw.write_ue(pps.pps_id)
+    bw.write(sps.log2_max_frame_num, frame_num % (1 << sps.log2_max_frame_num))
+    if idr:
+        bw.write_ue(idr_pic_id)
+    # poc_type == 2: nothing
+    if slice_type == SLICE_TYPE_P:
+        bw.write1(0)  # num_ref_idx_active_override
+        bw.write1(0)  # ref_pic_list_reordering_flag_l0
+    # dec_ref_pic_marking (all our frames are references, nal_ref_idc != 0)
+    if idr:
+        bw.write1(0)  # no_output_of_prior_pics
+        bw.write1(0)  # long_term_reference_flag
+    else:
+        bw.write1(0)  # adaptive_ref_pic_marking_mode (sliding window)
+    bw.write_se(qp - pps.pic_init_qp)
+    # deblocking_filter_control_present == 1:
+    bw.write_ue(disable_deblock)
+    if disable_deblock != 1:
+        bw.write_se(0)  # alpha offset / 2
+        bw.write_se(0)  # beta offset / 2
