@@ -242,8 +242,9 @@ def parse_pps(rbsp: bytes) -> DecPPS:
 class SliceDecoder:
     """Decodes one frame (single slice)."""
 
-    def __init__(self, sps: DecSPS, pps: DecPPS):
+    def __init__(self, sps: DecSPS, pps: DecPPS, ref=None):
         self.sps, self.pps = sps, pps
+        self.ref = ref  # {"luma": [4,Hp,Wp], "u": ..., "v": ...} padded
         self.mbw = (sps.width + 15) // 16
         self.mbh = (sps.height + 15) // 16
         self.y = np.zeros((self.mbh * 16, self.mbw * 16), np.int64)
@@ -252,6 +253,9 @@ class SliceDecoder:
         self.nnz_y = np.zeros((4 * self.mbh, 4 * self.mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * self.mbh, 2 * self.mbw), np.int32)
         self.mb_intra = np.zeros((self.mbh, self.mbw), bool)
+        self.mv = np.zeros((self.mbh, self.mbw, 2), np.int32)
+        self.decoded = np.zeros((self.mbh, self.mbw), bool)
+        self.cur_mv = np.zeros(2, np.int32)  # MV of the MB being decoded
         self.mbs: list[MBInfo] = []
 
     def _nc(self, arr, by, bx):
@@ -355,22 +359,147 @@ class SliceDecoder:
                         blocks[by, bx])
 
     def _inter_pred_chroma(self, ch, mx, my):
-        raise NotImplementedError  # P slices land with the inter decoder
+        plane = self.ref["u"] if ch == 0 else self.ref["v"]
+        return R.np_mc_chroma(plane, 8 * my, 8 * mx,
+                              int(self.cur_mv[0]), int(self.cur_mv[1]))
+
+    # ---- MVP derivation (spec 8.4.1.3 / 8.4.1.1), mirrors encoder ----
+    def _median_mvp(self, my, mx):
+        avail = self.decoded & ~self.mb_intra
+        a_ok = mx > 0 and avail[my, mx - 1]
+        b_ok = my > 0 and avail[my - 1, mx]
+        c_ok = my > 0 and mx + 1 < self.mbw and avail[my - 1, mx + 1]
+        d_ok = my > 0 and mx > 0 and avail[my - 1, mx - 1]
+        mva = self.mv[my, mx - 1] if a_ok else np.zeros(2, np.int32)
+        mvb = self.mv[my - 1, mx] if b_ok else np.zeros(2, np.int32)
+        if c_ok:
+            mvc, c_use = self.mv[my - 1, mx + 1], True
+        elif d_ok:
+            mvc, c_use = self.mv[my - 1, mx - 1], True
+        else:
+            mvc, c_use = np.zeros(2, np.int32), False
+        b_exist = my > 0 and self.decoded[my - 1, mx]
+        c_exist = c_use
+        if not b_exist and not c_exist and (mx > 0 and self.decoded[my, mx - 1]):
+            return mva.copy()
+        n_ok = int(a_ok) + int(b_ok) + int(c_use)
+        if n_ok == 1:
+            return (mva if a_ok else mvb if b_ok else mvc).copy()
+        return np.median(np.stack([mva, mvb, mvc]), axis=0).astype(np.int32)
+
+    def _pskip_mv(self, my, mx):
+        avail = self.decoded
+        a_ok = mx > 0 and avail[my, mx - 1]
+        b_ok = my > 0 and avail[my - 1, mx]
+        if not a_ok or not b_ok:
+            return np.zeros(2, np.int32)
+        for (ny, nx) in ((my, mx - 1), (my - 1, mx)):
+            if (not self.mb_intra[ny, nx]
+                    and self.mv[ny, nx, 0] == 0 and self.mv[ny, nx, 1] == 0):
+                return np.zeros(2, np.int32)
+        return self._median_mvp(my, mx)
+
+    def _recon_inter_luma(self, mx, my, blocks):
+        """blocks: [4,4,4,4] dequantized (by,bx,r,c) incl. DC."""
+        gy, gx = 16 * my, 16 * mx
+        pred = R.np_mc_luma(self.ref["luma"], gy, gx,
+                            int(self.cur_mv[0]), int(self.cur_mv[1]))
+        for by in range(4):
+            for bx in range(4):
+                py, px = gy + 4 * by, gx + 4 * bx
+                self.y[py:py + 4, px:px + 4] = R.recon_block4x4(
+                    pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
+                    blocks[by, bx])
+
+    def decode_p16x16(self, br: BitReader, mx: int, my: int, qp: int):
+        mvd = (br.read_se(), br.read_se())
+        mvp = self._median_mvp(my, mx)
+        mv = np.array([mvp[0] + mvd[0], mvp[1] + mvd[1]], np.int32)
+        self.mv[my, mx] = mv
+        self.cur_mv = mv
+        cbp_code = br.read_ue()
+        cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.read_se()
+        qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
+                                    0, 51)])
+        from ..encoder.cavlc import LUMA_SCAN
+        blocks = np.zeros((4, 4, 4, 4), np.int64)
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, 4 * my + by, 4 * mx + bx)
+                lv = read_residual(br, 16, nc)
+                self.nnz_y[4 * my + by, 4 * mx + bx] = \
+                    sum(1 for x in lv if x)
+                blocks[by, bx] = R.dequant4x4(R.dezigzag(lv), qp)
+            else:
+                self.nnz_y[4 * my + by, 4 * mx + bx] = 0
+        self._recon_inter_luma(mx, my, blocks)
+        if cbp:
+            self._decode_chroma(br, mx, my, 0, cbp_chroma, qpc, intra=False)
+        else:
+            self._decode_chroma(br, mx, my, 0, 0, qpc, intra=False)
+        self.decoded[my, mx] = True
+        self.mbs.append(MBInfo("P16x16", (int(mv[0]), int(mv[1])), qp))
+        return qp
+
+    def decode_pskip(self, mx: int, my: int, qp: int):
+        mv = self._pskip_mv(my, mx)
+        self.mv[my, mx] = mv
+        self.cur_mv = mv
+        self._recon_inter_luma(mx, my, np.zeros((4, 4, 4, 4), np.int64))
+        for ch, plane in ((0, self.u), (1, self.v)):
+            pred = self._inter_pred_chroma(ch, mx, my)
+            gy, gx = 8 * my, 8 * mx
+            plane[gy:gy + 8, gx:gx + 8] = pred
+        self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.decoded[my, mx] = True
+        self.mbs.append(MBInfo("SKIP", (int(mv[0]), int(mv[1])), qp))
 
     def decode_slice(self, br: BitReader, slice_type: int, qp: int):
-        assert slice_type in (2, 7), "only I slices in this decoder stage"
-        for my in range(self.mbh):
-            for mx in range(self.mbw):
-                mb_type = br.read_ue()
-                assert 1 <= mb_type <= 24, f"unsupported I mb_type {mb_type}"
-                qp = self.decode_i16x16(br, mx, my, mb_type, qp)
+        if slice_type in (2, 7):
+            for my in range(self.mbh):
+                for mx in range(self.mbw):
+                    mb_type = br.read_ue()
+                    assert 1 <= mb_type <= 24, \
+                        f"unsupported I mb_type {mb_type}"
+                    qp = self.decode_i16x16(br, mx, my, mb_type, qp)
+                    self.decoded[my, mx] = True
+                    self.mbs.append(MBInfo("I16x16", (0, 0), qp))
+            return
+        assert slice_type in (0, 5), f"unsupported slice_type {slice_type}"
+        n_mbs = self.mbh * self.mbw
+        addr = 0
+        while addr < n_mbs:
+            skip_run = br.read_ue()
+            for _ in range(skip_run):
+                my, mx = addr // self.mbw, addr % self.mbw
+                self.decode_pskip(mx, my, qp)
+                addr += 1
+            if addr >= n_mbs:
+                break
+            my, mx = addr // self.mbw, addr % self.mbw
+            mb_type = br.read_ue()
+            if mb_type == 0:
+                qp = self.decode_p16x16(br, mx, my, qp)
+            elif 5 <= mb_type <= 29:
+                self.mb_intra[my, mx] = True
+                qp = self.decode_i16x16(br, mx, my, mb_type - 5, qp)
+                self.decoded[my, mx] = True
                 self.mbs.append(MBInfo("I16x16", (0, 0), qp))
+            else:
+                raise AssertionError(f"unsupported P mb_type {mb_type}")
+            addr += 1
 
 
 def decode_annexb(data: bytes) -> list[DecodedFrame]:
-    """Decode an Annex-B stream (I-frames at this stage)."""
+    """Decode an Annex-B stream (IDR + P chain, single reference)."""
     sps = pps = None
     frames = []
+    ref = None
     for nal_type, ref_idc, rbsp in parse_nals(data):
         if nal_type == 7:
             sps = parse_sps(rbsp)
@@ -400,7 +529,7 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 if disable != 1:
                     br.read_se()
                     br.read_se()
-            dec = SliceDecoder(sps, pps)
+            dec = SliceDecoder(sps, pps, ref=ref)
             dec.decode_slice(br, slice_type, qp)
             h, w = sps.height, sps.width
             frames.append(DecodedFrame(
@@ -408,4 +537,7 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 u=dec.u[:h // 2, :w // 2].astype(np.uint8),
                 v=dec.v[:h // 2, :w // 2].astype(np.uint8),
                 slice_type=slice_type, mbs=dec.mbs))
+            if ref_idc != 0:
+                ref = {"luma": R.np_hpel_planes(R.np_pad(dec.y)),
+                       "u": R.np_pad(dec.u), "v": R.np_pad(dec.v)}
     return frames

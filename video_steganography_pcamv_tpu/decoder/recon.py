@@ -95,6 +95,73 @@ def recon_block4x4(pred: np.ndarray, coef: np.ndarray) -> np.ndarray:
 
 # ------------------------- intra prediction --------------------------------
 
+# ------------------------- inter prediction --------------------------------
+
+def np_pad(plane: np.ndarray, pad: int = 24) -> np.ndarray:
+    return np.pad(plane.astype(np.int64), pad, mode="edge")
+
+
+def _filt6(a, b, c, d, e, f):
+    return a - 5 * b + 20 * c + 20 * d - 5 * e + f
+
+
+def np_hpel_planes(fp: np.ndarray):
+    """Half-pel planes over a padded full plane (spec 8.4.2.2.1)."""
+    def sx(img, k):
+        return np.roll(img, -k, axis=1)
+
+    def sy(img, k):
+        return np.roll(img, -k, axis=0)
+
+    th = _filt6(sx(fp, -2), sx(fp, -1), fp, sx(fp, 1), sx(fp, 2), sx(fp, 3))
+    h = np.clip((th + 16) >> 5, 0, 255)
+    tv = _filt6(sy(fp, -2), sy(fp, -1), fp, sy(fp, 1), sy(fp, 2), sy(fp, 3))
+    v = np.clip((tv + 16) >> 5, 0, 255)
+    tc = _filt6(sy(th, -2), sy(th, -1), th, sy(th, 1), sy(th, 2), sy(th, 3))
+    c = np.clip((tc + 512) >> 10, 0, 255)
+    return np.stack([fp, h, v, c])
+
+
+def np_mc_luma(planes: np.ndarray, y0: int, x0: int, mvx: int, mvy: int,
+               bh: int = 16, bw: int = 16, pad: int = 24) -> np.ndarray:
+    """One block, quarter-pel (same spec phase rules as ops/mc.py but an
+    independent scalar derivation for cross-checking)."""
+    ix = x0 + pad + (mvx >> 2)
+    iy = y0 + pad + (mvy >> 2)
+    fx, fy = mvx & 3, mvy & 3
+
+    def blk(p, dy, dx):
+        return planes[p, iy + dy: iy + dy + bh, ix + dx: ix + dx + bw]
+
+    if fx % 2 == 0 and fy % 2 == 0:
+        return blk((fx >> 1) + 2 * (fy >> 1), 0, 0)
+    if fx % 2 == 1 and fy % 2 == 0:
+        a = blk(1 + 2 * (fy >> 1), 0, 0)
+        b = blk(0 + 2 * (fy >> 1), 0, 1 if fx == 3 else 0)
+        return (a + b + 1) >> 1
+    if fx % 2 == 0 and fy % 2 == 1:
+        a = blk((fx >> 1) + 2, 0, 0)
+        b = blk((fx >> 1), 1 if fy == 3 else 0, 0)
+        return (a + b + 1) >> 1
+    a = blk(1, 1 if fy == 3 else 0, 0)   # H plane
+    b = blk(2, 0, 1 if fx == 3 else 0)   # V plane
+    return (a + b + 1) >> 1
+
+
+def np_mc_chroma(plane_padded: np.ndarray, y0: int, x0: int,
+                 mvx: int, mvy: int, bh: int = 8, bw: int = 8,
+                 pad: int = 24) -> np.ndarray:
+    ix = x0 + pad + (mvx >> 3)
+    iy = y0 + pad + (mvy >> 3)
+    fx, fy = mvx & 7, mvy & 7
+    a = plane_padded[iy: iy + bh, ix: ix + bw]
+    b = plane_padded[iy: iy + bh, ix + 1: ix + 1 + bw]
+    c = plane_padded[iy + 1: iy + 1 + bh, ix: ix + bw]
+    d = plane_padded[iy + 1: iy + 1 + bh, ix + 1: ix + 1 + bw]
+    return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+
+
 def pred_16x16(mode: int, top, left, topleft, at: bool, al: bool):
     if mode == 0:
         return np.tile(top, (16, 1))

@@ -193,6 +193,41 @@ class FrameCavlc:
 
         self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
 
+    def write_p16x16_mb(self, bw: BitWriter, mx: int, my: int,
+                        mvd: tuple, cbp_luma: int, cbp_chroma: int,
+                        luma_lev: np.ndarray, chroma_dc: np.ndarray,
+                        chroma_ac: np.ndarray, qp_delta: int) -> None:
+        """P_L0_16x16 macroblock (reference: encoder/cavlc.c:288-600 P
+        path). luma_lev: [4,4,4,4] (by,bx,r,c) 16-coeff blocks."""
+        bw.write_ue(0)  # mb_type P_L0_16x16
+        # ref_idx_l0 absent with a single active reference
+        bw.write_se(int(mvd[0]))
+        bw.write_se(int(mvd[1]))
+        cbp = (cbp_chroma << 4) | cbp_luma
+        bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
+        if cbp:
+            bw.write_se(qp_delta)
+        gy, gx = 4 * my, 4 * mx
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            yy, xx = gy + by, gx + bx
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, yy, xx)
+                lv = zigzag(luma_lev[by, bx])
+                self.nnz_y[yy, xx] = write_residual(bw, lv, 16, nc)
+            else:
+                self.nnz_y[yy, xx] = 0
+        if cbp:
+            self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
+        else:
+            self.set_mb_nnz_zero(mx, my, luma_too=False)
+
+    def set_mb_nnz_zero(self, mx: int, my: int, luma_too: bool = True):
+        """Clear nnz context for a skipped (or residual-free) MB."""
+        if luma_too:
+            self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+
     def _write_chroma(self, bw, mx, my, cbp_chroma, chroma_dc, chroma_ac):
         gy, gx = 2 * my, 2 * mx
         if cbp_chroma:

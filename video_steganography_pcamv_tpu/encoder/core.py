@@ -21,9 +21,12 @@ from ..utils.bitstream import (BitWriter, nal_unit, NAL_SLICE, NAL_SLICE_IDR,
                                NAL_SPS, NAL_PPS, NAL_PRIORITY_HIGHEST,
                                NAL_PRIORITY_HIGH)
 from ..utils.yuv import Frame
+from ..ops import mc
 from ..ops.transform import chroma_qp
 from . import headers as H
 from . import intra as I
+from . import inter as P
+from . import me as ME
 from .cavlc import FrameCavlc
 
 
@@ -57,7 +60,9 @@ class Encoder:
         self.frame_num = 0
         self.idr_pic_id = 0
         self.stats = EncodeStats()
-        self.recon_prev = None  # reference planes (device) for P frames
+        self.recon_prev = None  # reference planes (numpy) of last frame
+        self.ref = None         # device reference (padded + hpel planes)
+        self.prev_mv = None     # temporal MV predictor field [mbh,mbw,2]
         self._headers_written = False
         self._stego = None
         if params.stego.enabled:
@@ -114,8 +119,10 @@ class Encoder:
         qp = p.qp
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         res = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width, p.mb_height)
+        self._update_ref(res)
         res = {k: np.asarray(val) for k, val in res.items()}
         self.recon_prev = (res["recon_y"], res["recon_u"], res["recon_v"])
+        self.prev_mv = np.zeros((p.mb_height, p.mb_width, 2), np.int32)
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_I,
@@ -136,8 +143,70 @@ class Encoder:
         bw.rbsp_trailing()
         return bw.get_bytes()
 
+    def _update_ref(self, res):
+        """Build padded + hpel reference planes from recon (device)."""
+        self.ref = mc.build_ref(res["recon_y"], res["recon_u"],
+                                res["recon_v"])
+
+    def analyse_p(self, y):
+        """Device motion analysis for a P frame. Returns qpel MV field
+        [mbh, mbw, 2] (numpy) + per-MB SATD cost."""
+        p = self.p
+        lam = ME.lambda_tab(p.qp)
+        pred_fp = np.clip(self.prev_mv // 4, -p.me_range, p.me_range)
+        mv_fp, _ = ME.fullpel_search(
+            y, self.ref["luma"][0], jnp.asarray(pred_fp),
+            p.me_range, p.mb_height, p.mb_width, lam)
+        mv_q, cost = ME.subpel_refine(
+            y, self.ref["luma"], mv_fp, jnp.asarray(self.prev_mv),
+            p.mb_height, p.mb_width, lam, steps=p.subpel)
+        return mv_q, cost
+
     def _encode_p(self, y, u, v) -> bytes:
-        raise NotImplementedError("P frames arrive with the inter stage")
+        p = self.p
+        qp = p.qp
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+
+        mv_q, _ = self.analyse_p(y)
+        mv_np = np.asarray(mv_q)
+        if self._stego is not None:
+            mv_np = self._stego.process_frame(self, y, u, v, mv_np)
+        res = P.encode_p_frame_device(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            jnp.asarray(mv_np), qp, qpc, p.mb_height, p.mb_width,
+            decimate=p.dct_decimate)
+        self._update_ref(res)
+        res = {k: np.asarray(val) for k, val in res.items()}
+        self.recon_prev = (res["recon_y"], res["recon_u"], res["recon_v"])
+        self.prev_mv = mv_np
+
+        skip, mvd, _ = P.host_scan_p(mv_np, res["cbp_luma"],
+                                     res["cbp_chroma"])
+
+        bw = BitWriter()
+        H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
+                             self.frame_num, qp, idr=False)
+        fc = FrameCavlc(p.mb_width, p.mb_height)
+        skip_run = 0
+        for my in range(p.mb_height):
+            for mx in range(p.mb_width):
+                if skip[my, mx]:
+                    skip_run += 1
+                    fc.set_mb_nnz_zero(mx, my)
+                    continue
+                bw.write_ue(skip_run)
+                skip_run = 0
+                fc.write_p16x16_mb(
+                    bw, mx, my, (mvd[my, mx, 0], mvd[my, mx, 1]),
+                    int(res["cbp_luma"][my, mx]),
+                    int(res["cbp_chroma"][my, mx]),
+                    res["luma_lev"][my, mx],
+                    res["chroma_dc"][my, mx], res["chroma_ac"][my, mx],
+                    qp_delta=0)
+        if skip_run:
+            bw.write_ue(skip_run)
+        bw.rbsp_trailing()
+        return bw.get_bytes()
 
     # ------------------------------------------------------------------
     def _accumulate_psnr(self, frame: Frame):

@@ -1,0 +1,243 @@
+"""P-frame encoder: batched MC/transform + host MVP/skip scan.
+
+Reference: P-path of x264_macroblock_analyse (analyse.c:2613-2810),
+x264_macroblock_encode (encoder/macroblock.c:484-700), decimation
+(quant.c decimate_score, JVT-B118), pskip rules (common/macroblock.c:
+x264_mb_predict_mv_pskip:165).
+
+TPU pipeline per frame (no serial MB loop):
+  phase D1 (device): exhaustive full-pel ME + subpel refine  -> MV field
+  phase D2 (device): MC + residual transform/quant/decimate/recon at the
+                     final MVs, all MBs batched
+  phase H  (host):   raster scan deriving the spatial-median MVPs, P_SKIP
+                     eligibility and mvd stream (cheap integer work over
+                     [mbh*mbw]; C++ twin planned)
+
+Because P MBs only depend on the *previous* frame's reconstruction,
+nothing in D1/D2 is wavefront-constrained — this is where the TPU wins.
+
+Divergences from the reference (documented):
+- intra modes are never chosen inside P frames (the stego config also
+  forces this in the reference, analyse.c:2862-2863);
+- x264's "try pskip-mv first and exit early" probe (analyse.c:2620-2643)
+  is replaced by an exact post-hoc test: a MB becomes P_SKIP iff its
+  chosen MV equals the pskip MV and its (decimated) residual is empty.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import mc
+from ..ops import transform as T
+from ..ops.blocks import to_blocks
+
+# JVT-B118 decimation table (quant.c x264_mb_decimate_score)
+_DS_TAB = np.array([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+                   np.int32)
+
+
+def _zigzag_gather(levels):
+    """[..., 4, 4, ...]-plane levels -> [..., 16, ...] zigzag order.
+    levels: [N, 4(r), 4(c), BY, BX] -> [N, 16, BY, BX]."""
+    zz = T.ZIGZAG_4x4
+    return levels[:, zz[:, 0], zz[:, 1]]
+
+
+def decimate_score(levels):
+    """Vectorized x264_mb_decimate_score over zigzag levels
+    [N, 16, BY, BX] -> score [N, BY, BX]."""
+    a = jnp.abs(levels)
+    anybig = jnp.any(a > 1, axis=1)
+    nz = a > 0
+    idx = jnp.arange(16)[None, :, None, None]
+    marked = jnp.where(nz, idx, -1)
+    # previous nonzero position (exclusive) per scan index
+    prev = jax.lax.cummax(marked, axis=1)
+    prev_excl = jnp.concatenate(
+        [jnp.full_like(prev[:, :1], -1), prev[:, :-1]], axis=1)
+    run = idx - prev_excl - 1
+    contrib = jnp.where(nz, jnp.asarray(_DS_TAB)[jnp.clip(run, 0, 15)], 0)
+    score = jnp.sum(contrib, axis=1)
+    return jnp.where(anybig, 9, score)
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "qpc", "mbh", "mbw",
+                                             "decimate"))
+def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
+                          qp: int, qpc: int, mbh: int, mbw: int,
+                          decimate: bool = True):
+    """Final P encode at given MVs. mv: [mbh, mbw, 2] qpel.
+
+    Returns per-MB levels (16-coeff luma blocks), cbp decisions, recon.
+    """
+    n = mbh * mbw
+    ys = (jnp.arange(n) // mbw) * 16
+    xs = (jnp.arange(n) % mbw) * 16
+    mvf = mv.reshape(n, 2)
+
+    cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
+    pred = mc.mc_luma(ref_luma, ys, xs, mvf)              # [N,16,16]
+    res = to_blocks(cur - pred, 4)                        # [N,4,4,4,4]
+    lev = T.quant4x4(T.dct4x4(res), qp, intra=False)
+
+    if decimate:
+        zz = _zigzag_gather(lev)                          # [N,16,4,4]
+        sc = decimate_score(zz)                           # [N,4,4]
+        sc8 = sc.reshape(n, 2, 2, 2, 2).sum(axis=(2, 4))  # [N,2,2] per 8x8
+        keep8 = sc8 >= 4
+        keep_mb = jnp.sum(jnp.where(keep8, sc8, 0), axis=(1, 2)) >= 6
+        keep = keep8 & keep_mb[:, None, None]             # [N,2,2]
+        keep_blk = jnp.repeat(jnp.repeat(keep, 2, 1), 2, 2)  # [N,4,4]
+        lev = lev * keep_blk[:, None, None, :, :]
+    nz_blk = jnp.any(lev != 0, axis=(1, 2))               # [N,4,4]
+    cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))  # [N,2,2]
+    cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
+                + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8)
+
+    deq = T.dequant4x4(lev, qp)
+    rec = T.idct4x4_add(to_blocks(pred, 4), deq)
+    rec = rec.reshape(n, 4, 4, 4, 4).transpose(0, 3, 1, 4, 2) \
+             .reshape(n, 16, 16)
+
+    # ---- chroma ----
+    ysc, xsc = ys // 2, xs // 2
+    chroma_out = []
+    for plane, refp in ((u, ref_u), (v, ref_v)):
+        curc = plane.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                    .reshape(n, 8, 8)
+        predc = mc.mc_chroma(refp, ysc, xsc, mvf)
+        resc = to_blocks(curc - predc, 4)                 # [N,4,4,2,2]
+        coef = T.dct4x4(resc)
+        dc = coef[:, 0, 0][..., None, None]               # [N,2,2,1,1]
+        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc, intra=False)
+        ac = coef.at[:, 0, 0].set(0)
+        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if decimate:
+            zzc = _zigzag_gather(ac_lev)                  # [N,16,2,2]
+            scc = jnp.sum(decimate_score(zzc), axis=(1, 2))  # [N]
+            keep_c = scc >= 7
+            ac_lev = ac_lev * keep_c[:, None, None, None, None]
+        chroma_out.append((dc_lev, ac_lev, predc, curc))
+
+    ac_nz = jnp.stack([jnp.any(c[1] != 0, axis=(1, 2, 3, 4))
+                       for c in chroma_out]).any(axis=0)
+    dc_nz = jnp.stack([jnp.any(c[0] != 0, axis=(1, 2))
+                       for c in chroma_out]).any(axis=0)
+    cbp_chroma = jnp.where(ac_nz, 2, jnp.where(dc_nz, 1, 0))
+
+    recs_c = []
+    levs_c = []
+    for dc_lev, ac_lev, predc, curc in chroma_out:
+        deqc = T.dequant4x4(ac_lev, qpc)
+        dc_rec = T.dequant_dc_chroma(
+            T.hadamard2x2(dc_lev[..., None, None])[..., 0, 0], qpc)
+        deqc = deqc.at[:, 0, 0].set(dc_rec)
+        rc = T.idct4x4_add(to_blocks(predc, 4), deqc)
+        rc = rc.reshape(n, 4, 4, 2, 2).transpose(0, 3, 1, 4, 2) \
+               .reshape(n, 8, 8)
+        recs_c.append(rc)
+        levs_c.append((dc_lev, ac_lev))
+
+    def untile(t, b):
+        return t.reshape(mbh, mbw, b, b).transpose(0, 2, 1, 3) \
+                .reshape(mbh * b, mbw * b)
+
+    return {
+        "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
+            mbh, mbw, 4, 4, 4, 4),                       # [..,by,bx,r,c]
+        "cbp_luma": cbp_luma.reshape(mbh, mbw),
+        "cbp_chroma": cbp_chroma.reshape(mbh, mbw),
+        "chroma_dc": jnp.stack(
+            [levs_c[0][0], levs_c[1][0]], axis=1).reshape(mbh, mbw, 2, 2, 2),
+        "chroma_ac": jnp.stack(
+            [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
+             jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
+            axis=1).reshape(mbh, mbw, 2, 2, 2, 4, 4),
+        "recon_y": untile(rec, 16),
+        "recon_u": untile(recs_c[0], 8),
+        "recon_v": untile(recs_c[1], 8),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Host scan: MVP / P_SKIP / mvd derivation (spec 8.4.1.1, 8.4.1.3)
+# ---------------------------------------------------------------------------
+
+def median_mvp(mvs: np.ndarray, avail: np.ndarray, my: int, mx: int):
+    """MVP for 16x16 L0, single reference (all refIdx 0).
+
+    mvs: [mbh, mbw, 2] final MVs so far (raster order guarantees
+    A/B/C/D are final). avail: [mbh, mbw] bool (decoded & inter)."""
+    mbh, mbw = avail.shape
+    a_ok = mx > 0 and avail[my, mx - 1]
+    b_ok = my > 0 and avail[my - 1, mx]
+    c_ok = my > 0 and mx + 1 < mbw and avail[my - 1, mx + 1]
+    d_ok = my > 0 and mx > 0 and avail[my - 1, mx - 1]
+    mva = mvs[my, mx - 1] if a_ok else np.zeros(2, np.int32)
+    mvb = mvs[my - 1, mx] if b_ok else np.zeros(2, np.int32)
+    if c_ok:
+        mvc = mvs[my - 1, mx + 1]
+        c_use = True
+    elif d_ok:
+        mvc = mvs[my - 1, mx - 1]
+        c_use = True
+    else:
+        mvc = np.zeros(2, np.int32)
+        c_use = False
+    # spec: B and C (incl. D substitution) unavailable & A available -> A
+    if not b_ok and not c_use and a_ok:
+        return mva.copy()
+    # all refs equal (0); with exactly one "available" the median still
+    # includes zeros for the others, per the same-ref rule reduced to:
+    n_ok = int(a_ok) + int(b_ok) + int(c_use)
+    if n_ok == 1:
+        # exactly one neighbour with matching ref -> its MV
+        return (mva if a_ok else mvb if b_ok else mvc).copy()
+    stack = np.stack([mva, mvb, mvc])
+    return np.median(stack, axis=0).astype(np.int32)
+
+
+def pskip_mv(mvs: np.ndarray, avail: np.ndarray, zero_ref0: np.ndarray,
+             my: int, mx: int):
+    """P_SKIP motion vector (spec 8.4.1.1): zero if A/B missing or a
+    zero-MV-ref0 neighbour, else the median MVP.
+    zero_ref0[my, mx]: MB is inter ref0 with mv == (0,0)."""
+    a_ok = mx > 0 and avail[my, mx - 1]
+    b_ok = my > 0 and avail[my - 1, mx]
+    if not a_ok or not b_ok:
+        return np.zeros(2, np.int32)
+    if zero_ref0[my, mx - 1] or zero_ref0[my - 1, mx]:
+        return np.zeros(2, np.int32)
+    return median_mvp(mvs, avail, my, mx)
+
+
+def host_scan_p(mv: np.ndarray, cbp_luma: np.ndarray,
+                cbp_chroma: np.ndarray):
+    """Raster scan producing skip flags + mvd stream.
+
+    mv: [mbh, mbw, 2] chosen qpel MVs (these remain the final MVs).
+    Returns (skip [mbh,mbw] bool, mvd [mbh,mbw,2], mvp [mbh,mbw,2])."""
+    mbh, mbw = cbp_luma.shape
+    avail = np.zeros((mbh, mbw), bool)
+    zero_ref0 = np.zeros((mbh, mbw), bool)
+    skip = np.zeros((mbh, mbw), bool)
+    mvd = np.zeros((mbh, mbw, 2), np.int32)
+    mvp_out = np.zeros((mbh, mbw, 2), np.int32)
+    for my in range(mbh):
+        for mx in range(mbw):
+            mvp = median_mvp(mv, avail, my, mx)
+            ps = pskip_mv(mv, avail, zero_ref0, my, mx)
+            here = mv[my, mx]
+            if (cbp_luma[my, mx] == 0 and cbp_chroma[my, mx] == 0
+                    and here[0] == ps[0] and here[1] == ps[1]):
+                skip[my, mx] = True
+            mvd[my, mx] = here - mvp
+            mvp_out[my, mx] = mvp
+            avail[my, mx] = True
+            zero_ref0[my, mx] = (here[0] == 0 and here[1] == 0)
+    return skip, mvd, mvp_out
