@@ -169,19 +169,25 @@ class Encoder:
 
         mv_q, _ = self.analyse_p(y)
         mv_np = np.asarray(mv_q)
-        if self._stego is not None:
-            mv_np = self._stego.process_frame(self, y, u, v, mv_np)
         res = P.encode_p_frame_device(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(mv_np), qp, qpc, p.mb_height, p.mb_width,
             decimate=p.dct_decimate)
+        res_np = {k: np.asarray(val) for k, val in res.items()}
+        skip, mvd, mvp = P.host_scan_p(mv_np, res_np["cbp_luma"],
+                                       res_np["cbp_chroma"])
+
+        if self._stego is not None:
+            replaced = self._stego.embed_frame(self, y, u, v, mv_np,
+                                               res_np, skip, mvp)
+            if replaced is not None:
+                mv_np, skip, mvd, res = replaced
+                res_np = {k: np.asarray(val) for k, val in res.items()}
+
         self._update_ref(res)
-        res = {k: np.asarray(val) for k, val in res.items()}
+        res = res_np
         self.recon_prev = (res["recon_y"], res["recon_u"], res["recon_v"])
         self.prev_mv = mv_np
-
-        skip, mvd, _ = P.host_scan_p(mv_np, res["cbp_luma"],
-                                     res["cbp_chroma"])
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,

@@ -66,25 +66,14 @@ def decimate_score(levels):
     return jnp.where(anybig, 9, score)
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "qpc", "mbh", "mbw",
-                                             "decimate"))
-def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
-                          qp: int, qpc: int, mbh: int, mbw: int,
-                          decimate: bool = True):
-    """Final P encode at given MVs. mv: [mbh, mbw, 2] qpel.
-
-    Returns per-MB levels (16-coeff luma blocks), cbp decisions, recon.
-    """
-    n = mbh * mbw
-    ys = (jnp.arange(n) // mbw) * 16
-    xs = (jnp.arange(n) % mbw) * 16
-    mvf = mv.reshape(n, 2)
-
-    cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
-    pred = mc.mc_luma(ref_luma, ys, xs, mvf)              # [N,16,16]
+def luma_p_encode(cur, pred, qp: int, decimate: bool):
+    """Shared inter-luma encode: residual -> quant -> (decimate) ->
+    levels + recon. cur/pred: [N,16,16]. Used by both the real P encode
+    and the stego alt-MV probe (the reference's probe calls the full
+    x264_macroblock_encode, so decimation behaviour must match)."""
+    n = cur.shape[0]
     res = to_blocks(cur - pred, 4)                        # [N,4,4,4,4]
     lev = T.quant4x4(T.dct4x4(res), qp, intra=False)
-
     if decimate:
         zz = _zigzag_gather(lev)                          # [N,16,4,4]
         sc = decimate_score(zz)                           # [N,4,4]
@@ -94,15 +83,41 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
         keep = keep8 & keep_mb[:, None, None]             # [N,2,2]
         keep_blk = jnp.repeat(jnp.repeat(keep, 2, 1), 2, 2)  # [N,4,4]
         lev = lev * keep_blk[:, None, None, :, :]
-    nz_blk = jnp.any(lev != 0, axis=(1, 2))               # [N,4,4]
-    cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))  # [N,2,2]
-    cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
-                + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8)
-
     deq = T.dequant4x4(lev, qp)
     rec = T.idct4x4_add(to_blocks(pred, 4), deq)
     rec = rec.reshape(n, 4, 4, 4, 4).transpose(0, 3, 1, 4, 2) \
              .reshape(n, 16, 16)
+    return lev, rec
+
+
+@functools.partial(jax.jit, static_argnames=("qp", "qpc", "mbh", "mbw",
+                                             "decimate"))
+def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
+                          qp: int, qpc: int, mbh: int, mbw: int,
+                          decimate: bool = True, force_zero=None):
+    """Final P encode at given MVs. mv: [mbh, mbw, 2] qpel.
+    force_zero: optional [mbh, mbw] bool — MBs whose residual must be
+    dropped entirely (forced P_SKIP in the stego second pass: the decoder
+    reconstructs them without residual, so the encoder must too).
+
+    Returns per-MB levels (16-coeff luma blocks), cbp decisions, recon.
+    """
+    n = mbh * mbw
+    ys = (jnp.arange(n) // mbw) * 16
+    xs = (jnp.arange(n) % mbw) * 16
+    mvf = mv.reshape(n, 2)
+    fz = (jnp.zeros(n, bool) if force_zero is None
+          else force_zero.reshape(n))
+
+    cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
+    pred = mc.mc_luma(ref_luma, ys, xs, mvf)              # [N,16,16]
+    lev, rec = luma_p_encode(cur, pred, qp, decimate)
+    lev = lev * ~fz[:, None, None, None, None]
+    rec = jnp.where(fz[:, None, None], pred, rec)
+    nz_blk = jnp.any(lev != 0, axis=(1, 2))               # [N,4,4]
+    cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))  # [N,2,2]
+    cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
+                + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8)
 
     # ---- chroma ----
     ysc, xsc = ys // 2, xs // 2
@@ -122,6 +137,8 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
             scc = jnp.sum(decimate_score(zzc), axis=(1, 2))  # [N]
             keep_c = scc >= 7
             ac_lev = ac_lev * keep_c[:, None, None, None, None]
+        dc_lev = dc_lev * ~fz[:, None, None]
+        ac_lev = ac_lev * ~fz[:, None, None, None, None]
         chroma_out.append((dc_lev, ac_lev, predc, curc))
 
     ac_nz = jnp.stack([jnp.any(c[1] != 0, axis=(1, 2, 3, 4))
@@ -214,6 +231,32 @@ def pskip_mv(mvs: np.ndarray, avail: np.ndarray, zero_ref0: np.ndarray,
     if zero_ref0[my, mx - 1] or zero_ref0[my - 1, mx]:
         return np.zeros(2, np.int32)
     return median_mvp(mvs, avail, my, mx)
+
+
+def host_scan_p_forced(mv: np.ndarray, skip: np.ndarray):
+    """Stego second-pass scan: skip decisions are FORCED to the pass-1
+    flags (the reference's pass-2 forcing, analyse.c:2658-2674). Skipped
+    MBs take the pskip MV derived in the *new* MV context (their decoded
+    value); coded MBs keep their (possibly flipped) MV.
+
+    Returns (final_mv, mvd) — final_mv feeds the device re-encode so the
+    encoder reconstruction matches the decoder."""
+    mbh, mbw = skip.shape
+    final_mv = mv.copy()
+    avail = np.zeros((mbh, mbw), bool)
+    mvd = np.zeros((mbh, mbw, 2), np.int32)
+    for my in range(mbh):
+        for mx in range(mbw):
+            zero_ref0 = (avail & (final_mv[..., 0] == 0)
+                         & (final_mv[..., 1] == 0))
+            if skip[my, mx]:
+                final_mv[my, mx] = pskip_mv(final_mv, avail, zero_ref0,
+                                            my, mx)
+            else:
+                mvp = median_mvp(final_mv, avail, my, mx)
+                mvd[my, mx] = final_mv[my, mx] - mvp
+            avail[my, mx] = True
+    return final_mv, mvd
 
 
 def host_scan_p(mv: np.ndarray, cbp_luma: np.ndarray,

@@ -1,0 +1,40 @@
+"""Blind payload extraction from a coded bitstream.
+
+The reference never shipped its extractor (stc_extract_c.h include is
+commented out, /root/reference/encoder/analyse.c:43); this implements
+the documented recovery path (SURVEY.md §0): decode the MV field of each
+P frame, take LSB(mvx+mvy) per coded MV in coding order, and run the STC
+syndrome with the shared key/height/rate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..decoder import decode_annexb
+from .stc import stc_extract
+
+
+def cover_bits_of_frame(frame) -> np.ndarray:
+    """LSB(mvx+mvy) of coded (non-skip) inter MBs in coding order."""
+    bits = [(m.mv[0] + m.mv[1]) & 1 for m in frame.mbs
+            if m.mb_type == "P16x16"]
+    return np.array(bits, np.uint8)
+
+
+def extract_from_stream(data: bytes, em_rate: float, key: int = 0,
+                        stc_h: int = 10) -> list[np.ndarray]:
+    """Recover per-P-frame messages from an Annex-B stream."""
+    out = []
+    for frame in decode_annexb(data):
+        if frame.slice_type in (2, 7):
+            continue
+        cov = cover_bits_of_frame(frame)
+        n_cov = len(cov)
+        an = int(em_rate) if em_rate > 1 else int(em_rate * n_cov)
+        an = min(an, n_cov)
+        if an <= 0:
+            out.append(np.zeros(0, np.uint8))
+            continue
+        out.append(stc_extract(cov, an, h=stc_h, key=key or 1))
+    return out
