@@ -1,0 +1,111 @@
+"""x264-style CLI (reference: /root/reference/x264.c:91-934).
+
+    python -m video_steganography_pcamv_tpu.cli in.y4m -o out.264 \
+        --qp 26 --emrate 64 --key 7 [--input-res WxH] [--frames N]
+
+Stego options mirror the reference CLI (x264.c:394-402); --key/--emfile
+are functional here (inert in the reference). `--extract` runs the blind
+extractor instead of encoding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from .params import Params, param_parse, StegoParams
+from .utils import yuv
+from .encoder.core import Encoder
+
+
+def build_argparser():
+    ap = argparse.ArgumentParser(prog="pcamv-tpu")
+    ap.add_argument("input", help="input .y4m/.yuv (or .264 with --extract)")
+    ap.add_argument("-o", "--output", default="out.264")
+    ap.add_argument("--input-res", default=None, help="WxH for raw yuv")
+    ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--seek", type=int, default=0)
+    ap.add_argument("--qp", type=int, default=26)
+    ap.add_argument("--keyint", type=int, default=250)
+    ap.add_argument("--merange", type=int, default=16)
+    ap.add_argument("--subme", type=int, default=2)
+    ap.add_argument("--no-dct-decimate", action="store_true")
+    # stego (reference: x264.c:394-402)
+    ap.add_argument("--emrate", type=float, default=0.0)
+    ap.add_argument("--key", type=int, default=0)
+    ap.add_argument("--emfile", default="")
+    ap.add_argument("--extract", action="store_true",
+                    help="blind-extract payload from an Annex-B stream")
+    ap.add_argument("--dump-yuv", default="",
+                    help="write reconstructed frames (y4m)")
+    return ap
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+
+    if args.extract:
+        from .stego.extract import extract_from_stream
+        data = open(args.input, "rb").read()
+        msgs = extract_from_stream(data, em_rate=args.emrate, key=args.key)
+        for i, m in enumerate(msgs):
+            print(f"frame {i}: {len(m)} bits: "
+                  f"{''.join(map(str, m[:64]))}{'...' if len(m) > 64 else ''}")
+        if args.output and args.output != "out.264":
+            bits = np.concatenate(msgs) if msgs else np.zeros(0, np.uint8)
+            np.packbits(bits).tofile(args.output)
+        return 0
+
+    if args.input_res:
+        w, h = map(int, args.input_res.lower().split("x"))
+        reader = yuv.open_input(args.input, w, h)
+    else:
+        reader = yuv.open_input(args.input)
+
+    p = Params(width=reader.width, height=reader.height, qp=args.qp,
+               keyint_max=args.keyint, me_range=args.merange,
+               subpel=args.subme,
+               dct_decimate=not args.no_dct_decimate,
+               stego=StegoParams(em_rate=args.emrate, key=args.key,
+                                 em_file=args.emfile))
+    enc = Encoder(p)
+    n = reader.num_frames - args.seek
+    if args.frames:
+        n = min(n, args.frames)
+
+    t0 = time.time()
+    recons = []
+    with open(args.output, "wb") as f:
+        for i in range(n):
+            frame = reader.read(args.seek + i)
+            f.write(enc.encode_frame(frame))
+            if args.dump_yuv:
+                ry, ru, rv = enc.recon_prev
+                recons.append(yuv.Frame(
+                    ry[:p.height, :p.width].astype(np.uint8),
+                    ru[:p.height // 2, :p.width // 2].astype(np.uint8),
+                    rv[:p.height // 2, :p.width // 2].astype(np.uint8)))
+            if (i + 1) % 10 == 0 or i + 1 == n:
+                el = time.time() - t0
+                print(f"\r[{i+1}/{n}] {(i+1)/el:.2f} fps", end="",
+                      file=sys.stderr)
+    print(file=sys.stderr)
+    if args.dump_yuv:
+        yuv.write_y4m(args.dump_yuv, recons,
+                      fps=(p.fps_num, p.fps_den))
+    s = enc.close()
+    print(f"encoded {s['frames']} frames, {s['fps']:.2f} fps, "
+          f"{s['kbps']:.1f} kb/s, PSNR Y:{s['psnr_y']:.2f} "
+          f"U:{s['psnr_u']:.2f} V:{s['psnr_v']:.2f}")
+    if p.stego.enabled:
+        eff = s["message_bits"] / max(1, s["mv_flips"])
+        print(f"stego: {s['mv_covers']} covers, {s['message_bits']} bits, "
+              f"{s['mv_flips']} flips, efficiency {eff:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
