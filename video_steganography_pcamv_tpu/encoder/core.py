@@ -68,6 +68,8 @@ class Encoder:
         if params.stego.enabled:
             from ..stego.embed import StegoEngine
             self._stego = StegoEngine(params)
+        from .. import native
+        self._native = native.load()  # None -> Python fallbacks
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -129,9 +131,22 @@ class Encoder:
                              self.frame_num, qp, idr=True,
                              idr_pic_id=self.idr_pic_id)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
-        fc = FrameCavlc(p.mb_width, p.mb_height)
-        for my in range(p.mb_height):
-            for mx in range(p.mb_width):
+        mbh, mbw = p.mb_height, p.mb_width
+        n = mbh * mbw
+        if self._native is not None:
+            from .. import native
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice(
+                hdr, nbits, H.SLICE_TYPE_I, mbw, mbh,
+                mode=res["mode"].reshape(n), cmode=res["cmode"].reshape(n),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_dc=res["luma_dc"].reshape(n, 16),
+                luma_blocks=res["luma_ac"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
+        fc = FrameCavlc(mbw, mbh)
+        for my in range(mbh):
+            for mx in range(mbw):
                 fc.write_i16x16_mb(
                     bw, mx, my,
                     int(res["mode"][my, mx]), int(res["cmode"][my, mx]),
@@ -174,8 +189,13 @@ class Encoder:
             jnp.asarray(mv_np), qp, qpc, p.mb_height, p.mb_width,
             decimate=p.dct_decimate)
         res_np = {k: np.asarray(val) for k, val in res.items()}
-        skip, mvd, mvp = P.host_scan_p(mv_np, res_np["cbp_luma"],
-                                       res_np["cbp_chroma"])
+        if self._native is not None:
+            from .. import native
+            skip, mvd, mvp = native.host_scan_p(
+                mv_np, res_np["cbp_luma"], res_np["cbp_chroma"])
+        else:
+            skip, mvd, mvp = P.host_scan_p(mv_np, res_np["cbp_luma"],
+                                           res_np["cbp_chroma"])
 
         if self._stego is not None:
             replaced = self._stego.embed_frame(self, y, u, v, mv_np,
@@ -192,6 +212,19 @@ class Encoder:
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
                              self.frame_num, qp, idr=False)
+        mbh, mbw = p.mb_height, p.mb_width
+        n = mbh * mbw
+        if self._native is not None:
+            from .. import native
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice(
+                hdr, nbits, H.SLICE_TYPE_P, mbw, mbh,
+                skip=skip.reshape(n).astype(np.uint8),
+                mvd=mvd.reshape(n, 2),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_blocks=res["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
         fc = FrameCavlc(p.mb_width, p.mb_height)
         skip_run = 0
         for my in range(p.mb_height):

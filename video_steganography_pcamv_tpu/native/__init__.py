@@ -1,0 +1,154 @@
+"""ctypes loader for the native host back-end (libpcamv_native.so).
+
+Builds on first use if missing (g++ is baked into the image; no
+pybind11 — plain C ABI + ctypes per the environment constraints).
+`load()` returns None when unavailable; callers fall back to the Python
+oracles.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB = os.path.join(_DIR, "libpcamv_native.so")
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        r = subprocess.run(["make", "-C", _DIR, "-s"], capture_output=True,
+                           text=True, timeout=120)
+        if r.returncode != 0:
+            import sys
+            print("pcamv native build failed:\n" + r.stderr[-2000:],
+                  file=sys.stderr)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def load():
+    global _lib, _tried
+    if _lib is not None:
+        return _lib
+    if _tried:
+        return None
+    _tried = True
+    src = os.path.join(_DIR, "pcamv_native.cpp")
+    if (not os.path.exists(_LIB)
+            or os.path.getmtime(_LIB) < os.path.getmtime(src)):
+        if not _build():
+            return None
+    lib = ctypes.CDLL(_LIB)
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+    lib.pcamv_write_slice.restype = ctypes.c_long
+    lib.pcamv_write_slice.argtypes = [
+        u8p, ctypes.c_long, u8p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p]
+
+    lib.pcamv_host_scan_p.restype = None
+    lib.pcamv_host_scan_p.argtypes = [i32p, i32p, i32p, ctypes.c_int,
+                                      ctypes.c_int, u8p, i32p, i32p]
+    lib.pcamv_host_scan_p_forced.restype = None
+    lib.pcamv_host_scan_p_forced.argtypes = [i32p, u8p, ctypes.c_int,
+                                             ctypes.c_int, i32p, i32p]
+    lib.pcamv_stc_embed.restype = ctypes.c_int
+    lib.pcamv_stc_embed.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long,
+                                    f64p, ctypes.c_int, ctypes.c_uint32,
+                                    u8p, ctypes.POINTER(ctypes.c_double)]
+    _lib = lib
+    return lib
+
+
+def _as_i32(x):
+    return np.ascontiguousarray(x, np.int32)
+
+
+def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
+                mbw: int, mbh: int, *, skip=None, mvd=None, mode=None,
+                cmode=None, cbp_luma, cbp_chroma, luma_dc=None,
+                luma_blocks, chroma_dc, chroma_ac) -> bytes:
+    """Native whole-slice entropy coding. Shapes:
+    luma_blocks [N,16,16], luma_dc [N,16], chroma_dc [N,2,4],
+    chroma_ac [N,2,4,16], mvd [N,2]."""
+    lib = load()
+    n = mbw * mbh
+    cap = 1 << 22
+    while True:
+        out = np.zeros(cap, np.uint8)
+        hdr = np.frombuffer(header_bytes + b"\0" * 8, np.uint8).copy()
+
+        def ptr(a):
+            if a is None:
+                return None
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        skip_a = (np.ascontiguousarray(skip, np.uint8)
+                  if skip is not None else None)
+        mvd_a = _as_i32(mvd) if mvd is not None else None
+        mode_a = _as_i32(mode) if mode is not None else None
+        cmode_a = _as_i32(cmode) if cmode is not None else None
+        dc_a = _as_i32(luma_dc) if luma_dc is not None else None
+        r = lib.pcamv_write_slice(
+            out, cap, hdr, header_nbits, slice_type, mbw, mbh,
+            ptr(skip_a), ptr(mvd_a), ptr(mode_a), ptr(cmode_a),
+            _as_i32(cbp_luma).reshape(n), _as_i32(cbp_chroma).reshape(n),
+            ptr(dc_a), _as_i32(luma_blocks).reshape(n * 256),
+            _as_i32(chroma_dc).reshape(n * 8),
+            _as_i32(chroma_ac).reshape(n * 128))
+        if r >= 0:
+            return bytes(out[:r])
+        cap *= 4
+        if cap > (1 << 28):
+            raise RuntimeError("native slice writer overflow")
+
+
+def host_scan_p(mv, cbp_luma, cbp_chroma):
+    lib = load()
+    mbh, mbw = cbp_luma.shape
+    skip = np.zeros(mbh * mbw, np.uint8)
+    mvd = np.zeros(mbh * mbw * 2, np.int32)
+    mvp = np.zeros(mbh * mbw * 2, np.int32)
+    lib.pcamv_host_scan_p(_as_i32(mv).reshape(-1),
+                          _as_i32(cbp_luma).reshape(-1),
+                          _as_i32(cbp_chroma).reshape(-1),
+                          mbw, mbh, skip, mvd, mvp)
+    return (skip.reshape(mbh, mbw).astype(bool),
+            mvd.reshape(mbh, mbw, 2), mvp.reshape(mbh, mbw, 2))
+
+
+def host_scan_p_forced(mv, skip):
+    lib = load()
+    mbh, mbw = skip.shape
+    fmv = np.zeros(mbh * mbw * 2, np.int32)
+    mvd = np.zeros(mbh * mbw * 2, np.int32)
+    lib.pcamv_host_scan_p_forced(
+        _as_i32(mv).reshape(-1), np.ascontiguousarray(skip, np.uint8)
+        .reshape(-1), mbw, mbh, fmv, mvd)
+    return fmv.reshape(mbh, mbw, 2), mvd.reshape(mbh, mbw, 2)
+
+
+def stc_embed(cover, message, rho, h=10, key=1):
+    lib = load()
+    cover = np.ascontiguousarray(cover, np.uint8)
+    message = np.ascontiguousarray(message, np.uint8)
+    rho = np.ascontiguousarray(rho, np.float64)
+    stego = np.zeros(len(cover), np.uint8)
+    cost = ctypes.c_double(0.0)
+    r = lib.pcamv_stc_embed(cover, len(cover), message, len(message), rho,
+                            h, key & 0xFFFFFFFF, stego,
+                            ctypes.byref(cost))
+    if r != 0:
+        raise ValueError(f"stc_embed native error {r}")
+    return stego, float(cost.value)

@@ -1,0 +1,486 @@
+// Native host back-end: CAVLC entropy coder, MVP/skip scans, STC embedder.
+//
+// TPU-native equivalent of the reference's serial host paths:
+//   - encoder/cavlc.c:288-717 (MB + residual writers) and common/bs.h
+//   - common/macroblock.c:28-165 (median MVP / pskip derivation)
+//   - embed.h:309-548 (STC Viterbi)
+// The Python twins in encoder/cavlc.py, encoder/inter.py and
+// stego/stc.py are the oracles; tests assert bit-identical output.
+//
+// Build: make -C this dir (g++ -O3 -shared). Exposed via ctypes (C ABI).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+#include "vlc_tables.inc"
+
+namespace {
+
+// ---------------------------------------------------------------- bits ----
+struct BitWriter {
+  uint8_t* buf;
+  long cap;
+  long bytes = 0;
+  uint64_t acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  BitWriter(uint8_t* b, long c) : buf(b), cap(c) {}
+
+  inline void put(int n, uint32_t v) {
+    if (n == 0) return;
+    acc = (acc << n) | v;
+    nbits += n;
+    while (nbits >= 8) {
+      nbits -= 8;
+      if (bytes >= cap) { overflow = true; return; }
+      buf[bytes++] = (uint8_t)((acc >> nbits) & 0xFF);
+    }
+    acc &= (1ULL << nbits) - 1;
+  }
+  inline void put_ue(uint32_t v) {
+    uint32_t x = v + 1;
+    int n = 32 - __builtin_clz(x);
+    put(2 * n - 1, x);
+  }
+  inline void put_se(int32_t v) {
+    put_ue(v <= 0 ? (uint32_t)(-2 * v) : (uint32_t)(2 * v - 1));
+  }
+  inline void put_vlc(const Vlc& c) { put(c.len, c.val); }
+  inline void trailing() {
+    put(1, 1);
+    if (nbits) put(8 - nbits, 0);
+  }
+};
+
+// scan index -> raster position (r*4+c), frame zigzag
+static const int ZIG[16] = {0, 1, 4, 8, 5, 2, 3, 6,
+                            9, 12, 13, 10, 7, 11, 14, 15};
+// luma blkIdx -> block raster (by*4+bx)
+static const int LSCAN[16] = {0, 1, 4, 5, 2, 3, 6, 7,
+                              8, 9, 12, 13, 10, 11, 14, 15};
+
+// ------------------------------------------------------------- residual ---
+static void write_level(BitWriter& bw, int code, int suffix_len) {
+  if (suffix_len == 0) {
+    if (code < 14) { bw.put(code + 1, 1); return; }
+    if (code < 30) { bw.put(15, 1); bw.put(4, code - 14); return; }
+    code -= 15;  // decoder adds 15 when prefix>=15 && suffix_len==0
+  } else {
+    if (code < (15 << suffix_len)) {
+      int prefix = code >> suffix_len;
+      bw.put(prefix + 1, 1);
+      bw.put(suffix_len, code & ((1 << suffix_len) - 1));
+      return;
+    }
+  }
+  int sl = suffix_len;  // effective (0 after the -=15 path)
+  int prefix = 15;
+  for (;;) {
+    int sz = prefix - 3;
+    long base = (long)(15 << sl) + (prefix > 15 ? ((1L << sz) - 4096) : 0);
+    if (code - base < (1L << sz)) {
+      bw.put(prefix + 1, 1);
+      bw.put(sz, (uint32_t)(code - base));
+      return;
+    }
+    prefix++;
+    if (prefix >= 32) { bw.overflow = true; return; }
+  }
+}
+
+// levels in scan order; returns total_coeff
+static int write_residual(BitWriter& bw, const int* levels, int max_coeff,
+                          int nc) {
+  int nz_pos[16], total = 0;
+  for (int i = 0; i < max_coeff; i++)
+    if (levels[i]) nz_pos[total++] = i;
+
+  int tab = nc == -1 ? 4 : nc < 2 ? 0 : nc < 4 ? 1 : nc < 8 ? 2 : 3;
+  if (total == 0) { bw.put_vlc(COEFF0[tab]); return 0; }
+
+  int t1s = 0;
+  for (int k = total - 1; k >= 0 && t1s < 3; k--) {
+    if (levels[nz_pos[k]] == 1 || levels[nz_pos[k]] == -1) t1s++;
+    else break;
+  }
+  bw.put_vlc(COEFF_TOKEN[tab][(total - 1) * 4 + t1s]);
+
+  for (int k = total - 1; k >= total - t1s; k--)
+    bw.put(1, levels[nz_pos[k]] < 0 ? 1 : 0);
+
+  int suffix_len = (total > 10 && t1s < 3) ? 1 : 0;
+  bool first = true;
+  for (int k = total - t1s - 1; k >= 0; k--) {
+    int val = levels[nz_pos[k]];
+    int code = val > 0 ? 2 * val - 2 : -2 * val - 1;
+    if (first && t1s < 3) code -= 2;
+    first = false;
+    write_level(bw, code, suffix_len);
+    if (suffix_len == 0) suffix_len = 1;
+    if (std::abs(val) > (3 << (suffix_len - 1)) && suffix_len < 6)
+      suffix_len++;
+  }
+
+  if (total < max_coeff) {
+    int tz = nz_pos[total - 1] + 1 - total;
+    if (max_coeff == 4) bw.put_vlc(TOTAL_ZEROS_DC[total - 1][tz]);
+    else bw.put_vlc(TOTAL_ZEROS[total - 1][tz]);
+    int zeros_left = tz;
+    for (int k = total - 1; k > 0; k--) {
+      if (zeros_left <= 0) break;
+      int run = nz_pos[k] - nz_pos[k - 1] - 1;
+      int row = zeros_left < 7 ? zeros_left - 1 : 6;
+      bw.put_vlc(RUN_BEFORE[row][run]);
+      zeros_left -= run;
+    }
+  }
+  return total;
+}
+
+// ------------------------------------------------------------ frame ctx ---
+struct FrameCtx {
+  int mbw, mbh;
+  std::vector<int32_t> nnz_y;       // [4mbh][4mbw]
+  std::vector<int32_t> nnz_c;      // [2][2mbh][2mbw]
+  FrameCtx(int w, int h) : mbw(w), mbh(h),
+      nnz_y(16 * w * h, 0), nnz_c(2 * 4 * w * h, 0) {}
+  inline int ny(int by, int bx) const { return nnz_y[by * 4 * mbw + bx]; }
+  inline void set_ny(int by, int bx, int v) { nnz_y[by * 4 * mbw + bx] = v; }
+  inline int ncc(int ch, int by, int bx) const {
+    return nnz_c[(ch * 2 * mbh + by) * 2 * mbw + bx];
+  }
+  inline void set_nc(int ch, int by, int bx, int v) {
+    nnz_c[(ch * 2 * mbh + by) * 2 * mbw + bx] = v;
+  }
+  inline int ctx(bool luma, int ch, int by, int bx) const {
+    bool hl = bx > 0, ht = by > 0;
+    int l = hl ? (luma ? ny(by, bx - 1) : ncc(ch, by, bx - 1)) : 0;
+    int t = ht ? (luma ? ny(by - 1, bx) : ncc(ch, by - 1, bx)) : 0;
+    if (hl && ht) return (l + t + 1) >> 1;
+    if (hl) return l;
+    if (ht) return t;
+    return 0;
+  }
+};
+
+static void zigzag16(const int32_t* raster, int* out) {
+  for (int i = 0; i < 16; i++) out[i] = raster[ZIG[i]];
+}
+
+static void write_chroma(BitWriter& bw, FrameCtx& fc, int mx, int my,
+                         int cbp_chroma, const int32_t* cdc,
+                         const int32_t* cac) {
+  // cdc: [2][4] raster; cac: [2][4][16] blk-raster x coeff-raster
+  if (cbp_chroma) {
+    for (int ch = 0; ch < 2; ch++) {
+      int lv[4] = {cdc[ch * 4 + 0], cdc[ch * 4 + 1], cdc[ch * 4 + 2],
+                   cdc[ch * 4 + 3]};
+      write_residual(bw, lv, 4, -1);
+    }
+  }
+  for (int ch = 0; ch < 2; ch++) {
+    for (int blk = 0; blk < 4; blk++) {
+      int by = blk >> 1, bx = blk & 1;
+      int yy = 2 * my + by, xx = 2 * mx + bx;
+      if (cbp_chroma == 2) {
+        int z[16];
+        zigzag16(&cac[(ch * 4 + blk) * 16], z);
+        int nc = fc.ctx(false, ch, yy, xx);
+        fc.set_nc(ch, yy, xx, write_residual(bw, z + 1, 15, nc));
+      } else {
+        fc.set_nc(ch, yy, xx, 0);
+      }
+    }
+  }
+}
+
+}  // namespace
+
+// ------------------------------------------------------------ slice API ---
+extern "C" long pcamv_write_slice(
+    uint8_t* out, long out_cap, const uint8_t* header, int header_nbits,
+    int slice_type, int mbw, int mbh,
+    const uint8_t* skip, const int32_t* mvd,
+    const int32_t* mode, const int32_t* cmode,
+    const int32_t* cbp_luma, const int32_t* cbp_chroma,
+    const int32_t* luma_dc, const int32_t* luma_blocks,
+    const int32_t* chroma_dc, const int32_t* chroma_ac) {
+  BitWriter bw(out, out_cap);
+  for (int i = 0; i < header_nbits; i++)
+    bw.put(1, (header[i >> 3] >> (7 - (i & 7))) & 1);
+
+  FrameCtx fc(mbw, mbh);
+  int n = mbw * mbh;
+  int skip_run = 0;
+  for (int a = 0; a < n; a++) {
+    int my = a / mbw, mx = a % mbw;
+    if (slice_type == 0 && skip[a]) {  // P_SKIP
+      skip_run++;
+      for (int b = 0; b < 4; b++)
+        for (int c = 0; c < 4; c++) fc.set_ny(4 * my + b, 4 * mx + c, 0);
+      for (int ch = 0; ch < 2; ch++)
+        for (int b = 0; b < 2; b++)
+          for (int c = 0; c < 2; c++) fc.set_nc(ch, 2 * my + b, 2 * mx + c, 0);
+      continue;
+    }
+    if (slice_type == 0) {
+      bw.put_ue(skip_run);
+      skip_run = 0;
+      // P_L0_16x16
+      bw.put_ue(0);
+      bw.put_se(mvd[a * 2]);
+      bw.put_se(mvd[a * 2 + 1]);
+      int cbp = (cbp_chroma[a] << 4) | cbp_luma[a];
+      bw.put_ue(CBP_INTER_TO_GOLOMB[cbp]);
+      if (cbp) bw.put_se(0);  // qp_delta (CQP)
+      for (int blk = 0; blk < 16; blk++) {
+        int braster = LSCAN[blk];
+        int by = braster >> 2, bx = braster & 3;
+        int yy = 4 * my + by, xx = 4 * mx + bx;
+        if (cbp_luma[a] & (1 << (blk >> 2))) {
+          int z[16];
+          zigzag16(&luma_blocks[(a * 16 + braster) * 16], z);
+          int nc = fc.ctx(true, 0, yy, xx);
+          fc.set_ny(yy, xx, write_residual(bw, z, 16, nc));
+        } else {
+          fc.set_ny(yy, xx, 0);
+        }
+      }
+      if (cbp) {
+        write_chroma(bw, fc, mx, my, cbp_chroma[a], &chroma_dc[a * 8],
+                     &chroma_ac[a * 128]);
+      } else {
+        for (int ch = 0; ch < 2; ch++)
+          for (int b = 0; b < 2; b++)
+            for (int c = 0; c < 2; c++)
+              fc.set_nc(ch, 2 * my + b, 2 * mx + c, 0);
+      }
+    } else {  // I16x16
+      int cbp01 = cbp_luma[a] ? 1 : 0;
+      int mb_type = 1 + mode[a] + 4 * cbp_chroma[a] + 12 * cbp01;
+      bw.put_ue(mb_type);
+      bw.put_ue(cmode[a]);
+      bw.put_se(0);  // qp_delta
+      int z[16];
+      zigzag16(&luma_dc[a * 16], z);
+      int nc = fc.ctx(true, 0, 4 * my, 4 * mx);
+      write_residual(bw, z, 16, nc);
+      for (int blk = 0; blk < 16; blk++) {
+        int braster = LSCAN[blk];
+        int by = braster >> 2, bx = braster & 3;
+        int yy = 4 * my + by, xx = 4 * mx + bx;
+        if (cbp_luma[a]) {
+          zigzag16(&luma_blocks[(a * 16 + braster) * 16], z);
+          int ncb = fc.ctx(true, 0, yy, xx);
+          fc.set_ny(yy, xx, write_residual(bw, z + 1, 15, ncb));
+        } else {
+          fc.set_ny(yy, xx, 0);
+        }
+      }
+      write_chroma(bw, fc, mx, my, cbp_chroma[a], &chroma_dc[a * 8],
+                   &chroma_ac[a * 128]);
+    }
+  }
+  if (slice_type == 0 && skip_run) bw.put_ue(skip_run);
+  bw.trailing();
+  return bw.overflow ? -1 : bw.bytes;
+}
+
+// ------------------------------------------------------------ host scan ---
+namespace {
+inline void median3(const int32_t* a, const int32_t* b, const int32_t* c,
+                    int32_t* out) {
+  for (int i = 0; i < 2; i++) {
+    int x = a[i], y = b[i], z = c[i];
+    int mx = x > y ? (x > z ? x : z) : (y > z ? y : z);
+    int mn = x < y ? (x < z ? x : z) : (y < z ? y : z);
+    out[i] = x + y + z - mx - mn;
+  }
+}
+
+static const int32_t ZERO2[2] = {0, 0};
+
+// spec 8.4.1.3 reduced to single-ref all-inter frames (see
+// encoder/inter.py median_mvp for the rule derivation)
+static void mvp_16x16(const int32_t* mv, const uint8_t* avail, int mbw,
+                      int mbh, int my, int mx, int32_t* out) {
+  bool a_ok = mx > 0 && avail[my * mbw + mx - 1];
+  bool b_ok = my > 0 && avail[(my - 1) * mbw + mx];
+  bool c_ok = my > 0 && mx + 1 < mbw && avail[(my - 1) * mbw + mx + 1];
+  bool d_ok = my > 0 && mx > 0 && avail[(my - 1) * mbw + mx - 1];
+  const int32_t* A = a_ok ? &mv[(my * mbw + mx - 1) * 2] : ZERO2;
+  const int32_t* B = b_ok ? &mv[((my - 1) * mbw + mx) * 2] : ZERO2;
+  const int32_t* C = ZERO2;
+  bool c_use = false;
+  if (c_ok) { C = &mv[((my - 1) * mbw + mx + 1) * 2]; c_use = true; }
+  else if (d_ok) { C = &mv[((my - 1) * mbw + mx - 1) * 2]; c_use = true; }
+  if (!b_ok && !c_use && a_ok) { out[0] = A[0]; out[1] = A[1]; return; }
+  int n_ok = (int)a_ok + (int)b_ok + (int)c_use;
+  if (n_ok == 1) {
+    const int32_t* s = a_ok ? A : b_ok ? B : C;
+    out[0] = s[0]; out[1] = s[1];
+    return;
+  }
+  median3(A, B, C, out);
+}
+
+static void pskip_16x16(const int32_t* mv, const uint8_t* avail, int mbw,
+                        int mbh, int my, int mx, int32_t* out) {
+  bool a_ok = mx > 0 && avail[my * mbw + mx - 1];
+  bool b_ok = my > 0 && avail[(my - 1) * mbw + mx];
+  if (!a_ok || !b_ok) { out[0] = out[1] = 0; return; }
+  const int32_t* A = &mv[(my * mbw + mx - 1) * 2];
+  const int32_t* B = &mv[((my - 1) * mbw + mx) * 2];
+  if ((A[0] == 0 && A[1] == 0) || (B[0] == 0 && B[1] == 0)) {
+    out[0] = out[1] = 0;
+    return;
+  }
+  mvp_16x16(mv, avail, mbw, mbh, my, mx, out);
+}
+}  // namespace
+
+extern "C" void pcamv_host_scan_p(const int32_t* mv, const int32_t* cbp_luma,
+                                  const int32_t* cbp_chroma, int mbw,
+                                  int mbh, uint8_t* skip_out,
+                                  int32_t* mvd_out, int32_t* mvp_out) {
+  std::vector<uint8_t> avail(mbw * mbh, 0);
+  for (int my = 0; my < mbh; my++) {
+    for (int mx = 0; mx < mbw; mx++) {
+      int a = my * mbw + mx;
+      int32_t mvp[2], ps[2];
+      mvp_16x16(mv, avail.data(), mbw, mbh, my, mx, mvp);
+      pskip_16x16(mv, avail.data(), mbw, mbh, my, mx, ps);
+      const int32_t* here = &mv[a * 2];
+      skip_out[a] = (cbp_luma[a] == 0 && cbp_chroma[a] == 0 &&
+                     here[0] == ps[0] && here[1] == ps[1]);
+      mvd_out[a * 2] = here[0] - mvp[0];
+      mvd_out[a * 2 + 1] = here[1] - mvp[1];
+      mvp_out[a * 2] = mvp[0];
+      mvp_out[a * 2 + 1] = mvp[1];
+      avail[a] = 1;
+    }
+  }
+}
+
+extern "C" void pcamv_host_scan_p_forced(const int32_t* mv,
+                                         const uint8_t* skip, int mbw,
+                                         int mbh, int32_t* final_mv,
+                                         int32_t* mvd_out) {
+  int n = mbw * mbh;
+  std::memcpy(final_mv, mv, n * 2 * sizeof(int32_t));
+  std::vector<uint8_t> avail(n, 0);
+  for (int my = 0; my < mbh; my++) {
+    for (int mx = 0; mx < mbw; mx++) {
+      int a = my * mbw + mx;
+      if (skip[a]) {
+        pskip_16x16(final_mv, avail.data(), mbw, mbh, my, mx,
+                    &final_mv[a * 2]);
+        mvd_out[a * 2] = mvd_out[a * 2 + 1] = 0;
+      } else {
+        int32_t mvp[2];
+        mvp_16x16(final_mv, avail.data(), mbw, mbh, my, mx, mvp);
+        mvd_out[a * 2] = final_mv[a * 2] - mvp[0];
+        mvd_out[a * 2 + 1] = final_mv[a * 2 + 1] - mvp[1];
+      }
+      avail[a] = 1;
+    }
+  }
+}
+
+// ------------------------------------------------------------------ STC ---
+namespace {
+struct Lcg {
+  uint32_t s;
+  explicit Lcg(uint32_t seed) : s(seed) {}
+  uint32_t next() { s = 1664525u * s + 1013904223u; return s; }
+};
+
+static void gen_columns(int width, int height, uint32_t key, uint32_t* cols) {
+  Lcg rng((uint32_t)((uint64_t)key * 2654435761ull % 0x100000000ull) +
+          (uint32_t)(height * 131 + width));
+  uint32_t mask = (1u << (height - 2)) - 1;
+  uint32_t base = (1u << (height - 1)) | 1u;
+  int got = 0;
+  while (got < width) {
+    uint32_t r = ((rng.next() & mask) << 1) | base;
+    bool dup = false;
+    for (int j = 0; j < got; j++)
+      if (cols[j] == r) { dup = true; break; }
+    if (!dup) cols[got++] = r;
+  }
+}
+}  // namespace
+
+extern "C" int pcamv_stc_embed(const uint8_t* cover, long n,
+                               const uint8_t* msg, long k,
+                               const double* rho, int h, uint32_t key,
+                               uint8_t* stego, double* cost_out) {
+  if (k <= 0) { std::memcpy(stego, cover, n); *cost_out = 0; return 0; }
+  if (k > n || h < 2 || h > 24) return -1;
+  const double INF = 1e30;
+  long n_states = 1L << h;
+
+  // block widths: floor((j+1)n/k) - floor(jn/k)
+  std::vector<int> widths(k);
+  int max_w = 0;
+  for (long j = 0; j < k; j++) {
+    widths[j] = (int)(((j + 1) * n) / k - (j * n) / k);
+    if (widths[j] > max_w) max_w = widths[j];
+  }
+  std::vector<uint32_t> cols(max_w);
+  gen_columns(max_w, h, key, cols.data());
+
+  std::vector<double> price(n_states, INF), nxt(n_states);
+  price[0] = 0.0;
+  std::vector<uint8_t> path((size_t)n * n_states);
+
+  long i = 0;
+  for (long j = 0; j < k; j++) {
+    uint32_t mask = (uint32_t)((1L << (h < (k - j) ? h : (k - j))) - 1);
+    for (int t = 0; t < widths[j]; t++) {
+      uint32_t col = cols[t] & mask;
+      double w0 = cover[i] == 1 ? rho[i] : 0.0;
+      double w1 = cover[i] == 0 ? rho[i] : 0.0;
+      uint8_t* p = &path[(size_t)i * n_states];
+      for (long s = 0; s < n_states; s++) {
+        double c0 = price[s] + w0;
+        double c1 = price[s ^ col] + w1;
+        if (c1 < c0) { nxt[s] = c1; p[s] = 1; }
+        else { nxt[s] = c0; p[s] = 0; }
+      }
+      price.swap(nxt);
+      i++;
+    }
+    int mb = msg[j];
+    for (long s = 0; s < n_states; s++) {
+      long src = (s << 1) | mb;
+      nxt[s] = src < n_states ? price[src] : INF;
+    }
+    price.swap(nxt);
+  }
+  if (price[0] >= INF) return -2;
+  *cost_out = price[0];
+
+  // backtrack
+  long state = 0;
+  i = n - 1;
+  for (long j = k - 1; j >= 0; j--) {
+    state = ((state << 1) | msg[j]) & (n_states - 1);
+    uint32_t mask = (uint32_t)((1L << (h < (k - j) ? h : (k - j))) - 1);
+    for (int t = widths[j] - 1; t >= 0; t--) {
+      uint32_t col = cols[t] & mask;
+      if (path[(size_t)i * n_states + state]) {
+        stego[i] = 1;
+        state ^= col;
+      } else {
+        stego[i] = 0;
+      }
+      i--;
+    }
+  }
+  return state == 0 && i == -1 ? 0 : -3;
+}

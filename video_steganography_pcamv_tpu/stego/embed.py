@@ -83,14 +83,27 @@ class StegoEngine:
         cover_bits = ((mv[..., 0] + mv[..., 1]) & 1).astype(np.uint8)
         cov = cover_bits[cover_mask]
         rho_cov = rho[cover_mask].astype(np.float64)
-        # alpha blend (encoder.c:1651-1652): rho_final =
-        # alpha_loc * rho_loc + alpha_com * rho_com (rho_com pipeline
-        # lands with the UNIWARD conv op; alpha_com defaults to 0)
+        # alpha blend (encoder.c:1651-1652, :1782-1784): rho_final =
+        # alpha_loc * rho_loc + alpha_com * rho_com; alpha_com ships 0
         rho_cov = st.alpha_loc * rho_cov
+        if st.alpha_com != 0.0:
+            from ..ops.uniward import dense_mv_field, mv_field_cost
+            mv_h, mv_v = dense_mv_field(mv)
+            rho_com = np.asarray(mv_field_cost(jnp.asarray(mv_h),
+                                               jnp.asarray(mv_v)))
+            # D_16x16 uses the MB's top-left 4x4 site (encoder.c:1781)
+            rho_com_mb = rho_com[::4, ::4]
+            rho_cov = rho_cov + st.alpha_com * \
+                rho_com_mb[cover_mask].astype(np.float64)
 
         message = self._next_message(an)
-        stego_bits, _cost = stc_embed(cov, message, rho_cov,
-                                      h=st.stc_h, key=st.key or 1)
+        if enc._native is not None:
+            from .. import native
+            stego_bits, _cost = native.stc_embed(
+                cov, message, rho_cov, h=st.stc_h, key=st.key or 1)
+        else:
+            stego_bits, _cost = stc_embed(cov, message, rho_cov,
+                                          h=st.stc_h, key=st.key or 1)
         flip_cov = (cov ^ stego_bits).astype(bool)
         self.sent_messages.append(message)
         enc.stats.message_bits += an
@@ -101,7 +114,11 @@ class StegoEngine:
         mv2 = mv.copy()
         mv2[flip_full] = alt_mv[flip_full]
 
-        final_mv, mvd2 = I.host_scan_p_forced(mv2, skip1)
+        if enc._native is not None:
+            from .. import native
+            final_mv, mvd2 = native.host_scan_p_forced(mv2, skip1)
+        else:
+            final_mv, mvd2 = I.host_scan_p_forced(mv2, skip1)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         res2 = I.encode_p_frame_device(
             y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],

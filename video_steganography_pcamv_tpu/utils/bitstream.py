@@ -75,6 +75,15 @@ class BitWriter:
         assert self._nbits == 0, "bitstream not byte-aligned; call rbsp_trailing()"
         return bytes(self._buf)
 
+    def partial_bytes(self) -> tuple[bytes, int]:
+        """(bytes incl. zero-padded partial byte, exact bit count) — for
+        handing a prefix to the native writer."""
+        total = self.bit_length()
+        buf = bytes(self._buf)
+        if self._nbits:
+            buf += bytes([(self._acc << (8 - self._nbits)) & 0xFF])
+        return buf, total
+
 
 def nal_escape(rbsp: bytes) -> bytes:
     """Insert emulation-prevention bytes (0x03) after any 0x0000 pair that
