@@ -18,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(width=1920, height=1088, n_measure=3, qp=26, em_rate=64.0):
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/pcamv_jax"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import numpy as np
     from video_steganography_pcamv_tpu.params import Params, StegoParams
     from video_steganography_pcamv_tpu.utils.yuv import synthetic_sequence

@@ -164,18 +164,38 @@ class Encoder:
                                 res["recon_v"])
 
     def analyse_p(self, y):
-        """Device motion analysis for a P frame. Returns qpel MV field
-        [mbh, mbw, 2] (numpy) + per-MB SATD cost."""
+        """Device motion analysis for a P frame (v2 table pipeline:
+        full-pel search -> window gather -> qpel block table -> subpel
+        argmin). Returns qpel MV field [mbh, mbw, 2] and caches the
+        block tables for the stego pass. The full-pel stage runs the
+        Pallas row-sweep kernel on TPU, the jnp scan elsewhere."""
+        import jax
+        from . import qpel_table as QT
+        from . import analyse2 as A2
         p = self.p
         lam = ME.lambda_tab(p.qp)
-        pred_fp = np.clip(self.prev_mv // 4, -p.me_range, p.me_range)
-        mv_fp, _ = ME.fullpel_search(
-            y, self.ref["luma"][0], jnp.asarray(pred_fp),
-            p.me_range, p.mb_height, p.mb_width, lam)
-        mv_q, cost = ME.subpel_refine(
-            y, self.ref["luma"], mv_fp, jnp.asarray(self.prev_mv),
-            p.mb_height, p.mb_width, lam, steps=p.subpel)
-        return mv_q, cost
+        mbh, mbw = p.mb_height, p.mb_width
+        on_tpu = jax.default_backend() == "tpu"
+        if on_tpu:
+            from ..ops.pallas_kernels import fullpel_search_pallas
+            mv_fp, _ = fullpel_search_pallas(
+                y, self.ref["luma"][0], p.me_range, mbh, mbw, lam)
+            windows = QT.gather_windows(self.ref["luma"], mv_fp, mbh, mbw)
+        else:
+            zero_pred = jnp.zeros((mbh, mbw, 2), jnp.int32)
+            mv_fp, _ = ME.fullpel_search(
+                y, self.ref["luma"][0], zero_pred, p.me_range, mbh, mbw,
+                lam)
+            windows = QT.gather_windows_jnp(self.ref["luma"], mv_fp,
+                                            mbh, mbw)
+        blocks = QT.block_table(windows)
+        wht = QT.wht16(blocks)
+        mv_q, r_idx = A2.subpel_from_table(
+            y, wht, mv_fp, jnp.asarray(self.prev_mv), mbh, mbw, lam,
+            p.subpel)
+        self._ptables = {"blocks": blocks, "wht": wht, "r_idx": r_idx,
+                         "mv_fp": mv_fp}
+        return mv_q, None
 
     def _encode_p(self, y, u, v) -> bytes:
         p = self.p

@@ -3,9 +3,12 @@ step as one jittable function, plus the multi-stream batched variant.
 
 This is the "model" of this framework in ML terms: the computation whose
 throughput defines the benchmark (BASELINE.json north star: 1080p
-encode+embed fps/chip). The CLI encoder calls the same building blocks
-with host entropy coding in between; this fused form is what
-__graft_entry__ compile-checks and what the multi-chip dry-run shards.
+encode+embed fps/chip). v2 design: full-pel search -> per-MB qpel window
+gather -> static 169-offset block table -> table-based subpel + RCA
+stego costs (encoder/qpel_table.py, encoder/analyse2.py) -> batched
+transform/encode. On TPU the full-pel stage and window gather run as
+Pallas kernels (use_pallas=True); the jnp twins keep the function
+portable for CPU compile checks and the multi-chip dry run.
 """
 
 from __future__ import annotations
@@ -17,34 +20,48 @@ import jax.numpy as jnp
 
 from ..encoder import me as ME
 from ..encoder import inter as INTER
+from ..encoder import qpel_table as QT
+from ..encoder import analyse2 as A2
 from ..stego import cost as COST
 
 
 @functools.partial(jax.jit, static_argnames=(
     "qp", "qpc", "mbh", "mbw", "rng", "lam", "subpel", "decimate",
-    "with_stego"))
+    "with_stego", "use_pallas"))
 def p_frame_step(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
                  qp: int, qpc: int, mbh: int, mbw: int, rng: int,
                  lam: int, subpel: int = 2, decimate: bool = True,
-                 with_stego: bool = True):
-    """One P frame, all device stages fused:
-    full-pel ME -> subpel refine -> transform/encode -> RCA alt-MV costs.
+                 with_stego: bool = True, use_pallas: bool = False):
+    """One P frame, all device stages fused.
 
     Returns dict with mv field, levels/cbp, recon planes, stego rho/alt.
     """
-    pred_fp = jnp.clip(prev_mv // 4, -rng, rng)
-    mv_fp, _ = ME.fullpel_search.__wrapped__(
-        y, ref_luma[0], pred_fp, rng, mbh, mbw, lam)
-    mv_q, _ = ME.subpel_refine.__wrapped__(
-        y, ref_luma, mv_fp, prev_mv, mbh, mbw, lam, subpel)
+    if use_pallas:
+        from ..ops.pallas_kernels import fullpel_search_pallas
+        mv_fp, _ = fullpel_search_pallas.__wrapped__(
+            y, ref_luma[0], rng, mbh, mbw, lam)
+        windows = QT.gather_windows.__wrapped__(
+            ref_luma, mv_fp, mbh, mbw, False)
+    else:
+        zero_pred = jnp.zeros((mbh, mbw, 2), jnp.int32)
+        mv_fp, _ = ME.fullpel_search.__wrapped__(
+            y, ref_luma[0], zero_pred, rng, mbh, mbw, lam)
+        windows = QT.gather_windows_jnp(ref_luma, mv_fp, mbh, mbw)
+
+    blocks = QT.block_table(windows)
+    wht = QT.wht16(blocks)
+    mv_q, r_idx = A2.subpel_from_table.__wrapped__(
+        y, wht, mv_fp, prev_mv, mbh, mbw, lam, subpel)
+
     out = INTER.encode_p_frame_device.__wrapped__(
         y, u, v, ref_luma, ref_u, ref_v, mv_q, qp, qpc, mbh, mbw,
-        decimate)
+        decimate, None)
     out["mv"] = mv_q
     if with_stego:
         cost_mv = jnp.asarray(COST.cost_mv_table(lam))
-        rho, alt, _ = COST.alt_mv_costs.__wrapped__(
-            y, ref_luma, mv_q, prev_mv, cost_mv, qp, mbh, mbw, decimate)
+        rho, alt, _ = A2.stego_costs_from_table.__wrapped__(
+            y, blocks, wht, r_idx, mv_q, prev_mv, cost_mv, qp, mbh, mbw,
+            decimate)
         out["stego_rho"] = rho
         out["stego_alt_mv"] = alt
     return out
@@ -53,5 +70,5 @@ def p_frame_step(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
 def multi_stream_step(ys, us, vs, ref_lumas, ref_us, ref_vs, prev_mvs,
                       **kw):
     """vmapped p_frame_step over a leading stream axis [S, ...]."""
-    fn = functools.partial(p_frame_step, **kw)
+    fn = functools.partial(p_frame_step.__wrapped__, **kw)
     return jax.vmap(fn)(ys, us, vs, ref_lumas, ref_us, ref_vs, prev_mvs)

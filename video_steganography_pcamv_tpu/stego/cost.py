@@ -117,6 +117,18 @@ def alt_mv_costs(cur_y, ref_luma, mv, mvp, cost_mv, qp: int,
     cand_cost = jnp.stack(cand_cost, axis=1)      # [n, 12]
     cand_opt = jnp.stack(cand_opt, axis=1)        # [n, 12]
 
+    cost_opt, sel_delta, flags = rca_decide(nb0, orig_cost, orig_opt,
+                                            cand_cost, cand_opt)
+    alt = (mvf + sel_delta).reshape(mbh, mbw, 2)
+    return (cost_opt.reshape(mbh, mbw), alt,
+            flags.reshape(mbh, mbw, 3))
+
+
+def rca_decide(nb0, orig_cost, orig_opt, cand_cost, cand_opt):
+    """Shared RCA selection logic (analyse.c:2412-2549): class-preserving
+    candidate choice with the first-4 early exit, error-position
+    fallback, beta1/beta2 penalties. Returns (rho f32 [n],
+    sel_delta [n,2], flags [n,3])."""
     valid = cand_opt == orig_opt[:, None]
     big = jnp.int32(1 << 29)
     masked = jnp.where(valid, cand_cost, big)
@@ -147,8 +159,5 @@ def alt_mv_costs(cur_y, ref_luma, mv, mvp, cost_mv, qp: int,
     cost_opt = jnp.where(b_error,
                          (4.0 * cost_opt.astype(jnp.float32))
                          .astype(jnp.int32), cost_opt)
-
-    alt = (mvf + sel_delta).reshape(mbh, mbw, 2)
-    return (cost_opt.astype(jnp.float32).reshape(mbh, mbw), alt,
-            jnp.stack([orig_opt, b_2_neighbor, b_error], 1)
-            .reshape(mbh, mbw, 3))
+    flags = jnp.stack([orig_opt, b_2_neighbor, b_error], 1)
+    return cost_opt.astype(jnp.float32), sel_delta, flags

@@ -73,10 +73,19 @@ class StegoEngine:
             return None
 
         lam = ME.lambda_tab(qp)
-        rho, alt_mv, _flags = alt_mv_costs(
-            y, enc.ref["luma"], jnp.asarray(mv), jnp.asarray(mvp1),
-            jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
-            decimate=p.dct_decimate)
+        tables = getattr(enc, "_ptables", None)
+        if tables is not None:
+            from ..encoder.analyse2 import stego_costs_from_table
+            rho, alt_mv, _flags = stego_costs_from_table(
+                y, tables["blocks"], tables["wht"], tables["r_idx"],
+                jnp.asarray(mv), jnp.asarray(mvp1),
+                jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
+                decimate=p.dct_decimate)
+        else:
+            rho, alt_mv, _flags = alt_mv_costs(
+                y, enc.ref["luma"], jnp.asarray(mv), jnp.asarray(mvp1),
+                jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
+                decimate=p.dct_decimate)
         rho = np.asarray(rho)
         alt_mv = np.asarray(alt_mv)
 
