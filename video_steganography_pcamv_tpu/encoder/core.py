@@ -170,31 +170,15 @@ class Encoder:
         block tables for the stego pass. The full-pel stage runs the
         Pallas row-sweep kernel on TPU, the jnp scan elsewhere."""
         import jax
-        from . import qpel_table as QT
         from . import analyse2 as A2
         p = self.p
         lam = ME.lambda_tab(p.qp)
         mbh, mbw = p.mb_height, p.mb_width
         on_tpu = jax.default_backend() == "tpu"
-        if on_tpu:
-            from ..ops.pallas_kernels import fullpel_search_pallas
-            mv_fp, _ = fullpel_search_pallas(
-                y, self.ref["luma"][0], p.me_range, mbh, mbw, lam)
-            windows = QT.gather_windows(self.ref["luma"], mv_fp, mbh, mbw)
-        else:
-            zero_pred = jnp.zeros((mbh, mbw, 2), jnp.int32)
-            mv_fp, _ = ME.fullpel_search(
-                y, self.ref["luma"][0], zero_pred, p.me_range, mbh, mbw,
-                lam)
-            windows = QT.gather_windows_jnp(self.ref["luma"], mv_fp,
-                                            mbh, mbw)
-        blocks = QT.block_table(windows)
-        wht = QT.wht16(blocks)
-        mv_q, r_idx = A2.subpel_from_table(
-            y, wht, mv_fp, jnp.asarray(self.prev_mv), mbh, mbw, lam,
-            p.subpel)
-        self._ptables = {"blocks": blocks, "wht": wht, "r_idx": r_idx,
-                         "mv_fp": mv_fp}
+        mv_q, r_idx, blocks, wht = A2.analyse_p_frame(
+            y, self.ref["luma"], jnp.asarray(self.prev_mv), p.me_range,
+            mbh, mbw, lam, p.subpel, on_tpu)
+        self._ptables = {"blocks": blocks, "wht": wht, "r_idx": r_idx}
         return mv_q, None
 
     def _encode_p(self, y, u, v) -> bytes:

@@ -33,11 +33,12 @@ from ..ops.transform import hadamard4x4
 
 # window geometry: origin = fullpel base - MARGIN. Offsets in [-6,6] qpel
 # reach full-pel bases [-2, 1], plus the qpel pairing offset (+1) and the
-# 16-pel block: columns [MARGIN-2, MARGIN+2+15] -> exactly 20 with
-# MARGIN=2. (Staying at 20 also keeps the fetch inside the valid region
-# of the rolled hpel planes — see ops/mc.py PAD analysis.)
-MARGIN = 2
-WIN = 20
+# 16-pel block: columns [MARGIN-2, MARGIN+2+15]. WIN must be a multiple
+# of 8 (Mosaic DMA sublane alignment); MARGIN=4/WIN=24 also keeps the
+# fetch inside the valid (non-wrapped) region of the rolled hpel planes:
+# max column = W - 16 + PAD - MARGIN + 16 + (WIN-1) = W + 43 < W + 2*PAD - 3.
+MARGIN = 4
+WIN = 24
 
 N_OFF = 13 * 13
 

@@ -40,13 +40,14 @@ def p_frame_step(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
         from ..ops.pallas_kernels import fullpel_search_pallas
         mv_fp, _ = fullpel_search_pallas.__wrapped__(
             y, ref_luma[0], rng, mbh, mbw, lam)
-        windows = QT.gather_windows.__wrapped__(
-            ref_luma, mv_fp, mbh, mbw, False)
     else:
         zero_pred = jnp.zeros((mbh, mbw, 2), jnp.int32)
         mv_fp, _ = ME.fullpel_search.__wrapped__(
             y, ref_luma[0], zero_pred, rng, mbh, mbw, lam)
-        windows = QT.gather_windows_jnp(ref_luma, mv_fp, mbh, mbw)
+    # window fetch stays on the XLA gather: its ~2ns/element amortized
+    # cost beats the per-MB DMA kernel's alignment contortions (Mosaic
+    # requires 8-aligned dynamic sublane starts; see docs/PERF.md)
+    windows = QT.gather_windows_jnp(ref_luma, mv_fp, mbh, mbw)
 
     blocks = QT.block_table(windows)
     wht = QT.wht16(blocks)
