@@ -33,5 +33,7 @@ def test_iframe_quality_sane():
     enc = Encoder(p)
     enc.encode_frame(frames[0])
     summary = enc.close()
-    assert summary["psnr_y"] > 38.0, summary
+    # deblocking can shave a fraction of a dB of source-PSNR on noisy
+    # synthetic textures while improving blockiness
+    assert summary["psnr_y"] > 37.5, summary
     assert summary["psnr_u"] > 35.0, summary

@@ -253,6 +253,7 @@ class SliceDecoder:
         self.nnz_y = np.zeros((4 * self.mbh, 4 * self.mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * self.mbh, 2 * self.mbw), np.int32)
         self.mb_intra = np.zeros((self.mbh, self.mbw), bool)
+        self.mb_skip = np.zeros((self.mbh, self.mbw), bool)
         self.mv = np.zeros((self.mbh, self.mbw, 2), np.int32)
         self.decoded = np.zeros((self.mbh, self.mbw), bool)
         self.cur_mv = np.zeros(2, np.int32)  # MV of the MB being decoded
@@ -457,6 +458,7 @@ class SliceDecoder:
         self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
         self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
         self.decoded[my, mx] = True
+        self.mb_skip[my, mx] = True
         self.mbs.append(MBInfo("SKIP", (int(mv[0]), int(mv[1])), qp))
 
     def decode_slice(self, br: BitReader, slice_type: int, qp: int):
@@ -524,6 +526,7 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
             elif ref_idc != 0:
                 assert br.read1() == 0  # sliding window
             qp = pps.pic_init_qp + br.read_se()
+            disable = 1
             if pps.deblocking_control_present:
                 disable = br.read_ue()
                 if disable != 1:
@@ -531,6 +534,22 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                     br.read_se()
             dec = SliceDecoder(sps, pps, ref=ref)
             dec.decode_slice(br, slice_type, qp)
+            if disable != 1:
+                from .. import native
+                assert native.load() is not None, \
+                    "deblocking requires the native library"
+                dy = np.ascontiguousarray(dec.y, np.uint8)
+                du = np.ascontiguousarray(dec.u, np.uint8)
+                dv = np.ascontiguousarray(dec.v, np.uint8)
+                qpc = int(CHROMA_QP[np.clip(
+                    qp + pps.chroma_qp_index_offset, 0, 51)])
+                native.deblock_frame(
+                    dy, du, dv, dec.mb_intra.astype(np.uint8),
+                    dec.nnz_y, dec.mv,
+                    dec.mb_skip.astype(np.uint8), qp, qpc)
+                dec.y, dec.u, dec.v = (dy.astype(np.int64),
+                                       du.astype(np.int64),
+                                       dv.astype(np.int64))
             h, w = sps.height, sps.width
             frames.append(DecodedFrame(
                 y=dec.y[:h, :w].astype(np.uint8),

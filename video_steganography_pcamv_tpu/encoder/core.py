@@ -120,16 +120,22 @@ class Encoder:
         p = self.p
         qp = p.qp
         qpc = chroma_qp(qp, p.chroma_qp_offset)
-        res = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width, p.mb_height)
-        self._update_ref(res)
-        res = {k: np.asarray(val) for k, val in res.items()}
-        self.recon_prev = (res["recon_y"], res["recon_u"], res["recon_v"])
+        res_dev = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width,
+                                   p.mb_height)
+        res = {k: np.asarray(val) for k, val in res_dev.items()}
+        if p.deblock and self._native is not None:
+            self._deblock(res, intra=True)
+        else:
+            self._update_ref(res_dev)
+            self.recon_prev = (res["recon_y"], res["recon_u"],
+                               res["recon_v"])
         self.prev_mv = np.zeros((p.mb_height, p.mb_width, 2), np.int32)
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_I,
                              self.frame_num, qp, idr=True,
-                             idr_pic_id=self.idr_pic_id)
+                             idr_pic_id=self.idr_pic_id,
+                             disable_deblock=0 if self.p.deblock else 1)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
@@ -162,6 +168,31 @@ class Encoder:
         """Build padded + hpel reference planes from recon (device)."""
         self.ref = mc.build_ref(res["recon_y"], res["recon_u"],
                                 res["recon_v"])
+
+    def _deblock(self, res_np, intra: bool, mv=None, skip=None):
+        """In-loop deblocking on the host recon (native C++; reference
+        x264_fdec_filter_row -> x264_frame_deblock_row, encoder.c:1035).
+        Returns (y, u, v) uint8 deblocked planes and re-derives the
+        device reference from them."""
+        from .. import native
+        p = self.p
+        ry = np.ascontiguousarray(res_np["recon_y"], np.uint8)
+        ru = np.ascontiguousarray(res_np["recon_u"], np.uint8)
+        rv = np.ascontiguousarray(res_np["recon_v"], np.uint8)
+        key = "luma_ac" if intra else "luma_lev"
+        nnz4 = np.count_nonzero(res_np[key], axis=(4, 5)) \
+            .transpose(0, 2, 1, 3).reshape(4 * p.mb_height, 4 * p.mb_width)
+        mbsh = (p.mb_height, p.mb_width)
+        intra_a = np.full(mbsh, 1 if intra else 0, np.uint8)
+        mv_a = (np.zeros((*mbsh, 2), np.int32) if mv is None
+                else np.ascontiguousarray(mv, np.int32))
+        native.deblock_frame(ry, ru, rv, intra_a, nnz4.astype(np.int32),
+                             mv_a, skip, self.p.qp,
+                             chroma_qp(self.p.qp, p.chroma_qp_offset))
+        self.recon_prev = (ry, ru, rv)
+        self.ref = mc.build_ref(jnp.asarray(ry, jnp.int32),
+                                jnp.asarray(ru, jnp.int32),
+                                jnp.asarray(rv, jnp.int32))
 
     def analyse_p(self, y):
         """Device motion analysis for a P frame (v2 table pipeline:
@@ -208,14 +239,20 @@ class Encoder:
                 mv_np, skip, mvd, res = replaced
                 res_np = {k: np.asarray(val) for k, val in res.items()}
 
-        self._update_ref(res)
+        if p.deblock and self._native is not None:
+            self._deblock(res_np, intra=False, mv=mv_np,
+                          skip=skip.astype(np.uint8))
+        else:
+            self._update_ref(res)
+            self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
+                               res_np["recon_v"])
         res = res_np
-        self.recon_prev = (res["recon_y"], res["recon_u"], res["recon_v"])
         self.prev_mv = mv_np
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
-                             self.frame_num, qp, idr=False)
+                             self.frame_num, qp, idr=False,
+                             disable_deblock=0 if self.p.deblock else 1)
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if self._native is not None:

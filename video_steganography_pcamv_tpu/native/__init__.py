@@ -40,9 +40,11 @@ def load():
     if _tried:
         return None
     _tried = True
-    src = os.path.join(_DIR, "pcamv_native.cpp")
+    srcs = [os.path.join(_DIR, f) for f in
+            ("pcamv_native.cpp", "deblock.cpp")]
     if (not os.path.exists(_LIB)
-            or os.path.getmtime(_LIB) < os.path.getmtime(src)):
+            or any(os.path.getmtime(_LIB) < os.path.getmtime(s)
+                   for s in srcs if os.path.exists(s))):
         if not _build():
             return None
     lib = ctypes.CDLL(_LIB)
@@ -63,6 +65,10 @@ def load():
     lib.pcamv_host_scan_p_forced.restype = None
     lib.pcamv_host_scan_p_forced.argtypes = [i32p, u8p, ctypes.c_int,
                                              ctypes.c_int, i32p, i32p]
+    lib.pcamv_deblock_frame.restype = None
+    lib.pcamv_deblock_frame.argtypes = [
+        u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.pcamv_stc_embed.restype = ctypes.c_int
     lib.pcamv_stc_embed.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long,
                                     f64p, ctypes.c_int, ctypes.c_uint32,
@@ -137,6 +143,26 @@ def host_scan_p_forced(mv, skip):
         _as_i32(mv).reshape(-1), np.ascontiguousarray(skip, np.uint8)
         .reshape(-1), mbw, mbh, fmv, mvd)
     return fmv.reshape(mbh, mbw, 2), mvd.reshape(mbh, mbw, 2)
+
+
+def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc):
+    """In-place H.264 deblocking of uint8 planes.
+
+    y/u/v: MB-padded planes (modified in place); intra: [mbh,mbw] uint8;
+    nnz4: [4mbh,4mbw] int32 luma 4x4 total_coeff; mv: [mbh,mbw,2] int32;
+    skip: [mbh,mbw] uint8 or None."""
+    lib = load()
+    mbh, mbw = intra.shape
+    assert y.dtype == np.uint8 and y.flags["C_CONTIGUOUS"]
+    skip_a = (np.ascontiguousarray(skip, np.uint8)
+              if skip is not None else None)
+    skip_p = (skip_a.ctypes.data_as(ctypes.c_void_p)
+              if skip_a is not None else None)
+    lib.pcamv_deblock_frame(
+        y, u, v, mbw, mbh,
+        np.ascontiguousarray(intra, np.uint8),
+        _as_i32(nnz4).reshape(-1), _as_i32(mv).reshape(-1), skip_p,
+        qp, qpc)
 
 
 def stc_embed(cover, message, rho, h=10, key=1):

@@ -1,0 +1,199 @@
+// H.264 in-loop deblocking filter (host-side, serial raster order).
+//
+// Normative spec 8.7 math; structure mirrors the reference driver
+// (common/frame.c:627-811 x264_frame_deblock_row + the ffmpeg-derived
+// edge filters :425-590) specialised to this build's feature set:
+// progressive frames, 4x4 transform, 16x16 partitions, single reference,
+// CQP (edge qp == slice qp). Shared by the encoder (recon -> next ref)
+// and the verification decoder via ctypes.
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <initializer_list>
+
+#include "deblock_tables.inc"
+
+namespace {
+
+inline int clip3(int v, int lo, int hi) {
+  return v < lo ? lo : v > hi ? hi : v;
+}
+inline uint8_t clip255(int v) { return (uint8_t)(v < 0 ? 0 : v > 255 ? 255 : v); }
+
+// normal filter, one 1D sample line across the edge (spec 8.7.2.3)
+inline void filt_luma_normal(uint8_t* p, int xs, int alpha, int beta,
+                             int tc0) {
+  const int p2 = p[-3 * xs], p1 = p[-2 * xs], p0 = p[-1 * xs];
+  const int q0 = p[0], q1 = p[xs], q2 = p[2 * xs];
+  if (abs(p0 - q0) >= alpha || abs(p1 - p0) >= beta || abs(q1 - q0) >= beta)
+    return;
+  int tc = tc0;
+  if (abs(p2 - p0) < beta) {
+    p[-2 * xs] = (uint8_t)(p1 + clip3(((p2 + ((p0 + q0 + 1) >> 1)) >> 1) - p1,
+                                      -tc0, tc0));
+    tc++;
+  }
+  if (abs(q2 - q0) < beta) {
+    p[xs] = (uint8_t)(q1 + clip3(((q2 + ((p0 + q0 + 1) >> 1)) >> 1) - q1,
+                                 -tc0, tc0));
+    tc++;
+  }
+  const int delta = clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc);
+  p[-1 * xs] = clip255(p0 + delta);
+  p[0] = clip255(q0 - delta);
+}
+
+inline void filt_luma_intra(uint8_t* p, int xs, int alpha, int beta) {
+  const int p3 = p[-4 * xs], p2 = p[-3 * xs], p1 = p[-2 * xs],
+            p0 = p[-1 * xs];
+  const int q0 = p[0], q1 = p[xs], q2 = p[2 * xs], q3 = p[3 * xs];
+  if (abs(p0 - q0) >= alpha || abs(p1 - p0) >= beta || abs(q1 - q0) >= beta)
+    return;
+  if (abs(p0 - q0) < ((alpha >> 2) + 2)) {
+    if (abs(p2 - p0) < beta) {
+      p[-1 * xs] = (uint8_t)((p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3);
+      p[-2 * xs] = (uint8_t)((p2 + p1 + p0 + q0 + 2) >> 2);
+      p[-3 * xs] = (uint8_t)((2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3);
+    } else {
+      p[-1 * xs] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+    }
+    if (abs(q2 - q0) < beta) {
+      p[0] = (uint8_t)((p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3);
+      p[xs] = (uint8_t)((p0 + q0 + q1 + q2 + 2) >> 2);
+      p[2 * xs] = (uint8_t)((2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3);
+    } else {
+      p[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+    }
+  } else {
+    p[-1 * xs] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+    p[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+  }
+}
+
+inline void filt_chroma_normal(uint8_t* p, int xs, int alpha, int beta,
+                               int tc) {
+  const int p1 = p[-2 * xs], p0 = p[-1 * xs];
+  const int q0 = p[0], q1 = p[xs];
+  if (abs(p0 - q0) >= alpha || abs(p1 - p0) >= beta || abs(q1 - q0) >= beta)
+    return;
+  const int delta = clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc);
+  p[-1 * xs] = clip255(p0 + delta);
+  p[0] = clip255(q0 - delta);
+}
+
+inline void filt_chroma_intra(uint8_t* p, int xs, int alpha, int beta) {
+  const int p1 = p[-2 * xs], p0 = p[-1 * xs];
+  const int q0 = p[0], q1 = p[xs];
+  if (abs(p0 - q0) >= alpha || abs(p1 - p0) >= beta || abs(q1 - q0) >= beta)
+    return;
+  p[-1 * xs] = (uint8_t)((2 * p1 + p0 + q1 + 2) >> 2);
+  p[0] = (uint8_t)((2 * q1 + q0 + p1 + 2) >> 2);
+}
+
+struct Ctx {
+  uint8_t *y, *u, *v;
+  int mbw, mbh, wy, wc;
+  const uint8_t* intra;  // [N]
+  const int32_t* nnz;    // [4mbh][4mbw]
+  const int32_t* mv;     // [N][2]
+  const uint8_t* skip;   // [N]
+  int qp, qpc;
+};
+
+// bS for one 4-sample group on an edge between 4x4 blocks p(-1 side) / q
+inline int bs_inter(const Ctx& c, int qx, int qy, int px, int py) {
+  // global 4x4 coords; both MBs inter here
+  if (c.nnz[qy * 4 * c.mbw + qx] || c.nnz[py * 4 * c.mbw + px]) return 2;
+  const int32_t* mq = &c.mv[((qy >> 2) * c.mbw + (qx >> 2)) * 2];
+  const int32_t* mp = &c.mv[((py >> 2) * c.mbw + (px >> 2)) * 2];
+  if (abs(mq[0] - mp[0]) >= 4 || abs(mq[1] - mp[1]) >= 4) return 1;
+  return 0;
+}
+
+void deblock_mb(const Ctx& c, int mbx, int mby) {
+  const int a_l = ALPHA_TAB[c.qp + 12], b_l = BETA_TAB[c.qp + 12];
+  const int a_c = ALPHA_TAB[c.qpc + 12], b_c = BETA_TAB[c.qpc + 12];
+  const int mb = mby * c.mbw + mbx;
+  const bool cur_intra = c.intra[mb];
+  int edge_end = (c.skip && c.skip[mb]) ? 1 : 4;
+  if (c.qp <= 15) edge_end = 1;
+  if (!a_l || !b_l) return;
+
+  uint8_t* py = c.y + 16 * mby * c.wy + 16 * mbx;
+  uint8_t* pu = c.u + 8 * mby * c.wc + 8 * mbx;
+  uint8_t* pv = c.v + 8 * mby * c.wc + 8 * mbx;
+
+  for (int dir = 0; dir < 2; dir++) {
+    const int first = dir == 0 ? (mbx == 0 ? 1 : 0) : (mby == 0 ? 1 : 0);
+    for (int e = first; e < edge_end; e++) {
+      const bool mb_edge = (e == 0);
+      const bool nb_intra =
+          mb_edge && c.intra[dir == 0 ? mb - 1 : mb - c.mbw];
+      const bool intra_strong = mb_edge && (cur_intra || nb_intra);
+      int bs[4];
+      if (!intra_strong) {
+        for (int i = 0; i < 4; i++) {
+          if (cur_intra || (mb_edge && nb_intra)) {
+            bs[i] = 3;
+            continue;
+          }
+          int x = dir == 0 ? e : i;
+          int y = dir == 0 ? i : e;
+          int gqx = 4 * mbx + x, gqy = 4 * mby + y;
+          int gpx = dir == 0 ? gqx - 1 : gqx;
+          int gpy = dir == 0 ? gqy : gqy - 1;
+          bs[i] = bs_inter(c, gqx, gqy, gpx, gpy);
+        }
+      }
+      // luma
+      for (int i = 0; i < 4; i++) {
+        for (int d = 0; d < 4; d++) {
+          uint8_t* p = dir == 0
+              ? py + (4 * i + d) * c.wy + 4 * e
+              : py + 4 * e * c.wy + 4 * i + d;
+          int xs = dir == 0 ? 1 : c.wy;
+          if (intra_strong) {
+            filt_luma_intra(p, xs, a_l, b_l);
+          } else if (bs[i] > 0) {
+            filt_luma_normal(p, xs, a_l, b_l, TC0_TAB[c.qp + 12][bs[i]]);
+          }
+        }
+      }
+      // chroma on even edges
+      if (!(e & 1) && a_c && b_c) {
+        for (int i = 0; i < 4; i++) {
+          for (int d = 0; d < 2; d++) {
+            int off = 2 * i + d;
+            for (uint8_t* base : {pu, pv}) {
+              uint8_t* p = dir == 0
+                  ? base + off * c.wc + 2 * e
+                  : base + 2 * e * c.wc + off;
+              int xs = dir == 0 ? 1 : c.wc;
+              if (intra_strong) {
+                filt_chroma_intra(p, xs, a_c, b_c);
+              } else if (bs[i] > 0) {
+                filt_chroma_normal(p, xs, a_c, b_c,
+                                   TC0_TAB[c.qpc + 12][bs[i]] + 1);
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" void pcamv_deblock_frame(uint8_t* y, uint8_t* u, uint8_t* v,
+                                    int mbw, int mbh,
+                                    const uint8_t* intra,
+                                    const int32_t* nnz, const int32_t* mv,
+                                    const uint8_t* skip, int qp, int qpc) {
+  Ctx c{y, u, v, mbw, mbh, 16 * mbw, 8 * mbw, intra, nnz, mv, skip,
+        qp, qpc};
+  for (int mby = 0; mby < mbh; mby++)
+    for (int mbx = 0; mbx < mbw; mbx++)
+      deblock_mb(c, mbx, mby);
+}

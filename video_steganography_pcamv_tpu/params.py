@@ -77,7 +77,7 @@ class Params:
 
     # entropy / tools
     cabac: bool = False
-    deblock: bool = False    # in-loop deblocking (slice-header disable if off)
+    deblock: bool = True     # in-loop deblocking (reference default: on)
 
     # stego
     stego: StegoParams = field(default_factory=StegoParams)
