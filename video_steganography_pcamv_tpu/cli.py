@@ -29,7 +29,21 @@ def build_argparser():
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--seek", type=int, default=0)
     ap.add_argument("--qp", type=int, default=26)
+    # rate control (reference: x264.c --bitrate/--crf/--vbv-*/--pass)
+    ap.add_argument("--bitrate", type=int, default=0, help="ABR kbps")
+    ap.add_argument("--crf", type=float, default=0.0)
+    ap.add_argument("--vbv-maxrate", type=int, default=0)
+    ap.add_argument("--vbv-bufsize", type=int, default=0)
+    ap.add_argument("--ratetol", type=float, default=1.0)
+    ap.add_argument("--qpmin", type=int, default=10)
+    ap.add_argument("--qpmax", type=int, default=51)
+    ap.add_argument("--pass", dest="rc_pass", type=int, default=0,
+                    choices=(0, 1, 2))
+    ap.add_argument("--stats", default="pcamv_2pass.log")
+    ap.add_argument("--qpfile", default="")
     ap.add_argument("--keyint", type=int, default=250)
+    ap.add_argument("--min-keyint", type=int, default=25)
+    ap.add_argument("--scenecut", type=int, default=40)
     ap.add_argument("--merange", type=int, default=16)
     ap.add_argument("--subme", type=int, default=2)
     ap.add_argument("--no-dct-decimate", action="store_true")
@@ -66,8 +80,18 @@ def main(argv=None):
         reader = yuv.open_input(args.input)
 
     p = Params(width=reader.width, height=reader.height, qp=args.qp,
-               keyint_max=args.keyint, me_range=args.merange,
+               keyint_max=args.keyint, keyint_min=args.min_keyint,
+               scenecut_threshold=args.scenecut,
+               me_range=args.merange,
                subpel=args.subme,
+               bitrate=args.bitrate, crf=args.crf,
+               vbv_maxrate=args.vbv_maxrate,
+               vbv_bufsize=args.vbv_bufsize,
+               rate_tolerance=args.ratetol,
+               qp_min=args.qpmin, qp_max=args.qpmax,
+               stat_out=args.stats if args.rc_pass == 1 else "",
+               stat_in=args.stats if args.rc_pass == 2 else "",
+               qpfile=args.qpfile,
                dct_decimate=not args.no_dct_decimate,
                stego=StegoParams(em_rate=args.emrate, key=args.key,
                                  em_file=args.emfile))

@@ -33,9 +33,9 @@ def _didx(dy: int, dx: int) -> int:
     return dy * 13 + dx
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "lam", "subpel"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "subpel"))
 def subpel_from_table(cur_y, wht169, mv_fp, prev_mv, mbh: int, mbw: int,
-                      lam: int, subpel: int = 2):
+                      lam=1, subpel: int = 2):
     """Pick the best qpel offset in [-3,3]^2 around 4*mv_fp by
     SATD + lambda*bits(mv - prev_mv). Returns (mv [mbh,mbw,2] qpel,
     r_idx169 [N] table index of the chosen offset)."""
@@ -73,10 +73,10 @@ def subpel_from_table(cur_y, wht169, mv_fp, prev_mv, mbh: int, mbw: int,
     return mv.reshape(mbh, mbw, 2), r_idx
 
 
-@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw", "lam",
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "subpel", "use_pallas"))
 def analyse_p_frame(y, ref_luma, prev_mv, rng: int, mbh: int, mbw: int,
-                    lam: int, subpel: int, use_pallas: bool):
+                    lam, subpel: int, use_pallas: bool):
     """Fused P-frame analysis: full-pel ME + window gather + qpel block
     table + subpel argmin, one device dispatch. Returns
     (mv [mbh,mbw,2], r_idx [N], blocks169, wht169) — the tables stay on
@@ -99,10 +99,9 @@ def analyse_p_frame(y, ref_luma, prev_mv, rng: int, mbh: int, mbw: int,
     return mv_q, r_idx, blocks, wht
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "mbh", "mbw",
-                                             "decimate"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
 def stego_costs_from_table(cur_y, blocks169, wht169, r_idx, mv, mvp,
-                           cost_mv, qp: int, mbh: int, mbw: int,
+                           cost_mv, qp, mbh: int, mbw: int,
                            decimate: bool = True):
     """Table-based x264_ih_get_mv_cost (bit-identical to
     stego/cost.py alt_mv_costs). r_idx: [N] chosen offset index; mv:

@@ -70,6 +70,12 @@ class Encoder:
             self._stego = StegoEngine(params)
         from .. import native
         self._native = native.load()  # None -> Python fallbacks
+        from .ratecontrol import RateControl
+        from .slicetype import Lookahead
+        self.rc = RateControl(params)
+        self.lookahead = Lookahead(params)
+        self._frame_idx = 0       # absolute input frame counter
+        self._cur_qp = params.qp  # qp of the frame being encoded
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
@@ -94,37 +100,51 @@ class Encoder:
 
     def encode_frame(self, frame: Frame) -> bytes:
         t0 = time.time()
-        is_idr = self.frame_num % self.p.keyint_max == 0
+        y, u, v = self._pad(frame)
+        # slicetype decision: lookahead scenecut/keyint (slicetype.c:578)
+        is_idr, satd = self.lookahead.decide(y)
+        if self.ref is None:
+            is_idr = True
+        forced = self.rc.forced(self._frame_idx)
+        if forced is not None:
+            ftype, fqp = forced
+            is_idr = ftype in ("I", "i", "K")
+            if is_idr:
+                self.lookahead.last_keyframe = self._frame_idx
+        qp = self.rc.start(SLICE_I if is_idr else SLICE_P, satd)
+        if forced is not None and forced[1] >= 0:
+            qp = forced[1]
+        self._cur_qp = qp
         out = b""
         if is_idr:
             self.frame_num = 0
             out += self.headers()
-        y, u, v = self._pad(frame)
-        if is_idr:
-            nal = self._encode_i(y, u, v)
+            nal = self._encode_i(y, u, v, qp)
             out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
             self.stats.i_frames += 1
         else:
-            nal = self._encode_p(y, u, v)
+            nal = self._encode_p(y, u, v, qp)
             out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
             self.stats.p_frames += 1
         self._accumulate_psnr(frame)
         self.frame_num += 1
+        self._frame_idx += 1
         self.stats.frames += 1
         self.stats.bits += 8 * len(out)
+        self.rc.end(8 * len(out))
         self.stats.elapsed += time.time() - t0
         return out
 
     # ------------------------------------------------------------------
-    def _encode_i(self, y, u, v) -> bytes:
+    def _encode_i(self, y, u, v, qp: int) -> bytes:
         p = self.p
-        qp = p.qp
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         res_dev = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width,
-                                   p.mb_height)
+                                   p.mb_height, lam=ME.lambda_tab(qp),
+                                   i4x4=p.i4x4)
         res = {k: np.asarray(val) for k, val in res_dev.items()}
         if p.deblock and self._native is not None:
-            self._deblock(res, intra=True)
+            self._deblock(res, intra=True, qp=qp)
         else:
             self._update_ref(res_dev)
             self.recon_prev = (res["recon_y"], res["recon_u"],
@@ -169,7 +189,7 @@ class Encoder:
         self.ref = mc.build_ref(res["recon_y"], res["recon_u"],
                                 res["recon_v"])
 
-    def _deblock(self, res_np, intra: bool, mv=None, skip=None):
+    def _deblock(self, res_np, intra: bool, mv=None, skip=None, qp=None):
         """In-loop deblocking on the host recon (native C++; reference
         x264_fdec_filter_row -> x264_frame_deblock_row, encoder.c:1035).
         Returns (y, u, v) uint8 deblocked planes and re-derives the
@@ -186,15 +206,17 @@ class Encoder:
         intra_a = np.full(mbsh, 1 if intra else 0, np.uint8)
         mv_a = (np.zeros((*mbsh, 2), np.int32) if mv is None
                 else np.ascontiguousarray(mv, np.int32))
+        if qp is None:
+            qp = self._cur_qp
         native.deblock_frame(ry, ru, rv, intra_a, nnz4.astype(np.int32),
-                             mv_a, skip, self.p.qp,
-                             chroma_qp(self.p.qp, p.chroma_qp_offset))
+                             mv_a, skip, qp,
+                             chroma_qp(qp, p.chroma_qp_offset))
         self.recon_prev = (ry, ru, rv)
         self.ref = mc.build_ref(jnp.asarray(ry, jnp.int32),
                                 jnp.asarray(ru, jnp.int32),
                                 jnp.asarray(rv, jnp.int32))
 
-    def analyse_p(self, y):
+    def analyse_p(self, y, qp=None):
         """Device motion analysis for a P frame (v2 table pipeline:
         full-pel search -> window gather -> qpel block table -> subpel
         argmin). Returns qpel MV field [mbh, mbw, 2] and caches the
@@ -203,7 +225,7 @@ class Encoder:
         import jax
         from . import analyse2 as A2
         p = self.p
-        lam = ME.lambda_tab(p.qp)
+        lam = ME.lambda_tab(qp if qp is not None else self._cur_qp)
         mbh, mbw = p.mb_height, p.mb_width
         on_tpu = jax.default_backend() == "tpu"
         mv_q, r_idx, blocks, wht = A2.analyse_p_frame(
@@ -212,12 +234,11 @@ class Encoder:
         self._ptables = {"blocks": blocks, "wht": wht, "r_idx": r_idx}
         return mv_q, None
 
-    def _encode_p(self, y, u, v) -> bytes:
+    def _encode_p(self, y, u, v, qp: int) -> bytes:
         p = self.p
-        qp = p.qp
         qpc = chroma_qp(qp, p.chroma_qp_offset)
 
-        mv_q, _ = self.analyse_p(y)
+        mv_q, _ = self.analyse_p(y, qp)
         mv_np = np.asarray(mv_q)
         res = P.encode_p_frame_device(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
@@ -241,7 +262,7 @@ class Encoder:
 
         if p.deblock and self._native is not None:
             self._deblock(res_np, intra=False, mv=mv_np,
-                          skip=skip.astype(np.uint8))
+                          skip=skip.astype(np.uint8), qp=qp)
         else:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
@@ -302,8 +323,10 @@ class Encoder:
         self.stats.ssd_v += int(np.sum(dv * dv))
 
     def close(self) -> dict:
-        """Final summary (x264_encoder_close, encoder.c:2795-2884)."""
+        """Final summary (x264_encoder_close, encoder.c:2795-2884) +
+        pass-1 stat flush (ratecontrol stat_out)."""
         from ..ops.pixel import psnr_from_ssd
+        self.rc.write_stats()
         st = self.stats
         n = max(1, st.frames)
         npix_y = n * self.p.width * self.p.height

@@ -90,10 +90,9 @@ def luma_p_encode(cur, pred, qp: int, decimate: bool):
     return lev, rec
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "qpc", "mbh", "mbw",
-                                             "decimate"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
 def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
-                          qp: int, qpc: int, mbh: int, mbw: int,
+                          qp, qpc, mbh: int, mbw: int,
                           decimate: bool = True, force_zero=None):
     """Final P encode at given MVs. mv: [mbh, mbw, 2] qpel.
     force_zero: optional [mbh, mbw] bool — MBs whose residual must be

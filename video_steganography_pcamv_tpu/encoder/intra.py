@@ -1,21 +1,31 @@
-"""I-frame encoder: wavefront-batched i16x16 analysis + reconstruction.
+"""I-frame encoder: wavefront-batched i16x16 + i4x4 analysis.
 
 The reference walks macroblocks serially (encoder/encoder.c:1240-2060),
 each MB consuming its left/top neighbours' *reconstructed* pixels
 (common/macroblock.c:914 cache_load). The TPU design schedules the MB
-grid in anti-diagonal waves: every MB in wave d = mb_x + mb_y is
-independent, so one `lax.fori_loop` step analyses, transforms and
+grid in waves: every MB in wave d = mb_x + 2*mb_y is independent — the
+factor 2 (a "knight's move" wavefront) also satisfies the i4x4
+above-RIGHT dependency (spec 6.4.8: top-right 4x4 samples come from the
+above-right MB). One `lax.fori_loop` step analyses, transforms and
 reconstructs a whole wave as a batch (SURVEY.md §7 "wavefront
 scheduling"). All wave membership tables are static, so the loop body
 compiles once with fixed shapes; inactive lanes scatter out of bounds
 and are dropped.
 
 Per-MB pipeline (reference: x264_mb_analyse_intra analyse.c:628 +
-x264_mb_encode_i16x16 encoder/macroblock.c:189-275 +
-x264_mb_encode_8x8_chroma :277-385):
-  gather borders -> predict 4 luma modes -> SATD argmin -> fDCT ->
-  DC Hadamard + quant -> AC quant -> dequant/IDCT -> recon, and the
-  same for chroma with a joint U+V mode decision.
+x264_mb_encode_i16x16 encoder/macroblock.c:189-275, i4x4
+x264_mb_encode_i4x4 :116-136 + the 16-block sweep analyse.c:698-750):
+  i16x16: 4 luma modes -> SATD+mode-bits argmin -> fDCT -> DC Hadamard
+  i4x4:   16 sub-blocks in z-scan order, each: 9 modes -> SATD +
+          lambda*(1|4) predicted-mode bits -> transform/recon feeding
+          the next block's borders (a static 16-step unroll inside the
+          wave body — the in-MB serial chain the reference hides in its
+          MB loop, batched across the whole wave here)
+  winner by cost (i4x4 carries x264's +24*lambda overhead), then the
+  same chroma pipeline with a joint U+V mode decision.
+
+QP and lambda are traced scalars: one compiled program serves every
+frame under rate control.
 """
 
 from __future__ import annotations
@@ -31,22 +41,34 @@ from ..ops import predict as P
 from ..ops.transform import hadamard4x4, hadamard2x2
 from ..ops.blocks import to_blocks
 
+# z-scan of 4x4 luma blocks inside a MB (spec 6.4.3)
+LUMA_SCAN = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (0, 3), (1, 2), (1, 3),
+             (2, 0), (2, 1), (3, 0), (3, 1), (2, 2), (2, 3), (3, 2), (3, 3)]
+_SCAN_IDX = {pos: i for i, pos in enumerate(LUMA_SCAN)}
+
+# ue(v) bit sizes for mode numbers 0..3 (i16x16 / chroma mode cost,
+# reference x264_mb_analyse_intra's `a->i_lambda * bs_size_ue(...)`)
+_UE_SIZE4 = np.array([1, 3, 3, 5], np.int32)
+
 
 def wave_tables(mbw: int, mbh: int):
-    """Static anti-diagonal wave membership: returns (mx, my, active)
-    arrays of shape [n_waves, W] with W = min(mbw, mbh)."""
-    n_waves = mbw + mbh - 1
-    w = min(mbw, mbh)
-    mx = np.zeros((n_waves, w), np.int32)
-    my = np.zeros((n_waves, w), np.int32)
+    """Static knight-move wave membership (d = mx + 2*my): returns
+    (mx, my, active) arrays of shape [n_waves, W]."""
+    n_waves = mbw + 2 * (mbh - 1)
+    rows = [[] for _ in range(n_waves)]
+    for my in range(mbh):
+        for mx in range(mbw):
+            rows[mx + 2 * my].append((mx, my))
+    w = max(len(r) for r in rows)
+    mx_t = np.zeros((n_waves, w), np.int32)
+    my_t = np.zeros((n_waves, w), np.int32)
     act = np.zeros((n_waves, w), bool)
-    for d in range(n_waves):
-        xs = range(max(0, d - mbh + 1), min(d, mbw - 1) + 1)
-        for lane, x in enumerate(xs):
-            mx[d, lane] = x
-            my[d, lane] = d - x
+    for d, r in enumerate(rows):
+        for lane, (x, y) in enumerate(r):
+            mx_t[d, lane] = x
+            my_t[d, lane] = y
             act[d, lane] = True
-    return mx, my, act
+    return mx_t, my_t, act
 
 
 def _tile(img: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -60,18 +82,20 @@ def _untile(t: jnp.ndarray) -> jnp.ndarray:
     return t.transpose(0, 2, 1, 3).reshape(mh * n, mw * n)
 
 
-def _luma_mb(enc, top, left, topleft, at, al, qp):
+def _i16_mb(enc, top, left, topleft, at, al, qp, lam):
     """Batched i16x16 encode for one wave.
 
     enc: [W,16,16]; top/left: [W,16]; topleft, at, al: [W].
     Returns (mode, dc_lev [W,4,4], ac_lev [W,4,4,4,4], cbp_luma_flag,
-    recon [W,16,16])."""
+    recon [W,16,16], cost [W])."""
     preds = P.predict_i16x16_all(top, left, topleft, at, al)  # [W,4,16,16]
     d = to_blocks(enc[:, None] - preds, 4)            # [W,4m,4,4,4,4]
     satd = jnp.sum(jnp.abs(hadamard4x4(d)), axis=(-4, -3, -2, -1)) >> 1
+    satd = satd + lam * jnp.asarray(_UE_SIZE4)[None, :]
     valid = jnp.stack([at, al, jnp.ones_like(at), at & al], axis=1)
     cost = jnp.where(valid, satd, jnp.int32(1 << 30))
     mode = jnp.argmin(cost, axis=1)                   # [W]
+    best_cost = jnp.min(cost, axis=1)
     pred = jnp.take_along_axis(
         preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,16,16]
 
@@ -91,10 +115,112 @@ def _luma_mb(enc, top, left, topleft, at, al, qp):
     recon = T.idct4x4_add(to_blocks(pred, 4), deq)
     recon = recon.reshape(-1, 4, 4, 4, 4).transpose(0, 3, 1, 4, 2) \
                  .reshape(-1, 16, 16)
-    return mode, dc_lev, ac_lev, cbp_luma, recon
+    return mode, dc_lev, ac_lev, cbp_luma, recon, best_cost
 
 
-def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al, qpc):
+def _satd4(a, b):
+    """a: [W,4,4], b: [W,M,4,4] -> [W,M]."""
+    d = (a[:, None] - b)[..., None, None]             # [W,M,4,4,1,1]
+    return jnp.sum(jnp.abs(hadamard4x4(d)), axis=(-4, -3, -2, -1)) >> 1
+
+
+def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
+           nb_left_modes, nb_top_modes):
+    """Batched i4x4 encode for one wave: static 16-step z-scan unroll.
+
+    enc: [W,16,16]; top20: [W,20] (above MB row15 + above-right MB's
+    first 4, masked by atr); left: [W,16]; topleft: [W];
+    nb_left_modes: [W,4] left MB's column-3 block modes (2 = not i4);
+    nb_top_modes: [W,4] above MB's row-3 block modes.
+    Returns (modes [W,16] z-order, lev [W,4,4,4,4] (by,bx,r,c) full
+    16-coeff blocks, cbp_luma [W] 4-bit, recon [W,16,16], cost [W])."""
+    W = enc.shape[0]
+    ones = jnp.ones(W, bool)
+    wt = jnp.zeros((W, 16, 16), jnp.int32)      # working recon tile
+    m4 = jnp.full((W, 4, 4), 2, jnp.int32)      # chosen modes (DC init)
+    lev_out = jnp.zeros((W, 4, 4, 4, 4), jnp.int32)
+    modes_out = []
+    cost = jnp.zeros(W, jnp.int32)
+    needs_t = jnp.asarray(P.I4_NEEDS_TOP)
+    needs_l = jnp.asarray(P.I4_NEEDS_LEFT)
+
+    for blk, (by, bx) in enumerate(LUMA_SCAN):
+        # ---- borders ----
+        if by == 0:
+            t8 = top20[:, 4 * bx:4 * bx + 8]
+            t_av = at
+            if bx == 3:  # top-right from the above-RIGHT MB (atr)
+                rep = jnp.repeat(t8[:, 3:4], 4, axis=1)
+                t8 = jnp.where(atr[:, None],
+                               t8, jnp.concatenate([t8[:, :4], rep], 1))
+        else:
+            row = wt[:, 4 * by - 1, :]
+            t4 = row[:, 4 * bx:4 * bx + 4]
+            tr_ok = (bx < 3
+                     and _SCAN_IDX[(by - 1, bx + 1)] < _SCAN_IDX[(by, bx)])
+            if tr_ok:
+                t8 = row[:, 4 * bx:4 * bx + 8]
+            else:  # spec sample substitution: replicate t3
+                t8 = jnp.concatenate(
+                    [t4, jnp.repeat(t4[:, 3:4], 4, axis=1)], 1)
+            t_av = ones
+        if bx == 0:
+            l4 = left[:, 4 * by:4 * by + 4]
+            l_av = al
+        else:
+            l4 = wt[:, 4 * by:4 * by + 4, 4 * bx - 1]
+            l_av = ones
+        if by == 0 and bx == 0:
+            lt = topleft
+        elif by == 0:
+            lt = top20[:, 4 * bx - 1]
+        elif bx == 0:
+            lt = left[:, 4 * by - 1]
+        else:
+            lt = wt[:, 4 * by - 1, 4 * bx - 1]
+
+        preds = P.predict_i4x4_all(t8, l4, lt, t_av, l_av)  # [W,9,4,4]
+        eblk = enc[:, 4 * by:4 * by + 4, 4 * bx:4 * bx + 4]
+        satd = _satd4(eblk, preds)                          # [W,9]
+
+        # predicted mode (spec 8.3.1.1): min(left, top); DC if EITHER
+        # neighbour block is unavailable (dcPredModePredictedFlag)
+        mA = nb_left_modes[:, by] if bx == 0 else m4[:, by, bx - 1]
+        mB = nb_top_modes[:, bx] if by == 0 else m4[:, by - 1, bx]
+        av_a = al if bx == 0 else ones
+        av_b = at if by == 0 else ones
+        pm = jnp.where(av_a & av_b, jnp.minimum(mA, mB), 2)
+        bits = jnp.where(jnp.arange(9)[None, :] == pm[:, None], 1, 4)
+        valid = ~((needs_t[None, :] & ~t_av[:, None])
+                  | (needs_l[None, :] & ~l_av[:, None]))
+        mcost = jnp.where(valid, satd + lam * bits, jnp.int32(1 << 30))
+        mode = jnp.argmin(mcost, axis=1)
+        cost = cost + jnp.min(mcost, axis=1)
+        pred = jnp.take_along_axis(
+            preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,4,4]
+
+        coef = T.dct4x4((eblk - pred)[..., None, None])      # [W,4,4,1,1]
+        lev = T.quant4x4(coef, qp, intra=True)
+        deq = T.dequant4x4(lev, qp)
+        rec = T.idct4x4_add(pred[..., None, None], deq)[..., 0, 0]
+        wt = wt.at[:, 4 * by:4 * by + 4, 4 * bx:4 * bx + 4].set(rec)
+        m4 = m4.at[:, by, bx].set(mode)
+        lev_out = lev_out.at[:, by, bx].set(lev[..., 0, 0])
+        modes_out.append(mode)
+
+    cost = cost + 24 * lam   # i4x4 header overhead (analyse.c:750)
+    nz = jnp.any(lev_out != 0, axis=(3, 4))                 # [W,4,4]
+    cbp8 = jnp.any(nz.reshape(W, 2, 2, 2, 2), axis=(2, 4))  # [W,2,2]
+    cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
+                + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8).astype(jnp.int32)
+    # CBP-zeroed blocks must not be transmitted NOR reconstructed with
+    # residual? No: cbp bit 0 <=> all four blocks are zero, so recon is
+    # unaffected; lev stays as computed.
+    return (jnp.stack(modes_out, axis=1), lev_out, cbp_luma, wt, cost)
+
+
+def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
+               qpc, lam):
     """Batched chroma encode, joint U+V mode decision.
 
     enc_*: [W,8,8]; tops/lefts: ((top_u, top_v), (left_u, left_v)).
@@ -107,6 +233,7 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al, qpc):
     dv = to_blocks(enc_v[:, None] - pv, 4)
     satd = (jnp.sum(jnp.abs(hadamard4x4(du)), axis=(-4, -3, -2, -1))
             + jnp.sum(jnp.abs(hadamard4x4(dv)), axis=(-4, -3, -2, -1))) >> 1
+    satd = satd + lam * jnp.asarray(_UE_SIZE4)[None, :]
     valid = jnp.stack([jnp.ones_like(at), al, at, at & al], axis=1)
     cost = jnp.where(valid, satd, jnp.int32(1 << 30))
     mode = jnp.argmin(cost, axis=1)
@@ -141,12 +268,17 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al, qpc):
     return mode, dc_lev, ac_lev, cbp_chroma, ru, rv
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "qpc", "mbw", "mbh"))
-def encode_i_frame(y, u, v, qp: int, qpc: int, mbw: int, mbh: int):
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4"))
+def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
+                   i4x4: bool = False):
     """Encode one I-frame. y: [16*mbh, 16*mbw] int32; u, v: half size.
-    qp/qpc static (CQP; quant tables fold into the compiled program).
+    qp/qpc/lam are traced scalars (per-frame rate control re-uses one
+    compiled program across QPs).
 
-    Returns dict of per-MB decision/level arrays + recon planes.
+    Returns dict of per-MB decision/level arrays + recon planes:
+    mb_i4 [mbh,mbw] bool, i4_modes [mbh,mbw,16] (z-order; 2-filled for
+    i16 MBs), luma_ac holds 15-coeff AC planes for i16 MBs and full
+    16-coeff blocks for i4 MBs.
     """
     mx_t, my_t, act_t = wave_tables(mbw, mbh)
     n_waves, W = mx_t.shape
@@ -163,6 +295,9 @@ def encode_i_frame(y, u, v, qp: int, qpc: int, mbw: int, mbh: int):
         rv=jnp.zeros((mbh, mbw, 8, 8), jnp.int32),
         mode=jnp.zeros((mbh, mbw), jnp.int32),
         cmode=jnp.zeros((mbh, mbw), jnp.int32),
+        mb_i4=jnp.zeros((mbh, mbw), bool),
+        i4_modes=jnp.full((mbh, mbw, 16), 2, jnp.int32),
+        modes4=jnp.full((mbh, mbw, 4, 4), 2, jnp.int32),  # ctx (2=not i4)
         cbp_luma=jnp.zeros((mbh, mbw), jnp.int32),
         cbp_chroma=jnp.zeros((mbh, mbw), jnp.int32),
         luma_dc=jnp.zeros((mbh, mbw, 4, 4), jnp.int32),
@@ -177,15 +312,43 @@ def encode_i_frame(y, u, v, qp: int, qpc: int, mbw: int, mbh: int):
         act = jax.lax.dynamic_slice(act_t, (d, 0), (1, W))[0]
         at = act & (my > 0)
         al = act & (mx > 0)
+        atr = at & (mx < mbw - 1)
         mxc = jnp.maximum(mx - 1, 0)
         myc = jnp.maximum(my - 1, 0)
+        mxr = jnp.minimum(mx + 1, mbw - 1)
 
         enc = ty[my, mx]                                  # [W,16,16]
         top = st["ry"][myc, mx, 15, :]
         left = st["ry"][my, mxc, :, 15]
         tl = st["ry"][myc, mxc, 15, 15]
-        mode, dc_lev, ac_lev, cbpl, rec = _luma_mb(
-            enc, top, left, tl, at, al, qp)
+        mode16, dc_lev, ac_lev, cbpl16, rec16, cost16 = _i16_mb(
+            enc, top, left, tl, at, al, qp, lam)
+
+        if i4x4:
+            tr4 = st["ry"][myc, mxr, 15, 0:4]
+            top20 = jnp.concatenate([top, tr4], axis=1)   # [W,20]
+            nb_lm = st["modes4"][my, mxc, :, 3]           # [W,4]
+            nb_tm = st["modes4"][myc, mx, 3, :]
+            m4, lev4, cbpl4, rec4, cost4 = _i4_mb(
+                enc, top20, left, tl, at, al, atr, qp, lam,
+                nb_lm, nb_tm)
+            use4 = cost4 < cost16
+        else:
+            use4 = jnp.zeros_like(cost16, dtype=bool)
+            m4 = jnp.full((W, 16), 2, jnp.int32)
+            lev4 = jnp.zeros((W, 4, 4, 4, 4), jnp.int32)
+            cbpl4 = jnp.zeros((W,), jnp.int32)
+            rec4 = rec16
+
+        rec = jnp.where(use4[:, None, None], rec4, rec16)
+        luma_ac16 = jnp.moveaxis(ac_lev, (1, 2), (3, 4))  # [W,by,bx,r,c]
+        luma_ac = jnp.where(use4[:, None, None, None, None],
+                            lev4, luma_ac16)
+        cbp_luma = jnp.where(use4, cbpl4, cbpl16.astype(jnp.int32) * 15)
+        dc_out = jnp.where(use4[:, None, None],
+                           jnp.zeros_like(dc_lev), dc_lev)
+        ctx4 = jnp.where(use4[:, None, None],
+                         _z_to_grid(m4), jnp.full((W, 4, 4), 2, jnp.int32))
 
         cu, cvv = tu[my, mx], tv[my, mx]
         top_u = st["ru"][myc, mx, 7, :]
@@ -195,7 +358,8 @@ def encode_i_frame(y, u, v, qp: int, qpc: int, mbw: int, mbh: int):
         tlu = st["ru"][myc, mxc, 7, 7]
         tlv = st["rv"][myc, mxc, 7, 7]
         cmode, cdc, cac, cbpc, ruu, rvv = _chroma_mb(
-            cu, cvv, (top_u, top_v), (left_u, left_v), tlu, tlv, at, al, qpc)
+            cu, cvv, (top_u, top_v), (left_u, left_v), tlu, tlv, at, al,
+            qpc, lam)
 
         # inactive lanes scatter out of bounds -> dropped
         sy = jnp.where(act, my, mbh)
@@ -204,14 +368,16 @@ def encode_i_frame(y, u, v, qp: int, qpc: int, mbw: int, mbh: int):
         st["ry"] = st["ry"].at[sy, sx].set(rec, mode="drop")
         st["ru"] = st["ru"].at[sy, sx].set(ruu, mode="drop")
         st["rv"] = st["rv"].at[sy, sx].set(rvv, mode="drop")
-        st["mode"] = st["mode"].at[sy, sx].set(mode, mode="drop")
+        st["mode"] = st["mode"].at[sy, sx].set(mode16, mode="drop")
         st["cmode"] = st["cmode"].at[sy, sx].set(cmode, mode="drop")
-        st["cbp_luma"] = st["cbp_luma"].at[sy, sx].set(
-            cbpl.astype(jnp.int32) * 15, mode="drop")
+        st["mb_i4"] = st["mb_i4"].at[sy, sx].set(use4, mode="drop")
+        st["i4_modes"] = st["i4_modes"].at[sy, sx].set(m4, mode="drop")
+        st["modes4"] = st["modes4"].at[sy, sx].set(ctx4, mode="drop")
+        st["cbp_luma"] = st["cbp_luma"].at[sy, sx].set(cbp_luma,
+                                                       mode="drop")
         st["cbp_chroma"] = st["cbp_chroma"].at[sy, sx].set(cbpc, mode="drop")
-        st["luma_dc"] = st["luma_dc"].at[sy, sx].set(dc_lev, mode="drop")
-        st["luma_ac"] = st["luma_ac"].at[sy, sx].set(
-            jnp.moveaxis(ac_lev, (1, 2), (3, 4)), mode="drop")
+        st["luma_dc"] = st["luma_dc"].at[sy, sx].set(dc_out, mode="drop")
+        st["luma_ac"] = st["luma_ac"].at[sy, sx].set(luma_ac, mode="drop")
         st["chroma_dc"] = st["chroma_dc"].at[sy, sx].set(cdc, mode="drop")
         st["chroma_ac"] = st["chroma_ac"].at[sy, sx].set(
             jnp.moveaxis(cac, (2, 3), (4, 5)), mode="drop")
@@ -219,9 +385,16 @@ def encode_i_frame(y, u, v, qp: int, qpc: int, mbw: int, mbh: int):
 
     state = jax.lax.fori_loop(0, n_waves, body, state)
     out = dict(state)
-    out["recon_y"] = _untile(state.pop("ry"))
-    out["recon_u"] = _untile(state.pop("ru"))
-    out["recon_v"] = _untile(state.pop("rv"))
-    for k in ("ry", "ru", "rv"):
-        out.pop(k, None)
+    out.pop("modes4")
+    out["recon_y"] = _untile(out.pop("ry"))
+    out["recon_u"] = _untile(out.pop("ru"))
+    out["recon_v"] = _untile(out.pop("rv"))
     return out
+
+
+def _z_to_grid(m4_z):
+    """[W,16] z-order modes -> [W,4,4] (by,bx) grid."""
+    g = jnp.zeros((m4_z.shape[0], 4, 4), jnp.int32)
+    for blk, (by, bx) in enumerate(LUMA_SCAN):
+        g = g.at[:, by, bx].set(m4_z[:, blk])
+    return g

@@ -47,10 +47,10 @@ def mv_bits_table(max_abs: int) -> np.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw", "lam"))
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw"))
 def fullpel_search(cur_y: jnp.ndarray, ref_fp: jnp.ndarray,
                    pred_mv_fp: jnp.ndarray, rng: int, mbh: int, mbw: int,
-                   lam: int):
+                   lam=1):
     """Exhaustive full-pel 16x16 search.
 
     cur_y: [16*mbh, 16*mbw]; ref_fp: padded full-pel plane ([Hp, Wp]);
@@ -95,10 +95,10 @@ def _satd16(a, b):
     return jnp.sum(jnp.abs(hadamard4x4(d)), axis=(-4, -3, -2, -1)) >> 1
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "lam", "steps"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "steps"))
 def subpel_refine(cur_y: jnp.ndarray, planes: jnp.ndarray,
                   mv_fp: jnp.ndarray, pred_mv: jnp.ndarray,
-                  mbh: int, mbw: int, lam: int, steps: int = 2):
+                  mbh: int, mbw: int, lam=1, steps: int = 2):
     """Half- then quarter-pel refinement with SATD (refine_subpel
     me.c:715). mv_fp: [mbh,mbw,2] full-pel; pred_mv: qpel predictor.
     Returns qpel mv [mbh,mbw,2] + final SATD cost [mbh,mbw]."""

@@ -1,0 +1,125 @@
+"""Lookahead / slice-type decision over half-resolution frames.
+
+Reference: encoder/slicetype.c — x264_slicetype_decide (:578),
+x264_slicetype_analyse (:476), scenecut (:437), per-MB lowres cost
+x264_slicetype_mb_cost (:43) over the half-res pyramid built by
+x264_frame_init_lowres (common/mc.c:350-404).
+
+TPU redesign: the reference runs a serial per-8x8-MB diamond ME in the
+lowres plane. Here the whole lowres frame is costed in one device
+dispatch: an exhaustive +-R full-pel SAD scan batched over every 8x8
+block (same structure as the main fullpel search, at quarter the area),
+plus a DC-prediction intra cost per block. The frame-level outputs
+(cost_i, cost_p) feed both the scenecut decision and the rate
+controller's complexity estimate (x264_rc_analyse_slice semantics).
+
+No B-frames yet, so the B-adapt Viterbi (slicetype.c:476 trellis path)
+is not required; the decision per frame is IDR-vs-P only.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.blocks import to_blocks
+
+
+def lowres(y: jnp.ndarray) -> jnp.ndarray:
+    """Half-res decimation of a luma plane (common/mc.c:380
+    frame_init_lowres_core's 2x2 average, rounding up)."""
+    h, w = y.shape
+    t = y.reshape(h // 2, 2, w // 2, 2)
+    return (t[:, 0, :, 0] + t[:, 0, :, 1] + t[:, 1, :, 0]
+            + t[:, 1, :, 1] + 2) >> 2
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "rng"))
+def lowres_costs(cur_lr, ref_lr, bh: int, bw: int, rng: int = 8):
+    """Frame cost at lowres: per-8x8-block exhaustive inter SAD vs the
+    previous lowres frame + DC intra SAD (x264_slicetype_mb_cost,
+    slicetype.c:43; intra_satd_x3 analog simplified to the DC mode —
+    the scenecut *ratio* is what matters, slicetype.c:437).
+
+    cur_lr/ref_lr: [8*bh, 8*bw] int32 lowres planes.
+    Returns (cost_i, cost_p) int32 scalars.
+    """
+    h, w = 8 * bh, 8 * bw
+    ref_pad = jnp.pad(ref_lr, rng, mode="edge")
+
+    def step(carry, i):
+        best = carry
+        dy = i // (2 * rng + 1) - rng
+        dx = i % (2 * rng + 1) - rng
+        win = jax.lax.dynamic_slice(ref_pad, (rng + dy, rng + dx), (h, w))
+        sad = jnp.sum(to_blocks(jnp.abs(cur_lr - win), 8),
+                      axis=(-4, -3))                       # [bh, bw]
+        # lambda-ish mv penalty keeps the zero-mv tie-break stable
+        pen = 4 * (jnp.abs(dy) + jnp.abs(dx))
+        return jnp.minimum(best, sad + pen), None
+
+    init = jnp.full((bh, bw), 1 << 30, jnp.int32)
+    inter, _ = jax.lax.scan(step, init, jnp.arange((2 * rng + 1) ** 2))
+
+    blocks = to_blocks(cur_lr, 8)                          # [8,8,bh,bw]
+    dc = jnp.sum(blocks, axis=(-4, -3), keepdims=True) // 64
+    intra = jnp.sum(jnp.abs(blocks - dc), axis=(-4, -3))   # [bh,bw]
+
+    cost_p = jnp.sum(jnp.minimum(inter, intra))
+    cost_i = jnp.sum(intra)
+    return cost_i, cost_p
+
+
+class Lookahead:
+    """Per-frame slice-type decision + complexity estimate.
+
+    x264_slicetype_decide reduced to the bframes=0 case: IDR on keyint
+    expiry or scenecut (scenecut threshold semantics of slicetype.c:437).
+    """
+
+    def __init__(self, params):
+        self.p = params
+        self.prev_lr = None
+        self.last_keyframe = -(10 ** 9)
+        self.frame_idx = -1
+
+    def decide(self, y: jnp.ndarray):
+        """Returns (is_idr, satd_complexity) for the incoming frame.
+        y: padded luma [16*mbh, 16*mbw] int32 device array."""
+        p = self.p
+        self.frame_idx += 1
+        idx = self.frame_idx
+        bh, bw = p.mb_height, p.mb_width       # 8x8 lowres blocks = MBs
+        cur_lr = lowres(y)
+
+        if self.prev_lr is None:
+            self.prev_lr = cur_lr
+            self.last_keyframe = idx
+            # first frame: intra cost only
+            ci, _ = lowres_costs(cur_lr, cur_lr, bh, bw, rng=0)
+            return True, int(ci)
+
+        ci, cp = lowres_costs(cur_lr, self.prev_lr, bh, bw,
+                              rng=p.lookahead_me_range)
+        ci, cp = int(ci), int(cp)
+        self.prev_lr = cur_lr
+
+        since_key = idx - self.last_keyframe
+        is_idr = since_key >= p.keyint_max
+        if (not is_idr and p.scenecut_threshold > 0
+                and since_key >= p.keyint_min):
+            # scenecut (slicetype.c:437): P cost close to I cost => cut.
+            # bias grows toward keyint expiry exactly as the reference's
+            # f_bias schedule (simplified linear form).
+            thresh = p.scenecut_threshold / 100.0
+            bias = min(thresh * 4,
+                       thresh + thresh * (since_key / p.keyint_max))
+            if cp >= (1.0 - bias) * ci:
+                is_idr = True
+        if is_idr:
+            self.last_keyframe = idx
+            return True, ci
+        return False, cp

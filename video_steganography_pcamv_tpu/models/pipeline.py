@@ -26,12 +26,13 @@ from ..stego import cost as COST
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "qp", "qpc", "mbh", "mbw", "rng", "lam", "subpel", "decimate",
+    "mbh", "mbw", "rng", "subpel", "decimate",
     "with_stego", "use_pallas"))
 def p_frame_step(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
-                 qp: int, qpc: int, mbh: int, mbw: int, rng: int,
-                 lam: int, subpel: int = 2, decimate: bool = True,
-                 with_stego: bool = True, use_pallas: bool = False):
+                 qp, qpc, mbh: int, mbw: int, rng: int,
+                 lam, subpel: int = 2, decimate: bool = True,
+                 with_stego: bool = True, use_pallas: bool = False,
+                 cost_mv=None):
     """One P frame, all device stages fused.
 
     Returns dict with mv field, levels/cbp, recon planes, stego rho/alt.
@@ -59,7 +60,14 @@ def p_frame_step(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
         decimate, None)
     out["mv"] = mv_q
     if with_stego:
-        cost_mv = jnp.asarray(COST.cost_mv_table(lam))
+        if cost_mv is None:
+            # qp/lam are traced (rate control): bit-exact int table from
+            # a lam-independent f64 base would need x64; callers that
+            # need exact parity with the host path pass cost_mv in.
+            d = jnp.arange(0, 4 * 512 + 1)
+            base = (2.0 * jnp.log2(d.astype(jnp.float32) + 1.0)
+                    + 0.718 + (d != 0))
+            cost_mv = (lam * base + 0.5).astype(jnp.int32)
         rho, alt, _ = A2.stego_costs_from_table.__wrapped__(
             y, blocks, wht, r_idx, mv_q, prev_mv, cost_mv, qp, mbh, mbw,
             decimate)

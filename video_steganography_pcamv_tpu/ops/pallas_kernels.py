@@ -39,10 +39,11 @@ def _se_bits(v):
     return 1 + 2 * n
 
 
-def _fullpel_kernel(cur_ref, win_ref, ssum_ref, out_ref, *, rng: int,
-                    mbw: int, lam: int):
+def _fullpel_kernel(cur_ref, win_ref, ssum_ref, lam_ref, out_ref, *,
+                    rng: int, mbw: int):
     cur = cur_ref[...].astype(jnp.float32)          # [16, w]
     s = ssum_ref[...]                                # [w, mbw] f32
+    lam = lam_ref[0, 0]                              # SMEM scalar (traced)
     w = cur.shape[1]
     span = 2 * rng + 1
 
@@ -81,10 +82,10 @@ def _fullpel_kernel(cur_ref, win_ref, ssum_ref, out_ref, *, rng: int,
     out_ref[0, 3, :] = jnp.zeros((mbw,), jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw", "lam",
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "interpret"))
 def fullpel_search_pallas(cur_y: jnp.ndarray, ref_padded: jnp.ndarray,
-                          rng: int, mbh: int, mbw: int, lam: int,
+                          rng: int, mbh: int, mbw: int, lam=1,
                           interpret: bool = False):
     """Exhaustive +-rng full-pel 16x16 SAD search (one grid step per MB
     row). MV cost = lambda*bits(se(4d)) against a zero predictor (the
@@ -108,7 +109,8 @@ def fullpel_search_pallas(cur_y: jnp.ndarray, ref_padded: jnp.ndarray,
     for i in range(w):
         ssum[i, i // 16] = 1.0
 
-    kern = functools.partial(_fullpel_kernel, rng=rng, mbw=mbw, lam=lam)
+    kern = functools.partial(_fullpel_kernel, rng=rng, mbw=mbw)
+    lam_arr = jnp.asarray(lam, jnp.int32).reshape(1, 1)
     out = pl.pallas_call(
         kern,
         grid=(mbh,),
@@ -120,12 +122,14 @@ def fullpel_search_pallas(cur_y: jnp.ndarray, ref_padded: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((w, mbw), lambda r: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 4, mbw), lambda r: (r, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mbh, 4, mbw), jnp.int32),
         interpret=interpret,
-    )(cur_y, wins, jnp.asarray(ssum))
+    )(cur_y, wins, jnp.asarray(ssum), lam_arr)
 
     cost = out[:, 0]
     mv = jnp.stack([out[:, 1], out[:, 2]], axis=-1)

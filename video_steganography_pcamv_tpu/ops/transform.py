@@ -205,24 +205,28 @@ def dequant4x4(level: jnp.ndarray, qp) -> jnp.ndarray:
     return jnp.where(qbits >= 0, shl, shr)
 
 
-def quant_dc(coef: jnp.ndarray, qp: int, intra: bool) -> jnp.ndarray:
-    """DC quant: mf[0]>>1, bias[0]<<1 (encoder/macroblock.c:252,340)."""
-    mf = int(QUANT4_MF[qp, 0, 0]) >> 1
+def quant_dc(coef: jnp.ndarray, qp, intra: bool) -> jnp.ndarray:
+    """DC quant: mf[0]>>1, bias[0]<<1 (encoder/macroblock.c:252,340).
+    qp may be a traced scalar (per-frame rate control without recompile)."""
+    qp = jnp.asarray(qp)
+    mf = jnp.asarray(QUANT4_MF)[qp, 0, 0] >> 1
     bias_t = QUANT4_BIAS_INTRA if intra else QUANT4_BIAS_INTER
-    bias = int(bias_t[qp, 0, 0]) << 1
+    bias = jnp.asarray(bias_t)[qp, 0, 0] << 1
     mag = (bias + jnp.abs(coef)) * mf >> 16
     return jnp.sign(coef) * mag
 
 
-def dequant_dc_luma(dc: jnp.ndarray, qp: int) -> jnp.ndarray:
+def dequant_dc_luma(dc: jnp.ndarray, qp) -> jnp.ndarray:
     """dequant_4x4_dc (common/quant.c:148-178): qbits = qp/6 - 6, applied
-    after the inverse Hadamard."""
-    dmf = int(DEQUANT4_MF[qp % 6, 0, 0])
+    after the inverse Hadamard. Branchless both-ways shift so qp can be
+    traced."""
+    qp = jnp.asarray(qp)
+    dmf = jnp.asarray(DEQUANT4_MF)[qp % 6, 0, 0]
     qbits = qp // 6 - 6
-    if qbits >= 0:
-        return dc * (dmf << qbits)
-    f = 1 << (-qbits - 1)
-    return (dc * dmf + f) >> (-qbits)
+    shl = (dc * dmf) << jnp.maximum(qbits, 0)
+    f = 1 << jnp.maximum(-qbits - 1, 0)
+    shr = (dc * dmf + f) >> jnp.maximum(-qbits, 0)
+    return jnp.where(qbits >= 0, shl, shr)
 
 
 def hadamard2x2(x: jnp.ndarray) -> jnp.ndarray:
@@ -239,11 +243,13 @@ def hadamard2x2(x: jnp.ndarray) -> jnp.ndarray:
                       jnp.stack([o10, o11], axis=-3)], axis=-4)
 
 
-def dequant_dc_chroma(dc: jnp.ndarray, qp: int) -> jnp.ndarray:
+def dequant_dc_chroma(dc: jnp.ndarray, qp) -> jnp.ndarray:
     """idct_dequant_2x2 scale part (encoder/macroblock.c:40-60):
-    after the 2x2 Hadamard combine, scale by dmf with qbits = qp/6 - 5."""
-    dmf = int(DEQUANT4_MF[qp % 6, 0, 0])
+    after the 2x2 Hadamard combine, scale by dmf with qbits = qp/6 - 5.
+    Branchless so qp can be traced (no rounding term in the reference)."""
+    qp = jnp.asarray(qp)
+    dmf = jnp.asarray(DEQUANT4_MF)[qp % 6, 0, 0]
     qbits = qp // 6 - 5
-    if qbits > 0:
-        return dc * (dmf << qbits)
-    return (dc * dmf) >> (-qbits)
+    shl = (dc * dmf) << jnp.maximum(qbits, 0)
+    shr = (dc * dmf) >> jnp.maximum(-qbits, 0)
+    return jnp.where(qbits > 0, shl, shr)

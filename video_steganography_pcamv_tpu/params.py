@@ -60,15 +60,33 @@ class Params:
 
     # GOP structure
     keyint_max: int = 250
+    keyint_min: int = 25
+    scenecut_threshold: int = 40   # reference default i_scenecut_threshold
+    lookahead_me_range: int = 8
     bframes: int = 0
 
-    # rate control (CQP only for now; reference ratecontrol.c modes later)
+    # rate control (reference: x264_param_t.rc, ratecontrol.c)
+    rc_mode: int = 0               # 0 CQP / 1 CRF / 2 ABR (RC_* below)
     qp: int = 26
-    qp_min: int = 0
+    qp_min: int = 10
     qp_max: int = 51
+    qp_step: int = 4
+    ip_qp_offset: float = 2.0      # CQP I-frame offset (common.c defaults)
+    ip_ratio: float = 1.4          # qscale ratio I:P (f_ip_factor)
+    bitrate: int = 0               # kbps (ABR target)
+    crf: float = 0.0               # CRF quality target
+    rate_tolerance: float = 1.0
+    qcomp: float = 0.6
+    vbv_maxrate: int = 0           # kbps
+    vbv_bufsize: int = 0           # kbits
+    vbv_init: float = 0.9
+    stat_out: str = ""             # 2-pass: pass-1 stat file to write
+    stat_in: str = ""              # 2-pass: stat file to read (pass 2)
+    qpfile: str = ""               # forced per-frame types/QPs
     chroma_qp_offset: int = 0
 
     # analysis
+    i4x4: bool = False         # intra 4x4 analysis (entropy path pending)
     me_method: int = ME_ESA
     me_range: int = 16
     subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
@@ -94,6 +112,15 @@ class Params:
         assert not self.cabac, "CABAC not yet implemented"
         assert self.bframes == 0, "B-frames not yet implemented"
         self.subpel = max(0, min(2, self.subpel))
+        if self.crf > 0 and self.rc_mode == 0:
+            self.rc_mode = 1
+        if self.bitrate > 0 and self.rc_mode == 0:
+            self.rc_mode = 2
+        if self.rc_mode == 2:
+            assert self.bitrate > 0, "ABR requires bitrate"
+        if self.vbv_maxrate > 0:
+            assert self.vbv_bufsize > 0, "VBV needs bufsize"
+        self.keyint_min = min(self.keyint_min, self.keyint_max)
 
     @property
     def mb_width(self) -> int:
@@ -113,8 +140,43 @@ def param_parse(p: Params, name: str, value: str) -> None:
     name = name.replace("-", "_")
     if name in ("qp", "qp_constant"):
         p.qp = int(value)
+        p.rc_mode = 0
     elif name == "keyint":
         p.keyint_max = int(value)
+    elif name in ("min_keyint", "keyint_min"):
+        p.keyint_min = int(value)
+    elif name == "scenecut":
+        p.scenecut_threshold = int(value)
+    elif name == "bitrate":
+        p.bitrate = int(value)
+        p.rc_mode = 2
+    elif name == "crf":
+        p.crf = float(value)
+        p.rc_mode = 1
+    elif name == "qpmin":
+        p.qp_min = int(value)
+    elif name == "qpmax":
+        p.qp_max = int(value)
+    elif name == "qpstep":
+        p.qp_step = int(value)
+    elif name == "ratetol":
+        p.rate_tolerance = float(value)
+    elif name == "qcomp":
+        p.qcomp = float(value)
+    elif name == "ipratio":
+        p.ip_ratio = float(value)
+    elif name == "vbv_maxrate":
+        p.vbv_maxrate = int(value)
+    elif name == "vbv_bufsize":
+        p.vbv_bufsize = int(value)
+    elif name == "vbv_init":
+        p.vbv_init = float(value)
+    elif name == "stats_out":
+        p.stat_out = value
+    elif name in ("stats", "stats_in"):
+        p.stat_in = value
+    elif name == "qpfile":
+        p.qpfile = value
     elif name == "me":
         p.me_method = _ME_NAMES[value]
     elif name == "merange":

@@ -63,8 +63,8 @@ def _satd(a, b):
     return jnp.sum(jnp.abs(hadamard4x4(d)), axis=(-4, -3, -2, -1)) >> 1
 
 
-@functools.partial(jax.jit, static_argnames=("qp", "mbh", "mbw", "decimate"))
-def alt_mv_costs(cur_y, ref_luma, mv, mvp, cost_mv, qp: int,
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+def alt_mv_costs(cur_y, ref_luma, mv, mvp, cost_mv, qp,
                  mbh: int, mbw: int, decimate: bool = True):
     """Batched x264_ih_get_mv_cost over the whole MB grid.
 

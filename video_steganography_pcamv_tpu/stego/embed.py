@@ -61,7 +61,7 @@ class StegoEngine:
 
         p, st = self.p, self.p.stego
         mbh, mbw = p.mb_height, p.mb_width
-        qp = p.qp
+        qp = enc._cur_qp  # per-frame QP from rate control
         cover_mask = ~skip1                        # raster-order cover
         n_cov = int(cover_mask.sum())
         rate = st.em_rate
