@@ -252,6 +252,8 @@ class SliceDecoder:
         self.v = np.zeros((self.mbh * 8, self.mbw * 8), np.int64)
         self.nnz_y = np.zeros((4 * self.mbh, 4 * self.mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * self.mbh, 2 * self.mbw), np.int32)
+        # i4x4 mode map for predIntra4x4PredMode (2 = not i4x4-coded)
+        self.modes4 = np.full((4 * self.mbh, 4 * self.mbw), 2, np.int32)
         self.mb_intra = np.zeros((self.mbh, self.mbw), bool)
         self.mb_skip = np.zeros((self.mbh, self.mbw), bool)
         self.mv = np.zeros((self.mbh, self.mbw, 2), np.int32)
@@ -316,6 +318,93 @@ class SliceDecoder:
         self._decode_chroma(br, mx, my, cmode, cbp_chroma, qpc, intra=True)
         self.mb_intra[my, mx] = True
         return qp
+
+    def decode_i4x4(self, br: BitReader, mx: int, my: int, qp: int):
+        """I_NxN (Intra_4x4) macroblock (spec 7.3.5.1 + 8.3.1)."""
+        # 16 predicted-mode syntax elements, z-scan order
+        from ..encoder.cavlc import LUMA_SCAN
+        modes = np.zeros(16, np.int32)
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            gy4, gx4 = 4 * my + by, 4 * mx + bx
+            pm = self._pred_i4_mode(gy4, gx4)
+            if br.read1():
+                modes[blk] = pm
+            else:
+                rem = br.read(3)
+                modes[blk] = rem + (1 if rem >= pm else 0)
+            self.modes4[gy4, gx4] = modes[blk]
+
+        cmode = br.read_ue()
+        cbp = VT.CBP_INTRA_TO_GOLOMB.index(br.read_ue())
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.read_se()
+        qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
+                                    0, 51)])
+
+        # residual parse (16-coeff blocks), then recon in z-order
+        blocks = np.zeros((4, 4, 4, 4), np.int64)
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, 4 * my + by, 4 * mx + bx)
+                lv = read_residual(br, 16, nc)
+                self.nnz_y[4 * my + by, 4 * mx + bx] = \
+                    sum(1 for x in lv if x)
+                blocks[by, bx] = R.dequant4x4(R.dezigzag(lv), qp)
+            else:
+                self.nnz_y[4 * my + by, 4 * mx + bx] = 0
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            pred = self._i4_pred_block(mx, my, by, bx, int(modes[blk]))
+            py, px = 16 * my + 4 * by, 16 * mx + 4 * bx
+            self.y[py:py + 4, px:px + 4] = R.recon_block4x4(
+                pred, blocks[by, bx])
+
+        self._decode_chroma(br, mx, my, cmode, cbp_chroma, qpc, intra=True)
+        self.mb_intra[my, mx] = True
+        return qp
+
+    def _pred_i4_mode(self, gy4: int, gx4: int) -> int:
+        """predIntra4x4PredMode (spec 8.3.1.1): DC if either neighbour
+        block is unavailable, else min of the neighbour modes (2 for
+        blocks not coded Intra_4x4)."""
+        if gx4 == 0 or gy4 == 0:
+            return 2
+        return int(min(self.modes4[gy4, gx4 - 1], self.modes4[gy4 - 1, gx4]))
+
+    def _i4_pred_block(self, mx, my, by, bx, mode):
+        """Assemble borders from reconstructed samples + spec top-right
+        availability/substitution, then predict."""
+        gy4, gx4 = 4 * my + by, 4 * mx + bx
+        py, px = 4 * gy4, 4 * gx4
+        at, al = gy4 > 0, gx4 > 0
+        t = np.zeros(8, np.int64)
+        l = np.zeros(4, np.int64)
+        lt = 0
+        if at:
+            t[:4] = self.y[py - 1, px:px + 4]
+            # top-right: available iff that 4x4 block precedes this one
+            # in decoding order (spec 6.4.8 + 8.3.1.2 substitution)
+            tr_ok = False
+            if gx4 + 1 < 4 * self.mbw:
+                my2, mx2 = (gy4 - 1) // 4, (gx4 + 1) // 4
+                if (my2, mx2) < (my, mx):
+                    tr_ok = True
+                elif (my2, mx2) == (my, mx):
+                    from ..encoder.cavlc import LUMA_SCAN
+                    zi = {p: i for i, p in enumerate(LUMA_SCAN)}
+                    tr_ok = (zi[(by - 1, bx + 1)] < zi[(by, bx)])
+            if tr_ok:
+                t[4:] = self.y[py - 1, px + 4:px + 8]
+            else:
+                t[4:] = t[3]
+        if al:
+            l[:] = self.y[py:py + 4, px - 1]
+        if at and al:
+            lt = int(self.y[py - 1, px - 1])
+        return R.pred_4x4(mode, t, l, lt, at, al)
 
     def _decode_chroma(self, br, mx, my, cmode, cbp_chroma, qpc, intra):
         gx, gy = 8 * mx, 8 * my
@@ -466,11 +555,16 @@ class SliceDecoder:
             for my in range(self.mbh):
                 for mx in range(self.mbw):
                     mb_type = br.read_ue()
-                    assert 1 <= mb_type <= 24, \
+                    assert 0 <= mb_type <= 24, \
                         f"unsupported I mb_type {mb_type}"
-                    qp = self.decode_i16x16(br, mx, my, mb_type, qp)
+                    if mb_type == 0:
+                        qp = self.decode_i4x4(br, mx, my, qp)
+                        kind = "I4x4"
+                    else:
+                        qp = self.decode_i16x16(br, mx, my, mb_type, qp)
+                        kind = "I16x16"
                     self.decoded[my, mx] = True
-                    self.mbs.append(MBInfo("I16x16", (0, 0), qp))
+                    self.mbs.append(MBInfo(kind, (0, 0), qp))
             return
         assert slice_type in (0, 5), f"unsupported slice_type {slice_type}"
         n_mbs = self.mbh * self.mbw
@@ -487,7 +581,12 @@ class SliceDecoder:
             mb_type = br.read_ue()
             if mb_type == 0:
                 qp = self.decode_p16x16(br, mx, my, qp)
-            elif 5 <= mb_type <= 29:
+            elif mb_type == 5:
+                self.mb_intra[my, mx] = True
+                qp = self.decode_i4x4(br, mx, my, qp)
+                self.decoded[my, mx] = True
+                self.mbs.append(MBInfo("I4x4", (0, 0), qp))
+            elif 6 <= mb_type <= 29:
                 self.mb_intra[my, mx] = True
                 qp = self.decode_i16x16(br, mx, my, mb_type - 5, qp)
                 self.decoded[my, mx] = True

@@ -95,6 +95,94 @@ def recon_block4x4(pred: np.ndarray, coef: np.ndarray) -> np.ndarray:
 
 # ------------------------- intra prediction --------------------------------
 
+def pred_4x4(mode: int, t: np.ndarray, l: np.ndarray, lt: int,
+             at: bool, al: bool) -> np.ndarray:
+    """Scalar i4x4 prediction (spec 8.3.1.2; reference
+    common/predict.c:302-600). t: t0..t7 (top-right already substituted
+    by the caller where unavailable), l: l0..l3, lt: top-left sample."""
+    p = np.zeros((4, 4), np.int64)
+
+    def f2(a, b, c):
+        return (int(a) + 2 * int(b) + int(c) + 2) >> 2
+
+    def f1(a, b):
+        return (int(a) + int(b) + 1) >> 1
+
+    if mode == 2:  # DC
+        if at and al:
+            dc = (int(t[:4].sum()) + int(l.sum()) + 4) >> 3
+        elif at:
+            dc = (int(t[:4].sum()) + 2) >> 2
+        elif al:
+            dc = (int(l.sum()) + 2) >> 2
+        else:
+            dc = 128
+        p[:] = dc
+        return p
+
+    tt = lambda j: lt if j == -1 else t[j]
+    ll = lambda j: lt if j == -1 else l[j]
+    for y in range(4):
+        for x in range(4):
+            if mode == 0:          # V
+                p[y, x] = t[x]
+            elif mode == 1:        # H
+                p[y, x] = l[y]
+            elif mode == 3:        # DDL
+                i = x + y
+                p[y, x] = ((int(t[6]) + 3 * int(t[7]) + 2) >> 2 if i == 6
+                           else f2(t[i], t[i + 1], t[i + 2]))
+            elif mode == 4:        # DDR
+                if x > y:
+                    k = x - y
+                    p[y, x] = f2(tt(k - 2), tt(k - 1), t[k])
+                elif x < y:
+                    k = y - x
+                    p[y, x] = f2(ll(k - 2), ll(k - 1), l[k])
+                else:
+                    p[y, x] = f2(t[0], lt, l[0])
+            elif mode == 5:        # VR
+                z = 2 * x - y
+                i = x - (y >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = f1(tt(i - 1), tt(i))
+                elif z >= 0:
+                    p[y, x] = f2(tt(i - 2), tt(i - 1), tt(i))
+                elif z == -1:
+                    p[y, x] = f2(l[0], lt, t[0])
+                else:
+                    p[y, x] = f2(ll(y - 1), ll(y - 2), ll(y - 3))
+            elif mode == 6:        # HD
+                z = 2 * y - x
+                i = y - (x >> 1)
+                if z >= 0 and z % 2 == 0:
+                    p[y, x] = f1(ll(i - 1), ll(i))
+                elif z >= 0:
+                    p[y, x] = f2(ll(i - 2), ll(i - 1), ll(i))
+                elif z == -1:
+                    p[y, x] = f2(t[0], lt, l[0])
+                else:
+                    p[y, x] = f2(tt(x - 1), tt(x - 2), tt(x - 3))
+            elif mode == 7:        # VL
+                i = x + (y >> 1)
+                p[y, x] = (f1(t[i], t[i + 1]) if y % 2 == 0
+                           else f2(t[i], t[i + 1], t[i + 2]))
+            elif mode == 8:        # HU
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z < 5 and z % 2 == 0:
+                    p[y, x] = f1(l[i], l[i + 1])
+                elif z < 5:
+                    p[y, x] = f2(l[i], l[i + 1], l[i + 2])
+                elif z == 5:
+                    p[y, x] = (int(l[2]) + 3 * int(l[3]) + 2) >> 2
+                else:
+                    p[y, x] = l[3]
+            else:
+                raise ValueError(f"bad i4x4 mode {mode}")
+    return p
+
+
 # ------------------------- inter prediction --------------------------------
 
 def np_pad(plane: np.ndarray, pad: int = 24) -> np.ndarray:

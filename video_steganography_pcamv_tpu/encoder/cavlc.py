@@ -143,6 +143,8 @@ class FrameCavlc:
         self.mbw, self.mbh = mbw, mbh
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
+        # i4x4 mode map (2 = not i4x4-coded), mirrors the decoder's
+        self.modes4 = np.full((4 * mbh, 4 * mbw), 2, np.int32)
 
     def _nc(self, arr, by, bx) -> int:
         """Neighbour context (spec 9.2.1): mean of available left/top
@@ -191,6 +193,50 @@ class FrameCavlc:
             else:
                 self.nnz_y[yy, xx] = 0
 
+        self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
+
+    def write_i4x4_mb(self, bw: BitWriter, mx: int, my: int,
+                      modes: np.ndarray, cmode: int, cbp_luma: int,
+                      cbp_chroma: int, luma_blocks: np.ndarray,
+                      chroma_dc: np.ndarray, chroma_ac: np.ndarray,
+                      qp_delta: int, in_p_slice: bool = False) -> None:
+        """One I_NxN (Intra_4x4) macroblock (spec 7.3.5.1; reference
+        encoder/cavlc.c I_4x4 path).
+
+        modes: [16] z-scan block modes; luma_blocks: [4,4,4,4]
+        (by,bx,r,c) full 16-coeff blocks.
+        """
+        bw.write_ue(5 if in_p_slice else 0)   # mb_type I_NxN
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            gy4, gx4 = 4 * my + by, 4 * mx + bx
+            mode = int(modes[blk])
+            if gx4 == 0 or gy4 == 0:
+                pm = 2
+            else:
+                pm = int(min(self.modes4[gy4, gx4 - 1],
+                             self.modes4[gy4 - 1, gx4]))
+            if mode == pm:
+                bw.write1(1)
+            else:
+                bw.write1(0)
+                bw.write(3, mode - (1 if mode > pm else 0))
+            self.modes4[gy4, gx4] = mode
+        bw.write_ue(cmode)
+        cbp = (cbp_chroma << 4) | cbp_luma
+        bw.write_ue(VT.CBP_INTRA_TO_GOLOMB[cbp])
+        if cbp:
+            bw.write_se(qp_delta)
+        gy, gx = 4 * my, 4 * mx
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            yy, xx = gy + by, gx + bx
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, yy, xx)
+                lv = zigzag(luma_blocks[by, bx])
+                self.nnz_y[yy, xx] = write_residual(bw, lv, 16, nc)
+            else:
+                self.nnz_y[yy, xx] = 0
         self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
 
     def write_p16x16_mb(self, bw: BitWriter, mx: int, my: int,

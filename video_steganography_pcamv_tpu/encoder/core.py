@@ -169,10 +169,22 @@ class Encoder:
                 luma_dc=res["luma_dc"].reshape(n, 16),
                 luma_blocks=res["luma_ac"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
-                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
+                mb_i4=res["mb_i4"].reshape(n) if p.i4x4 else None,
+                i4_modes=res["i4_modes"].reshape(n, 16) if p.i4x4 else None)
         fc = FrameCavlc(mbw, mbh)
         for my in range(mbh):
             for mx in range(mbw):
+                if p.i4x4 and res["mb_i4"][my, mx]:
+                    fc.write_i4x4_mb(
+                        bw, mx, my, res["i4_modes"][my, mx],
+                        int(res["cmode"][my, mx]),
+                        int(res["cbp_luma"][my, mx]),
+                        int(res["cbp_chroma"][my, mx]),
+                        res["luma_ac"][my, mx],
+                        res["chroma_dc"][my, mx],
+                        res["chroma_ac"][my, mx], qp_delta=0)
+                    continue
                 fc.write_i16x16_mb(
                     bw, mx, my,
                     int(res["mode"][my, mx]), int(res["cmode"][my, mx]),

@@ -270,7 +270,7 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4"))
 def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
-                   i4x4: bool = False):
+                   i4x4: bool = True):
     """Encode one I-frame. y: [16*mbh, 16*mbw] int32; u, v: half size.
     qp/qpc/lam are traced scalars (per-frame rate control re-uses one
     compiled program across QPs).

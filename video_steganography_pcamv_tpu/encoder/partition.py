@@ -1,0 +1,302 @@
+"""P-frame partition analysis at 8x8 granularity (16x16 / 16x8 / 8x16 /
+8x8), one fused device program.
+
+Reference: the P-mode cascade of x264_macroblock_analyse
+(analyse.c:2613-2810: p16x16 -> p8x8 -> p16x8/p8x16 threshold checks)
+and the per-partition ME helpers (x264_mb_analyse_inter_p16x8:1428,
+p8x16:1482, p8x8:1371). TPU redesign: instead of per-MB cascades with
+early exits, ONE exhaustive full-pel scan produces per-8x8-block SAD
+planes for every displacement; every partition unit's cost for every
+displacement is a cheap partial sum of those planes, so all four
+partition shapes get their exhaustive-search best MV from the same
+pass. The partition decision is then a 4-way argmin with x264's
+mb_type/sub_mb_type header-bit lambda terms.
+
+Subpel + stego reuse the qpel-table trick (encoder/qpel_table.py) at
+8x8 granularity: one window per 8x8 block around its unit's full-pel
+MV, 169 static slice-averages, WHT-linear SATD. Member blocks of a
+unit share their offset argmin (their windows share the anchor, so
+offset k means the same displacement for both).
+
+Block index convention: per MB, 8x8 blocks b ∈ {0: TL, 1: TR, 2: BL,
+3: BR} (z-order, matching the reference's sub-block order).
+Units per partition:
+  D_16x16(0): unit0 = {0,1,2,3}
+  D_16x8 (1): unit0 = {0,1}, unit1 = {2,3}     (top, bottom)
+  D_8x16 (2): unit0 = {0,2}, unit1 = {1,3}     (left, right)
+  D_8x8  (3): unit b = {b}
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import mc
+from ..ops.blocks import to_blocks
+from .me import mv_bits_table
+from . import qpel_table as QT
+
+D_16x16, D_16x8, D_8x16, D_8x8 = 0, 1, 2, 3
+
+# mb_type/sub_mb_type header cost in bits (ue sizes): P_L0_16x16 ue(0)=1;
+# 16x8/8x16 ue=3; P_8x8 ue(3)=5 + 4x sub_mb_type ue(0)=1
+_HDR_BITS = np.array([1, 3, 3, 9], np.int32)
+
+# unit -> member blocks (z-order), per partition type
+UNIT_BLOCKS = {
+    D_16x16: [(0, 1, 2, 3)],
+    D_16x8: [(0, 1), (2, 3)],
+    D_8x16: [(0, 2), (1, 3)],
+    D_8x8: [(0,), (1,), (2,), (3,)],
+}
+# number of units per partition type
+N_UNITS = np.array([1, 2, 2, 4], np.int32)
+# block -> its unit index, per partition type
+BLOCK_UNIT = np.array([
+    [0, 0, 0, 0],
+    [0, 0, 1, 1],
+    [0, 1, 0, 1],
+    [0, 1, 2, 3]], np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw"))
+def fullpel_search_parts(cur_y, ref_fp, pred_mv_fp, rng: int,
+                         mbh: int, mbw: int, lam=1):
+    """Exhaustive full-pel scan producing the best MV per partition
+    unit for all four shapes at once.
+
+    cur_y: [16mbh, 16mbw]; ref_fp: padded plane; pred_mv_fp:
+    [mbh, mbw, 2] full-pel predictor (temporal).
+    Returns dict: mv16 [mbh,mbw,2], c16 [mbh,mbw];
+    mv16x8/c16x8 [mbh,mbw,2(unit),..]; mv8x16/c8x16; mv8 [mbh,mbw,4,2],
+    c8 [mbh,mbw,4] (all full-pel MVs, costs = SAD + lam*bits(se(4d)))."""
+    h, w = 16 * mbh, 16 * mbw
+    n_c = (2 * rng + 1) ** 2
+    dys, dxs = np.meshgrid(np.arange(-rng, rng + 1),
+                           np.arange(-rng, rng + 1), indexing="ij")
+    dys = jnp.asarray(dys.ravel())
+    dxs = jnp.asarray(dxs.ravel())
+    bits_t = jnp.asarray(mv_bits_table(4 * (rng + 64)))
+    off = 4 * (rng + 64)
+    pmx = pred_mv_fp[..., 0]
+    pmy = pred_mv_fp[..., 1]
+
+    def unit_shapes():
+        return dict(
+            c16=jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+            mv16=jnp.zeros((mbh, mbw, 2), jnp.int32),
+            c16x8=jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
+            mv16x8=jnp.zeros((mbh, mbw, 2, 2), jnp.int32),
+            c8x16=jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
+            mv8x16=jnp.zeros((mbh, mbw, 2, 2), jnp.int32),
+            c8=jnp.full((mbh, mbw, 4), 1 << 30, jnp.int32),
+            mv8=jnp.zeros((mbh, mbw, 4, 2), jnp.int32),
+        )
+
+    def step(carry, i):
+        st = carry
+        dy, dx = dys[i], dxs[i]
+        win = jax.lax.dynamic_slice(
+            ref_fp, (mc.PAD + dy, mc.PAD + dx), (h, w))
+        sad8 = jnp.sum(to_blocks(jnp.abs(cur_y - win), 8),
+                       axis=(-4, -3))                     # [2mbh, 2mbw]
+        q = sad8.reshape(mbh, 2, mbw, 2).transpose(0, 2, 1, 3)  # [mbh,mbw,2,2]
+        # mv cost per MB (one predictor for all units of the MB)
+        mvc = (bits_t[4 * dx - 4 * pmx + off]
+               + bits_t[4 * dy - 4 * pmy + off]) * lam    # [mbh,mbw]
+        mv_i = jnp.stack([jnp.broadcast_to(dx, (mbh, mbw)),
+                          jnp.broadcast_to(dy, (mbh, mbw))], axis=-1)
+
+        def upd(cost_key, mv_key, cost):
+            c = st[cost_key]
+            better = cost < c
+            st[cost_key] = jnp.where(better, cost, c)
+            bmv = jnp.broadcast_to(
+                mv_i.reshape((mbh, mbw) + (1,) * (c.ndim - 2) + (2,)),
+                st[mv_key].shape)
+            st[mv_key] = jnp.where(better[..., None], bmv, st[mv_key])
+
+        upd("c16", "mv16", q.sum(axis=(2, 3)) + mvc)
+        upd("c16x8", "mv16x8", q.sum(axis=3) + mvc[..., None])
+        upd("c8x16", "mv8x16", q.sum(axis=2) + mvc[..., None])
+        upd("c8", "mv8", q.reshape(mbh, mbw, 4) + mvc[..., None])
+        return st, None
+
+    st, _ = jax.lax.scan(step, unit_shapes(), jnp.arange(n_c))
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw",
+                                             "allow_parts"))
+def decide_partition(st, mbh: int, mbw: int, lam=1,
+                     allow_parts: bool = True):
+    """4-way partition decision from the full-pel unit costs + header
+    lambda terms (the SAD-level analog of analyse.c's cascade compare).
+    Returns (part [mbh,mbw] in {0..3}, mvfp8 [2mbh,2mbw,2])."""
+    hdr = jnp.asarray(_HDR_BITS)
+    tot = jnp.stack([
+        st["c16"] + lam * hdr[0],
+        st["c16x8"].sum(-1) + lam * hdr[1],
+        st["c8x16"].sum(-1) + lam * hdr[2],
+        st["c8"].sum(-1) + lam * hdr[3],
+    ])                                                     # [4,mbh,mbw]
+    if not allow_parts:
+        part = jnp.zeros((mbh, mbw), jnp.int32)
+    else:
+        part = jnp.argmin(tot, axis=0).astype(jnp.int32)
+
+    # per-8x8-block full-pel MV under the chosen partition
+    mv_by_part = jnp.stack([
+        jnp.broadcast_to(st["mv16"][:, :, None, :], (mbh, mbw, 4, 2)),
+        st["mv16x8"][:, :, [0, 0, 1, 1], :],
+        st["mv8x16"][:, :, [0, 1, 0, 1], :],
+        st["mv8"],
+    ])                                                     # [4,mbh,mbw,4,2]
+    mv8 = jnp.take_along_axis(
+        mv_by_part, part[None, :, :, None, None], axis=0)[0]
+    # [mbh,mbw,4,2] z-order -> [2mbh,2mbw,2] spatial
+    mvsp = mv8.reshape(mbh, mbw, 2, 2, 2).transpose(0, 2, 1, 3, 4) \
+              .reshape(2 * mbh, 2 * mbw, 2)
+    return part, mvsp
+
+
+def gather_windows8_jnp(planes, mvfp8, mbh: int, mbw: int):
+    """Per-8x8-block window fetch: [N8, 4, 16, 16] at
+    (block base + mv - MARGIN). Twin of QT.gather_windows_jnp."""
+    n8 = 4 * mbh * mbw
+    bys = (jnp.arange(n8) // (2 * mbw)) * 8
+    bxs = (jnp.arange(n8) % (2 * mbw)) * 8
+    mvf = mvfp8.reshape(n8, 2)
+    ys = bys + mc.PAD - QT.MARGIN + mvf[:, 1]
+    xs = bxs + mc.PAD - QT.MARGIN + mvf[:, 0]
+    W8 = 16   # 8 + 2*MARGIN
+    yy = ys[:, None] + jnp.arange(W8)
+    xx = xs[:, None] + jnp.arange(W8)
+    return planes[:, yy[:, :, None], xx[:, None, :]].transpose(1, 0, 2, 3)
+
+
+def block_table8(windows):
+    """[N8, 4, 16, 16] -> [169, N8, 8, 8]: every qpel offset in [-6,6]^2
+    as static slice-averages (QT.block_table at 8x8)."""
+    outs = []
+    for oy in range(-6, 7):
+        for ox in range(-6, 7):
+            (p1, y1, x1), (p2, y2, x2) = QT._phase_slices(oy, ox)
+            a = windows[:, p1, y1:y1 + 8, x1:x1 + 8]
+            b = windows[:, p2, y2:y2 + 8, x2:x2 + 8]
+            outs.append((a + b + 1) >> 1)
+    return jnp.stack(outs)
+
+
+def _mb_blocks8(y, mbh, mbw):
+    """[16mbh,16mbw] -> [N8, 8, 8] z-consistent spatial order (row-major
+    over the 2mbh x 2mbw grid of 8x8 blocks)."""
+    return y.reshape(2 * mbh, 8, 2 * mbw, 8).transpose(0, 2, 1, 3) \
+            .reshape(4 * mbh * mbw, 8, 8)
+
+
+def _sp_to_z(a, mbh, mbw):
+    """[2mbh, 2mbw, ...] spatial block grid -> [mbh, mbw, 4, ...]
+    z-order block axis."""
+    rest = a.shape[2:]
+    return a.reshape(mbh, 2, mbw, 2, *rest).transpose(
+        0, 2, 1, 3, *range(4, 4 + len(rest))).reshape(mbh, mbw, 4, *rest)
+
+
+def _z_to_sp(a, mbh, mbw):
+    """[mbh, mbw, 4, ...] -> [2mbh, 2mbw, ...]."""
+    rest = a.shape[3:]
+    return a.reshape(mbh, mbw, 2, 2, *rest).transpose(
+        0, 2, 1, 3, *range(4, 4 + len(rest))).reshape(
+        2 * mbh, 2 * mbw, *rest)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "subpel"))
+def subpel_parts(cur_y, wht8, part, mvfp8, prev_mv, mbh: int, mbw: int,
+                 lam=1, subpel: int = 2):
+    """Subpel refinement per partition unit from the 8x8 qpel tables.
+
+    wht8: [169, N8, 4, 4, 2, 2] (WHT planes of the offset blocks, spatial
+    row-major N8); part: [mbh,mbw]; mvfp8: [2mbh,2mbw,2] full-pel;
+    prev_mv: [mbh,mbw,2] qpel predictor.
+    Returns (mv8 [2mbh,2mbw,2] qpel, r_idx8 [N8] chosen table index)."""
+    n8 = 4 * mbh * mbw
+    cur8 = _mb_blocks8(cur_y, mbh, mbw)
+    wcur = QT.wht16(cur8)                       # [N8,4,4,2,2]
+    mvf = mvfp8.reshape(n8, 2)
+    bits_t = jnp.asarray(mv_bits_table(4 * 512))
+    off = 4 * 512
+    pred8 = jnp.repeat(jnp.repeat(prev_mv, 2, 0), 2, 1).reshape(n8, 2)
+
+    if subpel == 0:
+        offsets = [(0, 0)]
+    elif subpel == 1:
+        offsets = [(oy, ox) for oy in (-2, 0, 2) for ox in (-2, 0, 2)]
+    else:
+        offsets = [(oy, ox) for oy in range(-3, 4) for ox in range(-3, 4)]
+
+    # per-block SATD for each candidate offset
+    satds = []
+    mvcs = []
+    for oy, ox in offsets:
+        idx = QT.off_index(oy, ox)
+        satds.append(QT.satd_tables(wcur, wht8[idx]))      # [N8]
+        qx = 4 * mvf[:, 0] + ox
+        qy = 4 * mvf[:, 1] + oy
+        mvcs.append((bits_t[jnp.clip(qx - pred8[:, 0], -off, off) + off]
+                     + bits_t[jnp.clip(qy - pred8[:, 1], -off, off)
+                              + off]) * lam)
+    satds = jnp.stack(satds)                               # [K, N8]
+    mvcs = jnp.stack(mvcs)                                 # [K, N8]
+
+    # combine per unit: for each partition type, the unit cost of a
+    # block is the sum of member-block SATDs + ONE mv cost (the unit's).
+    satz = jax.vmap(lambda s: _sp_to_z(s, mbh, mbw))(
+        satds.reshape(-1, 2 * mbh, 2 * mbw))               # [K,mbh,mbw,4]
+    mvcz = jax.vmap(lambda s: _sp_to_z(s, mbh, mbw))(
+        mvcs.reshape(-1, 2 * mbh, 2 * mbw))
+
+    sums = jnp.stack([
+        jnp.broadcast_to(satz.sum(-1, keepdims=True), satz.shape),
+        satz[..., [0, 0, 2, 2]] + satz[..., [1, 1, 3, 3]],
+        satz[..., [0, 1, 0, 1]] + satz[..., [2, 3, 2, 3]],
+        satz,
+    ])                                  # [4(part), K, mbh, mbw, 4(blk)]
+    cost = jnp.take_along_axis(
+        sums, part[None, None, :, :, None], axis=0)[0] + mvcz
+    sel = jnp.argmin(cost, axis=0)                         # [mbh,mbw,4]
+    offs = jnp.asarray(np.array(offsets, np.int32))        # [K,2] (oy,ox)
+    oy_sel = offs[sel, 0]
+    ox_sel = offs[sel, 1]
+    mvz = _sp_to_z(mvfp8, mbh, mbw)                        # [mbh,mbw,4,2]
+    mvq = jnp.stack([4 * mvz[..., 0] + ox_sel,
+                     4 * mvz[..., 1] + oy_sel], axis=-1)
+    r_idx = (oy_sel + 6) * 13 + (ox_sel + 6)               # [mbh,mbw,4]
+    mv8 = _z_to_sp(mvq, mbh, mbw)                          # [2mbh,2mbw,2]
+    r_idx8 = _z_to_sp(r_idx[..., None], mbh, mbw)[..., 0].reshape(n8)
+    return mv8, r_idx8
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "subpel", "allow_parts"))
+def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
+                          mbw: int, lam, subpel: int,
+                          allow_parts: bool = True):
+    """Fused partition-aware P analysis: full-pel all-shapes scan ->
+    partition decision -> per-8x8 windows -> qpel tables -> per-unit
+    subpel. Returns (part [mbh,mbw], mv8 [2mbh,2mbw,2] qpel, r_idx8,
+    blocks8 [169,N8,8,8], wht8)."""
+    st = fullpel_search_parts.__wrapped__(
+        y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
+    part, mvfp8 = decide_partition.__wrapped__(
+        st, mbh, mbw, lam, allow_parts)
+    windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)
+    blocks8 = block_table8(windows)
+    wht8 = QT.wht16(blocks8)
+    mv8, r_idx8 = subpel_parts.__wrapped__(
+        y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
+    return part, mv8, r_idx8, blocks8, wht8

@@ -1,0 +1,159 @@
+"""Partition-aware host scan: MVP / P_SKIP / mvd at 4x4 granularity.
+
+Reference: x264_mb_predict_mv (common/macroblock.c:28-145) and
+x264_mb_predict_mv_pskip (:165), generalized from the 16x16-only scan
+in encoder/inter.py. The MV field lives on the 4x4 block grid (the
+reference's cache.mv), so neighbour lookups (A/B/C with D fallback)
+work for any partition shape, including the in-MB sub-block cases of
+P_8x8 (a BR sub-block's C is the not-yet-decoded area -> D fallback,
+exactly as the cache availability encodes it).
+
+This is cheap serial integer work — host-side by design (the reference
+runs it inside the MB loop); a C++ twin lives in native/ for
+throughput.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .partition import D_16x16, D_16x8, D_8x16, D_8x8
+
+# unit geometry per partition type: (y4_off, x4_off, w4, h4) per unit
+UNIT_GEOM = {
+    D_16x16: [(0, 0, 4, 4)],
+    D_16x8: [(0, 0, 4, 2), (2, 0, 4, 2)],
+    D_8x16: [(0, 0, 2, 4), (0, 2, 2, 4)],
+    D_8x8: [(0, 0, 2, 2), (0, 2, 2, 2), (2, 0, 2, 2), (2, 2, 2, 2)],
+}
+
+
+class _Grid:
+    """4x4-granularity MV field + decoded mask."""
+
+    def __init__(self, mbh, mbw):
+        self.h4, self.w4 = 4 * mbh, 4 * mbw
+        self.mv = np.zeros((self.h4, self.w4, 2), np.int32)
+        self.dec = np.zeros((self.h4, self.w4), bool)
+
+    def nb(self, y4, x4):
+        """(mv, available) of block (y4, x4); unavailable = out of frame
+        or not yet decoded (x264 cache ref == -2)."""
+        if 0 <= y4 < self.h4 and 0 <= x4 < self.w4 and self.dec[y4, x4]:
+            return self.mv[y4, x4], True
+        return np.zeros(2, np.int32), False
+
+    def commit(self, y4, x4, h4, w4, mv):
+        self.mv[y4:y4 + h4, x4:x4 + w4] = mv
+        self.dec[y4:y4 + h4, x4:x4 + w4] = True
+
+
+def _median3(a, b, c):
+    return np.median(np.stack([a, b, c]), axis=0).astype(np.int32)
+
+
+def unit_mvp(g: _Grid, y4, x4, w4, part, unit):
+    """MVP for one partition unit (spec 8.4.1.3; macroblock.c:28-145).
+    Single reference: 'same ref' == 'available inter block'."""
+    mva, av_a = g.nb(y4, x4 - 1)
+    mvb, av_b = g.nb(y4 - 1, x4)
+    mvc, av_c = g.nb(y4 - 1, x4 + w4)
+    if not av_c:
+        mvc, av_c = g.nb(y4 - 1, x4 - 1)   # D substitution
+    # partition shortcuts (macroblock.c:88-103)
+    if part == D_16x8:
+        if unit == 0 and av_b:
+            return mvb.copy()
+        if unit == 1 and av_a:
+            return mva.copy()
+    elif part == D_8x16:
+        if unit == 0 and av_a:
+            return mva.copy()
+        if unit == 1 and av_c:
+            return mvc.copy()
+    count = int(av_a) + int(av_b) + int(av_c)
+    if count == 1:
+        return (mva if av_a else mvb if av_b else mvc).copy()
+    if not av_b and not av_c and av_a:
+        return mva.copy()
+    return _median3(mva, mvb, mvc)
+
+
+def _pskip_mv(g: _Grid, y4, x4):
+    """P_SKIP MV (spec 8.4.1.1; macroblock.c:165)."""
+    mva, av_a = g.nb(y4, x4 - 1)
+    mvb, av_b = g.nb(y4 - 1, x4)
+    if not av_a or not av_b:
+        return np.zeros(2, np.int32)
+    if (mva[0] == 0 and mva[1] == 0) or (mvb[0] == 0 and mvb[1] == 0):
+        return np.zeros(2, np.int32)
+    return unit_mvp(g, y4, x4, 4, D_16x16, 0)
+
+
+def _unit_mv(mv8, my, mx, part, unit):
+    """The unit's MV from the per-8x8 field (uniform across members)."""
+    g = UNIT_GEOM[part][unit]
+    return mv8[2 * my + g[0] // 2, 2 * mx + g[1] // 2].copy()
+
+
+def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
+                 cbp_luma: np.ndarray, cbp_chroma: np.ndarray):
+    """Raster scan over a partitioned P frame.
+
+    part: [mbh,mbw] in {0..3}; mv8: [2mbh,2mbw,2] qpel (uniform per
+    unit); cbp_*: [mbh,mbw].
+    Returns (skip [mbh,mbw] bool, mvd [mbh,mbw,4,2], mvp [mbh,mbw,4,2],
+    final_mv8 [2mbh,2mbw,2] with pskip MVs substituted)."""
+    mbh, mbw = part.shape
+    g = _Grid(mbh, mbw)
+    skip = np.zeros((mbh, mbw), bool)
+    mvd = np.zeros((mbh, mbw, 4, 2), np.int32)
+    mvp_out = np.zeros((mbh, mbw, 4, 2), np.int32)
+    final = mv8.copy()
+    for my in range(mbh):
+        for mx in range(mbw):
+            y4, x4 = 4 * my, 4 * mx
+            p = int(part[my, mx])
+            if p == D_16x16:
+                ps = _pskip_mv(g, y4, x4)
+                here = mv8[2 * my, 2 * mx]
+                if (cbp_luma[my, mx] == 0 and cbp_chroma[my, mx] == 0
+                        and here[0] == ps[0] and here[1] == ps[1]):
+                    skip[my, mx] = True
+            for u, (oy, ox, w4, h4) in enumerate(UNIT_GEOM[p]):
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                mv = _unit_mv(mv8, my, mx, p, u)
+                mvd[my, mx, u] = mv - mvp
+                mvp_out[my, mx, u] = mvp
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+    return skip, mvd, mvp_out, final
+
+
+def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,
+                        skip: np.ndarray):
+    """Stego pass-2 scan: skip flags FORCED to pass-1 (analyse.c:2658
+    forcing); skipped MBs take the pskip MV in the NEW context; coded
+    units keep their (possibly flipped) MVs. Returns (final_mv8, mvd,
+    mvp)."""
+    mbh, mbw = part.shape
+    g = _Grid(mbh, mbw)
+    mvd = np.zeros((mbh, mbw, 4, 2), np.int32)
+    mvp_out = np.zeros((mbh, mbw, 4, 2), np.int32)
+    final = mv8.copy()
+    for my in range(mbh):
+        for mx in range(mbw):
+            y4, x4 = 4 * my, 4 * mx
+            p = int(part[my, mx])
+            if skip[my, mx]:
+                ps = _pskip_mv(g, y4, x4)
+                final[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = ps
+                g.commit(y4, x4, 4, 4, ps)
+                continue
+            for u, (oy, ox, w4, h4) in enumerate(UNIT_GEOM[p]):
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                gy, gx = 2 * my + oy // 2, 2 * mx + ox // 2
+                mv = final[gy, gx].copy()
+                mvd[my, mx, u] = mv - mvp
+                mvp_out[my, mx, u] = mvp
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+    return final, mvd, mvp_out

@@ -57,7 +57,8 @@ def load():
         u8p, ctypes.c_long, u8p, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p]
+        i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p,
+        ctypes.c_void_p, ctypes.c_void_p]
 
     lib.pcamv_host_scan_p.restype = None
     lib.pcamv_host_scan_p.argtypes = [i32p, i32p, i32p, ctypes.c_int,
@@ -84,10 +85,11 @@ def _as_i32(x):
 def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
                 mbw: int, mbh: int, *, skip=None, mvd=None, mode=None,
                 cmode=None, cbp_luma, cbp_chroma, luma_dc=None,
-                luma_blocks, chroma_dc, chroma_ac) -> bytes:
+                luma_blocks, chroma_dc, chroma_ac, mb_i4=None,
+                i4_modes=None) -> bytes:
     """Native whole-slice entropy coding. Shapes:
     luma_blocks [N,16,16], luma_dc [N,16], chroma_dc [N,2,4],
-    chroma_ac [N,2,4,16], mvd [N,2]."""
+    chroma_ac [N,2,4,16], mvd [N,2], mb_i4 [N] u8, i4_modes [N,16]."""
     lib = load()
     n = mbw * mbh
     cap = 1 << 22
@@ -106,13 +108,18 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
         mode_a = _as_i32(mode) if mode is not None else None
         cmode_a = _as_i32(cmode) if cmode is not None else None
         dc_a = _as_i32(luma_dc) if luma_dc is not None else None
+        i4_a = (np.ascontiguousarray(mb_i4, np.uint8)
+                if mb_i4 is not None else None)
+        i4m_a = (_as_i32(i4_modes).reshape(n * 16)
+                 if i4_modes is not None else None)
         r = lib.pcamv_write_slice(
             out, cap, hdr, header_nbits, slice_type, mbw, mbh,
             ptr(skip_a), ptr(mvd_a), ptr(mode_a), ptr(cmode_a),
             _as_i32(cbp_luma).reshape(n), _as_i32(cbp_chroma).reshape(n),
             ptr(dc_a), _as_i32(luma_blocks).reshape(n * 256),
             _as_i32(chroma_dc).reshape(n * 8),
-            _as_i32(chroma_ac).reshape(n * 128))
+            _as_i32(chroma_ac).reshape(n * 128),
+            ptr(i4_a), ptr(i4m_a))
         if r >= 0:
             return bytes(out[:r])
         cap *= 4

@@ -146,8 +146,18 @@ struct FrameCtx {
   int mbw, mbh;
   std::vector<int32_t> nnz_y;       // [4mbh][4mbw]
   std::vector<int32_t> nnz_c;      // [2][2mbh][2mbw]
+  std::vector<int32_t> modes4;     // [4mbh][4mbw], 2 = not i4x4-coded
   FrameCtx(int w, int h) : mbw(w), mbh(h),
-      nnz_y(16 * w * h, 0), nnz_c(2 * 4 * w * h, 0) {}
+      nnz_y(16 * w * h, 0), nnz_c(2 * 4 * w * h, 0),
+      modes4(16 * w * h, 2) {}
+  inline int m4(int by, int bx) const { return modes4[by * 4 * mbw + bx]; }
+  inline void set_m4(int by, int bx, int v) { modes4[by * 4 * mbw + bx] = v; }
+  // predIntra4x4PredMode (spec 8.3.1.1)
+  inline int pred_i4(int by, int bx) const {
+    if (bx == 0 || by == 0) return 2;
+    int a = m4(by, bx - 1), b = m4(by - 1, bx);
+    return a < b ? a : b;
+  }
   inline int ny(int by, int bx) const { return nnz_y[by * 4 * mbw + bx]; }
   inline void set_ny(int by, int bx, int v) { nnz_y[by * 4 * mbw + bx] = v; }
   inline int ncc(int ch, int by, int bx) const {
@@ -208,7 +218,8 @@ extern "C" long pcamv_write_slice(
     const int32_t* mode, const int32_t* cmode,
     const int32_t* cbp_luma, const int32_t* cbp_chroma,
     const int32_t* luma_dc, const int32_t* luma_blocks,
-    const int32_t* chroma_dc, const int32_t* chroma_ac) {
+    const int32_t* chroma_dc, const int32_t* chroma_ac,
+    const uint8_t* mb_i4, const int32_t* i4_modes) {
   BitWriter bw(out, out_cap);
   for (int i = 0; i < header_nbits; i++)
     bw.put(1, (header[i >> 3] >> (7 - (i & 7))) & 1);
@@ -259,6 +270,41 @@ extern "C" long pcamv_write_slice(
             for (int c = 0; c < 2; c++)
               fc.set_nc(ch, 2 * my + b, 2 * mx + c, 0);
       }
+    } else if (mb_i4 && mb_i4[a]) {  // I_NxN (Intra_4x4), spec 7.3.5.1
+      bw.put_ue(0);  // mb_type (I slice)
+      for (int blk = 0; blk < 16; blk++) {
+        int braster = LSCAN[blk];
+        int by = braster >> 2, bx = braster & 3;
+        int gy = 4 * my + by, gx = 4 * mx + bx;
+        int m = i4_modes[a * 16 + blk];
+        int pm = fc.pred_i4(gy, gx);
+        if (m == pm) {
+          bw.put(1, 1);
+        } else {
+          bw.put(1, 0);
+          bw.put(3, m - (m > pm ? 1 : 0));
+        }
+        fc.set_m4(gy, gx, m);
+      }
+      bw.put_ue(cmode[a]);
+      int cbp = (cbp_chroma[a] << 4) | cbp_luma[a];
+      bw.put_ue(CBP_INTRA_TO_GOLOMB[cbp]);
+      if (cbp) bw.put_se(0);  // qp_delta
+      for (int blk = 0; blk < 16; blk++) {
+        int braster = LSCAN[blk];
+        int by = braster >> 2, bx = braster & 3;
+        int yy = 4 * my + by, xx = 4 * mx + bx;
+        if (cbp_luma[a] & (1 << (blk >> 2))) {
+          int z[16];
+          zigzag16(&luma_blocks[(a * 16 + braster) * 16], z);
+          int nc = fc.ctx(true, 0, yy, xx);
+          fc.set_ny(yy, xx, write_residual(bw, z, 16, nc));
+        } else {
+          fc.set_ny(yy, xx, 0);
+        }
+      }
+      write_chroma(bw, fc, mx, my, cbp_chroma[a], &chroma_dc[a * 8],
+                   &chroma_ac[a * 128]);
     } else {  // I16x16
       int cbp01 = cbp_luma[a] ? 1 : 0;
       int mb_type = 1 + mode[a] + 4 * cbp_chroma[a] + 12 * cbp01;

@@ -86,7 +86,7 @@ class Params:
     chroma_qp_offset: int = 0
 
     # analysis
-    i4x4: bool = False         # intra 4x4 analysis (entropy path pending)
+    i4x4: bool = True          # intra 4x4 partitions (x264 analyse default)
     me_method: int = ME_ESA
     me_range: int = 16
     subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
