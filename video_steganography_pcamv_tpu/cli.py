@@ -58,6 +58,14 @@ def build_argparser():
     return ap
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _null_ctx():
+    yield None
+
+
 def main(argv=None):
     args = build_argparser().parse_args(argv)
 
@@ -102,10 +110,19 @@ def main(argv=None):
 
     t0 = time.time()
     recons = []
-    with open(args.output, "wb") as f:
+    mkv = None
+    if args.output.endswith(".mkv"):
+        from .utils.mkv import MkvWriter
+        mkv = MkvWriter(args.output, p.width, p.height,
+                        p.fps_num, p.fps_den)
+    with open(args.output, "wb") if mkv is None else _null_ctx() as f:
         for i in range(n):
             frame = reader.read(args.seek + i)
-            f.write(enc.encode_frame(frame))
+            chunk = enc.encode_frame(frame)
+            if mkv is not None:
+                mkv.add_frame(chunk)
+            else:
+                f.write(chunk)
             if args.dump_yuv:
                 ry, ru, rv = enc.recon_prev
                 recons.append(yuv.Frame(
@@ -116,6 +133,8 @@ def main(argv=None):
                 el = time.time() - t0
                 print(f"\r[{i+1}/{n}] {(i+1)/el:.2f} fps", end="",
                       file=sys.stderr)
+    if mkv is not None:
+        mkv.close()
     print(file=sys.stderr)
     if args.dump_yuv:
         yuv.write_y4m(args.dump_yuv, recons,

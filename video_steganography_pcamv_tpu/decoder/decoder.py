@@ -148,9 +148,11 @@ class DecPPS:
 @dataclass
 class MBInfo:
     """Per-MB decode record; MVs feed the blind extractor."""
-    mb_type: str = "SKIP"  # "I16x16", "P16x16", "SKIP"
+    mb_type: str = "SKIP"  # "I16x16", "I4x4", "P16x16", "P16x8",
+                           # "P8x16", "P8x8", "SKIP"
     mv: tuple = (0, 0)
     qp: int = 0
+    unit_mvs: list = None  # partition-unit MVs in coding order
 
 
 @dataclass
@@ -256,7 +258,10 @@ class SliceDecoder:
         self.modes4 = np.full((4 * self.mbh, 4 * self.mbw), 2, np.int32)
         self.mb_intra = np.zeros((self.mbh, self.mbw), bool)
         self.mb_skip = np.zeros((self.mbh, self.mbw), bool)
-        self.mv = np.zeros((self.mbh, self.mbw, 2), np.int32)
+        # 4x4-granularity MV field (the reference's cache.mv): supports
+        # all partition shapes uniformly
+        self.mv4 = np.zeros((4 * self.mbh, 4 * self.mbw, 2), np.int32)
+        self.dec4 = np.zeros((4 * self.mbh, 4 * self.mbw), bool)
         self.decoded = np.zeros((self.mbh, self.mbw), bool)
         self.cur_mv = np.zeros(2, np.int32)  # MV of the MB being decoded
         self.mbs: list[MBInfo] = []
@@ -449,51 +454,68 @@ class SliceDecoder:
                         blocks[by, bx])
 
     def _inter_pred_chroma(self, ch, mx, my):
+        """Chroma MB prediction from the per-8x8-luma (4x4-chroma) MVs."""
         plane = self.ref["u"] if ch == 0 else self.ref["v"]
-        return R.np_mc_chroma(plane, 8 * my, 8 * mx,
-                              int(self.cur_mv[0]), int(self.cur_mv[1]))
+        out = np.zeros((8, 8), np.int64)
+        for by in range(2):
+            for bx in range(2):
+                mv = self.mv4[4 * my + 2 * by, 4 * mx + 2 * bx]
+                out[4 * by:4 * by + 4, 4 * bx:4 * bx + 4] = R.np_mc_chroma(
+                    plane, 8 * my + 4 * by, 8 * mx + 4 * bx,
+                    int(mv[0]), int(mv[1]), bh=4, bw=4)
+        return out
 
-    # ---- MVP derivation (spec 8.4.1.3 / 8.4.1.1), mirrors encoder ----
-    def _median_mvp(self, my, mx):
-        avail = self.decoded & ~self.mb_intra
-        a_ok = mx > 0 and avail[my, mx - 1]
-        b_ok = my > 0 and avail[my - 1, mx]
-        c_ok = my > 0 and mx + 1 < self.mbw and avail[my - 1, mx + 1]
-        d_ok = my > 0 and mx > 0 and avail[my - 1, mx - 1]
-        mva = self.mv[my, mx - 1] if a_ok else np.zeros(2, np.int32)
-        mvb = self.mv[my - 1, mx] if b_ok else np.zeros(2, np.int32)
-        if c_ok:
-            mvc, c_use = self.mv[my - 1, mx + 1], True
-        elif d_ok:
-            mvc, c_use = self.mv[my - 1, mx - 1], True
-        else:
-            mvc, c_use = np.zeros(2, np.int32), False
-        b_exist = my > 0 and self.decoded[my - 1, mx]
-        c_exist = c_use
-        if not b_exist and not c_exist and (mx > 0 and self.decoded[my, mx - 1]):
+    # ---- MVP at 4x4 granularity (spec 8.4.1.3 / 8.4.1.1) ----
+    def _nb4(self, y4, x4):
+        if (0 <= y4 < 4 * self.mbh and 0 <= x4 < 4 * self.mbw
+                and self.dec4[y4, x4]):
+            return self.mv4[y4, x4], True
+        return np.zeros(2, np.int32), False
+
+    def _unit_mvp(self, y4, x4, w4, part, unit):
+        mva, av_a = self._nb4(y4, x4 - 1)
+        mvb, av_b = self._nb4(y4 - 1, x4)
+        mvc, av_c = self._nb4(y4 - 1, x4 + w4)
+        if not av_c:
+            mvc, av_c = self._nb4(y4 - 1, x4 - 1)
+        if part == 1:      # D_16x8
+            if unit == 0 and av_b:
+                return mvb.copy()
+            if unit == 1 and av_a:
+                return mva.copy()
+        elif part == 2:    # D_8x16
+            if unit == 0 and av_a:
+                return mva.copy()
+            if unit == 1 and av_c:
+                return mvc.copy()
+        count = int(av_a) + int(av_b) + int(av_c)
+        if count == 1:
+            return (mva if av_a else mvb if av_b else mvc).copy()
+        if not av_b and not av_c and av_a:
             return mva.copy()
-        n_ok = int(a_ok) + int(b_ok) + int(c_use)
-        if n_ok == 1:
-            return (mva if a_ok else mvb if b_ok else mvc).copy()
         return np.median(np.stack([mva, mvb, mvc]), axis=0).astype(np.int32)
 
     def _pskip_mv(self, my, mx):
-        avail = self.decoded
-        a_ok = mx > 0 and avail[my, mx - 1]
-        b_ok = my > 0 and avail[my - 1, mx]
-        if not a_ok or not b_ok:
+        y4, x4 = 4 * my, 4 * mx
+        mva, av_a = self._nb4(y4, x4 - 1)
+        mvb, av_b = self._nb4(y4 - 1, x4)
+        if not av_a or not av_b:
             return np.zeros(2, np.int32)
-        for (ny, nx) in ((my, mx - 1), (my - 1, mx)):
-            if (not self.mb_intra[ny, nx]
-                    and self.mv[ny, nx, 0] == 0 and self.mv[ny, nx, 1] == 0):
-                return np.zeros(2, np.int32)
-        return self._median_mvp(my, mx)
+        if (mva[0] == 0 and mva[1] == 0) or (mvb[0] == 0 and mvb[1] == 0):
+            return np.zeros(2, np.int32)
+        return self._unit_mvp(y4, x4, 4, 0, 0)
 
     def _recon_inter_luma(self, mx, my, blocks):
-        """blocks: [4,4,4,4] dequantized (by,bx,r,c) incl. DC."""
+        """blocks: [4,4,4,4] dequantized (by,bx,r,c) incl. DC. Prediction
+        per 8x8 block from mv4 (uniform within each partition unit)."""
         gy, gx = 16 * my, 16 * mx
-        pred = R.np_mc_luma(self.ref["luma"], gy, gx,
-                            int(self.cur_mv[0]), int(self.cur_mv[1]))
+        pred = np.zeros((16, 16), np.int64)
+        for b in range(4):
+            oy, ox = 8 * (b >> 1), 8 * (b & 1)
+            mv = self.mv4[4 * my + (b >> 1) * 2, 4 * mx + (b & 1) * 2]
+            pred[oy:oy + 8, ox:ox + 8] = R.np_mc_luma(
+                self.ref["luma"], gy + oy, gx + ox,
+                int(mv[0]), int(mv[1]), bh=8, bw=8)
         for by in range(4):
             for bx in range(4):
                 py, px = gy + 4 * by, gx + 4 * bx
@@ -501,12 +523,32 @@ class SliceDecoder:
                     pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
                     blocks[by, bx])
 
-    def decode_p16x16(self, br: BitReader, mx: int, my: int, qp: int):
-        mvd = (br.read_se(), br.read_se())
-        mvp = self._median_mvp(my, mx)
-        mv = np.array([mvp[0] + mvd[0], mvp[1] + mvd[1]], np.int32)
-        self.mv[my, mx] = mv
-        self.cur_mv = mv
+    # unit geometry (y4off, x4off, w4, h4) per P partition mb_type 0..3
+    _UNIT_GEOM = {
+        0: [(0, 0, 4, 4)],
+        1: [(0, 0, 4, 2), (2, 0, 4, 2)],
+        2: [(0, 0, 2, 4), (0, 2, 2, 4)],
+        3: [(0, 0, 2, 2), (0, 2, 2, 2), (2, 0, 2, 2), (2, 2, 2, 2)],
+    }
+
+    def decode_p_mb(self, br: BitReader, mx: int, my: int, mb_type: int,
+                    qp: int):
+        """P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 (spec
+        7.3.5.2; sub_mb_type restricted to P_L0_8x8)."""
+        geom = self._UNIT_GEOM[mb_type]
+        if mb_type == 3:
+            for _ in range(4):
+                sub = br.read_ue()
+                assert sub == 0, f"unsupported sub_mb_type {sub}"
+        unit_mvs = []
+        y4, x4 = 4 * my, 4 * mx
+        for u, (oy, ox, w4, h4) in enumerate(geom):
+            mvd = (br.read_se(), br.read_se())
+            mvp = self._unit_mvp(y4 + oy, x4 + ox, w4, mb_type, u)
+            mv = np.array([mvp[0] + mvd[0], mvp[1] + mvd[1]], np.int32)
+            self.mv4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = mv
+            self.dec4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = True
+            unit_mvs.append((int(mv[0]), int(mv[1])))
         cbp_code = br.read_ue()
         cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -527,18 +569,18 @@ class SliceDecoder:
             else:
                 self.nnz_y[4 * my + by, 4 * mx + bx] = 0
         self._recon_inter_luma(mx, my, blocks)
-        if cbp:
-            self._decode_chroma(br, mx, my, 0, cbp_chroma, qpc, intra=False)
-        else:
-            self._decode_chroma(br, mx, my, 0, 0, qpc, intra=False)
+        self._decode_chroma(br, mx, my, 0, cbp_chroma if cbp else 0, qpc,
+                            intra=False)
         self.decoded[my, mx] = True
-        self.mbs.append(MBInfo("P16x16", (int(mv[0]), int(mv[1])), qp))
+        kind = ("P16x16", "P16x8", "P8x16", "P8x8")[mb_type]
+        self.mbs.append(MBInfo(kind, unit_mvs[0], qp, unit_mvs=unit_mvs))
         return qp
 
     def decode_pskip(self, mx: int, my: int, qp: int):
         mv = self._pskip_mv(my, mx)
-        self.mv[my, mx] = mv
-        self.cur_mv = mv
+        y4, x4 = 4 * my, 4 * mx
+        self.mv4[y4:y4 + 4, x4:x4 + 4] = mv
+        self.dec4[y4:y4 + 4, x4:x4 + 4] = True
         self._recon_inter_luma(mx, my, np.zeros((4, 4, 4, 4), np.int64))
         for ch, plane in ((0, self.u), (1, self.v)):
             pred = self._inter_pred_chroma(ch, mx, my)
@@ -548,7 +590,8 @@ class SliceDecoder:
         self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
         self.decoded[my, mx] = True
         self.mb_skip[my, mx] = True
-        self.mbs.append(MBInfo("SKIP", (int(mv[0]), int(mv[1])), qp))
+        self.mbs.append(MBInfo("SKIP", (int(mv[0]), int(mv[1])), qp,
+                               unit_mvs=[(int(mv[0]), int(mv[1]))]))
 
     def decode_slice(self, br: BitReader, slice_type: int, qp: int):
         if slice_type in (2, 7):
@@ -579,8 +622,8 @@ class SliceDecoder:
                 break
             my, mx = addr // self.mbw, addr % self.mbw
             mb_type = br.read_ue()
-            if mb_type == 0:
-                qp = self.decode_p16x16(br, mx, my, qp)
+            if mb_type <= 3:
+                qp = self.decode_p_mb(br, mx, my, mb_type, qp)
             elif mb_type == 5:
                 self.mb_intra[my, mx] = True
                 qp = self.decode_i4x4(br, mx, my, qp)
@@ -644,7 +687,7 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                     qp + pps.chroma_qp_index_offset, 0, 51)])
                 native.deblock_frame(
                     dy, du, dv, dec.mb_intra.astype(np.uint8),
-                    dec.nnz_y, dec.mv,
+                    dec.nnz_y, dec.mv4,
                     dec.mb_skip.astype(np.uint8), qp, qpc)
                 dec.y, dec.u, dec.v = (dy.astype(np.int64),
                                        du.astype(np.int64),

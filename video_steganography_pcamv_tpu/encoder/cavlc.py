@@ -268,6 +268,40 @@ class FrameCavlc:
         else:
             self.set_mb_nnz_zero(mx, my, luma_too=False)
 
+    def write_p_mb(self, bw: BitWriter, mx: int, my: int, part: int,
+                   mvds: np.ndarray, cbp_luma: int, cbp_chroma: int,
+                   luma_lev: np.ndarray, chroma_dc: np.ndarray,
+                   chroma_ac: np.ndarray, qp_delta: int) -> None:
+        """Partitioned P macroblock (spec 7.3.5.2): mb_type 0..3 with
+        sub_mb_type fixed to P_L0_8x8. mvds: [4,2] unit mvds in coding
+        order (unused slots ignored)."""
+        n_units = (1, 2, 2, 4)[part]
+        bw.write_ue(part)
+        if part == 3:
+            for _ in range(4):
+                bw.write_ue(0)  # sub_mb_type P_L0_8x8
+        for u in range(n_units):
+            bw.write_se(int(mvds[u, 0]))
+            bw.write_se(int(mvds[u, 1]))
+        cbp = (cbp_chroma << 4) | cbp_luma
+        bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
+        if cbp:
+            bw.write_se(qp_delta)
+        gy, gx = 4 * my, 4 * mx
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            yy, xx = gy + by, gx + bx
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, yy, xx)
+                lv = zigzag(luma_lev[by, bx])
+                self.nnz_y[yy, xx] = write_residual(bw, lv, 16, nc)
+            else:
+                self.nnz_y[yy, xx] = 0
+        if cbp:
+            self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
+        else:
+            self.set_mb_nnz_zero(mx, my, luma_too=False)
+
     def set_mb_nnz_zero(self, mx: int, my: int, luma_too: bool = True):
         """Clear nnz context for a skipped (or residual-free) MB."""
         if luma_too:

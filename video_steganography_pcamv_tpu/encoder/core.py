@@ -246,9 +246,94 @@ class Encoder:
         self._ptables = {"blocks": blocks, "wht": wht, "r_idx": r_idx}
         return mv_q, None
 
+    def _encode_p_parts(self, y, u, v, qp: int, qpc: int) -> bytes:
+        """Partitioned P path (16x16/16x8/8x16/8x8)."""
+        from . import partition as PT
+        from . import scan as SCAN
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        lam = ME.lambda_tab(qp)
+        part, mv8, r_idx8, blocks8, wht8 = PT.analyse_p_frame_parts(
+            y, self.ref["luma"], jnp.asarray(self.prev_mv), p.me_range,
+            mbh, mbw, lam, p.subpel)
+        self._ptables8 = {"blocks": blocks8, "wht": wht8, "r_idx": r_idx8}
+        part_np = np.asarray(part)
+        mv8_np = np.asarray(mv8)
+        res = P.encode_p_frame_device8(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+        res_np = {k: np.asarray(val) for k, val in res.items()}
+        if self._native is not None:
+            from .. import native
+            skip, mvd, mvp, final8 = native.scan_p_parts(
+                part_np, mv8_np, res_np["cbp_luma"],
+                res_np["cbp_chroma"])
+        else:
+            skip, mvd, mvp, final8 = SCAN.scan_p_frame(
+                part_np, mv8_np, res_np["cbp_luma"],
+                res_np["cbp_chroma"])
+
+        if self._stego is not None:
+            replaced = self._stego.embed_frame_parts(
+                self, y, u, v, part_np, mv8_np, res_np, skip, mvp)
+            if replaced is not None:
+                final8, skip, mvd, res = replaced
+                res_np = {k: np.asarray(val) for k, val in res.items()}
+
+        mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
+        if p.deblock and self._native is not None:
+            self._deblock(res_np, intra=False, mv=mv4,
+                          skip=skip.astype(np.uint8), qp=qp)
+        else:
+            self._update_ref(res)
+            self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
+                               res_np["recon_v"])
+        self.prev_mv = np.ascontiguousarray(final8[::2, ::2])
+
+        bw = BitWriter()
+        H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
+                             self.frame_num, qp, idr=False,
+                             disable_deblock=0 if p.deblock else 1)
+        n = mbh * mbw
+        if self._native is not None:
+            from .. import native
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice(
+                hdr, nbits, H.SLICE_TYPE_P, mbw, mbh,
+                skip=skip.reshape(n).astype(np.uint8),
+                part=part_np.reshape(n), mvd4=mvd.reshape(n, 4, 2),
+                cbp_luma=res_np["cbp_luma"],
+                cbp_chroma=res_np["cbp_chroma"],
+                luma_blocks=res_np["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res_np["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16))
+        fc = FrameCavlc(mbw, mbh)
+        skip_run = 0
+        for my in range(mbh):
+            for mx in range(mbw):
+                if skip[my, mx]:
+                    skip_run += 1
+                    fc.set_mb_nnz_zero(mx, my)
+                    continue
+                bw.write_ue(skip_run)
+                skip_run = 0
+                fc.write_p_mb(
+                    bw, mx, my, int(part_np[my, mx]), mvd[my, mx],
+                    int(res_np["cbp_luma"][my, mx]),
+                    int(res_np["cbp_chroma"][my, mx]),
+                    res_np["luma_lev"][my, mx],
+                    res_np["chroma_dc"][my, mx],
+                    res_np["chroma_ac"][my, mx], qp_delta=0)
+        if skip_run:
+            bw.write_ue(skip_run)
+        bw.rbsp_trailing()
+        return bw.get_bytes()
+
     def _encode_p(self, y, u, v, qp: int) -> bytes:
         p = self.p
         qpc = chroma_qp(qp, p.chroma_qp_offset)
+        if p.partitions:
+            return self._encode_p_parts(y, u, v, qp, qpc)
 
         mv_q, _ = self.analyse_p(y, qp)
         mv_np = np.asarray(mv_q)

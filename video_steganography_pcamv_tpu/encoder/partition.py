@@ -281,6 +281,138 @@ def subpel_parts(cur_y, wht8, part, mvfp8, prev_mv, mbh: int, mbw: int,
     return mv8, r_idx8
 
 
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
+                      cost_mv, qp, mbh: int, mbw: int,
+                      decimate: bool = True):
+    """Partition-aware x264_ih_get_mv_cost (analyse.c:2391-2550): RCA
+    alternative-MV cost for EVERY partition unit, batched.
+
+    blocks8/wht8: [169, N8, ...] per-8x8 qpel tables; r_idx8: [N8]
+    chosen offset index; part: [mbh,mbw]; mv8: [2mbh,2mbw,2] qpel;
+    mvp_u: [mbh,mbw,4,2] per-unit MVPs (probe mv-cost anchor);
+    cost_mv: lambda-weighted qpel distance table.
+    Returns (rho [mbh,mbw,4] f32, alt_mv [mbh,mbw,4,2], valid
+    [mbh,mbw,4] slot-exists mask).
+
+    Semantics per unit: candidate MV deltas apply to the unit's member
+    8x8 blocks; each candidate re-encodes the WHOLE MB (decimation
+    couples blocks, matching the reference's full-MB probe encode);
+    probe SATD is summed over member blocks only (the reference's
+    partition-area MV_SATD_FDEC_IH).
+    """
+    from .inter import luma_p_encode
+    from ..stego.cost import D_MV, D_NB, rca_decide
+
+    n = mbh * mbw
+    cur = cur_y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+               .reshape(n, 16, 16)
+    r_z = _sp_to_z(r_idx8.reshape(2 * mbh, 2 * mbw), mbh, mbw) \
+        .reshape(n, 4)                                    # [n,4] blk idx
+    mvz = _sp_to_z(mv8, mbh, mbw).reshape(n, 4, 2)
+    partf = part.reshape(n)
+    block_unit = jnp.asarray(BLOCK_UNIT)[partf]           # [n,4]
+
+    def didx(dy, dx):
+        return dy * 13 + dx
+
+    def mb_pred_from_idx(idx_z):
+        """idx_z: [n,4] per-block table index -> [n,16,16] MB preds."""
+        idx8 = _z_to_sp(idx_z.reshape(mbh, mbw, 4), mbh, mbw) \
+            .reshape(4 * n)
+        b8 = QT.select_rows(blocks8, idx8)                # [N8,8,8]
+        pl = b8.reshape(2 * mbh, 2 * mbw, 8, 8).transpose(0, 2, 1, 3) \
+               .reshape(16 * mbh, 16 * mbw)
+        return pl.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+                 .reshape(n, 16, 16)
+
+    def wht_blocks_z(rec):
+        """[n,16,16] MB recon -> [n,4,...] per-8x8 WHT (z order)."""
+        r8 = rec.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
+                .reshape(n, 4, 8, 8)
+        return QT.wht16(r8)                               # [n,4,4,4,2,2]
+
+    # pre-select WHT rows for the 7x7 probe lattice of each block,
+    # re-laid-out to z-order [n, 4(blk), 4, 4, 2, 2]
+    sel_whtz = {}
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            w = QT.select_rows(wht8, r_idx8 + didx(dy, dx))  # [N8,...]
+            sel_whtz[(dy, dx)] = _sp_to_z(
+                w.reshape(2 * mbh, 2 * mbw, 4, 4, 2, 2),
+                mbh, mbw).reshape(n, 4, 4, 4, 2, 2)
+
+    mvpz = mvp_u.reshape(n, 4, 2)
+
+    member = {}
+    for u in range(4):
+        member[u] = (block_unit == u)                     # [n,4] bool
+
+    out_rho, out_alt, out_valid = [], [], []
+    for u in range(4):
+        mem = member[u]                                   # [n,4]
+        valid_u = jnp.any(mem, axis=1)                    # slot exists
+        # unit mv = mv of its first member block
+        first = jnp.argmax(mem, axis=1)                   # [n]
+        mvu = jnp.take_along_axis(
+            mvz, first[:, None, None], axis=1)[:, 0]      # [n,2]
+        mvpu = mvpz[:, u]                                 # [n,2]
+
+        def mvcost(dq):
+            qx = mvu[:, 0] + dq[1]
+            qy = mvu[:, 1] + dq[0]
+            return (cost_mv[jnp.abs(qx - mvpu[:, 0])]
+                    + cost_mv[jnp.abs(qy - mvpu[:, 1])])
+
+        def probes(wrec_z, center):
+            """wrec_z: [n,4,...] per-block WHT of a recon. Probe cost
+            over MEMBER blocks at the 9 unit-neighbourhood MVs."""
+            outp = []
+            for k in range(9):
+                dk = (int(D_NB[k][1]), int(D_NB[k][0]))   # (dy,dx)
+                d = (center[0] + dk[0], center[1] + dk[1])
+                wt = sel_whtz[d]                          # [n,4,...]
+                dabs = jnp.abs(wrec_z - wt)
+                per4 = jnp.sum(dabs, axis=(-4, -3)) >> 1  # [n,4,2,2]
+                per_blk = jnp.sum(per4, axis=(-2, -1))    # [n,4]
+                sat = jnp.sum(per_blk * mem, axis=1)      # member sum
+                outp.append(sat + mvcost(d))
+            return jnp.stack(outp, axis=1)                # [n,9]
+
+        def encode_at(delta):
+            """Re-encode MB with unit u displaced by delta (dy,dx)."""
+            idx_z = r_z + jnp.where(mem, didx(*delta), 0)
+            pred = mb_pred_from_idx(idx_z)
+            _, rec = luma_p_encode(cur, pred, qp, decimate)
+            return wht_blocks_z(rec)
+
+        w0 = encode_at((0, 0))
+        nb0 = probes(w0, (0, 0))
+        orig_cost = nb0[:, 8]
+        orig_opt = jnp.min(nb0, axis=1) >= orig_cost
+
+        cand_cost, cand_opt = [], []
+        for c in range(12):
+            dc = (int(D_MV[c][1]), int(D_MV[c][0]))       # (dy,dx)
+            wc = encode_at(dc)
+            nbc = probes(wc, dc)
+            cand_cost.append(nbc[:, 8])
+            cand_opt.append(jnp.min(nbc, axis=1) >= nbc[:, 8])
+        cand_cost = jnp.stack(cand_cost, axis=1)
+        cand_opt = jnp.stack(cand_opt, axis=1)
+
+        rho, sel_delta, _flags = rca_decide(nb0, orig_cost, orig_opt,
+                                            cand_cost, cand_opt)
+        out_rho.append(rho)
+        out_alt.append(mvu + sel_delta)
+        out_valid.append(valid_u)
+
+    rho = jnp.stack(out_rho, axis=1).reshape(mbh, mbw, 4)
+    alt = jnp.stack(out_alt, axis=1).reshape(mbh, mbw, 4, 2)
+    valid = jnp.stack(out_valid, axis=1).reshape(mbh, mbw, 4)
+    return rho, alt, valid
+
+
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "subpel", "allow_parts"))
 def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,

@@ -58,7 +58,8 @@ def load():
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p,
-        ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p]
 
     lib.pcamv_host_scan_p.restype = None
     lib.pcamv_host_scan_p.argtypes = [i32p, i32p, i32p, ctypes.c_int,
@@ -66,6 +67,14 @@ def load():
     lib.pcamv_host_scan_p_forced.restype = None
     lib.pcamv_host_scan_p_forced.argtypes = [i32p, u8p, ctypes.c_int,
                                              ctypes.c_int, i32p, i32p]
+    lib.pcamv_scan_p_parts.restype = None
+    lib.pcamv_scan_p_parts.argtypes = [i32p, i32p, i32p, i32p,
+                                       ctypes.c_int, ctypes.c_int,
+                                       u8p, i32p, i32p, i32p]
+    lib.pcamv_scan_p_parts_forced.restype = None
+    lib.pcamv_scan_p_parts_forced.argtypes = [i32p, i32p, u8p,
+                                              ctypes.c_int, ctypes.c_int,
+                                              i32p, i32p, i32p]
     lib.pcamv_deblock_frame.restype = None
     lib.pcamv_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
@@ -86,7 +95,7 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
                 mbw: int, mbh: int, *, skip=None, mvd=None, mode=None,
                 cmode=None, cbp_luma, cbp_chroma, luma_dc=None,
                 luma_blocks, chroma_dc, chroma_ac, mb_i4=None,
-                i4_modes=None) -> bytes:
+                i4_modes=None, part=None, mvd4=None) -> bytes:
     """Native whole-slice entropy coding. Shapes:
     luma_blocks [N,16,16], luma_dc [N,16], chroma_dc [N,2,4],
     chroma_ac [N,2,4,16], mvd [N,2], mb_i4 [N] u8, i4_modes [N,16]."""
@@ -112,6 +121,9 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
                 if mb_i4 is not None else None)
         i4m_a = (_as_i32(i4_modes).reshape(n * 16)
                  if i4_modes is not None else None)
+        part_a = _as_i32(part).reshape(n) if part is not None else None
+        mvd4_a = (_as_i32(mvd4).reshape(n * 8)
+                  if mvd4 is not None else None)
         r = lib.pcamv_write_slice(
             out, cap, hdr, header_nbits, slice_type, mbw, mbh,
             ptr(skip_a), ptr(mvd_a), ptr(mode_a), ptr(cmode_a),
@@ -119,7 +131,7 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
             ptr(dc_a), _as_i32(luma_blocks).reshape(n * 256),
             _as_i32(chroma_dc).reshape(n * 8),
             _as_i32(chroma_ac).reshape(n * 128),
-            ptr(i4_a), ptr(i4m_a))
+            ptr(i4_a), ptr(i4m_a), ptr(part_a), ptr(mvd4_a))
         if r >= 0:
             return bytes(out[:r])
         cap *= 4
@@ -141,6 +153,40 @@ def host_scan_p(mv, cbp_luma, cbp_chroma):
             mvd.reshape(mbh, mbw, 2), mvp.reshape(mbh, mbw, 2))
 
 
+def scan_p_parts(part, mv8, cbp_luma, cbp_chroma):
+    """Native partition-aware scan (twin of encoder/scan.py
+    scan_p_frame). Returns (skip, mvd [mbh,mbw,4,2], mvp, final8)."""
+    lib = load()
+    mbh, mbw = part.shape
+    skip = np.zeros(mbh * mbw, np.uint8)
+    mvd = np.zeros(mbh * mbw * 8, np.int32)
+    mvp = np.zeros(mbh * mbw * 8, np.int32)
+    final8 = np.zeros(2 * mbh * 2 * mbw * 2, np.int32)
+    lib.pcamv_scan_p_parts(
+        _as_i32(part).reshape(-1), _as_i32(mv8).reshape(-1),
+        _as_i32(cbp_luma).reshape(-1), _as_i32(cbp_chroma).reshape(-1),
+        mbw, mbh, skip, mvd, mvp, final8)
+    return (skip.reshape(mbh, mbw).astype(bool),
+            mvd.reshape(mbh, mbw, 4, 2), mvp.reshape(mbh, mbw, 4, 2),
+            final8.reshape(2 * mbh, 2 * mbw, 2))
+
+
+def scan_p_parts_forced(part, mv8, skip):
+    """Native forced scan (twin of scan.py scan_p_frame_forced).
+    Returns (final8, mvd, mvp)."""
+    lib = load()
+    mbh, mbw = part.shape
+    final8 = np.zeros(2 * mbh * 2 * mbw * 2, np.int32)
+    mvd = np.zeros(mbh * mbw * 8, np.int32)
+    mvp = np.zeros(mbh * mbw * 8, np.int32)
+    lib.pcamv_scan_p_parts_forced(
+        _as_i32(part).reshape(-1), _as_i32(mv8).reshape(-1),
+        np.ascontiguousarray(skip, np.uint8).reshape(-1), mbw, mbh,
+        final8, mvd, mvp)
+    return (final8.reshape(2 * mbh, 2 * mbw, 2),
+            mvd.reshape(mbh, mbw, 4, 2), mvp.reshape(mbh, mbw, 4, 2))
+
+
 def host_scan_p_forced(mv, skip):
     lib = load()
     mbh, mbw = skip.shape
@@ -156,10 +202,15 @@ def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc):
     """In-place H.264 deblocking of uint8 planes.
 
     y/u/v: MB-padded planes (modified in place); intra: [mbh,mbw] uint8;
-    nnz4: [4mbh,4mbw] int32 luma 4x4 total_coeff; mv: [mbh,mbw,2] int32;
-    skip: [mbh,mbw] uint8 or None."""
+    nnz4: [4mbh,4mbw] int32 luma 4x4 total_coeff; mv: [4mbh,4mbw,2]
+    int32 (4x4 granularity — partition-aware bS) or [mbh,mbw,2] which
+    is upsampled; skip: [mbh,mbw] uint8 or None."""
     lib = load()
     mbh, mbw = intra.shape
+    mv = np.asarray(mv)
+    if mv.shape[:2] == (mbh, mbw):
+        mv = np.repeat(np.repeat(mv, 4, 0), 4, 1)
+    assert mv.shape == (4 * mbh, 4 * mbw, 2), mv.shape
     assert y.dtype == np.uint8 and y.flags["C_CONTIGUOUS"]
     skip_a = (np.ascontiguousarray(skip, np.uint8)
               if skip is not None else None)

@@ -96,7 +96,7 @@ struct Ctx {
   int mbw, mbh, wy, wc;
   const uint8_t* intra;  // [N]
   const int32_t* nnz;    // [4mbh][4mbw]
-  const int32_t* mv;     // [N][2]
+  const int32_t* mv;     // [4mbh][4mbw][2] (4x4 granularity)
   const uint8_t* skip;   // [N]
   int qp, qpc;
 };
@@ -105,8 +105,8 @@ struct Ctx {
 inline int bs_inter(const Ctx& c, int qx, int qy, int px, int py) {
   // global 4x4 coords; both MBs inter here
   if (c.nnz[qy * 4 * c.mbw + qx] || c.nnz[py * 4 * c.mbw + px]) return 2;
-  const int32_t* mq = &c.mv[((qy >> 2) * c.mbw + (qx >> 2)) * 2];
-  const int32_t* mp = &c.mv[((py >> 2) * c.mbw + (px >> 2)) * 2];
+  const int32_t* mq = &c.mv[(qy * 4 * c.mbw + qx) * 2];
+  const int32_t* mp = &c.mv[(py * 4 * c.mbw + px) * 2];
   if (abs(mq[0] - mp[0]) >= 4 || abs(mq[1] - mp[1]) >= 4) return 1;
   return 0;
 }

@@ -219,7 +219,8 @@ extern "C" long pcamv_write_slice(
     const int32_t* cbp_luma, const int32_t* cbp_chroma,
     const int32_t* luma_dc, const int32_t* luma_blocks,
     const int32_t* chroma_dc, const int32_t* chroma_ac,
-    const uint8_t* mb_i4, const int32_t* i4_modes) {
+    const uint8_t* mb_i4, const int32_t* i4_modes,
+    const int32_t* part, const int32_t* mvd4) {
   BitWriter bw(out, out_cap);
   for (int i = 0; i < header_nbits; i++)
     bw.put(1, (header[i >> 3] >> (7 - (i & 7))) & 1);
@@ -241,10 +242,22 @@ extern "C" long pcamv_write_slice(
     if (slice_type == 0) {
       bw.put_ue(skip_run);
       skip_run = 0;
-      // P_L0_16x16
-      bw.put_ue(0);
-      bw.put_se(mvd[a * 2]);
-      bw.put_se(mvd[a * 2 + 1]);
+      // mb_type 0..3 (16x16/16x8/8x16/8x8, spec 7.3.5.2); legacy
+      // callers pass part=null => 16x16 with mvd[N][2]
+      int p = part ? part[a] : 0;
+      static const int NU[4] = {1, 2, 2, 4};
+      bw.put_ue(p);
+      if (p == 3)
+        for (int s = 0; s < 4; s++) bw.put_ue(0);  // sub P_L0_8x8
+      if (part) {
+        for (int u = 0; u < NU[p]; u++) {
+          bw.put_se(mvd4[(a * 4 + u) * 2]);
+          bw.put_se(mvd4[(a * 4 + u) * 2 + 1]);
+        }
+      } else {
+        bw.put_se(mvd[a * 2]);
+        bw.put_se(mvd[a * 2 + 1]);
+      }
       int cbp = (cbp_chroma[a] << 4) | cbp_luma[a];
       bw.put_ue(CBP_INTER_TO_GOLOMB[cbp]);
       if (cbp) bw.put_se(0);  // qp_delta (CQP)
@@ -529,4 +542,160 @@ extern "C" int pcamv_stc_embed(const uint8_t* cover, long n,
     }
   }
   return state == 0 && i == -1 ? 0 : -3;
+}
+
+// ------------------------------------------------- partition host scan ---
+// C++ twin of encoder/scan.py (spec 8.4.1.3 / 8.4.1.1 at 4x4
+// granularity; reference x264_mb_predict_mv common/macroblock.c:28-145).
+namespace {
+
+struct Grid4 {
+  int h4, w4;
+  std::vector<int32_t> mv;   // [h4][w4][2]
+  std::vector<uint8_t> dec;  // [h4][w4]
+  Grid4(int mbw, int mbh)
+      : h4(4 * mbh), w4(4 * mbw), mv(2 * h4 * w4, 0), dec(h4 * w4, 0) {}
+  inline bool nb(int y4, int x4, int32_t out[2]) const {
+    if (y4 < 0 || x4 < 0 || y4 >= h4 || x4 >= w4 || !dec[y4 * w4 + x4]) {
+      out[0] = out[1] = 0;
+      return false;
+    }
+    out[0] = mv[(y4 * w4 + x4) * 2];
+    out[1] = mv[(y4 * w4 + x4) * 2 + 1];
+    return true;
+  }
+  inline void commit(int y4, int x4, int h, int w, const int32_t m[2]) {
+    for (int y = y4; y < y4 + h; y++)
+      for (int x = x4; x < x4 + w; x++) {
+        mv[(y * w4 + x) * 2] = m[0];
+        mv[(y * w4 + x) * 2 + 1] = m[1];
+        dec[y * w4 + x] = 1;
+      }
+  }
+};
+
+inline int32_t med3i(int32_t a, int32_t b, int32_t c) {
+  int32_t mn = a < b ? (a < c ? a : c) : (b < c ? b : c);
+  int32_t mx = a > b ? (a > c ? a : c) : (b > c ? b : c);
+  return a + b + c - mn - mx;
+}
+
+// unit geometry per partition type: {y4off, x4off, w4, h4} x units
+static const int UGEOM[4][4][4] = {
+    {{0, 0, 4, 4}, {0, 0, 0, 0}, {0, 0, 0, 0}, {0, 0, 0, 0}},
+    {{0, 0, 4, 2}, {2, 0, 4, 2}, {0, 0, 0, 0}, {0, 0, 0, 0}},
+    {{0, 0, 2, 4}, {0, 2, 2, 4}, {0, 0, 0, 0}, {0, 0, 0, 0}},
+    {{0, 0, 2, 2}, {0, 2, 2, 2}, {2, 0, 2, 2}, {2, 2, 2, 2}}};
+static const int NUNITS[4] = {1, 2, 2, 4};
+
+void unit_mvp4(const Grid4& g, int y4, int x4, int w4, int part, int unit,
+               int32_t out[2]) {
+  int32_t a[2], b[2], c[2];
+  bool av_a = g.nb(y4, x4 - 1, a);
+  bool av_b = g.nb(y4 - 1, x4, b);
+  bool av_c = g.nb(y4 - 1, x4 + w4, c);
+  if (!av_c) av_c = g.nb(y4 - 1, x4 - 1, c);
+  if (part == 1) {  // D_16x8
+    if (unit == 0 && av_b) { out[0] = b[0]; out[1] = b[1]; return; }
+    if (unit == 1 && av_a) { out[0] = a[0]; out[1] = a[1]; return; }
+  } else if (part == 2) {  // D_8x16
+    if (unit == 0 && av_a) { out[0] = a[0]; out[1] = a[1]; return; }
+    if (unit == 1 && av_c) { out[0] = c[0]; out[1] = c[1]; return; }
+  }
+  int count = (int)av_a + (int)av_b + (int)av_c;
+  if (count == 1) {
+    const int32_t* m = av_a ? a : av_b ? b : c;
+    out[0] = m[0]; out[1] = m[1];
+    return;
+  }
+  if (!av_b && !av_c && av_a) { out[0] = a[0]; out[1] = a[1]; return; }
+  out[0] = med3i(a[0], b[0], c[0]);
+  out[1] = med3i(a[1], b[1], c[1]);
+}
+
+void pskip_mv4(const Grid4& g, int y4, int x4, int32_t out[2]) {
+  int32_t a[2], b[2];
+  bool av_a = g.nb(y4, x4 - 1, a);
+  bool av_b = g.nb(y4 - 1, x4, b);
+  if (!av_a || !av_b || (a[0] == 0 && a[1] == 0)
+      || (b[0] == 0 && b[1] == 0)) {
+    out[0] = out[1] = 0;
+    return;
+  }
+  unit_mvp4(g, y4, x4, 4, 0, 0, out);
+}
+
+}  // namespace
+
+extern "C" void pcamv_scan_p_parts(
+    const int32_t* part, const int32_t* mv8, const int32_t* cbp_luma,
+    const int32_t* cbp_chroma, int mbw, int mbh,
+    uint8_t* skip, int32_t* mvd, int32_t* mvp_out, int32_t* final8) {
+  // mv8/final8: [2mbh][2mbw][2]; mvd/mvp_out: [mbh][mbw][4][2]
+  Grid4 g(mbw, mbh);
+  const int w8 = 2 * mbw;
+  memcpy(final8, mv8, sizeof(int32_t) * 2 * w8 * 2 * mbh);
+  for (int my = 0; my < mbh; my++)
+    for (int mx = 0; mx < mbw; mx++) {
+      int a = my * mbw + mx;
+      int y4 = 4 * my, x4 = 4 * mx;
+      int p = part[a];
+      if (p == 0) {
+        int32_t ps[2];
+        pskip_mv4(g, y4, x4, ps);
+        const int32_t* here = &mv8[((2 * my) * w8 + 2 * mx) * 2];
+        if (cbp_luma[a] == 0 && cbp_chroma[a] == 0 && here[0] == ps[0]
+            && here[1] == ps[1])
+          skip[a] = 1;
+      }
+      for (int u = 0; u < NUNITS[p]; u++) {
+        const int* gg = UGEOM[p][u];
+        int32_t mvp[2];
+        unit_mvp4(g, y4 + gg[0], x4 + gg[1], gg[2], p, u, mvp);
+        const int32_t* mv =
+            &mv8[((2 * my + gg[0] / 2) * w8 + 2 * mx + gg[1] / 2) * 2];
+        mvd[(a * 4 + u) * 2] = mv[0] - mvp[0];
+        mvd[(a * 4 + u) * 2 + 1] = mv[1] - mvp[1];
+        mvp_out[(a * 4 + u) * 2] = mvp[0];
+        mvp_out[(a * 4 + u) * 2 + 1] = mvp[1];
+        g.commit(y4 + gg[0], x4 + gg[1], gg[3], gg[2], mv);
+      }
+    }
+}
+
+extern "C" void pcamv_scan_p_parts_forced(
+    const int32_t* part, const int32_t* mv8, const uint8_t* skip,
+    int mbw, int mbh, int32_t* final8, int32_t* mvd, int32_t* mvp_out) {
+  Grid4 g(mbw, mbh);
+  const int w8 = 2 * mbw;
+  memcpy(final8, mv8, sizeof(int32_t) * 2 * w8 * 2 * mbh);
+  for (int my = 0; my < mbh; my++)
+    for (int mx = 0; mx < mbw; mx++) {
+      int a = my * mbw + mx;
+      int y4 = 4 * my, x4 = 4 * mx;
+      int p = part[a];
+      if (skip[a]) {
+        int32_t ps[2];
+        pskip_mv4(g, y4, x4, ps);
+        for (int b = 0; b < 4; b++) {
+          int gy = 2 * my + (b >> 1), gx = 2 * mx + (b & 1);
+          final8[(gy * w8 + gx) * 2] = ps[0];
+          final8[(gy * w8 + gx) * 2 + 1] = ps[1];
+        }
+        g.commit(y4, x4, 4, 4, ps);
+        continue;
+      }
+      for (int u = 0; u < NUNITS[p]; u++) {
+        const int* gg = UGEOM[p][u];
+        int32_t mvp[2];
+        unit_mvp4(g, y4 + gg[0], x4 + gg[1], gg[2], p, u, mvp);
+        const int32_t* mv =
+            &final8[((2 * my + gg[0] / 2) * w8 + 2 * mx + gg[1] / 2) * 2];
+        mvd[(a * 4 + u) * 2] = mv[0] - mvp[0];
+        mvd[(a * 4 + u) * 2 + 1] = mv[1] - mvp[1];
+        mvp_out[(a * 4 + u) * 2] = mvp[0];
+        mvp_out[(a * 4 + u) * 2 + 1] = mvp[1];
+        g.commit(y4 + gg[0], x4 + gg[1], gg[3], gg[2], mv);
+      }
+    }
 }

@@ -91,7 +91,8 @@ class Params:
     me_range: int = 16
     subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
     dct_decimate: bool = True  # reference analyse.b_dct_decimate default on
-    partitions_8x8: bool = False  # P 16x16-only until partition trees land
+    partitions: bool = True    # P 16x8/8x16/8x8 trees (x264 default
+                               # analyse=p8x8; sub-8x8 splits not yet)
 
     # entropy / tools
     cabac: bool = False
@@ -183,6 +184,10 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.me_range = int(value)
     elif name == "subme":
         p.subpel = int(value)
+    elif name == "partitions":
+        p.partitions = value not in ("none", "0", "false")
+    elif name == "i4x4":
+        p.i4x4 = _BOOL[value.lower()]
     elif name == "cabac":
         p.cabac = _BOOL[value.lower()]
     elif name == "deblock":

@@ -134,3 +134,139 @@ class StegoEngine:
             jnp.asarray(final_mv), qp, qpc, mbh, mbw,
             decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
         return final_mv, skip1, mvd2, res2
+
+    # ------------------------------------------------------------------
+    def embed_frame_parts(self, enc, y, u, v, part: np.ndarray,
+                          mv8: np.ndarray, res1: dict, skip1: np.ndarray,
+                          mvp_u: np.ndarray):
+        """Partition-aware embedding: cover spans every unit MV of
+        every coded P MB (reference cover walk encoder.c:1566-1647),
+        rho gets the MVC adjustment (encoder.c:1649-1819: c1 for 2-MV
+        partitions with |d|<2, (c2*n+1) for all-8x8 quads).
+        Returns (final_mv8, skip, mvd4, res2) or None."""
+        from ..encoder import me as ME
+        from ..encoder import inter as I
+        from ..encoder import scan as SCAN
+        from ..encoder.partition import (stego_costs_parts, N_UNITS,
+                                         UNIT_BLOCKS)
+        from ..ops.transform import chroma_qp
+
+        p, st = self.p, self.p.stego
+        mbh, mbw = p.mb_height, p.mb_width
+        qp = enc._cur_qp
+        nu = N_UNITS[part]                                  # [mbh,mbw]
+        covered = (~skip1) * nu
+        n_cov = int(covered.sum())
+        rate = st.em_rate
+        an = int(rate) if rate > 1 else int(rate * n_cov)
+        an = min(an, n_cov)
+        enc.stats.mv_covers += n_cov
+        if an <= 0 or n_cov == 0:
+            self.sent_messages.append(np.zeros(0, np.uint8))
+            return None
+
+        lam = ME.lambda_tab(qp)
+        t = enc._ptables8
+        rho_u, alt_u, _valid = stego_costs_parts(
+            y, t["blocks"], t["wht"], t["r_idx"], jnp.asarray(part),
+            jnp.asarray(mv8), jnp.asarray(mvp_u),
+            jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
+            decimate=p.dct_decimate)
+        rho_u = np.asarray(rho_u).astype(np.float64)
+        alt_u = np.asarray(alt_u)
+
+        # unit MVs [mbh,mbw,4,2] (z-slot order = coding order)
+        mvz = mv8.reshape(mbh, 2, mbw, 2, 2).transpose(0, 2, 1, 3, 4) \
+                 .reshape(mbh, mbw, 4, 2)
+        unit_mv = np.zeros((mbh, mbw, 4, 2), np.int32)
+        for pt, units in UNIT_BLOCKS.items():
+            sel = part == pt
+            for ui, blks in enumerate(units):
+                unit_mv[sel, ui] = mvz[sel, blks[0]]
+
+        # MVC adjustment (encoder.c:1649-1819)
+        c1, c2 = st.mvc_c1, st.mvc_c2
+        for my in range(mbh):
+            for mx in range(mbw):
+                if skip1[my, mx]:
+                    continue
+                pt = int(part[my, mx])
+                if pt in (1, 2):        # 16x8 / 8x16: first-class pair
+                    d = np.abs(unit_mv[my, mx, 0] - unit_mv[my, mx, 1])
+                    if d[0] + d[1] < 2:
+                        rho_u[my, mx, 0] *= c1
+                        rho_u[my, mx, 1] *= c1
+                elif pt == 3:           # all-8x8 quad: cycle count
+                    m = unit_mv[my, mx]   # slots 0..3 = TL,TR,BL,BR
+                    pairs = [(0, 1), (1, 3), (3, 2), (2, 0)]
+                    cnt = 0
+                    for a, b in pairs:
+                        for comp in range(2):
+                            if abs(int(m[a, comp]) - int(m[b, comp])) <= 1:
+                                cnt += 1
+                    rho_u[my, mx, :4] *= (c2 * cnt + 1)
+        rho_u *= st.alpha_loc
+        if st.alpha_com != 0.0:
+            from ..ops.uniward import dense_mv_field, mv_field_cost
+            mv4 = np.repeat(np.repeat(mv8, 2, 0), 2, 1)
+            rho_com = np.asarray(mv_field_cost(
+                jnp.asarray(mv4[..., 0].astype(np.float32)),
+                jnp.asarray(mv4[..., 1].astype(np.float32))))
+            # per-unit complexity at the unit's top-left 4x4
+            from ..encoder.scan import UNIT_GEOM
+            for my in range(mbh):
+                for mx in range(mbw):
+                    pt = int(part[my, mx])
+                    for ui, (oy, ox, _, _) in enumerate(UNIT_GEOM[pt]):
+                        rho_u[my, mx, ui] += st.alpha_com * \
+                            rho_com[4 * my + oy, 4 * mx + ox]
+
+        # assemble cover in coding order
+        cov_bits, cov_pos = [], []
+        for my in range(mbh):
+            for mx in range(mbw):
+                if skip1[my, mx]:
+                    continue
+                for ui in range(int(nu[my, mx])):
+                    mv = unit_mv[my, mx, ui]
+                    cov_bits.append(int(mv[0] + mv[1]) & 1)
+                    cov_pos.append((my, mx, ui))
+        cov = np.array(cov_bits, np.uint8)
+        rho_cov = np.array([rho_u[pos] for pos in cov_pos], np.float64)
+
+        message = self._next_message(an)
+        if enc._native is not None:
+            from .. import native
+            stego_bits, _cost = native.stc_embed(
+                cov, message, rho_cov, h=st.stc_h, key=st.key or 1)
+        else:
+            stego_bits, _cost = stc_embed(cov, message, rho_cov,
+                                          h=st.stc_h, key=st.key or 1)
+        flips = (cov ^ stego_bits).astype(bool)
+        self.sent_messages.append(message)
+        enc.stats.message_bits += an
+        enc.stats.mv_flips += int(flips.sum())
+
+        # apply flips: member blocks of flipped units take the alt MV
+        mv8_2 = mv8.copy()
+        for f, (my, mx, ui) in zip(flips, cov_pos):
+            if not f:
+                continue
+            pt = int(part[my, mx])
+            for b in UNIT_BLOCKS[pt][ui]:
+                gy, gx = 2 * my + (b >> 1), 2 * mx + (b & 1)
+                mv8_2[gy, gx] = alt_u[my, mx, ui]
+
+        if enc._native is not None:
+            from .. import native
+            final8, mvd2, _mvp2 = native.scan_p_parts_forced(
+                part, mv8_2, skip1)
+        else:
+            final8, mvd2, _mvp2 = SCAN.scan_p_frame_forced(
+                part, mv8_2, skip1)
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+        res2 = I.encode_p_frame_device8(
+            y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
+            jnp.asarray(final8), qp, qpc, mbh, mbw,
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
+        return final8, skip1, mvd2, res2

@@ -16,9 +16,14 @@ from .stc import stc_extract
 
 
 def cover_bits_of_frame(frame) -> np.ndarray:
-    """LSB(mvx+mvy) of coded (non-skip) inter MBs in coding order."""
-    bits = [(m.mv[0] + m.mv[1]) & 1 for m in frame.mbs
-            if m.mb_type == "P16x16"]
+    """LSB(mvx+mvy) of every partition-unit MV of coded (non-skip)
+    inter MBs, coding order (reference cover walk,
+    encoder/encoder.c:1566-1647: P_L0 16x16/16x8/8x16 + P_8x8)."""
+    bits = []
+    for m in frame.mbs:
+        if m.mb_type in ("P16x16", "P16x8", "P8x16", "P8x8"):
+            for mv in (m.unit_mvs or [m.mv]):
+                bits.append((mv[0] + mv[1]) & 1)
     return np.array(bits, np.uint8)
 
 
