@@ -47,6 +47,8 @@ def build_argparser():
     ap.add_argument("--merange", type=int, default=16)
     ap.add_argument("--subme", type=int, default=2)
     ap.add_argument("--no-dct-decimate", action="store_true")
+    ap.add_argument("--cabac", action="store_true")
+    ap.add_argument("--no-partitions", action="store_true")
     # stego (reference: x264.c:394-402)
     ap.add_argument("--emrate", type=float, default=0.0)
     ap.add_argument("--key", type=int, default=0)
@@ -101,6 +103,8 @@ def main(argv=None):
                stat_in=args.stats if args.rc_pass == 2 else "",
                qpfile=args.qpfile,
                dct_decimate=not args.no_dct_decimate,
+               cabac=args.cabac,
+               partitions=not args.no_partitions,
                stego=StegoParams(em_rate=args.emrate, key=args.key,
                                  em_file=args.emfile))
     enc = Encoder(p)

@@ -56,7 +56,8 @@ class Encoder:
                          num_ref_frames=1,
                          log2_max_frame_num=8)
         self.pps = H.PPS(pic_init_qp=params.qp,
-                         chroma_qp_index_offset=params.chroma_qp_offset)
+                         chroma_qp_index_offset=params.chroma_qp_offset,
+                         cabac=params.cabac)
         self.frame_num = 0
         self.idr_pic_id = 0
         self.stats = EncodeStats()
@@ -159,6 +160,8 @@ class Encoder:
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
+        if p.cabac:
+            return self._write_i_slice_cabac(bw, res, qp)
         if self._native is not None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
@@ -194,6 +197,69 @@ class Encoder:
                     res["chroma_dc"][my, mx], res["chroma_ac"][my, mx],
                     qp_delta=0)
         bw.rbsp_trailing()
+        return bw.get_bytes()
+
+    def _write_i_slice_cabac(self, bw, res, qp) -> bytes:
+        """CABAC I slice (encoder/cabac.c:781 I path)."""
+        from .cabac import CabacSliceWriter
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        while not bw.byte_aligned():
+            bw.write1(1)  # cabac_alignment_one_bit
+        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=True)
+        n = mbh * mbw
+        for a in range(n):
+            my, mx = a // mbw, a % mbw
+            if p.i4x4 and res["mb_i4"][my, mx]:
+                w.write_i4_mb(my, mx, res["i4_modes"][my, mx],
+                              int(res["cmode"][my, mx]),
+                              int(res["cbp_luma"][my, mx]),
+                              int(res["cbp_chroma"][my, mx]),
+                              res["luma_ac"][my, mx],
+                              res["chroma_dc"][my, mx],
+                              res["chroma_ac"][my, mx])
+            else:
+                w.write_i16_mb(my, mx, int(res["mode"][my, mx]),
+                               int(res["cmode"][my, mx]),
+                               int(res["cbp_luma"][my, mx]) != 0,
+                               int(res["cbp_chroma"][my, mx]),
+                               res["luma_dc"][my, mx],
+                               res["luma_ac"][my, mx],
+                               res["chroma_dc"][my, mx],
+                               res["chroma_ac"][my, mx])
+            w.end_mb(a == n - 1)
+        w.end_slice(bw)
+        return bw.get_bytes()
+
+    def _write_p_slice_cabac(self, bw, res, qp, part, mvd, skip) -> bytes:
+        """CABAC P slice; part=None means 16x16-only (mvd [mbh,mbw,2])."""
+        from .cabac import CabacSliceWriter
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        while not bw.byte_aligned():
+            bw.write1(1)
+        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
+        n = mbh * mbw
+        for a in range(n):
+            my, mx = a // mbw, a % mbw
+            if skip[my, mx]:
+                w.write_skip_mb(my, mx)
+            else:
+                if part is None:
+                    pt = 0
+                    mvds = np.array([[mvd[my, mx, 0], mvd[my, mx, 1]],
+                                     [0, 0], [0, 0], [0, 0]], np.int32)
+                else:
+                    pt = int(part[my, mx])
+                    mvds = mvd[my, mx]
+                w.write_p_mb(my, mx, pt, mvds,
+                             int(res["cbp_luma"][my, mx]),
+                             int(res["cbp_chroma"][my, mx]),
+                             res["luma_lev"][my, mx],
+                             res["chroma_dc"][my, mx],
+                             res["chroma_ac"][my, mx])
+            w.end_mb(a == n - 1)
+        w.end_slice(bw)
         return bw.get_bytes()
 
     def _update_ref(self, res):
@@ -252,33 +318,36 @@ class Encoder:
         from . import scan as SCAN
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
+        import jax
         lam = ME.lambda_tab(qp)
         part, mv8, r_idx8, blocks8, wht8 = PT.analyse_p_frame_parts(
             y, self.ref["luma"], jnp.asarray(self.prev_mv), p.me_range,
-            mbh, mbw, lam, p.subpel)
+            mbh, mbw, lam, p.subpel,
+            use_pallas=jax.default_backend() == "tpu")
         self._ptables8 = {"blocks": blocks8, "wht": wht8, "r_idx": r_idx8}
         part_np = np.asarray(part)
         mv8_np = np.asarray(mv8)
         res = P.encode_p_frame_device8(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
-        res_np = {k: np.asarray(val) for k, val in res.items()}
+        # the scan needs only the cbp maps; the bulky arrays cross the
+        # link exactly once, after a possible stego re-encode
+        cbp_l = np.asarray(res["cbp_luma"])
+        cbp_c = np.asarray(res["cbp_chroma"])
         if self._native is not None:
             from .. import native
             skip, mvd, mvp, final8 = native.scan_p_parts(
-                part_np, mv8_np, res_np["cbp_luma"],
-                res_np["cbp_chroma"])
+                part_np, mv8_np, cbp_l, cbp_c)
         else:
             skip, mvd, mvp, final8 = SCAN.scan_p_frame(
-                part_np, mv8_np, res_np["cbp_luma"],
-                res_np["cbp_chroma"])
+                part_np, mv8_np, cbp_l, cbp_c)
 
         if self._stego is not None:
             replaced = self._stego.embed_frame_parts(
-                self, y, u, v, part_np, mv8_np, res_np, skip, mvp)
+                self, y, u, v, part_np, mv8_np, None, skip, mvp)
             if replaced is not None:
                 final8, skip, mvd, res = replaced
-                res_np = {k: np.asarray(val) for k, val in res.items()}
+        res_np = {k: np.asarray(val) for k, val in res.items()}
 
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
         if p.deblock and self._native is not None:
@@ -295,6 +364,9 @@ class Encoder:
                              self.frame_num, qp, idr=False,
                              disable_deblock=0 if p.deblock else 1)
         n = mbh * mbw
+        if p.cabac:
+            return self._write_p_slice_cabac(bw, res_np, qp, part_np,
+                                             mvd, skip)
         if self._native is not None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
@@ -341,21 +413,20 @@ class Encoder:
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(mv_np), qp, qpc, p.mb_height, p.mb_width,
             decimate=p.dct_decimate)
-        res_np = {k: np.asarray(val) for k, val in res.items()}
+        cbp_l = np.asarray(res["cbp_luma"])
+        cbp_c = np.asarray(res["cbp_chroma"])
         if self._native is not None:
             from .. import native
-            skip, mvd, mvp = native.host_scan_p(
-                mv_np, res_np["cbp_luma"], res_np["cbp_chroma"])
+            skip, mvd, mvp = native.host_scan_p(mv_np, cbp_l, cbp_c)
         else:
-            skip, mvd, mvp = P.host_scan_p(mv_np, res_np["cbp_luma"],
-                                           res_np["cbp_chroma"])
+            skip, mvd, mvp = P.host_scan_p(mv_np, cbp_l, cbp_c)
 
         if self._stego is not None:
             replaced = self._stego.embed_frame(self, y, u, v, mv_np,
-                                               res_np, skip, mvp)
+                                               None, skip, mvp)
             if replaced is not None:
                 mv_np, skip, mvd, res = replaced
-                res_np = {k: np.asarray(val) for k, val in res.items()}
+        res_np = {k: np.asarray(val) for k, val in res.items()}
 
         if p.deblock and self._native is not None:
             self._deblock(res_np, intra=False, mv=mv_np,
@@ -373,6 +444,9 @@ class Encoder:
                              disable_deblock=0 if self.p.deblock else 1)
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
+        if p.cabac:
+            return self._write_p_slice_cabac(bw, res, qp, None, mvd,
+                                             skip)
         if self._native is not None:
             from .. import native
             hdr, nbits = bw.partial_bytes()

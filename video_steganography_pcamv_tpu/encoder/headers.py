@@ -75,12 +75,13 @@ class PPS:
     pic_init_qp: int = 26
     chroma_qp_index_offset: int = 0
     num_ref_idx_l0_active: int = 1
+    cabac: bool = False
 
     def write(self) -> bytes:
         bw = BitWriter()
         bw.write_ue(self.pps_id)
         bw.write_ue(self.sps_id)
-        bw.write1(0)  # entropy_coding_mode: CAVLC
+        bw.write1(1 if self.cabac else 0)  # entropy_coding_mode
         bw.write1(0)  # pic_order_present
         bw.write_ue(0)  # num_slice_groups - 1
         bw.write_ue(self.num_ref_idx_l0_active - 1)
@@ -119,6 +120,8 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
         bw.write1(0)  # long_term_reference_flag
     else:
         bw.write1(0)  # adaptive_ref_pic_marking_mode (sliding window)
+    if pps.cabac and slice_type != SLICE_TYPE_I:
+        bw.write_ue(0)  # cabac_init_idc
     bw.write_se(qp - pps.pic_init_qp)
     # deblocking_filter_control_present == 1:
     bw.write_ue(disable_deblock)

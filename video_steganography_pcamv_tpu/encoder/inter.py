@@ -66,6 +66,75 @@ def decimate_score(levels):
     return jnp.where(anybig, 9, score)
 
 
+def _mb_to_coef16(x):
+    """[n,16,16] pixels -> [16(pos 4r+c), n*16(blocks, (n,by,bx)
+    raster)] lane-major layout for the fused Pallas transform kernels."""
+    n = x.shape[0]
+    t = x.reshape(n, 4, 4, 4, 4)          # [n, by, r, bx, c]
+    return t.transpose(2, 4, 0, 1, 3).reshape(16, n * 16)
+
+
+def _coef16_to_lev(x, n):
+    """[16, n*16] -> [n, 4(r), 4(c), 4(by), 4(bx)] (luma_p_encode's
+    lev layout)."""
+    return x.reshape(4, 4, n, 4, 4).transpose(2, 0, 1, 3, 4)
+
+
+def _coef16_to_mb(x, n):
+    """[16, n*16] pixel rows -> [n, 16, 16]."""
+    return x.reshape(4, 4, n, 4, 4).transpose(2, 3, 0, 4, 1) \
+            .reshape(n, 16, 16)
+
+
+# zigzag scan position -> coef row (4*r + c) in the [16, L] layout
+_ZIG_ROWS = np.array([4 * r + c for r, c in T.ZIGZAG_4x4], np.int32)
+
+
+def _decimate_keep16(lev16, n):
+    """JVT-B118 decimation mask in the [16, L] layout: per-4x4 score
+    (static row permutation + cummax over 16 rows), grouped per 8x8 and
+    per MB exactly like decimate_score."""
+    z = lev16[_ZIG_ROWS, :]                          # [16, L] scan order
+    a = jnp.abs(z)
+    anybig = jnp.any(a > 1, axis=0)
+    nz = a > 0
+    idx = jnp.arange(16)[:, None]
+    marked = jnp.where(nz, idx, -1)
+    prev = jax.lax.cummax(marked, axis=0)
+    prev_excl = jnp.concatenate(
+        [jnp.full_like(prev[:1], -1), prev[:-1]], axis=0)
+    run = idx - prev_excl - 1
+    contrib = jnp.where(nz, jnp.asarray(_DS_TAB)[jnp.clip(run, 0, 15)], 0)
+    score = jnp.where(anybig, 9, jnp.sum(contrib, axis=0))  # [L]
+    sc = score.reshape(n, 4, 4)
+    sc8 = sc.reshape(n, 2, 2, 2, 2).sum(axis=(2, 4))        # [n,2,2]
+    keep8 = sc8 >= 4
+    keep_mb = jnp.sum(jnp.where(keep8, sc8, 0), axis=(1, 2)) >= 6
+    keep = keep8 & keep_mb[:, None, None]
+    keep_blk = jnp.repeat(jnp.repeat(keep, 2, 1), 2, 2)     # [n,4,4]
+    return keep_blk.reshape(1, n * 16)
+
+
+def luma_p_encode_fast(cur, pred, qp, decimate: bool):
+    """Pallas twin of luma_p_encode (bit-identical): fused DCT+quant
+    and dequant+IDCT kernels over lane-major [16, L] tiles, decimation
+    as static row ops in between."""
+    from ..ops.pallas_kernels import dct_quant_pallas, deq_idct_pallas
+    n = cur.shape[0]
+    qp = jnp.asarray(qp)
+    cur16 = _mb_to_coef16(cur)
+    pred16 = _mb_to_coef16(pred)
+    mf16 = jnp.asarray(T.QUANT4_MF)[qp].reshape(16)
+    bias16 = jnp.asarray(T.QUANT4_BIAS_INTER)[qp].reshape(16)
+    lev16 = dct_quant_pallas.__wrapped__(cur16, pred16, mf16, bias16)
+    if decimate:
+        lev16 = lev16 * _decimate_keep16(lev16, n)
+    dmf16 = jnp.asarray(T.DEQUANT4_MF)[qp % 6].reshape(16)
+    rec16 = deq_idct_pallas.__wrapped__(lev16, pred16, dmf16,
+                                        qp // 6 - 4)
+    return _coef16_to_lev(lev16, n), _coef16_to_mb(rec16, n)
+
+
 def luma_p_encode(cur, pred, qp: int, decimate: bool):
     """Shared inter-luma encode: residual -> quant -> (decimate) ->
     levels + recon. cur/pred: [N,16,16]. Used by both the real P encode
@@ -163,20 +232,23 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
         return t.reshape(mbh, mbw, b, b).transpose(0, 2, 1, 3) \
                 .reshape(mbh * b, mbw * b)
 
+    # transfer-lean dtypes: levels fit int16, recon is uint8 — the
+    # device->host link is the pipeline's scarcest resource (PERF.md)
     return {
         "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
-            mbh, mbw, 4, 4, 4, 4),                       # [..,by,bx,r,c]
-        "cbp_luma": cbp_luma.reshape(mbh, mbw),
-        "cbp_chroma": cbp_chroma.reshape(mbh, mbw),
+            mbh, mbw, 4, 4, 4, 4).astype(jnp.int16),     # [..,by,bx,r,c]
+        "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
+        "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
         "chroma_dc": jnp.stack(
-            [levs_c[0][0], levs_c[1][0]], axis=1).reshape(mbh, mbw, 2, 2, 2),
+            [levs_c[0][0], levs_c[1][0]],
+            axis=1).reshape(mbh, mbw, 2, 2, 2).astype(jnp.int16),
         "chroma_ac": jnp.stack(
             [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
              jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
-            axis=1).reshape(mbh, mbw, 2, 2, 2, 4, 4),
-        "recon_y": untile(rec, 16),
-        "recon_u": untile(recs_c[0], 8),
-        "recon_v": untile(recs_c[1], 8),
+            axis=1).reshape(mbh, mbw, 2, 2, 2, 4, 4).astype(jnp.int16),
+        "recon_y": untile(rec, 16).astype(jnp.uint8),
+        "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
+        "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
     }
 
 
@@ -268,18 +340,19 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
 
     return {
         "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
-            mbh, mbw, 4, 4, 4, 4),
-        "cbp_luma": cbp_luma.reshape(mbh, mbw),
-        "cbp_chroma": cbp_chroma.reshape(mbh, mbw),
+            mbh, mbw, 4, 4, 4, 4).astype(jnp.int16),
+        "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
+        "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
         "chroma_dc": jnp.stack(
-            [levs_c[0][0], levs_c[1][0]], axis=1).reshape(mbh, mbw, 2, 2, 2),
+            [levs_c[0][0], levs_c[1][0]],
+            axis=1).reshape(mbh, mbw, 2, 2, 2).astype(jnp.int16),
         "chroma_ac": jnp.stack(
             [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
              jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
-            axis=1).reshape(mbh, mbw, 2, 2, 2, 4, 4),
-        "recon_y": untile(rec, 16),
-        "recon_u": untile(recs_c[0], 8),
-        "recon_v": untile(recs_c[1], 8),
+            axis=1).reshape(mbh, mbw, 2, 2, 2, 4, 4).astype(jnp.int16),
+        "recon_y": untile(rec, 16).astype(jnp.uint8),
+        "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
+        "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
     }
 
 

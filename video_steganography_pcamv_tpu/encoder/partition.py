@@ -414,16 +414,25 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
 
 
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
-                                             "subpel", "allow_parts"))
+                                             "subpel", "allow_parts",
+                                             "use_pallas"))
 def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
                           mbw: int, lam, subpel: int,
-                          allow_parts: bool = True):
+                          allow_parts: bool = True,
+                          use_pallas: bool = False):
     """Fused partition-aware P analysis: full-pel all-shapes scan ->
     partition decision -> per-8x8 windows -> qpel tables -> per-unit
     subpel. Returns (part [mbh,mbw], mv8 [2mbh,2mbw,2] qpel, r_idx8,
-    blocks8 [169,N8,8,8], wht8)."""
-    st = fullpel_search_parts.__wrapped__(
-        y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
+    blocks8 [169,N8,8,8], wht8). The Pallas scan (TPU) uses a zero MV
+    predictor for the lambda term (like the 16x16 kernel: the true
+    predictor cost lands in subpel)."""
+    if use_pallas:
+        from ..ops.pallas_kernels import fullpel_parts_pallas
+        st = fullpel_parts_pallas.__wrapped__(
+            y, ref_luma[0], rng, mbh, mbw, lam)
+    else:
+        st = fullpel_search_parts.__wrapped__(
+            y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
     part, mvfp8 = decide_partition.__wrapped__(
         st, mbh, mbw, lam, allow_parts)
     windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)

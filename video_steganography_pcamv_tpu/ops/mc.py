@@ -145,10 +145,10 @@ def build_ref(recon_y: jnp.ndarray, recon_u: jnp.ndarray,
               recon_v: jnp.ndarray):
     """Package a reconstructed frame as a reference: padded planes +
     hpel pyramid (x264_fdec_filter_row's hpel step, encoder.c:1039-1048)."""
-    fp = pad_plane(recon_y)
+    fp = pad_plane(recon_y.astype(jnp.int32))
     h, v, c = hpel_planes(fp)
     return {
         "luma": jnp.stack([fp, h, v, c]),
-        "u": pad_plane(recon_u),
-        "v": pad_plane(recon_v),
+        "u": pad_plane(recon_u.astype(jnp.int32)),
+        "v": pad_plane(recon_v.astype(jnp.int32)),
     }

@@ -82,6 +82,297 @@ def _fullpel_kernel(cur_ref, win_ref, ssum_ref, lam_ref, out_ref, *,
     out_ref[0, 3, :] = jnp.zeros((mbw,), jnp.int32)
 
 
+def _dct_quant_kernel(cur_ref, pred_ref, mf_ref, bias_ref, out_ref, *,
+                      zero_dc: bool):
+    """Fused residual DCT + quant over [16(coef), L(blocks)] tiles.
+    Row i = coefficient position (4*r + c); mf/bias: SMEM [16] per-qp
+    constants. Replaces the XLA chain in luma_p_encode (VPU-bound, one
+    VMEM pass instead of ~30 HBM passes)."""
+    x = cur_ref[...] - pred_ref[...]
+    rows = [x[i:i + 1, :] for i in range(16)]
+    tmp = [None] * 16
+    for r in range(4):
+        x0, x1, x2, x3 = rows[4 * r:4 * r + 4]
+        s03, s12 = x0 + x3, x1 + x2
+        d03, d12 = x0 - x3, x1 - x2
+        tmp[4 * r + 0] = s03 + s12
+        tmp[4 * r + 1] = 2 * d03 + d12
+        tmp[4 * r + 2] = s03 - s12
+        tmp[4 * r + 3] = d03 - 2 * d12
+    coef = [None] * 16
+    for c in range(4):
+        x0, x1, x2, x3 = tmp[c], tmp[4 + c], tmp[8 + c], tmp[12 + c]
+        s03, s12 = x0 + x3, x1 + x2
+        d03, d12 = x0 - x3, x1 - x2
+        coef[c] = s03 + s12
+        coef[4 + c] = 2 * d03 + d12
+        coef[8 + c] = s03 - s12
+        coef[12 + c] = d03 - 2 * d12
+    for i in range(16):
+        if zero_dc and i == 0:
+            out_ref[0:1, :] = jnp.zeros_like(coef[0])
+            continue
+        cc = coef[i]
+        mag = (bias_ref[i] + jnp.abs(cc)) * mf_ref[i] >> 16
+        out_ref[i:i + 1, :] = jnp.sign(cc) * mag
+
+
+def _deq_idct_kernel(lev_ref, pred_ref, dc_ref, dmf_ref, qb_ref,
+                     out_ref, *, use_dc: bool):
+    """Fused dequant + inverse transform + reconstruction over
+    [16, L] tiles. dc_ref: [1, L] pre-dequantized DC replacing row 0
+    (chroma path); qb_ref: SMEM [1] qbits = qp//6 - 4."""
+    lv = lev_ref[...]
+    qb = qb_ref[0]
+    shl = jnp.maximum(qb, 0)
+    shr = jnp.maximum(-qb, 0)
+    f = jnp.where(qb < 0, 1 << jnp.maximum(-qb - 1, 0), 0)
+    deq = []
+    for i in range(16):
+        d = (lv[i:i + 1, :] * dmf_ref[i])
+        d = jnp.where(qb >= 0, d << shl, (d + f) >> shr)
+        deq.append(d)
+    if use_dc:
+        deq[0] = dc_ref[...]
+    tmp = [None] * 16
+    for r in range(4):
+        x0, x1, x2, x3 = deq[4 * r:4 * r + 4]
+        s02, d02 = x0 + x2, x0 - x2
+        s13 = x1 + (x3 >> 1)
+        d13 = (x1 >> 1) - x3
+        tmp[4 * r + 0] = s02 + s13
+        tmp[4 * r + 1] = d02 + d13
+        tmp[4 * r + 2] = d02 - d13
+        tmp[4 * r + 3] = s02 - s13
+    pred = pred_ref[...]
+    for c in range(4):
+        x0, x1, x2, x3 = tmp[c], tmp[4 + c], tmp[8 + c], tmp[12 + c]
+        s02, d02 = x0 + x2, x0 - x2
+        s13 = x1 + (x3 >> 1)
+        d13 = (x1 >> 1) - x3
+        for i, val in ((c, s02 + s13), (4 + c, d02 + d13),
+                       (8 + c, d02 - d13), (12 + c, s02 - s13)):
+            r = (val + 32) >> 6
+            out_ref[i:i + 1, :] = jnp.clip(
+                pred[i:i + 1, :] + r, 0, 255)
+
+
+_TQ_CHUNK = 2048
+
+
+def _pad_lanes(a, ch):
+    L = a.shape[1]
+    padl = (-L) % ch
+    if padl:
+        a = jnp.pad(a, ((0, 0), (0, padl)))
+    return a
+
+
+@functools.partial(jax.jit, static_argnames=("zero_dc", "interpret"))
+def dct_quant_pallas(cur16, pred16, mf16, bias16, zero_dc=False,
+                     interpret=False):
+    """cur16/pred16: [16, L]; mf16/bias16: [16] int32 per-coef quant
+    constants (already qp-resolved). Returns lev [16, L]."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    L = cur16.shape[1]
+    cur_p = _pad_lanes(cur16, _TQ_CHUNK)
+    pred_p = _pad_lanes(pred16, _TQ_CHUNK)
+    g = cur_p.shape[1] // _TQ_CHUNK
+    out = pl.pallas_call(
+        functools.partial(_dct_quant_kernel, zero_dc=zero_dc),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((16, _TQ_CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, _TQ_CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((16, _TQ_CHUNK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(cur_p.shape, jnp.int32),
+        interpret=interpret,
+    )(cur_p, pred_p, mf16, bias16)
+    return out[:, :L]
+
+
+@functools.partial(jax.jit, static_argnames=("use_dc", "interpret"))
+def deq_idct_pallas(lev16, pred16, dmf16, qbits, dc=None, use_dc=False,
+                    interpret=False):
+    """lev16/pred16: [16, L]; dmf16: [16]; qbits: scalar (qp//6-4);
+    dc: [1, L] dequantized DC for row 0 (chroma). Returns recon [16, L]."""
+    interpret = interpret or jax.default_backend() != "tpu"
+    L = lev16.shape[1]
+    lev_p = _pad_lanes(lev16, _TQ_CHUNK)
+    pred_p = _pad_lanes(pred16, _TQ_CHUNK)
+    if dc is None:
+        dc = jnp.zeros((1, lev_p.shape[1]), jnp.int32)
+    else:
+        dc = _pad_lanes(dc, _TQ_CHUNK)
+    g = lev_p.shape[1] // _TQ_CHUNK
+    qb = jnp.asarray(qbits, jnp.int32).reshape(1)
+    out = pl.pallas_call(
+        functools.partial(_deq_idct_kernel, use_dc=use_dc),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((16, _TQ_CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, _TQ_CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TQ_CHUNK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((16, _TQ_CHUNK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(lev_p.shape, jnp.int32),
+        interpret=interpret,
+    )(lev_p, pred_p, dc, dmf16, qb)
+    return out[:, :L]
+
+
+def _fullpel_parts_kernel(cur_ref, win_ref, se_ref, so_ref, lam_ref,
+                          out_ref, *, rng: int, mbw: int):
+    """Per-MB-row exhaustive scan producing best (cost, mv) for all 9
+    partition units of every MB: unit order [16x16, 16x8T, 16x8B,
+    8x16L, 8x16R, 8x8TL, 8x8TR, 8x8BL, 8x8BR]. MV packed as
+    (dx+64) | ((dy+64)<<8)."""
+    cur = cur_ref[...].astype(jnp.float32)          # [16, w]
+    se = se_ref[...]                                 # [w, mbw] even 8-col
+    so = so_ref[...]                                 # [w, mbw] odd 8-col
+    lam = lam_ref[0, 0]
+    w = cur.shape[1]
+    span = 2 * rng + 1
+    big = jnp.full((1, mbw), 1e30, jnp.float32)
+    zed = jnp.zeros((1, mbw), jnp.int32)
+    carry = tuple([big] * 9 + [zed] * 9)
+
+    cur_t = cur[0:8, :]
+    cur_b = cur[8:16, :]
+
+    for dy in range(span):
+        strip = win_ref[0, dy:dy + 16, :].astype(jnp.float32)
+        mvc_y = lam * _se_bits(jnp.int32(4 * (dy - rng)))
+
+        def body(dx, c, strip=strip, mvc_y=mvc_y, dy=dy):
+            costs = list(c[:9])
+            mvs = list(c[9:])
+            rolled = pltpu.roll(strip, -dx, axis=1)[:, :w]
+            dt = jnp.abs(cur_t - rolled[0:8, :])
+            db = jnp.abs(cur_b - rolled[8:16, :])
+            top = jnp.sum(dt, axis=0, keepdims=True)     # [1, w]
+            bot = jnp.sum(db, axis=0, keepdims=True)
+            dot = lambda a, s: jnp.dot(
+                a, s, preferred_element_type=jnp.float32)
+            q00 = dot(top, se)
+            q01 = dot(top, so)
+            q10 = dot(bot, se)
+            q11 = dot(bot, so)
+            mvc = (mvc_y + lam * _se_bits(4 * (dx - rng))) \
+                .astype(jnp.float32)
+            unit = [q00 + q01 + q10 + q11,               # 16x16
+                    q00 + q01, q10 + q11,                # 16x8 T/B
+                    q00 + q10, q01 + q11,                # 8x16 L/R
+                    q00, q01, q10, q11]                  # 8x8 quads
+            packed = (dx - rng + 64) | ((dy - rng + 64) << 8)
+            for u in range(9):
+                cost = unit[u] + mvc
+                better = cost < costs[u]
+                costs[u] = jnp.where(better, cost, costs[u])
+                mvs[u] = jnp.where(better, packed, mvs[u])
+            return tuple(costs + mvs)
+
+        carry = jax.lax.fori_loop(0, span, body, carry)
+
+    for u in range(9):
+        out_ref[0, 2 * u, :] = carry[u][0].astype(jnp.int32)
+        out_ref[0, 2 * u + 1, :] = carry[9 + u][0]
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "interpret"))
+def fullpel_parts_pallas(cur_y: jnp.ndarray, ref_padded: jnp.ndarray,
+                         rng: int, mbh: int, mbw: int, lam=1,
+                         interpret: bool = False):
+    """Partition-unit exhaustive full-pel search (Pallas twin of
+    encoder/partition.py fullpel_search_parts with a zero MV predictor).
+    Returns the same st dict: c16/mv16, c16x8/mv16x8, c8x16/mv8x16,
+    c8/mv8 (full-pel MVs)."""
+    from ..ops.mc import PAD
+
+    w = 16 * mbw
+    span = 2 * rng
+    wins = jnp.stack([
+        jax.lax.dynamic_slice(
+            ref_padded, (PAD - rng + 16 * r, PAD - rng),
+            (16 + span, w + span))
+        for r in range(mbh)])
+    wpad = (-(w + span)) % 128
+    if wpad:
+        wins = jnp.pad(wins, ((0, 0), (0, 0), (0, wpad)))
+
+    s_e = np.zeros((w, mbw), np.float32)
+    s_o = np.zeros((w, mbw), np.float32)
+    for i in range(w):
+        if (i % 16) < 8:
+            s_e[i, i // 16] = 1.0
+        else:
+            s_o[i, i // 16] = 1.0
+
+    kern = functools.partial(_fullpel_parts_kernel, rng=rng, mbw=mbw)
+    lam_arr = jnp.asarray(lam, jnp.int32).reshape(1, 1)
+    out = pl.pallas_call(
+        kern,
+        grid=(mbh,),
+        in_specs=[
+            pl.BlockSpec((16, w), lambda r: (r, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 16 + span, wins.shape[2]),
+                         lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, mbw), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, mbw), lambda r: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda r: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 18, mbw), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mbh, 18, mbw), jnp.int32),
+        interpret=interpret,
+    )(cur_y, wins, jnp.asarray(s_e), jnp.asarray(s_o), lam_arr)
+
+    def unpack(u):
+        cost = out[:, 2 * u]                       # [mbh, mbw]
+        pk = out[:, 2 * u + 1]
+        mv = jnp.stack([(pk & 0xFF) - 64, (pk >> 8) - 64], axis=-1)
+        return cost, mv
+
+    c16, mv16 = unpack(0)
+    ct, mvt = unpack(1)
+    cb, mvb = unpack(2)
+    cl, mvl = unpack(3)
+    cr, mvr = unpack(4)
+    c8 = []
+    mv8 = []
+    for u in range(5, 9):
+        cc, mm = unpack(u)
+        c8.append(cc)
+        mv8.append(mm)
+    return dict(
+        c16=c16, mv16=mv16,
+        c16x8=jnp.stack([ct, cb], axis=-1),
+        mv16x8=jnp.stack([mvt, mvb], axis=-2),
+        c8x16=jnp.stack([cl, cr], axis=-1),
+        mv8x16=jnp.stack([mvl, mvr], axis=-2),
+        c8=jnp.stack(c8, axis=-1),
+        mv8=jnp.stack(mv8, axis=-2),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "interpret"))
 def fullpel_search_pallas(cur_y: jnp.ndarray, ref_padded: jnp.ndarray,

@@ -110,7 +110,6 @@ class Params:
         assert self.width % 2 == 0 and self.height % 2 == 0, \
             "dimensions must be even (4:2:0)"
         self.qp = max(self.qp_min, min(self.qp_max, self.qp))
-        assert not self.cabac, "CABAC not yet implemented"
         assert self.bframes == 0, "B-frames not yet implemented"
         self.subpel = max(0, min(2, self.subpel))
         if self.crf > 0 and self.rc_mode == 0:

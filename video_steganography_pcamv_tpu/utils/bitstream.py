@@ -155,6 +155,9 @@ class BitReader:
             self._pos += 1
         return v
 
+    def bit_position(self) -> int:
+        return self._pos
+
     def read1(self) -> int:
         byte = self._data[self._pos >> 3]
         bit = (byte >> (7 - (self._pos & 7))) & 1
