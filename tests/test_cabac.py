@@ -81,3 +81,24 @@ def test_cabac_with_stego_payload():
     got = extract_from_stream(bs, em_rate=16.0, key=9)
     for g, s in zip(got, enc._stego.sent_messages):
         np.testing.assert_array_equal(g, s)
+
+
+def test_native_cabac_matches_python_oracle():
+    """The C++ CABAC twin must produce bit-identical slices to the
+    Python oracle (checkasm model)."""
+    from video_steganography_pcamv_tpu import native
+    if native.load() is None:
+        pytest.skip("native lib missing")
+    frames = _mixed_seq(3, seed=11)
+    # deblock off so both encoders make identical decisions (the
+    # Python-writer encoder has no native deblock to apply)
+    p = Params(width=W, height=H, qp=27, me_range=8, cabac=True,
+               deblock=False)
+    enc_n = Encoder(p)
+    bs_native = b"".join(enc_n.encode_frame(f) for f in frames)
+    p2 = Params(width=W, height=H, qp=27, me_range=8, cabac=True,
+                deblock=False)
+    enc_p = Encoder(p2)
+    enc_p._native = None  # force the Python writer path
+    bs_python = b"".join(enc_p.encode_frame(f) for f in frames)
+    assert bs_native == bs_python

@@ -204,6 +204,22 @@ class Encoder:
         from .cabac import CabacSliceWriter
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
+        n = mbh * mbw
+        if self._native is not None:
+            from .. import native
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice_cabac(
+                hdr, nbits, H.SLICE_TYPE_I, mbw, mbh, qp,
+                mode=res["mode"].reshape(n),
+                cmode=res["cmode"].reshape(n),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_dc=res["luma_dc"].reshape(n, 16),
+                luma_blocks=res["luma_ac"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
+                mb_i4=res["mb_i4"].reshape(n) if p.i4x4 else None,
+                i4_modes=(res["i4_modes"].reshape(n, 16)
+                          if p.i4x4 else None))
         while not bw.byte_aligned():
             bw.write1(1)  # cabac_alignment_one_bit
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=True)
@@ -236,10 +252,27 @@ class Encoder:
         from .cabac import CabacSliceWriter
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
+        n = mbh * mbw
+        if self._native is not None:
+            from .. import native
+            hdr, nbits = bw.partial_bytes()
+            if part is None:
+                part_a = np.zeros((mbh, mbw), np.int32)
+                mvd4 = np.zeros((mbh, mbw, 4, 2), np.int32)
+                mvd4[:, :, 0, :] = mvd
+            else:
+                part_a, mvd4 = part, mvd
+            return native.write_slice_cabac(
+                hdr, nbits, H.SLICE_TYPE_P, mbw, mbh, qp,
+                skip=skip.reshape(n).astype(np.uint8),
+                part=part_a.reshape(n), mvd4=mvd4.reshape(n, 4, 2),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_blocks=res["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
-        n = mbh * mbw
         for a in range(n):
             my, mx = a // mbw, a % mbw
             if skip[my, mx]:

@@ -316,13 +316,20 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
     def didx(dy, dx):
         return dy * 13 + dx
 
-    def mb_pred_from_idx(idx_z):
-        """idx_z: [n,4] per-block table index -> [n,16,16] MB preds."""
-        idx8 = _z_to_sp(idx_z.reshape(mbh, mbw, 4), mbh, mbw) \
-            .reshape(4 * n)
+    # every (slot, candidate) pred is assembled from the SAME 13 block
+    # selections (delta applied to member blocks, identity elsewhere):
+    # 13 table reads instead of 4x13 (the select is the HBM-bound part)
+    def blocks_at(delta):
+        idx8 = r_idx8 + didx(*delta)
         b8 = QT.select_rows(blocks8, idx8)                # [N8,8,8]
-        pl = b8.reshape(2 * mbh, 2 * mbw, 8, 8).transpose(0, 2, 1, 3) \
-               .reshape(16 * mbh, 16 * mbw)
+        return _sp_to_z(b8.reshape(2 * mbh, 2 * mbw, 8, 8),
+                        mbh, mbw).reshape(n, 4, 8, 8)
+
+    def mb_pred(blkz):
+        """[n,4,8,8] z-order blocks -> [n,16,16] MB preds."""
+        pl = blkz.reshape(mbh, mbw, 2, 2, 8, 8) \
+                 .transpose(0, 2, 4, 1, 3, 5) \
+                 .reshape(16 * mbh, 16 * mbw)
         return pl.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
                  .reshape(n, 16, 16)
 
@@ -347,6 +354,14 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
     member = {}
     for u in range(4):
         member[u] = (block_unit == u)                     # [n,4] bool
+
+    blk0z = blocks_at((0, 0))                             # [n,4,8,8]
+    cand_blkz = [blocks_at((int(D_MV[c][1]), int(D_MV[c][0])))
+                 for c in range(12)]
+    # the original-MV encode is slot-independent: one shared recon
+    from .inter import luma_p_encode as _lpe
+    cur_shared = cur
+    _, rec0_shared = _lpe(cur_shared, mb_pred(blk0z), qp, decimate)
 
     out_rho, out_alt, out_valid = [], [], []
     for u in range(4):
@@ -379,14 +394,14 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
                 outp.append(sat + mvcost(d))
             return jnp.stack(outp, axis=1)                # [n,9]
 
-        def encode_at(delta):
-            """Re-encode MB with unit u displaced by delta (dy,dx)."""
-            idx_z = r_z + jnp.where(mem, didx(*delta), 0)
-            pred = mb_pred_from_idx(idx_z)
-            _, rec = luma_p_encode(cur, pred, qp, decimate)
+        def encode_cand(c):
+            """Re-encode MB with unit u's blocks at candidate c."""
+            m4 = mem[:, :, None, None]
+            blkz = jnp.where(m4, cand_blkz[c], blk0z)
+            _, rec = luma_p_encode(cur, mb_pred(blkz), qp, decimate)
             return wht_blocks_z(rec)
 
-        w0 = encode_at((0, 0))
+        w0 = wht_blocks_z(rec0_shared)
         nb0 = probes(w0, (0, 0))
         orig_cost = nb0[:, 8]
         orig_opt = jnp.min(nb0, axis=1) >= orig_cost
@@ -394,7 +409,7 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
         cand_cost, cand_opt = [], []
         for c in range(12):
             dc = (int(D_MV[c][1]), int(D_MV[c][0]))       # (dy,dx)
-            wc = encode_at(dc)
+            wc = encode_cand(c)
             nbc = probes(wc, dc)
             cand_cost.append(nbc[:, 8])
             cand_opt.append(jnp.min(nbc, axis=1) >= nbc[:, 8])
@@ -427,7 +442,8 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     predictor for the lambda term (like the 16x16 kernel: the true
     predictor cost lands in subpel)."""
     if use_pallas:
-        from ..ops.pallas_kernels import fullpel_parts_pallas
+        from ..ops.pallas_kernels import (fullpel_parts_pallas,
+                                          gather_windows8_banked)
         st = fullpel_parts_pallas.__wrapped__(
             y, ref_luma[0], rng, mbh, mbw, lam)
     else:
@@ -435,7 +451,11 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
             y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
     part, mvfp8 = decide_partition.__wrapped__(
         st, mbh, mbw, lam, allow_parts)
-    windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)
+    if use_pallas:
+        windows = gather_windows8_banked.__wrapped__(
+            ref_luma, mvfp8, mbh, mbw)
+    else:
+        windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)
     blocks8 = block_table8(windows)
     wht8 = QT.wht16(blocks8)
     mv8, r_idx8 = subpel_parts.__wrapped__(

@@ -77,7 +77,47 @@ def p_frame_step(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
 
 
 def multi_stream_step(ys, us, vs, ref_lumas, ref_us, ref_vs, prev_mvs,
-                      **kw):
+                      parts: bool = False, **kw):
     """vmapped p_frame_step over a leading stream axis [S, ...]."""
-    fn = functools.partial(p_frame_step.__wrapped__, **kw)
+    base = p_frame_step_parts if parts else p_frame_step
+    fn = functools.partial(base.__wrapped__, **kw)
     return jax.vmap(fn)(ys, us, vs, ref_lumas, ref_us, ref_vs, prev_mvs)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "mbh", "mbw", "rng", "subpel", "decimate", "with_stego",
+    "use_pallas"))
+def p_frame_step_parts(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
+                       qp, qpc, mbh: int, mbw: int, rng: int,
+                       lam, subpel: int = 2, decimate: bool = True,
+                       with_stego: bool = True,
+                       use_pallas: bool = False, cost_mv=None):
+    """Partition-aware flagship step: all-shapes full-pel scan ->
+    partition decision -> per-8x8 qpel tables -> per-unit subpel ->
+    partitioned encode -> per-unit RCA stego costs, one dispatch.
+    This is the production P-frame program (encoder/core.py
+    _encode_p_parts runs the same stages)."""
+    from ..encoder import partition as PT
+
+    part, mv8, r_idx8, blocks8, wht8 = PT.analyse_p_frame_parts.__wrapped__(
+        y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
+        use_pallas=use_pallas)
+    out = INTER.encode_p_frame_device8.__wrapped__(
+        y, u, v, ref_luma, ref_u, ref_v, mv8, qp, qpc, mbh, mbw,
+        decimate, None)
+    out["part"] = part
+    out["mv8"] = mv8
+    if with_stego:
+        if cost_mv is None:
+            d = jnp.arange(0, 4 * 512 + 1)
+            base = (2.0 * jnp.log2(d.astype(jnp.float32) + 1.0)
+                    + 0.718 + (d != 0))
+            cost_mv = (lam * base + 0.5).astype(jnp.int32)
+        mvp_u = jnp.zeros((mbh, mbw, 4, 2), jnp.int32)
+        rho, alt, valid = PT.stego_costs_parts.__wrapped__(
+            y, blocks8, wht8, r_idx8, part, mv8, mvp_u, cost_mv, qp,
+            mbh, mbw, decimate)
+        out["stego_rho"] = rho
+        out["stego_alt_mv"] = alt
+        out["stego_valid"] = valid
+    return out

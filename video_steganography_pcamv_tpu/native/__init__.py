@@ -79,6 +79,15 @@ def load():
     lib.pcamv_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    lib.pcamv_write_slice_cabac.restype = ctypes.c_long
+    lib.pcamv_write_slice_cabac.argtypes = [
+        u8p, ctypes.c_long, u8p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p, i32p, i32p,
+        ctypes.c_void_p, i32p, i32p, i32p,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.pcamv_stc_embed.restype = ctypes.c_int
     lib.pcamv_stc_embed.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long,
                                     f64p, ctypes.c_int, ctypes.c_uint32,
@@ -151,6 +160,55 @@ def host_scan_p(mv, cbp_luma, cbp_chroma):
                           mbw, mbh, skip, mvd, mvp)
     return (skip.reshape(mbh, mbw).astype(bool),
             mvd.reshape(mbh, mbw, 2), mvp.reshape(mbh, mbw, 2))
+
+
+def write_slice_cabac(header_bytes: bytes, header_nbits: int,
+                      slice_type: int, mbw: int, mbh: int, qp: int, *,
+                      model: int = 0, skip=None, part=None, mvd4=None,
+                      mode=None, cmode=None, cbp_luma, cbp_chroma,
+                      luma_dc=None, luma_blocks, chroma_dc, chroma_ac,
+                      mb_i4=None, i4_modes=None) -> bytes:
+    """Native CABAC whole-slice entropy coding (twin of
+    encoder/cabac.py's CabacSliceWriter; bit-identical)."""
+    lib = load()
+    n = mbw * mbh
+    cap = 1 << 22
+    while True:
+        out = np.zeros(cap, np.uint8)
+        hdr = np.frombuffer(header_bytes + b"\0" * 8, np.uint8).copy()
+
+        def ptr(a):
+            return (a.ctypes.data_as(ctypes.c_void_p)
+                    if a is not None else None)
+
+        skip_a = (np.ascontiguousarray(skip, np.uint8)
+                  if skip is not None else None)
+        part_a = _as_i32(part).reshape(n) if part is not None else None
+        mvd4_a = (_as_i32(mvd4).reshape(n * 8)
+                  if mvd4 is not None else None)
+        mode_a = _as_i32(mode).reshape(n) if mode is not None else None
+        cmode_a = (_as_i32(cmode).reshape(n)
+                   if cmode is not None else None)
+        dc_a = (_as_i32(luma_dc).reshape(n * 16)
+                if luma_dc is not None else None)
+        i4_a = (np.ascontiguousarray(mb_i4, np.uint8)
+                if mb_i4 is not None else None)
+        i4m_a = (_as_i32(i4_modes).reshape(n * 16)
+                 if i4_modes is not None else None)
+        r = lib.pcamv_write_slice_cabac(
+            out, cap, hdr, header_nbits, slice_type, mbw, mbh, qp,
+            model, ptr(skip_a), ptr(part_a), ptr(mvd4_a), ptr(mode_a),
+            ptr(cmode_a),
+            _as_i32(cbp_luma).reshape(n), _as_i32(cbp_chroma).reshape(n),
+            ptr(dc_a), _as_i32(luma_blocks).reshape(n * 256),
+            _as_i32(chroma_dc).reshape(n * 8),
+            _as_i32(chroma_ac).reshape(n * 128),
+            ptr(i4_a), ptr(i4m_a))
+        if r >= 0:
+            return bytes(out[:r])
+        cap *= 4
+        if cap > (1 << 28):
+            raise RuntimeError("native cabac writer overflow")
 
 
 def scan_p_parts(part, mv8, cbp_luma, cbp_chroma):

@@ -233,6 +233,59 @@ def deq_idct_pallas(lev16, pred16, dmf16, qbits, dc=None, use_dc=False,
     return out[:, :L]
 
 
+def _window8_kernel(b_ref, yr_ref, xs_ref, banks_ref, out_ref, sem):
+    """Per-8x8-block window DMA from the 8-bank vertically-shifted
+    plane copies: dynamic sublane starts become 8-aligned (the Mosaic
+    DMA rule the naive gather kernel trips over; see docs/PERF.md)."""
+    i = pl.program_id(0)
+    cp = pltpu.make_async_copy(
+        banks_ref.at[b_ref[i], :, pl.ds(yr_ref[i], 16),
+                     pl.ds(xs_ref[i], 16)],
+        out_ref.at[0], sem)
+    cp.start()
+    cp.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "interpret"))
+def gather_windows8_banked(planes: jnp.ndarray, mvfp8: jnp.ndarray,
+                           mbh: int, mbw: int, interpret: bool = False):
+    """[4, Hp, Wp] planes + [2mbh, 2mbw, 2] full-pel MVs ->
+    [N8, 4, 16, 16] per-8x8-block qpel windows (banked DMA; twin of
+    encoder/partition.py gather_windows8_jnp)."""
+    from ..ops.mc import PAD
+    MARGIN = 4
+    # bank b row y = plane row y + b; +8 bottom pad keeps the deepest
+    # bank in range for maximal MVs
+    padded = jnp.pad(planes, ((0, 0), (0, 8), (0, 0)), mode="edge")
+    Hp = planes.shape[1]
+    banks = jnp.stack([padded[:, b:b + Hp, :] for b in range(8)])
+
+    n8 = 4 * mbh * mbw
+    bys = (jnp.arange(n8) // (2 * mbw)) * 8
+    bxs = (jnp.arange(n8) % (2 * mbw)) * 8
+    mvf = mvfp8.reshape(n8, 2)
+    ys = (bys + PAD - MARGIN + mvf[:, 1]).astype(jnp.int32)
+    xs = (bxs + PAD - MARGIN + mvf[:, 0]).astype(jnp.int32)
+    b = ys % 8
+    yr = ys - b
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n8,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, 4, 16, 16),
+                               lambda i, b, yr, xs: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        _window8_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n8, 4, 16, 16), planes.dtype),
+        interpret=interpret,
+    )(b, yr, xs, banks)
+
+
 def _fullpel_parts_kernel(cur_ref, win_ref, se_ref, so_ref, lam_ref,
                           out_ref, *, rng: int, mbw: int):
     """Per-MB-row exhaustive scan producing best (cost, mv) for all 9

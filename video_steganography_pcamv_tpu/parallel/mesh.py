@@ -51,7 +51,8 @@ def encode_streams_sharded(mesh: Mesh, ys, us, vs, ref_lumas, ref_us,
         out = pipeline.multi_stream_step(ys, us, vs, rl, ru, rv, pm,
                                          **kw2)
         # cross-stream global stat -> all-reduce over dp
-        out["global_mv_mag"] = jnp.sum(jnp.abs(out["mv"]))
+        mv = out["mv8"] if "mv8" in out else out["mv"]
+        out["global_mv_mag"] = jnp.sum(jnp.abs(mv))
         return out
 
     return step(*args, **kw)
