@@ -442,8 +442,7 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     predictor for the lambda term (like the 16x16 kernel: the true
     predictor cost lands in subpel)."""
     if use_pallas:
-        from ..ops.pallas_kernels import (fullpel_parts_pallas,
-                                          gather_windows8_banked)
+        from ..ops.pallas_kernels import fullpel_parts_pallas
         st = fullpel_parts_pallas.__wrapped__(
             y, ref_luma[0], rng, mbh, mbw, lam)
     else:
@@ -451,11 +450,12 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
             y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
     part, mvfp8 = decide_partition.__wrapped__(
         st, mbh, mbw, lam, allow_parts)
-    if use_pallas:
-        windows = gather_windows8_banked.__wrapped__(
-            ref_luma, mvfp8, mbh, mbw)
-    else:
-        windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)
+    # NOTE: the banked-DMA window kernel (pallas_kernels.
+    # gather_windows8_banked) clears Mosaic's 8-aligned sublane-start
+    # rule via the 8-bank trick but trips the next one: DMA lane-slice
+    # WIDTHS must be 128-multiples, and a window is 16 wide. Until a
+    # 128-wide batching shape is worked out the XLA gather stays.
+    windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)
     blocks8 = block_table8(windows)
     wht8 = QT.wht16(blocks8)
     mv8, r_idx8 = subpel_parts.__wrapped__(

@@ -236,11 +236,17 @@ def deq_idct_pallas(lev16, pred16, dmf16, qbits, dc=None, use_dc=False,
 def _window8_kernel(b_ref, yr_ref, xs_ref, banks_ref, out_ref, sem):
     """Per-8x8-block window DMA from the 8-bank vertically-shifted
     plane copies: dynamic sublane starts become 8-aligned (the Mosaic
-    DMA rule the naive gather kernel trips over; see docs/PERF.md)."""
+    DMA rule the naive gather kernel trips over; see docs/PERF.md).
+
+    STATUS: compiles + matches the XLA twin in interpret mode, but the
+    real Mosaic backend additionally requires DMA lane-slice WIDTHS to
+    be 128-multiples ("Slice shape along dimension 3 must be aligned to
+    tiling (128)") and a window is 16 wide. Kept off the default path;
+    the fix is a wider batched fetch shape (e.g. 8 windows per DMA)."""
     i = pl.program_id(0)
+    yr = pl.multiple_of(yr_ref[i], 8)   # 8-aligned by construction
     cp = pltpu.make_async_copy(
-        banks_ref.at[b_ref[i], :, pl.ds(yr_ref[i], 16),
-                     pl.ds(xs_ref[i], 16)],
+        banks_ref.at[b_ref[i], :, pl.ds(yr, 16), pl.ds(xs_ref[i], 16)],
         out_ref.at[0], sem)
     cp.start()
     cp.wait()
