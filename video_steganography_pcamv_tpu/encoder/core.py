@@ -247,13 +247,14 @@ class Encoder:
         w.end_slice(bw)
         return bw.get_bytes()
 
-    def _write_p_slice_cabac(self, bw, res, qp, part, mvd, skip) -> bytes:
+    def _write_p_slice_cabac(self, bw, res, qp, part, mvd, skip,
+                             intra_kind=None, intra_res=None) -> bytes:
         """CABAC P slice; part=None means 16x16-only (mvd [mbh,mbw,2])."""
         from .cabac import CabacSliceWriter
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None:
+        if self._native is not None and intra_res is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             if part is None:
@@ -275,8 +276,27 @@ class Encoder:
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
         for a in range(n):
             my, mx = a // mbw, a % mbw
+            k = 0 if intra_kind is None else int(intra_kind[my, mx])
             if skip[my, mx]:
                 w.write_skip_mb(my, mx)
+            elif k == 2:
+                w.write_i4_mb(my, mx, intra_res["i4_modes"][my, mx],
+                              int(intra_res["cmode"][my, mx]),
+                              int(intra_res["cbp_luma"][my, mx]),
+                              int(intra_res["cbp_chroma"][my, mx]),
+                              intra_res["luma_ac"][my, mx],
+                              intra_res["chroma_dc"][my, mx],
+                              intra_res["chroma_ac"][my, mx], in_p=True)
+            elif k == 1:
+                w.write_i16_mb(my, mx, int(intra_res["mode"][my, mx]),
+                               int(intra_res["cmode"][my, mx]),
+                               int(intra_res["cbp_luma"][my, mx]) != 0,
+                               int(intra_res["cbp_chroma"][my, mx]),
+                               intra_res["luma_dc"][my, mx],
+                               intra_res["luma_ac"][my, mx],
+                               intra_res["chroma_dc"][my, mx],
+                               intra_res["chroma_ac"][my, mx],
+                               in_p=True)
             else:
                 if part is None:
                     pt = 0
@@ -300,7 +320,8 @@ class Encoder:
         self.ref = mc.build_ref(res["recon_y"], res["recon_u"],
                                 res["recon_v"])
 
-    def _deblock(self, res_np, intra: bool, mv=None, skip=None, qp=None):
+    def _deblock(self, res_np, intra, mv=None, skip=None, qp=None,
+                 nnz4=None):
         """In-loop deblocking on the host recon (native C++; reference
         x264_fdec_filter_row -> x264_frame_deblock_row, encoder.c:1035).
         Returns (y, u, v) uint8 deblocked planes and re-derives the
@@ -310,11 +331,16 @@ class Encoder:
         ry = np.ascontiguousarray(res_np["recon_y"], np.uint8)
         ru = np.ascontiguousarray(res_np["recon_u"], np.uint8)
         rv = np.ascontiguousarray(res_np["recon_v"], np.uint8)
-        key = "luma_ac" if intra else "luma_lev"
-        nnz4 = np.count_nonzero(res_np[key], axis=(4, 5)) \
-            .transpose(0, 2, 1, 3).reshape(4 * p.mb_height, 4 * p.mb_width)
+        if nnz4 is None:
+            key = "luma_ac" if intra is True else "luma_lev"
+            nnz4 = np.count_nonzero(res_np[key], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3) \
+                .reshape(4 * p.mb_height, 4 * p.mb_width)
         mbsh = (p.mb_height, p.mb_width)
-        intra_a = np.full(mbsh, 1 if intra else 0, np.uint8)
+        if isinstance(intra, np.ndarray):
+            intra_a = intra.astype(np.uint8)
+        else:
+            intra_a = np.full(mbsh, 1 if intra else 0, np.uint8)
         mv_a = (np.zeros((*mbsh, 2), np.int32) if mv is None
                 else np.ascontiguousarray(mv, np.int32))
         if qp is None:
@@ -354,27 +380,48 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         import jax
         lam = ME.lambda_tab(qp)
-        part, mv8, r_idx8, blocks8, wht8 = PT.analyse_p_frame_parts(
-            y, self.ref["luma"], jnp.asarray(self.prev_mv), p.me_range,
-            mbh, mbw, lam, p.subpel,
-            use_pallas=jax.default_backend() == "tpu")
+        part, mv8, r_idx8, blocks8, wht8, mb_cost = \
+            PT.analyse_p_frame_parts(
+                y, self.ref["luma"], jnp.asarray(self.prev_mv),
+                p.me_range, mbh, mbw, lam, p.subpel,
+                use_pallas=jax.default_backend() == "tpu")
         self._ptables8 = {"blocks": blocks8, "wht": wht8, "r_idx": r_idx8}
         part_np = np.asarray(part)
         mv8_np = np.asarray(mv8)
         res = P.encode_p_frame_device8(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+
+        # intra-vs-inter refinement (off while embedding — the
+        # reference disables intra in P too, analyse.c:2862-2863)
+        intra_res = None
+        intra_kind = np.zeros((mbh, mbw), np.int32)
+        if p.intra_in_p and self._stego is None:
+            ir = I.refine_p_intra(
+                y, u, v, res["recon_y"], res["recon_u"], res["recon_v"],
+                mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4)
+            intra_kind = np.asarray(ir["intra_kind"])
+            if intra_kind.any():
+                intra_res = {k: np.asarray(val) for k, val in ir.items()}
+                res = dict(res)
+                for k in ("recon_y", "recon_u", "recon_v"):
+                    res[k] = ir[k]
+
         # the scan needs only the cbp maps; the bulky arrays cross the
         # link exactly once, after a possible stego re-encode
         cbp_l = np.asarray(res["cbp_luma"])
         cbp_c = np.asarray(res["cbp_chroma"])
+        intra_mask = intra_kind > 0
         if self._native is not None:
             from .. import native
             skip, mvd, mvp, final8 = native.scan_p_parts(
-                part_np, mv8_np, cbp_l, cbp_c)
+                part_np, mv8_np, cbp_l, cbp_c,
+                intra=intra_mask if intra_mask.any() else None)
         else:
             skip, mvd, mvp, final8 = SCAN.scan_p_frame(
-                part_np, mv8_np, cbp_l, cbp_c)
+                part_np, mv8_np, cbp_l, cbp_c,
+                intra=intra_mask if intra_mask.any() else None)
+        skip &= ~intra_mask
 
         if self._stego is not None:
             replaced = self._stego.embed_frame_parts(
@@ -384,14 +431,25 @@ class Encoder:
         res_np = {k: np.asarray(val) for k, val in res.items()}
 
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
+        nnz4 = None
+        if intra_res is not None:
+            # deblock nnz: inter MBs from luma_lev, intra from luma_ac
+            nz_inter = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            nz_intra = np.count_nonzero(intra_res["luma_ac"],
+                                        axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
+            nnz4 = np.where(m4, nz_intra, nz_inter).astype(np.int32)
         if p.deblock and self._native is not None:
-            self._deblock(res_np, intra=False, mv=mv4,
-                          skip=skip.astype(np.uint8), qp=qp)
+            self._deblock(res_np, intra=intra_mask, mv=mv4,
+                          skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4)
         else:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
                                res_np["recon_v"])
-        self.prev_mv = np.ascontiguousarray(final8[::2, ::2])
+        self.prev_mv = np.where(intra_mask[..., None], 0,
+                                np.ascontiguousarray(final8[::2, ::2]))
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
@@ -400,8 +458,9 @@ class Encoder:
         n = mbh * mbw
         if p.cabac:
             return self._write_p_slice_cabac(bw, res_np, qp, part_np,
-                                             mvd, skip)
-        if self._native is not None:
+                                             mvd, skip, intra_kind,
+                                             intra_res)
+        if self._native is not None and intra_res is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice(
@@ -423,6 +482,30 @@ class Encoder:
                     continue
                 bw.write_ue(skip_run)
                 skip_run = 0
+                k = int(intra_kind[my, mx])
+                if k == 2:  # I_NxN in P (mb_type 5)
+                    fc.write_i4x4_mb(
+                        bw, mx, my, intra_res["i4_modes"][my, mx],
+                        int(intra_res["cmode"][my, mx]),
+                        int(intra_res["cbp_luma"][my, mx]),
+                        int(intra_res["cbp_chroma"][my, mx]),
+                        intra_res["luma_ac"][my, mx],
+                        intra_res["chroma_dc"][my, mx],
+                        intra_res["chroma_ac"][my, mx], qp_delta=0,
+                        in_p_slice=True)
+                    continue
+                if k == 1:  # I_16x16 in P
+                    fc.write_i16x16_mb(
+                        bw, mx, my, int(intra_res["mode"][my, mx]),
+                        int(intra_res["cmode"][my, mx]),
+                        int(intra_res["cbp_luma"][my, mx]),
+                        int(intra_res["cbp_chroma"][my, mx]),
+                        intra_res["luma_dc"][my, mx],
+                        intra_res["luma_ac"][my, mx],
+                        intra_res["chroma_dc"][my, mx],
+                        intra_res["chroma_ac"][my, mx], qp_delta=0,
+                        in_p_slice=True)
+                    continue
                 fc.write_p_mb(
                     bw, mx, my, int(part_np[my, mx]), mvd[my, mx],
                     int(res_np["cbp_luma"][my, mx]),

@@ -398,3 +398,149 @@ def _z_to_grid(m4_z):
     for blk, (by, bx) in enumerate(LUMA_SCAN):
         g = g.at[:, by, bx].set(m4_z[:, blk])
     return g
+
+
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4"))
+def refine_p_intra(y, u, v, recon_y, recon_u, recon_v, inter_cost,
+                   qp, qpc, mbw: int, mbh: int, lam=0,
+                   i4x4: bool = True):
+    """Intra-vs-inter refinement for P frames (the final intra compare
+    of x264_macroblock_analyse's P path, analyse.c:2812-2825 — skipped
+    by the reference when embedding, analyse.c:2862-2863).
+
+    Runs the same knight-wavefront as encode_i_frame but over the
+    ALREADY-ENCODED inter frame: each wave evaluates i16x16/i4x4/chroma
+    candidates against the true neighbour reconstruction (inter recon
+    for inter MBs — which is neighbour-independent — and committed
+    intra recon for earlier intra MBs), switches a MB to intra iff its
+    intra SATD cost beats `inter_cost[my, mx]`, and commits the
+    reconstruction accordingly. Exact raster-order semantics, batched.
+
+    Returns dict with intra_kind [mbh,mbw] (0 inter, 1 i16, 2 i4) and
+    the intra decision/level arrays (valid where intra_kind > 0) plus
+    the merged recon planes.
+    """
+    mx_t, my_t, act_t = wave_tables(mbw, mbh)
+    n_waves, W = mx_t.shape
+    mx_t, my_t = jnp.asarray(mx_t), jnp.asarray(my_t)
+    act_t = jnp.asarray(act_t)
+
+    ty = _tile(y, 16)
+    tu = _tile(u, 8)
+    tv = _tile(v, 8)
+
+    state = dict(
+        ry=_tile(recon_y.astype(jnp.int32), 16),
+        ru=_tile(recon_u.astype(jnp.int32), 8),
+        rv=_tile(recon_v.astype(jnp.int32), 8),
+        kind=jnp.zeros((mbh, mbw), jnp.int32),
+        mode=jnp.zeros((mbh, mbw), jnp.int32),
+        cmode=jnp.zeros((mbh, mbw), jnp.int32),
+        i4_modes=jnp.full((mbh, mbw, 16), 2, jnp.int32),
+        modes4=jnp.full((mbh, mbw, 4, 4), 2, jnp.int32),
+        cbp_luma=jnp.zeros((mbh, mbw), jnp.int32),
+        cbp_chroma=jnp.zeros((mbh, mbw), jnp.int32),
+        luma_dc=jnp.zeros((mbh, mbw, 4, 4), jnp.int32),
+        luma_ac=jnp.zeros((mbh, mbw, 4, 4, 4, 4), jnp.int32),
+        chroma_dc=jnp.zeros((mbh, mbw, 2, 2, 2), jnp.int32),
+        chroma_ac=jnp.zeros((mbh, mbw, 2, 2, 2, 4, 4), jnp.int32),
+    )
+
+    def body(d, st):
+        mx = jax.lax.dynamic_slice(mx_t, (d, 0), (1, W))[0]
+        my = jax.lax.dynamic_slice(my_t, (d, 0), (1, W))[0]
+        act = jax.lax.dynamic_slice(act_t, (d, 0), (1, W))[0]
+        at = act & (my > 0)
+        al = act & (mx > 0)
+        atr = at & (mx < mbw - 1)
+        mxc = jnp.maximum(mx - 1, 0)
+        myc = jnp.maximum(my - 1, 0)
+        mxr = jnp.minimum(mx + 1, mbw - 1)
+
+        enc = ty[my, mx]
+        inter_rec = st["ry"][my, mx]          # state holds inter recon
+        top = st["ry"][myc, mx, 15, :]
+        left = st["ry"][my, mxc, :, 15]
+        tl = st["ry"][myc, mxc, 15, 15]
+        mode16, dc_lev, ac_lev, cbpl16, rec16, cost16 = _i16_mb(
+            enc, top, left, tl, at, al, qp, lam)
+        if i4x4:
+            tr4 = st["ry"][myc, mxr, 15, 0:4]
+            top20 = jnp.concatenate([top, tr4], axis=1)
+            nb_lm = st["modes4"][my, mxc, :, 3]
+            nb_tm = st["modes4"][myc, mx, 3, :]
+            m4, lev4, cbpl4, rec4, cost4 = _i4_mb(
+                enc, top20, left, tl, at, al, atr, qp, lam,
+                nb_lm, nb_tm)
+            use4 = cost4 < cost16
+            cost_intra = jnp.minimum(cost4, cost16)
+        else:
+            use4 = jnp.zeros_like(cost16, dtype=bool)
+            m4 = jnp.full((W, 16), 2, jnp.int32)
+            lev4 = jnp.zeros((W, 4, 4, 4, 4), jnp.int32)
+            cbpl4 = jnp.zeros((W,), jnp.int32)
+            rec4 = rec16
+            cost_intra = cost16
+
+        icost = inter_cost[my, mx]
+        use_intra = act & (cost_intra < icost)
+
+        rec_i = jnp.where(use4[:, None, None], rec4, rec16)
+        rec = jnp.where(use_intra[:, None, None], rec_i, inter_rec)
+        luma_ac16 = jnp.moveaxis(ac_lev, (1, 2), (3, 4))
+        luma_ac = jnp.where(use4[:, None, None, None, None],
+                            lev4, luma_ac16)
+        cbp_luma = jnp.where(use4, cbpl4, cbpl16.astype(jnp.int32) * 15)
+        dc_out = jnp.where(use4[:, None, None],
+                           jnp.zeros_like(dc_lev), dc_lev)
+        ctx4 = jnp.where((use_intra & use4)[:, None, None],
+                         _z_to_grid(m4), jnp.full((W, 4, 4), 2,
+                                                  jnp.int32))
+
+        cu, cvv = tu[my, mx], tv[my, mx]
+        inter_ru = st["ru"][my, mx]
+        inter_rv = st["rv"][my, mx]
+        top_u = st["ru"][myc, mx, 7, :]
+        top_v = st["rv"][myc, mx, 7, :]
+        left_u = st["ru"][my, mxc, :, 7]
+        left_v = st["rv"][my, mxc, :, 7]
+        tlu = st["ru"][myc, mxc, 7, 7]
+        tlv = st["rv"][myc, mxc, 7, 7]
+        cmode, cdc, cac, cbpc, ruu, rvv = _chroma_mb(
+            cu, cvv, (top_u, top_v), (left_u, left_v), tlu, tlv, at, al,
+            qpc, lam)
+        ruu = jnp.where(use_intra[:, None, None], ruu, inter_ru)
+        rvv = jnp.where(use_intra[:, None, None], rvv, inter_rv)
+
+        kind = jnp.where(use_intra, jnp.where(use4, 2, 1), 0)
+        sy = jnp.where(act, my, mbh)
+        sx = jnp.where(act, mx, mbw)
+        st = dict(st)
+        st["ry"] = st["ry"].at[sy, sx].set(rec, mode="drop")
+        st["ru"] = st["ru"].at[sy, sx].set(ruu, mode="drop")
+        st["rv"] = st["rv"].at[sy, sx].set(rvv, mode="drop")
+        st["kind"] = st["kind"].at[sy, sx].set(kind, mode="drop")
+        st["mode"] = st["mode"].at[sy, sx].set(mode16, mode="drop")
+        st["cmode"] = st["cmode"].at[sy, sx].set(cmode, mode="drop")
+        st["i4_modes"] = st["i4_modes"].at[sy, sx].set(m4, mode="drop")
+        st["modes4"] = st["modes4"].at[sy, sx].set(ctx4, mode="drop")
+        st["cbp_luma"] = st["cbp_luma"].at[sy, sx].set(cbp_luma,
+                                                       mode="drop")
+        st["cbp_chroma"] = st["cbp_chroma"].at[sy, sx].set(cbpc,
+                                                           mode="drop")
+        st["luma_dc"] = st["luma_dc"].at[sy, sx].set(dc_out, mode="drop")
+        st["luma_ac"] = st["luma_ac"].at[sy, sx].set(luma_ac,
+                                                     mode="drop")
+        st["chroma_dc"] = st["chroma_dc"].at[sy, sx].set(cdc, mode="drop")
+        st["chroma_ac"] = st["chroma_ac"].at[sy, sx].set(
+            jnp.moveaxis(cac, (2, 3), (4, 5)), mode="drop")
+        return st
+
+    state = jax.lax.fori_loop(0, n_waves, body, state)
+    out = dict(state)
+    out.pop("modes4")
+    out["intra_kind"] = out.pop("kind")
+    out["recon_y"] = _untile(out.pop("ry")).astype(jnp.uint8)
+    out["recon_u"] = _untile(out.pop("ru")).astype(jnp.uint8)
+    out["recon_v"] = _untile(out.pop("rv")).astype(jnp.uint8)
+    return out

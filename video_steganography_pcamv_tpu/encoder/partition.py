@@ -269,6 +269,7 @@ def subpel_parts(cur_y, wht8, part, mvfp8, prev_mv, mbh: int, mbw: int,
     cost = jnp.take_along_axis(
         sums, part[None, None, :, :, None], axis=0)[0] + mvcz
     sel = jnp.argmin(cost, axis=0)                         # [mbh,mbw,4]
+    best = jnp.min(cost, axis=0)                           # [mbh,mbw,4]
     offs = jnp.asarray(np.array(offsets, np.int32))        # [K,2] (oy,ox)
     oy_sel = offs[sel, 0]
     ox_sel = offs[sel, 1]
@@ -278,7 +279,13 @@ def subpel_parts(cur_y, wht8, part, mvfp8, prev_mv, mbh: int, mbw: int,
     r_idx = (oy_sel + 6) * 13 + (ox_sel + 6)               # [mbh,mbw,4]
     mv8 = _z_to_sp(mvq, mbh, mbw)                          # [2mbh,2mbw,2]
     r_idx8 = _z_to_sp(r_idx[..., None], mbh, mbw)[..., 0].reshape(n8)
-    return mv8, r_idx8
+    # per-MB inter cost for the intra compare: each block carries its
+    # UNIT's cost (identical across members), so summing only each
+    # unit's FIRST member gives the exact per-unit sum
+    first = jnp.asarray(np.array([[1, 0, 0, 0], [1, 0, 1, 0],
+                                  [1, 1, 0, 0], [1, 1, 1, 1]], np.int32))
+    mb_cost = jnp.sum(best * first[part], axis=-1)         # [mbh,mbw]
+    return mv8, r_idx8, mb_cost
 
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
@@ -458,6 +465,6 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)
     blocks8 = block_table8(windows)
     wht8 = QT.wht16(blocks8)
-    mv8, r_idx8 = subpel_parts.__wrapped__(
+    mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(
         y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
-    return part, mv8, r_idx8, blocks8, wht8
+    return part, mv8, r_idx8, blocks8, wht8, mb_cost

@@ -97,11 +97,13 @@ def _unit_mv(mv8, my, mx, part, unit):
 
 
 def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
-                 cbp_luma: np.ndarray, cbp_chroma: np.ndarray):
+                 cbp_luma: np.ndarray, cbp_chroma: np.ndarray,
+                 intra: np.ndarray | None = None):
     """Raster scan over a partitioned P frame.
 
     part: [mbh,mbw] in {0..3}; mv8: [2mbh,2mbw,2] qpel (uniform per
-    unit); cbp_*: [mbh,mbw].
+    unit); cbp_*: [mbh,mbw]; intra: optional mask — intra MBs carry no
+    MVs and are unavailable for prediction (x264 cache ref == -1).
     Returns (skip [mbh,mbw] bool, mvd [mbh,mbw,4,2], mvp [mbh,mbw,4,2],
     final_mv8 [2mbh,2mbw,2] with pskip MVs substituted)."""
     mbh, mbw = part.shape
@@ -112,6 +114,8 @@ def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
     final = mv8.copy()
     for my in range(mbh):
         for mx in range(mbw):
+            if intra is not None and intra[my, mx]:
+                continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
             p = int(part[my, mx])
             if p == D_16x16:

@@ -99,9 +99,10 @@ def p_frame_step_parts(y, u, v, ref_luma, ref_u, ref_v, prev_mv,
     _encode_p_parts runs the same stages)."""
     from ..encoder import partition as PT
 
-    part, mv8, r_idx8, blocks8, wht8 = PT.analyse_p_frame_parts.__wrapped__(
-        y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
-        use_pallas=use_pallas)
+    part, mv8, r_idx8, blocks8, wht8, _mb_cost = \
+        PT.analyse_p_frame_parts.__wrapped__(
+            y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
+            use_pallas=use_pallas)
     out = INTER.encode_p_frame_device8.__wrapped__(
         y, u, v, ref_luma, ref_u, ref_v, mv8, qp, qpc, mbh, mbw,
         decimate, None)

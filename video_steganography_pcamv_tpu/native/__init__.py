@@ -70,6 +70,7 @@ def load():
     lib.pcamv_scan_p_parts.restype = None
     lib.pcamv_scan_p_parts.argtypes = [i32p, i32p, i32p, i32p,
                                        ctypes.c_int, ctypes.c_int,
+                                       ctypes.c_void_p,
                                        u8p, i32p, i32p, i32p]
     lib.pcamv_scan_p_parts_forced.restype = None
     lib.pcamv_scan_p_parts_forced.argtypes = [i32p, i32p, u8p,
@@ -211,7 +212,7 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
             raise RuntimeError("native cabac writer overflow")
 
 
-def scan_p_parts(part, mv8, cbp_luma, cbp_chroma):
+def scan_p_parts(part, mv8, cbp_luma, cbp_chroma, intra=None):
     """Native partition-aware scan (twin of encoder/scan.py
     scan_p_frame). Returns (skip, mvd [mbh,mbw,4,2], mvp, final8)."""
     lib = load()
@@ -220,10 +221,14 @@ def scan_p_parts(part, mv8, cbp_luma, cbp_chroma):
     mvd = np.zeros(mbh * mbw * 8, np.int32)
     mvp = np.zeros(mbh * mbw * 8, np.int32)
     final8 = np.zeros(2 * mbh * 2 * mbw * 2, np.int32)
+    intra_a = (np.ascontiguousarray(intra, np.uint8).reshape(-1)
+               if intra is not None else None)
+    intra_p = (intra_a.ctypes.data_as(ctypes.c_void_p)
+               if intra_a is not None else None)
     lib.pcamv_scan_p_parts(
         _as_i32(part).reshape(-1), _as_i32(mv8).reshape(-1),
         _as_i32(cbp_luma).reshape(-1), _as_i32(cbp_chroma).reshape(-1),
-        mbw, mbh, skip, mvd, mvp, final8)
+        mbw, mbh, intra_p, skip, mvd, mvp, final8)
     return (skip.reshape(mbh, mbw).astype(bool),
             mvd.reshape(mbh, mbw, 4, 2), mvp.reshape(mbh, mbw, 4, 2),
             final8.reshape(2 * mbh, 2 * mbw, 2))

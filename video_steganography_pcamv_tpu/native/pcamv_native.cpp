@@ -629,15 +629,17 @@ void pskip_mv4(const Grid4& g, int y4, int x4, int32_t out[2]) {
 
 extern "C" void pcamv_scan_p_parts(
     const int32_t* part, const int32_t* mv8, const int32_t* cbp_luma,
-    const int32_t* cbp_chroma, int mbw, int mbh,
+    const int32_t* cbp_chroma, int mbw, int mbh, const uint8_t* intra,
     uint8_t* skip, int32_t* mvd, int32_t* mvp_out, int32_t* final8) {
-  // mv8/final8: [2mbh][2mbw][2]; mvd/mvp_out: [mbh][mbw][4][2]
+  // mv8/final8: [2mbh][2mbw][2]; mvd/mvp_out: [mbh][mbw][4][2];
+  // intra (nullable): intra MBs carry no MVs, unavailable to neighbours
   Grid4 g(mbw, mbh);
   const int w8 = 2 * mbw;
   memcpy(final8, mv8, sizeof(int32_t) * 2 * w8 * 2 * mbh);
   for (int my = 0; my < mbh; my++)
     for (int mx = 0; mx < mbw; mx++) {
       int a = my * mbw + mx;
+      if (intra && intra[a]) continue;
       int y4 = 4 * my, x4 = 4 * mx;
       int p = part[a];
       if (p == 0) {

@@ -87,6 +87,9 @@ class Params:
 
     # analysis
     i4x4: bool = True          # intra 4x4 partitions (x264 analyse default)
+    intra_in_p: bool = True    # intra compare in P MBs (reference default;
+                               # force-disabled while embedding,
+                               # analyse.c:2862-2863)
     me_method: int = ME_ESA
     me_range: int = 16
     subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
