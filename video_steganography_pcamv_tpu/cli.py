@@ -57,6 +57,9 @@ def build_argparser():
                     help="blind-extract payload from an Annex-B stream")
     ap.add_argument("--dump-yuv", default="",
                     help="write reconstructed frames (y4m)")
+    ap.add_argument("--visualize", default="",
+                    help="dump per-frame MB/MV overlay PPMs with this "
+                         "prefix (reference: --visualize X11 overlay)")
     return ap
 
 
@@ -127,6 +130,13 @@ def main(argv=None):
                 mkv.add_frame(chunk)
             else:
                 f.write(chunk)
+            if args.visualize:
+                from .utils.visualize import overlay_frame, write_ppm
+                info = enc.last_frame_info
+                rgb = overlay_frame(
+                    np.asarray(enc.recon_prev[0])[:p.height, :p.width],
+                    info["kind"], info["part"], info["mv8"])
+                write_ppm(f"{args.visualize}{i:04d}.ppm", rgb)
             if args.dump_yuv:
                 ry, ru, rv = enc.recon_prev
                 recons.append(yuv.Frame(

@@ -151,6 +151,9 @@ class Encoder:
             self.recon_prev = (res["recon_y"], res["recon_u"],
                                res["recon_v"])
         self.prev_mv = np.zeros((p.mb_height, p.mb_width, 2), np.int32)
+        self.last_frame_info = {
+            "kind": np.where(np.asarray(res["mb_i4"]), 3, 2),
+            "part": None, "mv8": None}
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_I,
@@ -450,6 +453,11 @@ class Encoder:
                                res_np["recon_v"])
         self.prev_mv = np.where(intra_mask[..., None], 0,
                                 np.ascontiguousarray(final8[::2, ::2]))
+        kind = np.where(skip, 0, 1).astype(np.int32)
+        kind = np.where(intra_kind == 1, 2, kind)
+        kind = np.where(intra_kind == 2, 3, kind)
+        self.last_frame_info = {"kind": kind, "part": part_np,
+                                "mv8": final8}
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
