@@ -1,0 +1,61 @@
+"""Device wavefront deblock vs native C++ (bit-exact required — both
+encoder and decoder must agree). Randomized planes + decision fields
+across QPs, including the qp<=15 internal-edge shortcut and intra/skip
+mixes (checkasm pattern)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from video_steganography_pcamv_tpu import native
+from video_steganography_pcamv_tpu.ops.deblock_jax import (
+    deblock_frame_device)
+from video_steganography_pcamv_tpu.ops.transform import chroma_qp
+
+
+@pytest.mark.skipif(native.load() is None, reason="native lib missing")
+@pytest.mark.parametrize("qp", [12, 22, 30, 42])
+def test_device_deblock_matches_native(qp):
+    rng = np.random.RandomState(qp)
+    for trial in range(3):
+        mbh, mbw = rng.randint(2, 6), rng.randint(2, 8)
+        H, W = 16 * mbh, 16 * mbw
+        y = rng.randint(0, 256, (H, W)).astype(np.uint8)
+        # piecewise-flat patches so the |p0-q0|<alpha gates open often
+        for _ in range(10):
+            yy, xx = rng.randint(0, H - 8), rng.randint(0, W - 8)
+            y[yy:yy + 8, xx:xx + 8] = rng.randint(0, 256)
+        # low-amplitude structure: |p0-q0| < alpha gates open nearly
+        # everywhere, so EVERY edge's filter fires and any edge-order
+        # mistake (e.g. chroma H before chroma V of a later edge)
+        # changes results — random content missed exactly that bug
+        gy, gx = np.mgrid[0:H // 2, 0:W // 2]
+        u = (128 + (gx % 16) // 3 + (gy % 16) // 4).astype(np.uint8)
+        u += (rng.rand(H // 2, W // 2) < 0.2).astype(np.uint8)
+        v = np.roll(u, 3, axis=1).copy()
+        y = ((y.astype(np.int32) // 8) + 110).astype(np.uint8)
+        intra = (rng.rand(mbh, mbw) < 0.3).astype(np.uint8)
+        skip = ((rng.rand(mbh, mbw) < 0.3) & (intra == 0)) \
+            .astype(np.uint8)
+        nnz4 = (rng.rand(4 * mbh, 4 * mbw) < 0.4).astype(np.int32) \
+            * rng.randint(1, 5, (4 * mbh, 4 * mbw))
+        mv4 = rng.randint(-10, 11, (4 * mbh, 4 * mbw, 2)) \
+            .astype(np.int32)
+        # unit-uniform enough for realism is not required: bS only
+        # compares across 4x4 edges, any field is legal
+        qpc = chroma_qp(qp)
+
+        ry, ru, rv = y.copy(), u.copy(), v.copy()
+        native.deblock_frame(ry, ru, rv, intra, nnz4, mv4, skip, qp, qpc)
+
+        dy, du, dv = deblock_frame_device(
+            jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+            jnp.asarray(v, jnp.int32), jnp.asarray(intra),
+            jnp.asarray(skip), jnp.asarray(nnz4), jnp.asarray(mv4),
+            qp, qpc, mbh, mbw)
+        np.testing.assert_array_equal(np.asarray(dy), ry,
+                                      err_msg=f"luma qp{qp} t{trial}")
+        np.testing.assert_array_equal(np.asarray(du), ru,
+                                      err_msg=f"U qp{qp} t{trial}")
+        np.testing.assert_array_equal(np.asarray(dv), rv,
+                                      err_msg=f"V qp{qp} t{trial}")

@@ -69,3 +69,19 @@ def test_skip_mbs_on_identical_frames():
     # early-pskip probe is not yet implemented), but the vast majority
     # must be skips
     assert types.count("SKIP") >= 3 * len(types) // 4, types
+
+
+def test_cropped_resolution_roundtrip():
+    """Non-MB-multiple dimensions (SPS cropping, spec 7.4.2.1): padded
+    encode, cropped decode, bit-exact within the visible area."""
+    from video_steganography_pcamv_tpu.params import StegoParams
+    w, h = 150, 98
+    frames = synthetic_sequence(w, h, 3, seed=2)
+    p = Params(width=w, height=h, qp=27, me_range=8,
+               stego=StegoParams(em_rate=8.0, key=4))
+    enc = Encoder(p)
+    bs = b"".join(enc.encode_frame(f) for f in frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 3 and dec[0].y.shape == (h, w)
+    ry = np.asarray(enc.recon_prev[0])
+    np.testing.assert_array_equal(dec[-1].y, ry[:h, :w].astype(np.uint8))

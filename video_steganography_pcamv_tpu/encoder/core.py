@@ -144,7 +144,16 @@ class Encoder:
                                    p.mb_height, lam=ME.lambda_tab(qp),
                                    i4x4=p.i4x4)
         res = {k: np.asarray(val) for k, val in res_dev.items()}
-        if p.deblock and self._native is not None:
+        if p.deblock and self._on_tpu():
+            mbh2, mbw2 = p.mb_height, p.mb_width
+            self._deblock_device(
+                res_dev, np.ones((mbh2, mbw2), np.int32),
+                np.zeros((mbh2, mbw2), np.int32),
+                np.zeros((4 * mbh2, 4 * mbw2, 2), np.int32), qp,
+                jnp.count_nonzero(
+                    res_dev["luma_ac"], axis=(4, 5)).transpose(0, 2, 1, 3)
+                .reshape(4 * mbh2, 4 * mbw2).astype(jnp.int32))
+        elif p.deblock and self._native is not None:
             self._deblock(res, intra=True, qp=qp)
         else:
             self._update_ref(res_dev)
@@ -318,6 +327,29 @@ class Encoder:
         w.end_slice(bw)
         return bw.get_bytes()
 
+    def _on_tpu(self) -> bool:
+        import jax
+        return jax.default_backend() == "tpu"
+
+    def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev):
+        """Device wavefront deblock (bit-exact C++ twin): the filtered
+        reference never leaves the chip; recon is downloaded once for
+        PSNR/dump only."""
+        from ..ops.deblock_jax import deblock_frame_device
+        p = self.p
+        dy, du, dv = deblock_frame_device(
+            res["recon_y"].astype(jnp.int32),
+            res["recon_u"].astype(jnp.int32),
+            res["recon_v"].astype(jnp.int32),
+            jnp.asarray(intra.astype(np.int32)),
+            jnp.asarray(skip.astype(np.int32)),
+            nnz4_dev, jnp.asarray(mv4), qp,
+            chroma_qp(qp, p.chroma_qp_offset),
+            p.mb_height, p.mb_width)
+        self.ref = mc.build_ref(dy, du, dv)
+        self.recon_prev = (np.asarray(dy), np.asarray(du),
+                           np.asarray(dv))
+
     def _update_ref(self, res):
         """Build padded + hpel reference planes from recon (device)."""
         self.ref = mc.build_ref(res["recon_y"], res["recon_u"],
@@ -444,7 +476,14 @@ class Encoder:
                 .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
             m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
             nnz4 = np.where(m4, nz_intra, nz_inter).astype(np.int32)
-        if p.deblock and self._native is not None:
+        if p.deblock and self._on_tpu():
+            self._deblock_device(
+                res, intra_mask, skip, mv4, qp,
+                jnp.asarray(nnz4) if nnz4 is not None else
+                jnp.count_nonzero(
+                    res["luma_lev"], axis=(4, 5)).transpose(0, 2, 1, 3)
+                .reshape(4 * mbh, 4 * mbw).astype(jnp.int32))
+        elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4)
         else:
