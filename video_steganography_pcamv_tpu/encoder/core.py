@@ -30,6 +30,17 @@ from . import me as ME
 from .cavlc import FrameCavlc
 
 
+import functools
+import jax as _jax
+
+
+@functools.partial(_jax.jit, static_argnames=("mbh", "mbw"))
+def _nnz4_device(lev, mbh: int, mbw: int):
+    """Per-4x4 total_coeff map for the deblocker, on device."""
+    return jnp.count_nonzero(lev, axis=(4, 5)).transpose(0, 2, 1, 3) \
+        .reshape(4 * mbh, 4 * mbw).astype(jnp.int32)
+
+
 @dataclass
 class EncodeStats:
     frames: int = 0
@@ -150,9 +161,7 @@ class Encoder:
                 res_dev, np.ones((mbh2, mbw2), np.int32),
                 np.zeros((mbh2, mbw2), np.int32),
                 np.zeros((4 * mbh2, 4 * mbw2, 2), np.int32), qp,
-                jnp.count_nonzero(
-                    res_dev["luma_ac"], axis=(4, 5)).transpose(0, 2, 1, 3)
-                .reshape(4 * mbh2, 4 * mbw2).astype(jnp.int32))
+                _nnz4_device(res_dev["luma_ac"], mbh2, mbw2))
         elif p.deblock and self._native is not None:
             self._deblock(res, intra=True, qp=qp)
         else:
@@ -480,9 +489,7 @@ class Encoder:
             self._deblock_device(
                 res, intra_mask, skip, mv4, qp,
                 jnp.asarray(nnz4) if nnz4 is not None else
-                jnp.count_nonzero(
-                    res["luma_lev"], axis=(4, 5)).transpose(0, 2, 1, 3)
-                .reshape(4 * mbh, 4 * mbw).astype(jnp.int32))
+                _nnz4_device(res["luma_lev"], mbh, mbw))
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4)
