@@ -338,7 +338,8 @@ class Encoder:
 
     def _on_tpu(self) -> bool:
         import jax
-        return jax.default_backend() == "tpu"
+        return (self.p.deblock_device
+                and jax.default_backend() == "tpu")
 
     def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev):
         """Device wavefront deblock (bit-exact C++ twin): the filtered

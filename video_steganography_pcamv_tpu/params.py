@@ -100,6 +100,11 @@ class Params:
     # entropy / tools
     cabac: bool = False
     deblock: bool = True     # in-loop deblocking (reference default: on)
+    deblock_device: bool = False  # run the deblocker on-device (bit-
+                                  # exact wavefront twin; measured slower
+                                  # than host C++ + transfer at 1080p —
+                                  # 254 sequential waves — so off by
+                                  # default, see docs/PERF.md)
 
     # stego
     stego: StegoParams = field(default_factory=StegoParams)
