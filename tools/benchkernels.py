@@ -24,6 +24,8 @@ def _sync(x):
 
 
 def bench(name, fn, n_it=5):
+    out = fn()
+    _sync(out)          # warmup: compile excluded from the timing
     t0 = time.time()
     for _ in range(n_it):
         out = fn()
@@ -100,18 +102,17 @@ def main():
     bench("fullpel_parts (jnp scan)",
           lambda: PT.fullpel_search_parts(cur, refp, prev, 8, mbh,
                                           mbw, 4), n_it=1)
-    bench("gather_windows8 (XLA gather)",
-          lambda: PT.gather_windows8_jnp(planes, mvfp8, mbh, mbw))
-    bench("luma_p_encode (XLA)",
-          lambda: I.luma_p_encode(cur_mb, pred_mb, 26, True))
-    bench("luma_p_encode_fast (pallas)",
-          lambda: I.luma_p_encode_fast(cur_mb, pred_mb, 26, True))
-    bench("mc_luma qpel gather [n MBs]",
-          lambda: mc.mc_luma(planes,
-                             (jnp.arange(n) // mbw) * 16,
-                             (jnp.arange(n) % mbw) * 16,
-                             jnp.asarray(rng.randint(-32, 33, (n, 2)),
-                                         jnp.int32)))
+    gw = jax.jit(lambda m: PT.gather_windows8_jnp(planes, m, mbh, mbw))
+    bench("gather_windows8 (XLA gather)", lambda: gw(mvfp8))
+    lpe = jax.jit(lambda c, p: I.luma_p_encode(c, p, 26, True))
+    lpf = jax.jit(lambda c, p: I.luma_p_encode_fast(c, p, 26, True))
+    bench("luma_p_encode (XLA)", lambda: lpe(cur_mb, pred_mb))
+    bench("luma_p_encode_fast (pallas)", lambda: lpf(cur_mb, pred_mb))
+    mvr = jnp.asarray(rng.randint(-32, 33, (n, 2)), jnp.int32)
+    mcf = jax.jit(lambda m: mc.mc_luma(
+        planes, (jnp.arange(n) // mbw) * 16, (jnp.arange(n) % mbw) * 16,
+        m))
+    bench("mc_luma qpel gather [n MBs]", lambda: mcf(mvr))
     print("done")
 
 

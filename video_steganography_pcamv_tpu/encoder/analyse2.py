@@ -91,7 +91,8 @@ def analyse_p_frame(y, ref_luma, prev_mv, rng: int, mbh: int, mbw: int,
         zero_pred = jnp.zeros((mbh, mbw, 2), jnp.int32)
         mv_fp, _ = ME.fullpel_search.__wrapped__(
             y, ref_luma[0], zero_pred, rng, mbh, mbw, lam)
-    windows = QT.gather_windows_jnp(ref_luma, mv_fp, mbh, mbw)
+    windows = QT.gather_windows_jnp(
+        ref_luma.astype(jnp.uint8), mv_fp, mbh, mbw).astype(jnp.int32)
     blocks = QT.block_table(windows)
     wht = QT.wht16(blocks)
     mv_q, r_idx = subpel_from_table.__wrapped__(

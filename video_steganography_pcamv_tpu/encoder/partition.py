@@ -461,8 +461,10 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     # gather_windows8_banked) clears Mosaic's 8-aligned sublane-start
     # rule via the 8-bank trick but trips the next one: DMA lane-slice
     # WIDTHS must be 128-multiples, and a window is 16 wide. Until a
-    # 128-wide batching shape is worked out the XLA gather stays.
-    windows = gather_windows8_jnp(ref_luma, mvfp8, mbh, mbw)
+    # 128-wide batching shape is worked out the XLA gather stays —
+    # from uint8 planes (the gather is byte-rate-bound: ~20% faster)
+    windows = gather_windows8_jnp(
+        ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw).astype(jnp.int32)
     blocks8 = block_table8(windows)
     wht8 = QT.wht16(blocks8)
     mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(

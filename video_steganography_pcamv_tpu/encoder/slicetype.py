@@ -38,6 +38,35 @@ def lowres(y: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=("bh", "bw", "rng"))
+def lowres_costs_pallas(cur_lr, ref_lr, bh: int, bw: int, rng: int = 8):
+    """TPU variant: per-8x8 inter costs ride the partition full-pel
+    kernel (its c8 output IS the per-8x8 SAD argmin when the lowres
+    plane is tiled as 16x16 'MBs'); intra stays one elementwise pass.
+    The mv-cost penalty differs from the jnp twin (se-bits lambda vs
+    4*(|dy|+|dx|)) — both are tie-break heuristics; the scenecut RATIO
+    semantics are preserved."""
+    from ..ops.pallas_kernels import fullpel_parts_pallas
+    from ..ops import mc as MC
+    h, w = 8 * bh, 8 * bw
+    ph, pw = (-h) % 16, (-w) % 16
+    cur_p = jnp.pad(cur_lr, ((0, ph), (0, pw)), mode="edge")
+    ref_p = MC.pad_plane(jnp.pad(ref_lr, ((0, ph), (0, pw)),
+                                 mode="edge"))
+    st = fullpel_parts_pallas.__wrapped__(
+        cur_p, ref_p, rng, (h + ph) // 16, (w + pw) // 16, 1)
+    c8 = st["c8"]                                 # [mbh',mbw',4] z-order
+    mh, mw = c8.shape[:2]
+    inter = c8.reshape(mh, mw, 2, 2).transpose(0, 2, 1, 3) \
+              .reshape(2 * mh, 2 * mw)[:bh, :bw]
+    blocks = to_blocks(cur_lr, 8)
+    dc = jnp.sum(blocks, axis=(-4, -3), keepdims=True) // 64
+    intra = jnp.sum(jnp.abs(blocks - dc), axis=(-4, -3))
+    cost_p = jnp.sum(jnp.minimum(inter, intra))
+    cost_i = jnp.sum(intra)
+    return cost_i, cost_p
+
+
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "rng"))
 def lowres_costs(cur_lr, ref_lr, bh: int, bw: int, rng: int = 8):
     """Frame cost at lowres: per-8x8-block exhaustive inter SAD vs the
     previous lowres frame + DC intra SAD (x264_slicetype_mb_cost,
@@ -102,6 +131,9 @@ class Lookahead:
             ci, _ = lowres_costs(cur_lr, cur_lr, bh, bw, rng=0)
             return True, int(ci)
 
+        # (lowres_costs_pallas exists and matches within heuristic
+        # tolerance, but the jnp scan measures equal at half-res — keep
+        # the simpler path)
         ci, cp = lowres_costs(cur_lr, self.prev_lr, bh, bw,
                               rng=p.lookahead_me_range)
         ci, cp = int(ci), int(cp)

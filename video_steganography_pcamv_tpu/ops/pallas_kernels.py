@@ -62,9 +62,12 @@ def _fullpel_kernel(cur_ref, win_ref, ssum_ref, lam_ref, out_ref, *,
             best_cost, best_dx, best_dy = c
             rolled = pltpu.roll(strip, -dx, axis=1)
             d = jnp.abs(cur - rolled[:, :w])
-            rowsum = jnp.sum(d, axis=0, keepdims=True)       # [1, w]
-            sad = jnp.dot(rowsum, s,
-                          preferred_element_type=jnp.float32)  # [1, mbw]
+            # matmul on raw |d| (<= 255, exact in the MXU's bf16 passes)
+            # then row-sum in f32: exact SADs at DEFAULT precision —
+            # pre-summing rows first exceeds bf16's mantissa and rounds
+            sad = jnp.sum(jnp.dot(d, s,
+                                  preferred_element_type=jnp.float32),
+                          axis=0, keepdims=True)             # [1, mbw]
             mvc = mvc_y + lam * _se_bits(4 * (dx - rng))
             cost = sad + mvc.astype(jnp.float32)
             better = cost < best_cost
@@ -321,14 +324,15 @@ def _fullpel_parts_kernel(cur_ref, win_ref, se_ref, so_ref, lam_ref,
             rolled = pltpu.roll(strip, -dx, axis=1)[:, :w]
             dt = jnp.abs(cur_t - rolled[0:8, :])
             db = jnp.abs(cur_b - rolled[8:16, :])
-            top = jnp.sum(dt, axis=0, keepdims=True)     # [1, w]
-            bot = jnp.sum(db, axis=0, keepdims=True)
-            dot = lambda a, s: jnp.dot(
-                a, s, preferred_element_type=jnp.float32)
-            q00 = dot(top, se)
-            q01 = dot(top, so)
-            q10 = dot(bot, se)
-            q11 = dot(bot, so)
+            # raw |d| (<= 255) through the MXU, rows summed after: exact
+            # at default precision (pre-summed rows overflow bf16)
+            dot = lambda a, s: jnp.sum(
+                jnp.dot(a, s, preferred_element_type=jnp.float32),
+                axis=0, keepdims=True)
+            q00 = dot(dt, se)
+            q01 = dot(dt, so)
+            q10 = dot(db, se)
+            q11 = dot(db, so)
             mvc = (mvc_y + lam * _se_bits(4 * (dx - rng))) \
                 .astype(jnp.float32)
             unit = [q00 + q01 + q10 + q11,               # 16x16
