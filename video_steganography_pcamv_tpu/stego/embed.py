@@ -160,8 +160,8 @@ class StegoEngine:
         rate = st.em_rate
         an = int(rate) if rate > 1 else int(rate * n_cov)
         an = min(an, n_cov)
-        enc.stats.mv_covers += n_cov
-        if an <= 0 or n_cov == 0:
+        if an <= 0 or n_cov == 0:   # counters handled by apply_costs
+            enc.stats.mv_covers += n_cov
             self.sent_messages.append(np.zeros(0, np.uint8))
             return None
 
@@ -172,8 +172,41 @@ class StegoEngine:
             jnp.asarray(mv8), jnp.asarray(mvp_u),
             jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
             decimate=p.dct_decimate)
-        rho_u = np.asarray(rho_u).astype(np.float64)
-        alt_u = np.asarray(alt_u)
+        final8, skip1, mvd2 = self.apply_costs(
+            enc, part, mv8, skip1, np.asarray(rho_u), np.asarray(alt_u))
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+        res2 = I.encode_p_frame_device8(
+            y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
+            jnp.asarray(final8), qp, qpc, mbh, mbw,
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
+        return final8, skip1, mvd2, res2
+
+    def apply_costs(self, enc, part, mv8, skip1, rho_u, alt_u):
+        """Host half of the partition embedding: MVC adjustment, cover
+        assembly, STC, flip application, forced rescan. Returns
+        (final_mv8, skip, mvd4); callers run the re-encode (the
+        multi-stream driver batches it across streams)."""
+        from ..encoder import scan as SCAN
+        from ..encoder.partition import N_UNITS, UNIT_BLOCKS
+        p, st = self.p, self.p.stego
+        mbh, mbw = p.mb_height, p.mb_width
+        nu = N_UNITS[part]
+        rho_u = rho_u.astype(np.float64).copy()
+        covered = (~skip1) * nu
+        n_cov = int(covered.sum())
+        rate = st.em_rate
+        an = int(rate) if rate > 1 else int(rate * n_cov)
+        an = min(an, n_cov)
+        enc.stats.mv_covers += n_cov
+        if an <= 0 or n_cov == 0:
+            # nothing to embed: MVs unchanged; rescan for consistency
+            self.sent_messages.append(np.zeros(0, np.uint8))
+            if enc._native is not None:
+                from .. import native
+                f8, md, _ = native.scan_p_parts_forced(part, mv8, skip1)
+            else:
+                f8, md, _ = SCAN.scan_p_frame_forced(part, mv8, skip1)
+            return f8, skip1, md
 
         # unit MVs [mbh,mbw,4,2] (z-slot order = coding order)
         mvz = mv8.reshape(mbh, 2, mbw, 2, 2).transpose(0, 2, 1, 3, 4) \
@@ -264,9 +297,4 @@ class StegoEngine:
         else:
             final8, mvd2, _mvp2 = SCAN.scan_p_frame_forced(
                 part, mv8_2, skip1)
-        qpc = chroma_qp(qp, p.chroma_qp_offset)
-        res2 = I.encode_p_frame_device8(
-            y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
-            jnp.asarray(final8), qp, qpc, mbh, mbw,
-            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
-        return final8, skip1, mvd2, res2
+        return final8, skip1, mvd2
