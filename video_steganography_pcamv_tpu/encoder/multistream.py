@@ -159,20 +159,27 @@ class MultiEncoder:
                     part_np[s], mv8_np[s], cbp_l[s], cbp_c[s]))
 
         if encs[0]._stego is not None:
-            mvps = jnp.stack([jnp.asarray(sc[2]) for sc in scans])
-            cmvs = jnp.stack([jnp.asarray(cost_mv_table(
-                ME.lambda_tab(d[1]))) for d in decisions])
-            rho, alt, _val = _stego_costs_s(
-                ys, blocks8, wht8, r_idx8, part, mv8, mvps, cmvs, qps,
-                mbh, mbw, p.dct_decimate)
-            rho_np = np.asarray(rho)
-            alt_np = np.asarray(alt)
+            # the stego probe stage holds the largest working set (qpel
+            # tables + candidate recons); vmapping it over streams OOMs
+            # HBM at 1080p, and batching buys nothing on a single
+            # sequential core — dispatch per stream (they still queue
+            # back-to-back on device)
+            rhos = []
+            for s in range(self.S):
+                rho, alt, _v = PT.stego_costs_parts(
+                    ys[s], blocks8[s], wht8[s], r_idx8[s], part[s],
+                    mv8[s], jnp.asarray(scans[s][2]),
+                    jnp.asarray(cost_mv_table(
+                        ME.lambda_tab(decisions[s][1]))),
+                    decisions[s][1], mbh, mbw,
+                    decimate=p.dct_decimate)
+                rhos.append((rho, alt))
             final8s, skips, mvds = [], [], []
             for s, e in enumerate(encs):
                 skip1 = scans[s][0]
                 f8, sk, md = e._stego.apply_costs(
-                    e, part_np[s], mv8_np[s], skip1, rho_np[s],
-                    alt_np[s])
+                    e, part_np[s], mv8_np[s], skip1,
+                    np.asarray(rhos[s][0]), np.asarray(rhos[s][1]))
                 final8s.append(f8)
                 skips.append(sk)
                 mvds.append(md)

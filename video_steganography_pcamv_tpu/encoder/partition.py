@@ -180,15 +180,19 @@ def gather_windows8_jnp(planes, mvfp8, mbh: int, mbw: int):
 
 
 def block_table8(windows):
-    """[N8, 4, 16, 16] -> [169, N8, 8, 8]: every qpel offset in [-6,6]^2
-    as static slice-averages (QT.block_table at 8x8)."""
+    """[N8, 4, 16, 16] -> [169, N8, 8, 8] uint8: every qpel offset in
+    [-6,6]^2 as static slice-averages (QT.block_table at 8x8). uint8
+    storage: the table is the pipeline's largest resident (1.4 GB at
+    1080p in int32 — 4x smaller here; 2-stream batching OOM'd without
+    this)."""
     outs = []
+    w16 = windows.astype(jnp.int16)
     for oy in range(-6, 7):
         for ox in range(-6, 7):
             (p1, y1, x1), (p2, y2, x2) = QT._phase_slices(oy, ox)
-            a = windows[:, p1, y1:y1 + 8, x1:x1 + 8]
-            b = windows[:, p2, y2:y2 + 8, x2:x2 + 8]
-            outs.append((a + b + 1) >> 1)
+            a = w16[:, p1, y1:y1 + 8, x1:x1 + 8]
+            b = w16[:, p2, y2:y2 + 8, x2:x2 + 8]
+            outs.append(((a + b + 1) >> 1).astype(jnp.uint8))
     return jnp.stack(outs)
 
 
@@ -328,7 +332,7 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
     # 13 table reads instead of 4x13 (the select is the HBM-bound part)
     def blocks_at(delta):
         idx8 = r_idx8 + didx(*delta)
-        b8 = QT.select_rows(blocks8, idx8)                # [N8,8,8]
+        b8 = QT.select_rows(blocks8, idx8).astype(jnp.int32)  # [N8,8,8]
         return _sp_to_z(b8.reshape(2 * mbh, 2 * mbw, 8, 8),
                         mbh, mbw).reshape(n, 4, 8, 8)
 
@@ -464,9 +468,11 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     # 128-wide batching shape is worked out the XLA gather stays —
     # from uint8 planes (the gather is byte-rate-bound: ~20% faster)
     windows = gather_windows8_jnp(
-        ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw).astype(jnp.int32)
-    blocks8 = block_table8(windows)
-    wht8 = QT.wht16(blocks8)
+        ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw)
+    blocks8 = block_table8(windows)                # uint8
+    # WHT of uint8 blocks fits int16 (|coef| <= 16*255); consumers
+    # promote to int32 on use
+    wht8 = QT.wht16(blocks8.astype(jnp.int32)).astype(jnp.int16)
     mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(
         y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
     return part, mv8, r_idx8, blocks8, wht8, mb_cost

@@ -148,8 +148,9 @@ def wht16(blocks: jnp.ndarray) -> jnp.ndarray:
 
 def satd_tables(wa: jnp.ndarray, wb: jnp.ndarray) -> jnp.ndarray:
     """SATD between WHT tensors [..., 4,4,4,4]: per-4x4 |sum| >> 1 then
-    summed (pixel.py satd semantics)."""
-    d = jnp.abs(wa - wb)
+    summed (pixel.py satd semantics). Inputs may be int16 (compact
+    tables); accumulate in int32."""
+    d = jnp.abs(wa.astype(jnp.int32) - wb.astype(jnp.int32))
     per_block = jnp.sum(d, axis=(-4, -3)) >> 1   # [..., BY, BX]
     return jnp.sum(per_block, axis=(-2, -1))
 
