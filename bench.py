@@ -17,7 +17,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(width=1920, height=1088, n_measure=3, qp=26, em_rate=64.0):
+def run(width=1920, height=1088, n_measure=6, qp=26, em_rate=64.0):
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/pcamv_jax"))

@@ -195,6 +195,10 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.partitions = value not in ("none", "0", "false")
     elif name == "i4x4":
         p.i4x4 = _BOOL[value.lower()]
+    elif name == "intra_in_p":
+        p.intra_in_p = _BOOL[value.lower()]
+    elif name == "deblock_device":
+        p.deblock_device = _BOOL[value.lower()]
     elif name == "cabac":
         p.cabac = _BOOL[value.lower()]
     elif name == "deblock":
