@@ -196,6 +196,26 @@ def block_table8(windows):
     return jnp.stack(outs)
 
 
+def wht8_flat(blocks):
+    """Per-8x8-block WHT in a padding-friendly flat layout:
+    [..., 8, 8] -> [..., 64] ordered (sub-block by*2+bx major, then the
+    16 (r,c) coefficients). Trailing-64 tensors tile to (8,128) with
+    only 2x lane padding; the naive [..., 4,4,2,2] layout padded 16x+
+    and dominated HBM (see docs/PERF.md)."""
+    w = QT.wht16(blocks.astype(jnp.int32))       # [..., 4,4,2,2]
+    w = jnp.moveaxis(w, (-4, -3), (-2, -1))       # [..., by,bx?, r,c]
+    # moveaxis gives [..., 2(by),2(bx),4(r),4(c)]
+    return w.reshape(*w.shape[:-4], 64)
+
+
+def satd_flat(wa, wb):
+    """SATD between flat WHT tensors [..., 64]: per-sub |sum| >> 1 then
+    summed; int32 accumulation (inputs may be int16)."""
+    d = jnp.abs(wa.astype(jnp.int32) - wb.astype(jnp.int32))
+    per_sub = d.reshape(*d.shape[:-1], 4, 16).sum(-1) >> 1
+    return per_sub.sum(-1)
+
+
 def _mb_blocks8(y, mbh, mbw):
     """[16mbh,16mbw] -> [N8, 8, 8] z-consistent spatial order (row-major
     over the 2mbh x 2mbw grid of 8x8 blocks)."""
@@ -230,7 +250,7 @@ def subpel_parts(cur_y, wht8, part, mvfp8, prev_mv, mbh: int, mbw: int,
     Returns (mv8 [2mbh,2mbw,2] qpel, r_idx8 [N8] chosen table index)."""
     n8 = 4 * mbh * mbw
     cur8 = _mb_blocks8(cur_y, mbh, mbw)
-    wcur = QT.wht16(cur8)                       # [N8,4,4,2,2]
+    wcur = wht8_flat(cur8)                      # [N8,64]
     mvf = mvfp8.reshape(n8, 2)
     bits_t = jnp.asarray(mv_bits_table(4 * 512))
     off = 4 * 512
@@ -248,7 +268,7 @@ def subpel_parts(cur_y, wht8, part, mvfp8, prev_mv, mbh: int, mbw: int,
     mvcs = []
     for oy, ox in offsets:
         idx = QT.off_index(oy, ox)
-        satds.append(QT.satd_tables(wcur, wht8[idx]))      # [N8]
+        satds.append(satd_flat(wcur, wht8[idx]))           # [N8]
         qx = 4 * mvf[:, 0] + ox
         qy = 4 * mvf[:, 1] + oy
         mvcs.append((bits_t[jnp.clip(qx - pred8[:, 0], -off, off) + off]
@@ -345,20 +365,20 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
                  .reshape(n, 16, 16)
 
     def wht_blocks_z(rec):
-        """[n,16,16] MB recon -> [n,4,...] per-8x8 WHT (z order)."""
+        """[n,16,16] MB recon -> [n,4,64] per-8x8 flat WHT (z order)."""
         r8 = rec.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
                 .reshape(n, 4, 8, 8)
-        return QT.wht16(r8)                               # [n,4,4,4,2,2]
+        return wht8_flat(r8)                              # [n,4,64]
 
     # pre-select WHT rows for the 7x7 probe lattice of each block,
-    # re-laid-out to z-order [n, 4(blk), 4, 4, 2, 2]
+    # re-laid-out to z-order [n, 4(blk), 64]
     sel_whtz = {}
     for dy in range(-3, 4):
         for dx in range(-3, 4):
-            w = QT.select_rows(wht8, r_idx8 + didx(dy, dx))  # [N8,...]
+            w = QT.select_rows(wht8, r_idx8 + didx(dy, dx))  # [N8,64]
             sel_whtz[(dy, dx)] = _sp_to_z(
-                w.reshape(2 * mbh, 2 * mbw, 4, 4, 2, 2),
-                mbh, mbw).reshape(n, 4, 4, 4, 2, 2)
+                w.reshape(2 * mbh, 2 * mbw, 64),
+                mbh, mbw).reshape(n, 4, 64)
 
     mvpz = mvp_u.reshape(n, 4, 2)
 
@@ -397,10 +417,8 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
             for k in range(9):
                 dk = (int(D_NB[k][1]), int(D_NB[k][0]))   # (dy,dx)
                 d = (center[0] + dk[0], center[1] + dk[1])
-                wt = sel_whtz[d]                          # [n,4,...]
-                dabs = jnp.abs(wrec_z - wt)
-                per4 = jnp.sum(dabs, axis=(-4, -3)) >> 1  # [n,4,2,2]
-                per_blk = jnp.sum(per4, axis=(-2, -1))    # [n,4]
+                wt = sel_whtz[d]                          # [n,4,64]
+                per_blk = satd_flat(wrec_z, wt)           # [n,4]
                 sat = jnp.sum(per_blk * mem, axis=1)      # member sum
                 outp.append(sat + mvcost(d))
             return jnp.stack(outp, axis=1)                # [n,9]
@@ -470,9 +488,9 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     windows = gather_windows8_jnp(
         ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw)
     blocks8 = block_table8(windows)                # uint8
-    # WHT of uint8 blocks fits int16 (|coef| <= 16*255); consumers
-    # promote to int32 on use
-    wht8 = QT.wht16(blocks8.astype(jnp.int32)).astype(jnp.int16)
+    # WHT of uint8 blocks fits int16 (|coef| <= 16*255); flat [.., 64]
+    # layout (padding-friendly); consumers promote to int32 on use
+    wht8 = wht8_flat(blocks8).astype(jnp.int16)
     mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(
         y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
     return part, mv8, r_idx8, blocks8, wht8, mb_cost
