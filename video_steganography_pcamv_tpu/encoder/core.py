@@ -34,10 +34,22 @@ import functools
 import jax as _jax
 
 
+def _res_to_host(res, mbh, mbw):
+    """Pull the per-frame result dict and restore the structured level
+    shapes (the device emits flat trailing dims; np reshape is free)."""
+    out = {k: np.asarray(v) for k, v in res.items()}
+    out["luma_lev"] = out["luma_lev"].reshape(mbh, mbw, 4, 4, 4, 4)
+    out["chroma_dc"] = out["chroma_dc"].reshape(mbh, mbw, 2, 2, 2)
+    out["chroma_ac"] = out["chroma_ac"].reshape(mbh, mbw, 2, 2, 2, 4, 4)
+    return out
+
+
 @functools.partial(_jax.jit, static_argnames=("mbh", "mbw"))
 def _nnz4_device(lev, mbh: int, mbw: int):
-    """Per-4x4 total_coeff map for the deblocker, on device."""
-    return jnp.count_nonzero(lev, axis=(4, 5)).transpose(0, 2, 1, 3) \
+    """Per-4x4 total_coeff map for the deblocker, on device.
+    lev: [mbh, mbw, 256] flat (by,bx,r,c)."""
+    l6 = lev.reshape(mbh, mbw, 4, 4, 16)
+    return jnp.count_nonzero(l6, axis=4).transpose(0, 2, 1, 3) \
         .reshape(4 * mbh, 4 * mbw).astype(jnp.int32)
 
 
@@ -473,7 +485,7 @@ class Encoder:
                 self, y, u, v, part_np, mv8_np, None, skip, mvp)
             if replaced is not None:
                 final8, skip, mvd, res = replaced
-        res_np = {k: np.asarray(val) for k, val in res.items()}
+        res_np = _res_to_host(res, mbh, mbw)
 
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
         nnz4 = None
@@ -598,7 +610,7 @@ class Encoder:
                                                None, skip, mvp)
             if replaced is not None:
                 mv_np, skip, mvd, res = replaced
-        res_np = {k: np.asarray(val) for k, val in res.items()}
+        res_np = _res_to_host(res, p.mb_height, p.mb_width)
 
         if p.deblock and self._native is not None:
             self._deblock(res_np, intra=False, mv=mv_np,

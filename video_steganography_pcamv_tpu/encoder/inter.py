@@ -232,20 +232,21 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
         return t.reshape(mbh, mbw, b, b).transpose(0, 2, 1, 3) \
                 .reshape(mbh * b, mbw * b)
 
-    # transfer-lean dtypes: levels fit int16, recon is uint8 — the
-    # device->host link is the pipeline's scarcest resource (PERF.md)
+    # transfer-lean dtypes (int16/uint8) AND flat trailing dims: a
+    # [..,4,4] trailing tile pads 64x in HBM; [.., 256] pads ~0
+    # (host reshapes back for free)
     return {
         "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
-            mbh, mbw, 4, 4, 4, 4).astype(jnp.int16),     # [..,by,bx,r,c]
+            mbh, mbw, 256).astype(jnp.int16),            # (by,bx,r,c)
         "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
         "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
         "chroma_dc": jnp.stack(
             [levs_c[0][0], levs_c[1][0]],
-            axis=1).reshape(mbh, mbw, 2, 2, 2).astype(jnp.int16),
+            axis=1).reshape(mbh, mbw, 8).astype(jnp.int16),
         "chroma_ac": jnp.stack(
             [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
              jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
-            axis=1).reshape(mbh, mbw, 2, 2, 2, 4, 4).astype(jnp.int16),
+            axis=1).reshape(mbh, mbw, 128).astype(jnp.int16),
         "recon_y": untile(rec, 16).astype(jnp.uint8),
         "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
         "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
@@ -340,16 +341,16 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
 
     return {
         "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
-            mbh, mbw, 4, 4, 4, 4).astype(jnp.int16),
+            mbh, mbw, 256).astype(jnp.int16),
         "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
         "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
         "chroma_dc": jnp.stack(
             [levs_c[0][0], levs_c[1][0]],
-            axis=1).reshape(mbh, mbw, 2, 2, 2).astype(jnp.int16),
+            axis=1).reshape(mbh, mbw, 8).astype(jnp.int16),
         "chroma_ac": jnp.stack(
             [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
              jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
-            axis=1).reshape(mbh, mbw, 2, 2, 2, 4, 4).astype(jnp.int16),
+            axis=1).reshape(mbh, mbw, 128).astype(jnp.int16),
         "recon_y": untile(rec, 16).astype(jnp.uint8),
         "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
         "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),

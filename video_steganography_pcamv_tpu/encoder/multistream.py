@@ -195,10 +195,16 @@ class MultiEncoder:
             skips = [sc[0] for sc in scans]
             mvds = [sc[1] for sc in scans]
 
+        from .core import _res_to_host
         res_np = {k: np.asarray(v) for k, v in res.items()}
         recons = []
         for s, e in enumerate(encs):
             sub = {k: v[s] for k, v in res_np.items()}
+            sub["luma_lev"] = sub["luma_lev"].reshape(
+                mbh, mbw, 4, 4, 4, 4)
+            sub["chroma_dc"] = sub["chroma_dc"].reshape(mbh, mbw, 2, 2, 2)
+            sub["chroma_ac"] = sub["chroma_ac"].reshape(
+                mbh, mbw, 2, 2, 2, 4, 4)
             mv4 = np.repeat(np.repeat(final8s[s], 2, 0), 2, 1)
             e._deblock(sub, intra=False, mv=mv4,
                        skip=skips[s].astype(np.uint8), qp=decisions[s][1])
