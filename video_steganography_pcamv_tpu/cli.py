@@ -49,6 +49,9 @@ def build_argparser():
     ap.add_argument("--no-dct-decimate", action="store_true")
     ap.add_argument("--cabac", action="store_true")
     ap.add_argument("--no-partitions", action="store_true")
+    ap.add_argument("--p4x4", action="store_true",
+                    help="sub-8x8 partitions 8x4/4x8/4x4 "
+                         "(x264 analyse=p4x4)")
     # stego (reference: x264.c:394-402)
     ap.add_argument("--emrate", type=float, default=0.0)
     ap.add_argument("--key", type=int, default=0)
@@ -108,6 +111,7 @@ def main(argv=None):
                dct_decimate=not args.no_dct_decimate,
                cabac=args.cabac,
                partitions=not args.no_partitions,
+               p4x4=args.p4x4,
                stego=StegoParams(em_rate=args.emrate, key=args.key,
                                  em_file=args.emfile))
     enc = Encoder(p)

@@ -215,8 +215,13 @@ class CabacSliceParser:
         return False, 3 if cd.decision(16) else 0
 
     def sub_mb_type(self):
-        assert self.cd.decision(21) == 1, "sub partitions < 8x8 unsupported"
-        return 0
+        """P sub_mb_type (inverse of x264_cabac_mb_sub_p_partition,
+        encoder/cabac.c:309-330): 0=8x8, 1=8x4, 2=4x8, 3=4x4."""
+        if self.cd.decision(21):
+            return 0
+        if not self.cd.decision(22):
+            return 1
+        return 2 if self.cd.decision(23) else 3
 
     def intra4x4_modes(self, my, mx):
         cd = self.cd
@@ -434,11 +439,15 @@ class CabacSliceParser:
     def parse_p_mb(self, my, mx, part):
         """After mb_type: returns (mvds [units][2], cbp_luma,
         cbp_chroma, blocks, cdcs, cacs)."""
+        from ..encoder.scan import mb_units
         if part == 3:
-            for _ in range(4):
-                self.sub_mb_type()
+            subs = [self.sub_mb_type() for _ in range(4)]
+            geom = mb_units(3, subs)
+        else:
+            subs = None
+            geom = self._UGEOM[part]
         mvds = []
-        for (oy, ox, w4, h4) in self._UGEOM[part]:
+        for (oy, ox, w4, h4) in geom:
             mvds.append(self.mvd(4 * my + oy, 4 * mx + ox, h4, w4))
         cbp_luma = self.cbp_luma(my, mx)
         cbp_chroma = self.cbp_chroma(my, mx)
@@ -458,7 +467,7 @@ class CabacSliceParser:
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
-        return mvds, cbp_luma, cbp_chroma, blocks, cdcs, cacs
+        return (mvds, subs), cbp_luma, cbp_chroma, blocks, cdcs, cacs
 
     def parse_skip_mb(self, my, mx):
         self._clear_mb_ctx(my, mx)

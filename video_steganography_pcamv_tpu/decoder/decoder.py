@@ -455,15 +455,24 @@ class SliceDecoder:
                         blocks[by, bx])
 
     def _inter_pred_chroma(self, ch, mx, my):
-        """Chroma MB prediction from the per-8x8-luma (4x4-chroma) MVs."""
+        """Chroma MB prediction from the 4x4-granularity luma MVs: one
+        2x2 chroma block per luma 4x4 (spec 8.4.2.2 partition mapping;
+        identical to the coarser per-8x8 path when the MV is uniform
+        within the 8x8 — bilinear MC is position-independent)."""
         plane = self.ref["u"] if ch == 0 else self.ref["v"]
         out = np.zeros((8, 8), np.int64)
-        for by in range(2):
-            for bx in range(2):
-                mv = self.mv4[4 * my + 2 * by, 4 * mx + 2 * bx]
-                out[4 * by:4 * by + 4, 4 * bx:4 * bx + 4] = R.np_mc_chroma(
-                    plane, 8 * my + 4 * by, 8 * mx + 4 * bx,
-                    int(mv[0]), int(mv[1]), bh=4, bw=4)
+        mvblk = self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
+        # fast path: uniform MV over the MB -> one 8x8 MC
+        if (mvblk == mvblk[0, 0]).all():
+            mv = mvblk[0, 0]
+            return R.np_mc_chroma(plane, 8 * my, 8 * mx,
+                                  int(mv[0]), int(mv[1]), bh=8, bw=8)
+        for j in range(4):
+            for i in range(4):
+                mv = mvblk[j, i]
+                out[2 * j:2 * j + 2, 2 * i:2 * i + 2] = R.np_mc_chroma(
+                    plane, 8 * my + 2 * j, 8 * mx + 2 * i,
+                    int(mv[0]), int(mv[1]), bh=2, bw=2)
         return out
 
     # ---- MVP at 4x4 granularity (spec 8.4.1.3 / 8.4.1.1) ----
@@ -508,15 +517,30 @@ class SliceDecoder:
 
     def _recon_inter_luma(self, mx, my, blocks):
         """blocks: [4,4,4,4] dequantized (by,bx,r,c) incl. DC. Prediction
-        per 8x8 block from mv4 (uniform within each partition unit)."""
+        at 4x4 granularity from mv4 (uniform-MV 8x8s collapse to one
+        8x8 MC — the FIR interpolation is position-independent, so the
+        result is identical either way)."""
         gy, gx = 16 * my, 16 * mx
         pred = np.zeros((16, 16), np.int64)
+        mvblk = self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
         for b in range(4):
+            j2, i2 = (b >> 1) * 2, (b & 1) * 2
             oy, ox = 8 * (b >> 1), 8 * (b & 1)
-            mv = self.mv4[4 * my + (b >> 1) * 2, 4 * mx + (b & 1) * 2]
-            pred[oy:oy + 8, ox:ox + 8] = R.np_mc_luma(
-                self.ref["luma"], gy + oy, gx + ox,
-                int(mv[0]), int(mv[1]), bh=8, bw=8)
+            sub = mvblk[j2:j2 + 2, i2:i2 + 2]
+            if (sub == sub[0, 0]).all():
+                mv = sub[0, 0]
+                pred[oy:oy + 8, ox:ox + 8] = R.np_mc_luma(
+                    self.ref["luma"], gy + oy, gx + ox,
+                    int(mv[0]), int(mv[1]), bh=8, bw=8)
+            else:
+                for j in range(2):
+                    for i in range(2):
+                        mv = sub[j, i]
+                        pred[oy + 4 * j:oy + 4 * j + 4,
+                             ox + 4 * i:ox + 4 * i + 4] = R.np_mc_luma(
+                            self.ref["luma"], gy + oy + 4 * j,
+                            gx + ox + 4 * i,
+                            int(mv[0]), int(mv[1]), bh=4, bw=4)
         for by in range(4):
             for bx in range(4):
                 py, px = gy + 4 * by, gx + 4 * bx
@@ -535,12 +559,15 @@ class SliceDecoder:
     def decode_p_mb(self, br: BitReader, mx: int, my: int, mb_type: int,
                     qp: int):
         """P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 (spec
-        7.3.5.2; sub_mb_type restricted to P_L0_8x8)."""
-        geom = self._UNIT_GEOM[mb_type]
+        7.3.5.2), incl. sub_mb_types P_L0_8x8/8x4/4x8/4x4."""
+        from ..encoder.scan import mb_units
         if mb_type == 3:
-            for _ in range(4):
-                sub = br.read_ue()
-                assert sub == 0, f"unsupported sub_mb_type {sub}"
+            subs = [br.read_ue() for _ in range(4)]
+            assert all(0 <= s <= 3 for s in subs), \
+                f"unsupported sub_mb_type in {subs}"
+            geom = mb_units(3, subs)
+        else:
+            geom = self._UNIT_GEOM[mb_type]
         unit_mvs = []
         y4, x4 = 4 * my, 4 * mx
         for u, (oy, ox, w4, h4) in enumerate(geom):
@@ -844,9 +871,10 @@ def _recon_i4_cabac(dec, ps, my, mx, qp, qpc):
 
 
 def _recon_p_cabac(dec, ps, my, mx, part, qp, qpc):
-    mvds, cbp_luma, cbp_chroma, blk_lv, cdcs, cacs = \
+    from ..encoder.scan import mb_units
+    (mvds, subs), cbp_luma, cbp_chroma, blk_lv, cdcs, cacs = \
         ps.parse_p_mb(my, mx, part)
-    geom = dec._UNIT_GEOM[part]
+    geom = mb_units(part, subs) if part == 3 else dec._UNIT_GEOM[part]
     y4, x4 = 4 * my, 4 * mx
     unit_mvs = []
     for u, (oy, ox, w4, h4) in enumerate(geom):

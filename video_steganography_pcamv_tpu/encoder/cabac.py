@@ -304,6 +304,24 @@ class CabacSliceWriter:
     def sub_mb_type_l0_8x8(self):
         self.cb.decision(21, 1)
 
+    def sub_mb_type_p(self, sub: int):
+        """P sub_mb_type bins (reference x264_cabac_mb_sub_p_partition,
+        encoder/cabac.c:309-330). 0=8x8, 1=8x4, 2=4x8, 3=4x4."""
+        cb = self.cb
+        if sub == 0:
+            cb.decision(21, 1)
+        elif sub == 1:
+            cb.decision(21, 0)
+            cb.decision(22, 0)
+        elif sub == 2:
+            cb.decision(21, 0)
+            cb.decision(22, 1)
+            cb.decision(23, 1)
+        else:
+            cb.decision(21, 0)
+            cb.decision(22, 1)
+            cb.decision(23, 0)
+
     def intra4x4_modes(self, my, mx, modes):
         cb = self.cb
         for blk in range(16):
@@ -539,13 +557,20 @@ class CabacSliceWriter:
                   (2, 2, 2, 2)]}
 
     def write_p_mb(self, my, mx, part, mvds, cbp_luma, cbp_chroma,
-                   luma_blocks, chroma_dc, chroma_ac):
+                   luma_blocks, chroma_dc, chroma_ac, sub_types=None):
+        """sub_types: [4] sub_mb_type per 8x8 block (None = all
+        P_L0_8x8); mvds then has one row per unit in coding order."""
+        from .scan import mb_units
         self.skip_flag(my, mx, False)
         self.mb_type_p_inter(part)
         if part == 3:
-            for _ in range(4):
-                self.sub_mb_type_l0_8x8()
-        for u, (oy, ox, w4, h4) in enumerate(self._UGEOM[part]):
+            for b in range(4):
+                self.sub_mb_type_p(0 if sub_types is None
+                                   else int(sub_types[b]))
+            geom = mb_units(3, sub_types)
+        else:
+            geom = self._UGEOM[part]
+        for u, (oy, ox, w4, h4) in enumerate(geom):
             self.mvd(4 * my + oy, 4 * mx + ox, h4, w4,
                      int(mvds[u, 0]), int(mvds[u, 1]))
         cbp = (cbp_chroma << 4) | cbp_luma

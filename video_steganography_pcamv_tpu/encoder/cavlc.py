@@ -271,15 +271,22 @@ class FrameCavlc:
     def write_p_mb(self, bw: BitWriter, mx: int, my: int, part: int,
                    mvds: np.ndarray, cbp_luma: int, cbp_chroma: int,
                    luma_lev: np.ndarray, chroma_dc: np.ndarray,
-                   chroma_ac: np.ndarray, qp_delta: int) -> None:
-        """Partitioned P macroblock (spec 7.3.5.2): mb_type 0..3 with
-        sub_mb_type fixed to P_L0_8x8. mvds: [4,2] unit mvds in coding
-        order (unused slots ignored)."""
-        n_units = (1, 2, 2, 4)[part]
+                   chroma_ac: np.ndarray, qp_delta: int,
+                   sub_types=None) -> None:
+        """Partitioned P macroblock (spec 7.3.5.2). mvds: [U,2] unit
+        mvds in coding order (U up to 16; unused slots ignored).
+        sub_types: [4] sub_mb_type per 8x8 block (None = all
+        P_L0_8x8)."""
+        from .scan import N_SUB
         bw.write_ue(part)
         if part == 3:
-            for _ in range(4):
-                bw.write_ue(0)  # sub_mb_type P_L0_8x8
+            n_units = 0
+            for b in range(4):
+                st = 0 if sub_types is None else int(sub_types[b])
+                bw.write_ue(st)  # sub_mb_type (7.4.5.2 P table)
+                n_units += N_SUB[st]
+        else:
+            n_units = (1, 2, 2)[part]
         for u in range(n_units):
             bw.write_se(int(mvds[u, 0]))
             bw.write_se(int(mvds[u, 1]))

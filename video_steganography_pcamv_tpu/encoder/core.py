@@ -348,6 +348,56 @@ class Encoder:
         w.end_slice(bw)
         return bw.get_bytes()
 
+    def _write_p_slice_cabac_sub(self, bw, res, qp, part, sub_type, mvd,
+                                 skip, intra_kind=None,
+                                 intra_res=None) -> bytes:
+        """CABAC P slice with sub-8x8 partitions (Python writer; the
+        native twin doesn't speak sub_mb_types yet). mvd: [mbh,mbw,16,2]
+        coding-order unit mvds."""
+        from .cabac import CabacSliceWriter
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        n = mbh * mbw
+        while not bw.byte_aligned():
+            bw.write1(1)
+        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
+        for a in range(n):
+            my, mx = a // mbw, a % mbw
+            k = 0 if intra_kind is None else int(intra_kind[my, mx])
+            if skip[my, mx]:
+                w.write_skip_mb(my, mx)
+            elif k == 2:
+                w.write_i4_mb(my, mx, intra_res["i4_modes"][my, mx],
+                              int(intra_res["cmode"][my, mx]),
+                              int(intra_res["cbp_luma"][my, mx]),
+                              int(intra_res["cbp_chroma"][my, mx]),
+                              intra_res["luma_ac"][my, mx],
+                              intra_res["chroma_dc"][my, mx],
+                              intra_res["chroma_ac"][my, mx], in_p=True)
+            elif k == 1:
+                w.write_i16_mb(my, mx, int(intra_res["mode"][my, mx]),
+                               int(intra_res["cmode"][my, mx]),
+                               int(intra_res["cbp_luma"][my, mx]) != 0,
+                               int(intra_res["cbp_chroma"][my, mx]),
+                               intra_res["luma_dc"][my, mx],
+                               intra_res["luma_ac"][my, mx],
+                               intra_res["chroma_dc"][my, mx],
+                               intra_res["chroma_ac"][my, mx],
+                               in_p=True)
+            else:
+                pt = int(part[my, mx])
+                w.write_p_mb(my, mx, pt, mvd[my, mx],
+                             int(res["cbp_luma"][my, mx]),
+                             int(res["cbp_chroma"][my, mx]),
+                             res["luma_lev"][my, mx],
+                             res["chroma_dc"][my, mx],
+                             res["chroma_ac"][my, mx],
+                             sub_types=(sub_type[my, mx]
+                                        if pt == 3 else None))
+            w.end_mb(a == n - 1)
+        w.end_slice(bw)
+        return bw.get_bytes()
+
     def _on_tpu(self) -> bool:
         import jax
         return (self.p.deblock_device
@@ -585,9 +635,148 @@ class Encoder:
         bw.rbsp_trailing()
         return bw.get_bytes()
 
+    def _encode_p_sub(self, y, u, v, qp: int, qpc: int) -> bytes:
+        """Sub-8x8-partitioned P path (P_8x8 sub_mb_types 8x4/4x8/4x4;
+        reference analyse helpers p8x4/p4x8/p4x4, analyse.c:1569-1693).
+        Entropy coding runs the Python oracle writers (the native twins
+        don't speak sub partitions yet)."""
+        from . import partition as PT
+        from . import scan as SCAN
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        lam = ME.lambda_tab(qp)
+        part, sub_type, mv4, r_idx4, blocks4, wht4, mb_cost = \
+            PT.analyse_p_frame_sub(
+                y, self.ref["luma"], jnp.asarray(self.prev_mv),
+                p.me_range, mbh, mbw, lam, p.subpel)
+        self._ptables4 = {"blocks": blocks4, "wht": wht4, "r_idx": r_idx4}
+        part_np = np.asarray(part)
+        sub_np = np.asarray(sub_type)
+        mv4_np = np.asarray(mv4)
+        res = P.encode_p_frame_device4(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            mv4, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+
+        intra_res = None
+        intra_kind = np.zeros((mbh, mbw), np.int32)
+        if p.intra_in_p and self._stego is None:
+            ir = I.refine_p_intra(
+                y, u, v, res["recon_y"], res["recon_u"], res["recon_v"],
+                mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4)
+            intra_kind = np.asarray(ir["intra_kind"])
+            if intra_kind.any():
+                intra_res = {k: np.asarray(val) for k, val in ir.items()}
+                res = dict(res)
+                for k in ("recon_y", "recon_u", "recon_v"):
+                    res[k] = ir[k]
+
+        cbp_l = np.asarray(res["cbp_luma"])
+        cbp_c = np.asarray(res["cbp_chroma"])
+        intra_mask = intra_kind > 0
+        skip, mvd, mvp, final4 = SCAN.scan_p_frame_sub(
+            part_np, sub_np, mv4_np, cbp_l, cbp_c,
+            intra=intra_mask if intra_mask.any() else None)
+        skip &= ~intra_mask
+
+        if self._stego is not None:
+            replaced = self._stego.embed_frame_sub(
+                self, y, u, v, part_np, sub_np, mv4_np, skip, mvp)
+            if replaced is not None:
+                final4, skip, mvd, res = replaced
+        res_np = _res_to_host(res, mbh, mbw)
+
+        nnz4 = None
+        if intra_res is not None:
+            nz_inter = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            nz_intra = np.count_nonzero(intra_res["luma_ac"],
+                                        axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
+            nnz4 = np.where(m4, nz_intra, nz_inter).astype(np.int32)
+        if p.deblock and self._on_tpu():
+            self._deblock_device(
+                res, intra_mask, skip, final4, qp,
+                jnp.asarray(nnz4) if nnz4 is not None else
+                _nnz4_device(res["luma_lev"], mbh, mbw))
+        elif p.deblock and self._native is not None:
+            self._deblock(res_np, intra=intra_mask, mv=final4,
+                          skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4)
+        else:
+            self._update_ref(res)
+            self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
+                               res_np["recon_v"])
+        self.prev_mv = np.where(intra_mask[..., None], 0,
+                                np.ascontiguousarray(final4[::4, ::4]))
+        kind = np.where(skip, 0, 1).astype(np.int32)
+        kind = np.where(intra_kind == 1, 2, kind)
+        kind = np.where(intra_kind == 2, 3, kind)
+        self.last_frame_info = {"kind": kind, "part": part_np,
+                                "mv8": np.ascontiguousarray(
+                                    final4[::2, ::2])}
+        self._last_sub_types = sub_np
+
+        bw = BitWriter()
+        H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
+                             self.frame_num, qp, idr=False,
+                             disable_deblock=0 if p.deblock else 1)
+        if p.cabac:
+            return self._write_p_slice_cabac_sub(
+                bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
+                intra_res)
+        fc = FrameCavlc(mbw, mbh)
+        skip_run = 0
+        for my in range(mbh):
+            for mx in range(mbw):
+                if skip[my, mx]:
+                    skip_run += 1
+                    fc.set_mb_nnz_zero(mx, my)
+                    continue
+                bw.write_ue(skip_run)
+                skip_run = 0
+                k = int(intra_kind[my, mx])
+                if k == 2:
+                    fc.write_i4x4_mb(
+                        bw, mx, my, intra_res["i4_modes"][my, mx],
+                        int(intra_res["cmode"][my, mx]),
+                        int(intra_res["cbp_luma"][my, mx]),
+                        int(intra_res["cbp_chroma"][my, mx]),
+                        intra_res["luma_ac"][my, mx],
+                        intra_res["chroma_dc"][my, mx],
+                        intra_res["chroma_ac"][my, mx], qp_delta=0,
+                        in_p_slice=True)
+                    continue
+                if k == 1:
+                    fc.write_i16x16_mb(
+                        bw, mx, my, int(intra_res["mode"][my, mx]),
+                        int(intra_res["cmode"][my, mx]),
+                        int(intra_res["cbp_luma"][my, mx]),
+                        int(intra_res["cbp_chroma"][my, mx]),
+                        intra_res["luma_dc"][my, mx],
+                        intra_res["luma_ac"][my, mx],
+                        intra_res["chroma_dc"][my, mx],
+                        intra_res["chroma_ac"][my, mx], qp_delta=0,
+                        in_p_slice=True)
+                    continue
+                fc.write_p_mb(
+                    bw, mx, my, int(part_np[my, mx]), mvd[my, mx],
+                    int(res_np["cbp_luma"][my, mx]),
+                    int(res_np["cbp_chroma"][my, mx]),
+                    res_np["luma_lev"][my, mx],
+                    res_np["chroma_dc"][my, mx],
+                    res_np["chroma_ac"][my, mx], qp_delta=0,
+                    sub_types=(sub_np[my, mx]
+                               if part_np[my, mx] == 3 else None))
+        if skip_run:
+            bw.write_ue(skip_run)
+        bw.rbsp_trailing()
+        return bw.get_bytes()
+
     def _encode_p(self, y, u, v, qp: int) -> bytes:
         p = self.p
         qpc = chroma_qp(qp, p.chroma_qp_offset)
+        if p.p4x4 and p.partitions:
+            return self._encode_p_sub(y, u, v, qp, qpc)
         if p.partitions:
             return self._encode_p_parts(y, u, v, qp, qpc)
 

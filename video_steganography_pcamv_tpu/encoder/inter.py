@@ -357,6 +357,113 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
     }
 
 
+def assemble_pred_luma4(ref_luma, mv4, mbh: int, mbw: int):
+    """Per-4x4-block MC -> [N,16,16] MB preds. mv4: [4mbh,4mbw,2] qpel
+    (sub-8x8 partitions; identical to the 8x8 path when uniform)."""
+    n4 = 16 * mbh * mbw
+    ys4 = (jnp.arange(n4) // (4 * mbw)) * 4
+    xs4 = (jnp.arange(n4) % (4 * mbw)) * 4
+    p4 = mc.mc_luma(ref_luma, ys4, xs4, mv4.reshape(n4, 2), bh=4, bw=4)
+    pred = p4.reshape(4 * mbh, 4 * mbw, 4, 4).transpose(0, 2, 1, 3) \
+             .reshape(16 * mbh, 16 * mbw)
+    n = mbh * mbw
+    return pred.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+               .reshape(n, 16, 16)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
+                           qp, qpc, mbh: int, mbw: int,
+                           decimate: bool = True, force_zero=None):
+    """Sub-partitioned final P encode: mv per 4x4 luma block
+    ([4mbh,4mbw,2] qpel, uniform within each partition unit); chroma MC
+    at 2x2 granularity (the spec's partition mapping — equal to the
+    coarser paths wherever the MV field is uniform). Same outputs as
+    encode_p_frame_device8."""
+    n = mbh * mbw
+    fz = (jnp.zeros(n, bool) if force_zero is None
+          else force_zero.reshape(n))
+
+    cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
+    pred = assemble_pred_luma4(ref_luma, mv4, mbh, mbw)
+    lev, rec = luma_p_encode(cur, pred, qp, decimate)
+    lev = lev * ~fz[:, None, None, None, None]
+    rec = jnp.where(fz[:, None, None], pred, rec)
+    nz_blk = jnp.any(lev != 0, axis=(1, 2))
+    cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))
+    cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
+                + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8)
+
+    # ---- chroma: 2x2 blocks, one per luma 4x4 cell ----
+    n4 = 16 * mbh * mbw
+    ysc = (jnp.arange(n4) // (4 * mbw)) * 2
+    xsc = (jnp.arange(n4) % (4 * mbw)) * 2
+    mvf4 = mv4.reshape(n4, 2)
+    chroma_out = []
+    for plane, refp in ((u, ref_u), (v, ref_v)):
+        curc = plane.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                    .reshape(n, 8, 8)
+        pc2 = mc.mc_chroma(refp, ysc, xsc, mvf4, bh=2, bw=2)
+        predc = pc2.reshape(4 * mbh, 4 * mbw, 2, 2).transpose(0, 2, 1, 3) \
+                   .reshape(8 * mbh, 8 * mbw)
+        predc = predc.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                     .reshape(n, 8, 8)
+        resc = to_blocks(curc - predc, 4)
+        coef = T.dct4x4(resc)
+        dc = coef[:, 0, 0][..., None, None]
+        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc, intra=False)
+        ac = coef.at[:, 0, 0].set(0)
+        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if decimate:
+            zzc = _zigzag_gather(ac_lev)
+            scc = jnp.sum(decimate_score(zzc), axis=(1, 2))
+            keep_c = scc >= 7
+            ac_lev = ac_lev * keep_c[:, None, None, None, None]
+        dc_lev = dc_lev * ~fz[:, None, None]
+        ac_lev = ac_lev * ~fz[:, None, None, None, None]
+        chroma_out.append((dc_lev, ac_lev, predc, curc))
+
+    ac_nz = jnp.stack([jnp.any(c[1] != 0, axis=(1, 2, 3, 4))
+                       for c in chroma_out]).any(axis=0)
+    dc_nz = jnp.stack([jnp.any(c[0] != 0, axis=(1, 2))
+                       for c in chroma_out]).any(axis=0)
+    cbp_chroma = jnp.where(ac_nz, 2, jnp.where(dc_nz, 1, 0))
+
+    recs_c = []
+    levs_c = []
+    for dc_lev, ac_lev, predc, curc in chroma_out:
+        deqc = T.dequant4x4(ac_lev, qpc)
+        dc_rec = T.dequant_dc_chroma(
+            T.hadamard2x2(dc_lev[..., None, None])[..., 0, 0], qpc)
+        deqc = deqc.at[:, 0, 0].set(dc_rec)
+        rc = T.idct4x4_add(to_blocks(predc, 4), deqc)
+        rc = rc.reshape(n, 4, 4, 2, 2).transpose(0, 3, 1, 4, 2) \
+               .reshape(n, 8, 8)
+        recs_c.append(rc)
+        levs_c.append((dc_lev, ac_lev))
+
+    def untile(t, b):
+        return t.reshape(mbh, mbw, b, b).transpose(0, 2, 1, 3) \
+                .reshape(mbh * b, mbw * b)
+
+    return {
+        "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
+            mbh, mbw, 256).astype(jnp.int16),
+        "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
+        "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
+        "chroma_dc": jnp.stack(
+            [levs_c[0][0], levs_c[1][0]],
+            axis=1).reshape(mbh, mbw, 8).astype(jnp.int16),
+        "chroma_ac": jnp.stack(
+            [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
+             jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
+            axis=1).reshape(mbh, mbw, 128).astype(jnp.int16),
+        "recon_y": untile(rec, 16).astype(jnp.uint8),
+        "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
+        "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Host scan: MVP / P_SKIP / mvd derivation (spec 8.4.1.1, 8.4.1.3)
 # ---------------------------------------------------------------------------

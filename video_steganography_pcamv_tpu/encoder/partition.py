@@ -457,6 +457,456 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
     return rho, alt, valid
 
 
+# ---------------------------------------------------------------------------
+# Sub-8x8 partitions (P_8x8 sub_mb_types 8x4 / 4x8 / 4x4)
+#
+# Reference: the p4x4/p8x4/p4x8 analysis helpers
+# (analyse.c x264_mb_analyse_inter_p4x4:1569, p8x4:1613, p4x8:1654) and
+# the D_L0_4x4/8x4/4x8 stego-capture cases (analyse.c:3518-3689). TPU
+# redesign: the exhaustive full-pel scan accumulates per-4x4 SAD planes,
+# so every sub-unit of every 8x8 block gets its exhaustive best MV from
+# the same pass; the sub_mb_type decision is a 4-way argmin per 8x8
+# block with ue() header-bit lambda terms, and the MB partition decision
+# consumes the sub-optimized 8x8 cost.
+# ---------------------------------------------------------------------------
+
+# sub_mb_type header bits: ue(0)=1, ue(1)=3, ue(2)=3, ue(3)=5
+_SUB_HDR_BITS = np.array([1, 3, 3, 5], np.int32)
+# mb_type header bits with the P_8x8 sub bits counted separately
+_HDR_BITS_SUB = np.array([1, 3, 3, 5], np.int32)
+
+# per-4x4-block (z order within MB, 0..15) unit-slot id (= z index of
+# the unit's first member block) for MB partitions 0..2
+_UNIT_ID_PART = np.array([
+    [0] * 16,
+    [0] * 8 + [8] * 8,                      # 16x8: top, bottom
+    [0, 0, 0, 0, 4, 4, 4, 4] * 2,           # 8x16: left(blk0,2) right(1,3)
+], np.int32)
+# relative slot id within an 8x8 block per sub_mb_type
+_SUB_UNIT_ID = np.array([
+    [0, 0, 0, 0],       # 8x8
+    [0, 0, 2, 2],       # 8x4: top pair, bottom pair
+    [0, 1, 0, 1],       # 4x8: left pair, right pair
+    [0, 1, 2, 3],       # 4x4
+], np.int32)
+
+
+def unit_id_map(part, sub_type):
+    """[mbh,mbw] part + [mbh,mbw,4] sub_type -> [mbh,mbw,16] unit-slot
+    id per 4x4 block (z order). Slot id = z index of the unit's first
+    member block, so slot s exists iff unit_id[..., s] == s."""
+    mbh, mbw = part.shape
+    base = jnp.asarray(_UNIT_ID_PART)[jnp.clip(part, 0, 2)]  # [mbh,mbw,16]
+    rel = jnp.asarray(_SUB_UNIT_ID)[sub_type]                # [mbh,mbw,4,4]
+    blk_base = jnp.arange(4, dtype=jnp.int32)[:, None] * 4
+    sub_ids = (rel + blk_base).reshape(mbh, mbw, 16)
+    return jnp.where((part == 3)[..., None], sub_ids, base)
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw"))
+def fullpel_search_sub(cur_y, ref_fp, pred_mv_fp, rng: int,
+                       mbh: int, mbw: int, lam=1):
+    """Exhaustive full-pel scan with per-4x4 accumulation: best MV per
+    unit for all MB partition shapes AND all sub-8x8 shapes at once.
+
+    Returns the fullpel_search_parts dict plus c84/mv84 [mbh,mbw,4,2,..]
+    (8x4 sub-units per 8x8 block), c48/mv48, c44/mv44 [mbh,mbw,4,4,..]."""
+    h, w = 16 * mbh, 16 * mbw
+    n_c = (2 * rng + 1) ** 2
+    dys, dxs = np.meshgrid(np.arange(-rng, rng + 1),
+                           np.arange(-rng, rng + 1), indexing="ij")
+    dys = jnp.asarray(dys.ravel())
+    dxs = jnp.asarray(dxs.ravel())
+    bits_t = jnp.asarray(mv_bits_table(4 * (rng + 64)))
+    off = 4 * (rng + 64)
+    pmx = pred_mv_fp[..., 0]
+    pmy = pred_mv_fp[..., 1]
+
+    def init_state():
+        st = dict(
+            c16=jnp.full((mbh, mbw), 1 << 30, jnp.int32),
+            mv16=jnp.zeros((mbh, mbw, 2), jnp.int32),
+            c16x8=jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
+            mv16x8=jnp.zeros((mbh, mbw, 2, 2), jnp.int32),
+            c8x16=jnp.full((mbh, mbw, 2), 1 << 30, jnp.int32),
+            mv8x16=jnp.zeros((mbh, mbw, 2, 2), jnp.int32),
+            c8=jnp.full((mbh, mbw, 4), 1 << 30, jnp.int32),
+            mv8=jnp.zeros((mbh, mbw, 4, 2), jnp.int32),
+            c84=jnp.full((mbh, mbw, 4, 2), 1 << 30, jnp.int32),
+            mv84=jnp.zeros((mbh, mbw, 4, 2, 2), jnp.int32),
+            c48=jnp.full((mbh, mbw, 4, 2), 1 << 30, jnp.int32),
+            mv48=jnp.zeros((mbh, mbw, 4, 2, 2), jnp.int32),
+            c44=jnp.full((mbh, mbw, 4, 4), 1 << 30, jnp.int32),
+            mv44=jnp.zeros((mbh, mbw, 4, 4, 2), jnp.int32),
+        )
+        return st
+
+    def step(st, i):
+        dy, dx = dys[i], dxs[i]
+        win = jax.lax.dynamic_slice(
+            ref_fp, (mc.PAD + dy, mc.PAD + dx), (h, w))
+        sad4 = jnp.sum(to_blocks(jnp.abs(cur_y - win), 4),
+                       axis=(-4, -3))                     # [4mbh, 4mbw]
+        # z layout: [mbh, mbw, 4(blk z), 4(sub z)]
+        q4 = sad4.reshape(mbh, 2, 2, mbw, 2, 2) \
+                 .transpose(0, 3, 1, 4, 2, 5).reshape(mbh, mbw, 4, 4)
+        q8 = q4.sum(-1)                                   # [mbh,mbw,4]
+        mvc = (bits_t[4 * dx - 4 * pmx + off]
+               + bits_t[4 * dy - 4 * pmy + off]) * lam    # [mbh,mbw]
+        mv_i = jnp.stack([jnp.broadcast_to(dx, (mbh, mbw)),
+                          jnp.broadcast_to(dy, (mbh, mbw))], axis=-1)
+
+        def upd(cost_key, mv_key, cost):
+            c = st[cost_key]
+            better = cost < c
+            st[cost_key] = jnp.where(better, cost, c)
+            bmv = jnp.broadcast_to(
+                mv_i.reshape((mbh, mbw) + (1,) * (c.ndim - 2) + (2,)),
+                st[mv_key].shape)
+            st[mv_key] = jnp.where(better[..., None], bmv, st[mv_key])
+
+        upd("c16", "mv16", q8.sum(-1) + mvc)
+        qz = q8.reshape(mbh, mbw, 2, 2)                   # [.,.,row,col]
+        upd("c16x8", "mv16x8", qz.sum(3) + mvc[..., None])
+        upd("c8x16", "mv8x16", qz.sum(2) + mvc[..., None])
+        upd("c8", "mv8", q8 + mvc[..., None])
+        m1 = mvc[..., None, None]
+        # sub z order within 8x8: 0 TL, 1 TR, 2 BL, 3 BR
+        upd("c84", "mv84",
+            q4[..., [0, 2]] + q4[..., [1, 3]] + m1)       # top, bottom
+        upd("c48", "mv48",
+            q4[..., [0, 1]] + q4[..., [2, 3]] + m1)       # left, right
+        upd("c44", "mv44", q4 + m1)
+        return st, None
+
+    st, _ = jax.lax.scan(step, init_state(), jnp.arange(n_c))
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw",
+                                             "allow_parts"))
+def decide_partition_sub(st, mbh: int, mbw: int, lam=1,
+                         allow_parts: bool = True):
+    """Two-level partition decision: per-8x8 sub_mb_type argmin, then
+    the 4-way MB decision consuming the sub-optimized 8x8 cost.
+    Returns (part [mbh,mbw], sub_type [mbh,mbw,4], mv4fp
+    [4mbh,4mbw,2] full-pel per 4x4 block)."""
+    shdr = jnp.asarray(_SUB_HDR_BITS)
+    sub_tot = jnp.stack([
+        st["c8"] + lam * shdr[0],
+        st["c84"].sum(-1) + lam * shdr[1],
+        st["c48"].sum(-1) + lam * shdr[2],
+        st["c44"].sum(-1) + lam * shdr[3],
+    ])                                             # [4(sub),mbh,mbw,4]
+    sub_type = jnp.argmin(sub_tot, axis=0).astype(jnp.int32)
+    c8best = jnp.min(sub_tot, axis=0)              # [mbh,mbw,4]
+
+    hdr = jnp.asarray(_HDR_BITS_SUB)
+    tot = jnp.stack([
+        st["c16"] + lam * hdr[0],
+        st["c16x8"].sum(-1) + lam * hdr[1],
+        st["c8x16"].sum(-1) + lam * hdr[2],
+        c8best.sum(-1) + lam * hdr[3],
+    ])
+    if not allow_parts:
+        part = jnp.zeros((mbh, mbw), jnp.int32)
+    else:
+        part = jnp.argmin(tot, axis=0).astype(jnp.int32)
+    sub_type = jnp.where((part == 3)[..., None], sub_type, 0)
+
+    # per-4x4-block (z order) MV under the chosen sub shape
+    mv44_by_sub = jnp.stack([
+        jnp.broadcast_to(st["mv8"][:, :, :, None, :], (mbh, mbw, 4, 4, 2)),
+        st["mv84"][:, :, :, [0, 1, 0, 1], :][:, :, :, [0, 2, 1, 3], :],
+        st["mv48"][:, :, :, [0, 1, 0, 1], :],
+        st["mv44"],
+    ])                                       # [4(sub),mbh,mbw,4,4,2]
+    mv44_p3 = jnp.take_along_axis(
+        mv44_by_sub, sub_type[None, :, :, :, None, None], axis=0)[0]
+    mv44_by_part = jnp.stack([
+        jnp.broadcast_to(st["mv16"][:, :, None, None, :],
+                         (mbh, mbw, 4, 4, 2)),
+        jnp.broadcast_to(st["mv16x8"][:, :, [0, 0, 1, 1], None, :],
+                         (mbh, mbw, 4, 4, 2)),
+        jnp.broadcast_to(st["mv8x16"][:, :, [0, 1, 0, 1], None, :],
+                         (mbh, mbw, 4, 4, 2)),
+        mv44_p3,
+    ])                                       # [4(part),mbh,mbw,4,4,2]
+    mv44 = jnp.take_along_axis(
+        mv44_by_part, part[None, :, :, None, None, None], axis=0)[0]
+    # [mbh,mbw,4(blk z),4(sub z),2] -> [4mbh,4mbw,2] spatial
+    mv4 = mv44.reshape(mbh, mbw, 2, 2, 2, 2, 2) \
+              .transpose(0, 2, 4, 1, 3, 5, 6) \
+              .reshape(4 * mbh, 4 * mbw, 2)
+    return part, sub_type, mv4
+
+
+def gather_windows4_jnp(planes, mv4fp, mbh: int, mbw: int):
+    """Per-4x4-block window fetch: [N4, 4, 12, 12] at
+    (block base + mv - MARGIN)."""
+    n4 = 16 * mbh * mbw
+    bys = (jnp.arange(n4) // (4 * mbw)) * 4
+    bxs = (jnp.arange(n4) % (4 * mbw)) * 4
+    mvf = mv4fp.reshape(n4, 2)
+    ys = bys + mc.PAD - QT.MARGIN + mvf[:, 1]
+    xs = bxs + mc.PAD - QT.MARGIN + mvf[:, 0]
+    W4 = 12   # 4 + 2*MARGIN
+    yy = ys[:, None] + jnp.arange(W4)
+    xx = xs[:, None] + jnp.arange(W4)
+    return planes[:, yy[:, :, None], xx[:, None, :]].transpose(1, 0, 2, 3)
+
+
+def block_table4(windows):
+    """[N4, 4, 12, 12] -> [169, N4, 4, 4] uint8 qpel offset blocks."""
+    outs = []
+    w16 = windows.astype(jnp.int16)
+    for oy in range(-6, 7):
+        for ox in range(-6, 7):
+            (p1, y1, x1), (p2, y2, x2) = QT._phase_slices(oy, ox)
+            a = w16[:, p1, y1:y1 + 4, x1:x1 + 4]
+            b = w16[:, p2, y2:y2 + 4, x2:x2 + 4]
+            outs.append(((a + b + 1) >> 1).astype(jnp.uint8))
+    return jnp.stack(outs)
+
+
+def wht4_flat(blocks):
+    """Per-4x4-block WHT, flat: [..., 4, 4] -> [..., 16]."""
+    h = QT.wht16(blocks.astype(jnp.int32))        # [..., 4,4,1,1]
+    return h.reshape(*blocks.shape[:-2], 16)
+
+
+def satd_flat4(wa, wb):
+    """SATD between flat 4x4 WHT tensors [..., 16]."""
+    d = jnp.abs(wa.astype(jnp.int32) - wb.astype(jnp.int32))
+    return d.sum(-1) >> 1
+
+
+def _blocks4_z(y, mbh, mbw):
+    """[16mbh,16mbw] -> [N4, 4, 4] spatial row-major 4x4 blocks."""
+    return y.reshape(4 * mbh, 4, 4 * mbw, 4).transpose(0, 2, 1, 3) \
+            .reshape(16 * mbh * mbw, 4, 4)
+
+
+def _sp4_to_z(a, mbh, mbw):
+    """[4mbh, 4mbw, ...] -> [mbh, mbw, 16, ...] z-order block axis
+    (blk8-z major, sub-z minor — matches LUMA_SCAN)."""
+    rest = a.shape[2:]
+    return a.reshape(mbh, 2, 2, mbw, 2, 2, *rest).transpose(
+        0, 3, 1, 4, 2, 5, *range(6, 6 + len(rest))).reshape(
+        mbh, mbw, 16, *rest)
+
+
+def _z_to_sp4(a, mbh, mbw):
+    """[mbh, mbw, 16, ...] -> [4mbh, 4mbw, ...]."""
+    rest = a.shape[3:]
+    return a.reshape(mbh, mbw, 2, 2, 2, 2, *rest).transpose(
+        0, 2, 4, 1, 3, 5, *range(6, 6 + len(rest))).reshape(
+        4 * mbh, 4 * mbw, *rest)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "subpel"))
+def subpel_sub(cur_y, wht4, part, sub_type, mv4fp, prev_mv, mbh: int,
+               mbw: int, lam=1, subpel: int = 2):
+    """Subpel refinement per unit at 4x4 granularity from the 4x4 qpel
+    tables. wht4: [169, N4, 16]; mv4fp: [4mbh,4mbw,2] full-pel.
+    Returns (mv4 qpel [4mbh,4mbw,2], r_idx4 [N4], mb_cost [mbh,mbw])."""
+    n = mbh * mbw
+    n4 = 16 * n
+    cur4 = _blocks4_z(cur_y, mbh, mbw)
+    wcur = wht4_flat(cur4)                       # [N4,16]
+    mvf = mv4fp.reshape(n4, 2)
+    bits_t = jnp.asarray(mv_bits_table(4 * 512))
+    off = 4 * 512
+    pred4 = jnp.repeat(jnp.repeat(prev_mv, 4, 0), 4, 1).reshape(n4, 2)
+
+    if subpel == 0:
+        offsets = [(0, 0)]
+    elif subpel == 1:
+        offsets = [(oy, ox) for oy in (-2, 0, 2) for ox in (-2, 0, 2)]
+    else:
+        offsets = [(oy, ox) for oy in range(-3, 4) for ox in range(-3, 4)]
+
+    satds, mvcs = [], []
+    for oy, ox in offsets:
+        idx = QT.off_index(oy, ox)
+        satds.append(satd_flat4(wcur, wht4[idx]))          # [N4]
+        qx = 4 * mvf[:, 0] + ox
+        qy = 4 * mvf[:, 1] + oy
+        mvcs.append((bits_t[jnp.clip(qx - pred4[:, 0], -off, off) + off]
+                     + bits_t[jnp.clip(qy - pred4[:, 1], -off, off)
+                              + off]) * lam)
+    satds = jnp.stack(satds)                               # [K, N4]
+    mvcs = jnp.stack(mvcs)                                 # [K, N4]
+
+    uid = unit_id_map(part, sub_type)                      # [mbh,mbw,16]
+    member = (uid[..., None] == jnp.arange(16)) \
+        .astype(jnp.int32)                                 # [mbh,mbw,16,16]
+    satz = jax.vmap(lambda s: _sp4_to_z(
+        s.reshape(4 * mbh, 4 * mbw), mbh, mbw))(satds)     # [K,mbh,mbw,16]
+    mvcz = jax.vmap(lambda s: _sp4_to_z(
+        s.reshape(4 * mbh, 4 * mbw), mbh, mbw))(mvcs)
+    # unit SATD sums: contract the block axis against the member matrix
+    unit_satd = jnp.einsum("kyxb,yxbs->kyxs", satz, member)
+    cost = unit_satd + mvcz                                # [K,mbh,mbw,16]
+    sel_slot = jnp.argmin(cost, axis=0)                    # [mbh,mbw,16]
+    best = jnp.min(cost, axis=0)
+    # every block inherits its unit's argmin
+    sel_blk = jnp.take_along_axis(sel_slot, uid, axis=-1)  # [mbh,mbw,16]
+    offs = jnp.asarray(np.array(offsets, np.int32))
+    oy_sel = offs[sel_blk, 0]
+    ox_sel = offs[sel_blk, 1]
+    mvz = _sp4_to_z(mv4fp, mbh, mbw)                       # [mbh,mbw,16,2]
+    mvq = jnp.stack([4 * mvz[..., 0] + ox_sel,
+                     4 * mvz[..., 1] + oy_sel], axis=-1)
+    r_idx = (oy_sel + 6) * 13 + (ox_sel + 6)
+    mv4 = _z_to_sp4(mvq, mbh, mbw)
+    r_idx4 = _z_to_sp4(r_idx[..., None], mbh, mbw)[..., 0].reshape(n4)
+    valid = uid == jnp.arange(16)                          # slot exists
+    mb_cost = jnp.sum(jnp.where(valid, best, 0), axis=-1)  # [mbh,mbw]
+    return mv4, r_idx4, mb_cost
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+def stego_costs_sub(cur_y, blocks4, wht4, r_idx4, part, sub_type, mv4,
+                    mvp_s, cost_mv, qp, mbh: int, mbw: int,
+                    decimate: bool = True):
+    """Sub-partition-aware x264_ih_get_mv_cost (analyse.c:2391-2550):
+    RCA alternative-MV cost for every partition unit including the
+    sub-8x8 shapes (the reference's D_L0_8x4/4x8/4x4 capture cases,
+    analyse.c:3518-3689), batched over unit SLOTS.
+
+    Slot convention: a unit's slot = z index of its first member 4x4
+    block (unit_id_map); up to 16 slots/MB. blocks4/wht4: [169,N4,...]
+    per-4x4 qpel tables; mvp_s: [mbh,mbw,16,2] per-slot MVPs.
+    Returns (rho [mbh,mbw,16] f32, alt_mv [mbh,mbw,16,2], valid
+    [mbh,mbw,16])."""
+    from .inter import luma_p_encode
+    from .cavlc import LUMA_SCAN
+    from ..stego.cost import D_MV, D_NB, rca_decide
+
+    n = mbh * mbw
+    cur = cur_y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+               .reshape(n, 16, 16)
+    uid = unit_id_map(part, sub_type).reshape(n, 16)
+    mvz = _sp4_to_z(mv4, mbh, mbw).reshape(n, 16, 2)
+    mvps = mvp_s.reshape(n, 16, 2)
+    lsj = jnp.asarray(np.array([p[0] for p in LUMA_SCAN], np.int32))
+    lsi = jnp.asarray(np.array([p[1] for p in LUMA_SCAN], np.int32))
+
+    def didx(dy, dx):
+        return dy * 13 + dx
+
+    def blocks_at(delta):
+        idx4 = r_idx4 + didx(*delta)
+        b4 = QT.select_rows(blocks4, idx4).astype(jnp.int32)  # [N4,4,4]
+        return _sp4_to_z(b4.reshape(4 * mbh, 4 * mbw, 4, 4),
+                         mbh, mbw).reshape(n, 16, 4, 4)
+
+    def mb_pred(blkz):
+        """[n,16,4,4] z-order blocks -> [n,16,16] MB preds."""
+        sp = _z_to_sp4(blkz.reshape(mbh, mbw, 16, 4, 4), mbh, mbw)
+        pl = sp.transpose(0, 2, 1, 3).reshape(16 * mbh, 16 * mbw)
+        return pl.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+                 .reshape(n, 16, 16)
+
+    def wht_blocks_z(rec):
+        """[n,16,16] MB recon -> [n,16,16] per-4x4 flat WHT (z order)."""
+        r44 = rec.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4)
+        rz = r44[:, lsj, lsi]                         # [n,16,4,4]
+        return wht4_flat(rz)
+
+    sel_whtz = {}
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            w = QT.select_rows(wht4, r_idx4 + didx(dy, dx))  # [N4,16]
+            sel_whtz[(dy, dx)] = _sp4_to_z(
+                w.reshape(4 * mbh, 4 * mbw, 16),
+                mbh, mbw).reshape(n, 16, 16)
+
+    blk0z = blocks_at((0, 0))                          # [n,16,4,4]
+    cand_blkz = [blocks_at((int(D_MV[c][1]), int(D_MV[c][0])))
+                 for c in range(12)]
+    _, rec0_shared = luma_p_encode(cur, mb_pred(blk0z), qp, decimate)
+    w0 = wht_blocks_z(rec0_shared)
+
+    out_rho, out_alt, out_valid = [], [], []
+    for s in range(16):
+        mem = uid == s                                 # [n,16]
+        valid_u = mem[:, s]                            # slot exists
+        mvu = mvz[:, s]                                # unit MV
+        mvpu = mvps[:, s]
+
+        def mvcost(dq):
+            qx = mvu[:, 0] + dq[1]
+            qy = mvu[:, 1] + dq[0]
+            return (cost_mv[jnp.abs(qx - mvpu[:, 0])]
+                    + cost_mv[jnp.abs(qy - mvpu[:, 1])])
+
+        def probes(wrec_z, center):
+            outp = []
+            for k in range(9):
+                dk = (int(D_NB[k][1]), int(D_NB[k][0]))
+                d = (center[0] + dk[0], center[1] + dk[1])
+                wt = sel_whtz[d]                       # [n,16,16]
+                per_blk = satd_flat4(wrec_z, wt)       # [n,16]
+                sat = jnp.sum(per_blk * mem, axis=1)
+                outp.append(sat + mvcost(d))
+            return jnp.stack(outp, axis=1)             # [n,9]
+
+        def encode_cand(c):
+            m4 = mem[:, :, None, None]
+            blkz = jnp.where(m4, cand_blkz[c], blk0z)
+            _, rec = luma_p_encode(cur, mb_pred(blkz), qp, decimate)
+            return wht_blocks_z(rec)
+
+        nb0 = probes(w0, (0, 0))
+        orig_cost = nb0[:, 8]
+        orig_opt = jnp.min(nb0, axis=1) >= orig_cost
+
+        cand_cost, cand_opt = [], []
+        for c in range(12):
+            dc = (int(D_MV[c][1]), int(D_MV[c][0]))
+            wc = encode_cand(c)
+            nbc = probes(wc, dc)
+            cand_cost.append(nbc[:, 8])
+            cand_opt.append(jnp.min(nbc, axis=1) >= nbc[:, 8])
+        cand_cost = jnp.stack(cand_cost, axis=1)
+        cand_opt = jnp.stack(cand_opt, axis=1)
+
+        rho, sel_delta, _flags = rca_decide(nb0, orig_cost, orig_opt,
+                                            cand_cost, cand_opt)
+        out_rho.append(rho)
+        out_alt.append(mvu + sel_delta)
+        out_valid.append(valid_u)
+
+    rho = jnp.stack(out_rho, axis=1).reshape(mbh, mbw, 16)
+    alt = jnp.stack(out_alt, axis=1).reshape(mbh, mbw, 16, 2)
+    valid = jnp.stack(out_valid, axis=1).reshape(mbh, mbw, 16)
+    return rho, alt, valid
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "subpel", "allow_parts"))
+def analyse_p_frame_sub(y, ref_luma, prev_mv, rng: int, mbh: int,
+                        mbw: int, lam, subpel: int,
+                        allow_parts: bool = True):
+    """Fused sub-8x8-aware P analysis: full-pel all-shapes scan (incl.
+    per-4x4 sub shapes) -> two-level partition decision -> per-4x4
+    windows -> qpel tables -> per-unit subpel. Returns (part, sub_type,
+    mv4 qpel, r_idx4, blocks4, wht4, mb_cost)."""
+    st = fullpel_search_sub.__wrapped__(
+        y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
+    part, sub_type, mv4fp = decide_partition_sub.__wrapped__(
+        st, mbh, mbw, lam, allow_parts)
+    windows = gather_windows4_jnp(
+        ref_luma.astype(jnp.uint8), mv4fp, mbh, mbw)
+    blocks4 = block_table4(windows)               # uint8 [169,N4,4,4]
+    wht4 = wht4_flat(blocks4).astype(jnp.int16)   # [169,N4,16]
+    mv4, r_idx4, mb_cost = subpel_sub.__wrapped__(
+        y, wht4, part, sub_type, mv4fp, prev_mv, mbh, mbw, lam, subpel)
+    return part, sub_type, mv4, r_idx4, blocks4, wht4, mb_cost
+
+
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "subpel", "allow_parts",
                                              "use_pallas"))

@@ -27,6 +27,33 @@ UNIT_GEOM = {
     D_8x8: [(0, 0, 2, 2), (0, 2, 2, 2), (2, 0, 2, 2), (2, 2, 2, 2)],
 }
 
+# sub_mb_type (spec 7.4.5.2 P table: 0=P_L0_8x8, 1=8x4, 2=4x8, 3=4x4).
+# Geometry relative to the 8x8 block, in 4x4 units: (oy4, ox4, w4, h4),
+# coding order (reference mvd order: x264_cabac_mb8x8_mvd writes 4*i+0 /
+# 4*i+2 for 8x4 and 4*i+0 / 4*i+1 for 4x8, encoder/cabac.c:470-495).
+SUB_GEOM = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 2, 1), (1, 0, 2, 1)],
+    2: [(0, 0, 1, 2), (0, 1, 1, 2)],
+    3: [(0, 0, 1, 1), (0, 1, 1, 1), (1, 0, 1, 1), (1, 1, 1, 1)],
+}
+N_SUB = (1, 2, 2, 4)
+
+
+def mb_units(part: int, subs=None):
+    """Unit geometry of one MB in coding order: list of
+    (y4_off, x4_off, w4, h4). subs: [4] sub_mb_types (used iff
+    part == D_8x8 and sub splits are in play; None = all P_L0_8x8)."""
+    if part != D_8x8:
+        return UNIT_GEOM[part]
+    out = []
+    for b in range(4):
+        boy, box = 2 * (b >> 1), 2 * (b & 1)
+        st = 0 if subs is None else int(subs[b])
+        for (soy, sox, w4, h4) in SUB_GEOM[st]:
+            out.append((boy + soy, box + sox, w4, h4))
+    return out
+
 
 class _Grid:
     """4x4-granularity MV field + decoded mask."""
@@ -131,6 +158,75 @@ def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
                 mvp_out[my, mx, u] = mvp
                 g.commit(y4 + oy, x4 + ox, h4, w4, mv)
     return skip, mvd, mvp_out, final
+
+
+def scan_p_frame_sub(part: np.ndarray, sub_type: np.ndarray,
+                     mv4: np.ndarray, cbp_luma: np.ndarray,
+                     cbp_chroma: np.ndarray,
+                     intra: np.ndarray | None = None):
+    """Raster scan over a P frame with sub-8x8 partitions.
+
+    part: [mbh,mbw] in {0..3}; sub_type: [mbh,mbw,4] sub_mb_type per
+    8x8 block (z-order, meaningful where part == D_8x8); mv4:
+    [4mbh,4mbw,2] qpel MVs at 4x4 granularity (uniform within each
+    unit). Returns (skip [mbh,mbw] bool, mvd [mbh,mbw,16,2] coding-
+    order unit mvds, mvp [mbh,mbw,16,2], final_mv4). The MVP partition
+    shortcuts apply only to 16x8/8x16 MB partitions (macroblock.c:
+    88-103); sub-units always take the median path."""
+    mbh, mbw = part.shape
+    g = _Grid(mbh, mbw)
+    skip = np.zeros((mbh, mbw), bool)
+    mvd = np.zeros((mbh, mbw, 16, 2), np.int32)
+    mvp_out = np.zeros((mbh, mbw, 16, 2), np.int32)
+    final = mv4.copy()
+    for my in range(mbh):
+        for mx in range(mbw):
+            if intra is not None and intra[my, mx]:
+                continue
+            y4, x4 = 4 * my, 4 * mx
+            p = int(part[my, mx])
+            if p == D_16x16:
+                ps = _pskip_mv(g, y4, x4)
+                here = mv4[y4, x4]
+                if (cbp_luma[my, mx] == 0 and cbp_chroma[my, mx] == 0
+                        and here[0] == ps[0] and here[1] == ps[1]):
+                    skip[my, mx] = True
+            for u, (oy, ox, w4, h4) in enumerate(
+                    mb_units(p, sub_type[my, mx])):
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                mv = mv4[y4 + oy, x4 + ox].copy()
+                mvd[my, mx, u] = mv - mvp
+                mvp_out[my, mx, u] = mvp
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+    return skip, mvd, mvp_out, final
+
+
+def scan_p_frame_sub_forced(part: np.ndarray, sub_type: np.ndarray,
+                            mv4: np.ndarray, skip: np.ndarray):
+    """Stego pass-2 scan at 4x4 granularity (sub-8x8-aware twin of
+    scan_p_frame_forced)."""
+    mbh, mbw = part.shape
+    g = _Grid(mbh, mbw)
+    mvd = np.zeros((mbh, mbw, 16, 2), np.int32)
+    mvp_out = np.zeros((mbh, mbw, 16, 2), np.int32)
+    final = mv4.copy()
+    for my in range(mbh):
+        for mx in range(mbw):
+            y4, x4 = 4 * my, 4 * mx
+            p = int(part[my, mx])
+            if skip[my, mx]:
+                ps = _pskip_mv(g, y4, x4)
+                final[y4:y4 + 4, x4:x4 + 4] = ps
+                g.commit(y4, x4, 4, 4, ps)
+                continue
+            for u, (oy, ox, w4, h4) in enumerate(
+                    mb_units(p, sub_type[my, mx])):
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                mv = final[y4 + oy, x4 + ox].copy()
+                mvd[my, mx, u] = mv - mvp
+                mvp_out[my, mx, u] = mvp
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+    return final, mvd, mvp_out
 
 
 def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,

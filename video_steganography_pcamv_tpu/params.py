@@ -95,7 +95,9 @@ class Params:
     subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
     dct_decimate: bool = True  # reference analyse.b_dct_decimate default on
     partitions: bool = True    # P 16x8/8x16/8x8 trees (x264 default
-                               # analyse=p8x8; sub-8x8 splits not yet)
+                               # analyse=p8x8)
+    p4x4: bool = False         # sub-8x8 splits 8x4/4x8/4x4 (x264
+                               # analyse=p4x4, off by default there too)
 
     # entropy / tools
     cabac: bool = False
@@ -195,6 +197,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.partitions = value not in ("none", "0", "false")
     elif name == "i4x4":
         p.i4x4 = _BOOL[value.lower()]
+    elif name == "p4x4":
+        p.p4x4 = _BOOL[value.lower()]
     elif name == "intra_in_p":
         p.intra_in_p = _BOOL[value.lower()]
     elif name == "deblock_device":

@@ -30,6 +30,25 @@ from .stc import stc_embed
 from .cost import alt_mv_costs, cost_mv_table
 
 
+def _z_of(oy4: int, ox4: int) -> int:
+    """z index (LUMA_SCAN order) of 4x4 cell (oy4, ox4) within a MB."""
+    return 4 * (2 * (oy4 >> 1) + (ox4 >> 1)) + 2 * (oy4 & 1) + (ox4 & 1)
+
+
+def _unit_slots(part, sub_type, mbh, mbw):
+    """Per-MB unit geometry (coding order) + slot ids (= z index of the
+    unit's first member 4x4)."""
+    from ..encoder.scan import mb_units
+    units = [[None] * mbw for _ in range(mbh)]
+    slots = [[None] * mbw for _ in range(mbh)]
+    for my in range(mbh):
+        for mx in range(mbw):
+            g = mb_units(int(part[my, mx]), sub_type[my, mx])
+            units[my][mx] = g
+            slots[my][mx] = [_z_of(oy, ox) for (oy, ox, _, _) in g]
+    return units, slots
+
+
 class StegoEngine:
     def __init__(self, params):
         self.p = params
@@ -180,6 +199,185 @@ class StegoEngine:
             jnp.asarray(final8), qp, qpc, mbh, mbw,
             decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
         return final8, skip1, mvd2, res2
+
+    def embed_frame_sub(self, enc, y, u, v, part: np.ndarray,
+                        sub_type: np.ndarray, mv4: np.ndarray,
+                        skip1: np.ndarray, mvp16: np.ndarray):
+        """Sub-8x8-partition-aware embedding: the cover spans every
+        unit MV including 8x4/4x8/4x4 sub-units (the reference's
+        D_L0_8x4/4x8/4x4 cover cases, encoder.c:1566-1647 +
+        analyse.c:3518-3689). mvp16: [mbh,mbw,16,2] per-unit MVPs in
+        CODING order (from scan_p_frame_sub).
+        Returns (final_mv4, skip, mvd16, res2) or None."""
+        from ..encoder import me as ME
+        from ..encoder import inter as I
+        from ..encoder import scan as SCAN
+        from ..encoder.partition import stego_costs_sub
+        from ..ops.transform import chroma_qp
+
+        p, st = self.p, self.p.stego
+        mbh, mbw = p.mb_height, p.mb_width
+        qp = enc._cur_qp
+        units, slots = _unit_slots(part, sub_type, mbh, mbw)
+        nu = np.array([[len(units[my][mx]) for mx in range(mbw)]
+                       for my in range(mbh)], np.int32)
+        covered = (~skip1) * nu
+        n_cov = int(covered.sum())
+        rate = st.em_rate
+        an = int(rate) if rate > 1 else int(rate * n_cov)
+        an = min(an, n_cov)
+        if an <= 0 or n_cov == 0:
+            enc.stats.mv_covers += n_cov
+            self.sent_messages.append(np.zeros(0, np.uint8))
+            return None
+
+        # coding-order MVPs -> slot-indexed
+        mvp_s = np.zeros((mbh, mbw, 16, 2), np.int32)
+        for my in range(mbh):
+            for mx in range(mbw):
+                for ui, s in enumerate(slots[my][mx]):
+                    mvp_s[my, mx, s] = mvp16[my, mx, ui]
+
+        lam = ME.lambda_tab(qp)
+        t = enc._ptables4
+        rho_s, alt_s, _valid = stego_costs_sub(
+            y, t["blocks"], t["wht"], t["r_idx"], jnp.asarray(part),
+            jnp.asarray(sub_type), jnp.asarray(mv4), jnp.asarray(mvp_s),
+            jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
+            decimate=p.dct_decimate)
+        final4, skip1, mvd2 = self.apply_costs_sub(
+            enc, part, sub_type, mv4, skip1, np.asarray(rho_s),
+            np.asarray(alt_s), units, slots)
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+        res2 = I.encode_p_frame_device4(
+            y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
+            jnp.asarray(final4), qp, qpc, mbh, mbw,
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
+        return final4, skip1, mvd2, res2
+
+    def apply_costs_sub(self, enc, part, sub_type, mv4, skip1, rho_s,
+                        alt_s, units, slots):
+        """Host half of sub-partition embedding: MVC adjustment
+        (pair rule for 2-MV units incl. 8x4/4x8, quad-cycle for 8x8 and
+        4x4 quads — the reference's encoder.c:1649-1819 generalized to
+        sub shapes), cover assembly in coding order, STC, flips, forced
+        rescan. Returns (final_mv4, skip, mvd16)."""
+        from ..encoder import scan as SCAN
+        p, st = self.p, self.p.stego
+        mbh, mbw = p.mb_height, p.mb_width
+        rho_s = rho_s.astype(np.float64).copy()
+        nu = np.array([[len(units[my][mx]) for mx in range(mbw)]
+                       for my in range(mbh)], np.int32)
+        covered = (~skip1) * nu
+        n_cov = int(covered.sum())
+        rate = st.em_rate
+        an = int(rate) if rate > 1 else int(rate * n_cov)
+        an = min(an, n_cov)
+        enc.stats.mv_covers += n_cov
+        if an <= 0 or n_cov == 0:
+            self.sent_messages.append(np.zeros(0, np.uint8))
+            f4, md, _ = SCAN.scan_p_frame_sub_forced(
+                part, sub_type, mv4, skip1)
+            return f4, skip1, md
+
+        c1, c2 = st.mvc_c1, st.mvc_c2
+        for my in range(mbh):
+            for mx in range(mbw):
+                if skip1[my, mx]:
+                    continue
+                pt = int(part[my, mx])
+                y4, x4 = 4 * my, 4 * mx
+                sl = slots[my][mx]
+                um = {s: mv4[y4 + g[0], x4 + g[1]]
+                      for s, g in zip(sl, units[my][mx])}
+                if pt in (1, 2):
+                    a, b = sl[0], sl[1]
+                    d = np.abs(um[a] - um[b])
+                    if d[0] + d[1] < 2:
+                        rho_s[my, mx, a] *= c1
+                        rho_s[my, mx, b] *= c1
+                elif pt == 3:
+                    # 8x8-level quad cycle over the 4 block MVs
+                    m8 = [mv4[y4 + 2 * (b >> 1), x4 + 2 * (b & 1)]
+                          for b in range(4)]
+                    pairs = [(0, 1), (1, 3), (3, 2), (2, 0)]
+                    cnt = 0
+                    for a, b in pairs:
+                        for comp in range(2):
+                            if abs(int(m8[a][comp])
+                                   - int(m8[b][comp])) <= 1:
+                                cnt += 1
+                    rho_s[my, mx, :] *= (c2 * cnt + 1)
+                    # sub-level rules within each 8x8 block
+                    for b in range(4):
+                        stb = int(sub_type[my, mx, b])
+                        base = 4 * b
+                        if stb in (1, 2):
+                            sa = base + (2 if stb == 1 else 1)
+                            d = np.abs(um[base] - um[sa])
+                            if d[0] + d[1] < 2:
+                                rho_s[my, mx, base] *= c1
+                                rho_s[my, mx, sa] *= c1
+                        elif stb == 3:
+                            mq = [um[base + k] for k in range(4)]
+                            cnt = 0
+                            for a, bq in pairs:
+                                for comp in range(2):
+                                    if abs(int(mq[a][comp])
+                                           - int(mq[bq][comp])) <= 1:
+                                        cnt += 1
+                            for k in range(4):
+                                rho_s[my, mx, base + k] *= (c2 * cnt + 1)
+        rho_s *= st.alpha_loc
+        if st.alpha_com != 0.0:
+            from ..ops.uniward import mv_field_cost
+            rho_com = np.asarray(mv_field_cost(
+                jnp.asarray(mv4[..., 0].astype(np.float32)),
+                jnp.asarray(mv4[..., 1].astype(np.float32))))
+            for my in range(mbh):
+                for mx in range(mbw):
+                    for s, g in zip(slots[my][mx], units[my][mx]):
+                        rho_s[my, mx, s] += st.alpha_com * \
+                            rho_com[4 * my + g[0], 4 * mx + g[1]]
+
+        # cover in coding order
+        cov_bits, cov_pos = [], []
+        for my in range(mbh):
+            for mx in range(mbw):
+                if skip1[my, mx]:
+                    continue
+                for s, g in zip(slots[my][mx], units[my][mx]):
+                    mv = mv4[4 * my + g[0], 4 * mx + g[1]]
+                    cov_bits.append(int(mv[0] + mv[1]) & 1)
+                    cov_pos.append((my, mx, s, g))
+        cov = np.array(cov_bits, np.uint8)
+        rho_cov = np.array([rho_s[my, mx, s]
+                            for my, mx, s, _ in cov_pos], np.float64)
+
+        message = self._next_message(an)
+        if enc._native is not None:
+            from .. import native
+            stego_bits, _cost = native.stc_embed(
+                cov, message, rho_cov, h=st.stc_h, key=st.key or 1)
+        else:
+            stego_bits, _cost = stc_embed(cov, message, rho_cov,
+                                          h=st.stc_h, key=st.key or 1)
+        flips = (cov ^ stego_bits).astype(bool)
+        self.sent_messages.append(message)
+        enc.stats.message_bits += an
+        enc.stats.mv_flips += int(flips.sum())
+
+        mv4_2 = mv4.copy()
+        for f, (my, mx, s, g) in zip(flips, cov_pos):
+            if not f:
+                continue
+            oy, ox, w4, h4 = g
+            mv4_2[4 * my + oy:4 * my + oy + h4,
+                  4 * mx + ox:4 * mx + ox + w4] = alt_s[my, mx, s]
+
+        final4, mvd2, _mvp2 = SCAN.scan_p_frame_sub_forced(
+            part, sub_type, mv4_2, skip1)
+        return final4, skip1, mvd2
 
     def apply_costs(self, enc, part, mv8, skip1, rho_u, alt_u):
         """Host half of the partition embedding: MVC adjustment, cover
