@@ -1,0 +1,119 @@
+"""B slices end-to-end (IBBP GOPs).
+
+Reference model: the B path of x264_macroblock_analyse
+(analyse.c:3110-3466), spatial direct (spec 8.4.1.2.2 with
+direct_8x8_inference), frame reordering (encoder.c:2179-2228), POC
+type 0 output ordering, and the B_SKIP/mb_type syntax (spec 7.4.5).
+Scope per bslice.py: 16x16-granularity B modes, non-reference B,
+CAVLC, deblock off on B slices.
+"""
+
+import numpy as np
+import pytest
+
+from video_steganography_pcamv_tpu.params import Params, StegoParams
+from video_steganography_pcamv_tpu.utils.yuv import Frame
+from video_steganography_pcamv_tpu.encoder.core import Encoder
+from video_steganography_pcamv_tpu.decoder import decode_annexb
+
+W, H = 96, 64
+
+
+def _pan_frames(w, h, n, seed=0, step=2):
+    """Smooth panning texture: B frames should interpolate well."""
+    rng = np.random.RandomState(seed)
+    pad = 4 * n + 16
+    a = rng.randint(20, 236, (h + 2 * pad, w + 2 * pad)).astype(np.uint8)
+    for _ in range(2):
+        a = ((a.astype(np.int32) + np.roll(a, 1, 0) + np.roll(a, 1, 1)
+              + np.roll(np.roll(a, 1, 0), 1, 1)) // 4).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    out = []
+    for i in range(n):
+        s = step * i
+        yp = a[pad + s:pad + s + h, pad + 2 * s:pad + 2 * s + w]
+        out.append(Frame(np.ascontiguousarray(yp), u.copy(), v.copy()))
+    return out
+
+
+def _encode_all(enc, frames):
+    bs = b""
+    for f in frames:
+        bs += enc.encode_frame(f)
+    bs += enc.flush()
+    return bs
+
+
+@pytest.mark.parametrize("bframes", [1, 2])
+def test_b_roundtrip_bitexact(bframes):
+    n = 6
+    frames = _pan_frames(W, H, n, seed=1)
+    p = Params(width=W, height=H, qp=28, me_range=4, bframes=bframes)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == n
+    # decode_annexb returns display order (POC sort)
+    types = [d.slice_type for d in dec]
+    assert 1 in types, f"no B slices in {types}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+        np.testing.assert_array_equal(
+            d.v, rv[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} V")
+
+
+def test_b_quality_sane():
+    """B recon quality must be in the same league as the sources'
+    P-only encode at the same QP (sanity of bipred/direct paths)."""
+    n = 7
+    frames = _pan_frames(W, H, n, seed=3)
+    p = Params(width=W, height=H, qp=26, me_range=4, bframes=2)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    _encode_all(enc, frames)
+    for i, f in enumerate(frames):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.int64)
+        mse = np.mean((ry - f.y.astype(np.int64)) ** 2)
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr > 30.0, f"frame {i} psnr {psnr:.2f}"
+
+
+def test_b_skip_and_reorder():
+    """Static content: B frames should be mostly B_SKIP, stream must
+    carry frame pattern I P B (decode) -> I B P (display)."""
+    frames = _pan_frames(W, H, 3, seed=5, step=0)   # static
+    p = Params(width=W, height=H, qp=30, me_range=4, bframes=1)
+    enc = Encoder(p)
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert [d.slice_type for d in dec] == [7, 1, 0] or \
+        [d.slice_type for d in dec] == [2, 1, 0]
+    b = dec[1]
+    n_skip = sum(1 for m in b.mbs if m.mb_type == "BSKIP")
+    assert n_skip > 0.8 * len(b.mbs), f"{n_skip}/{len(b.mbs)} B_SKIP"
+
+
+def test_b_stego_roundtrip():
+    """Stego covers live only in the P anchors; blind extraction must
+    still work with B frames interleaved."""
+    from video_steganography_pcamv_tpu.stego.extract import (
+        extract_from_stream)
+    n = 7
+    frames = _pan_frames(W, H, n, seed=7)
+    p = Params(width=W, height=H, qp=26, me_range=4, bframes=1,
+               stego=StegoParams(em_rate=16.0, key=9))
+    enc = Encoder(p)
+    bs = _encode_all(enc, frames)
+    got = extract_from_stream(bs, em_rate=16.0, key=9)
+    sent = enc._stego.sent_messages
+    assert len(got) == len(sent) > 0
+    for g, s in zip(got, sent):
+        np.testing.assert_array_equal(g, s)

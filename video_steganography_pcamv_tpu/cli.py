@@ -45,6 +45,10 @@ def build_argparser():
     ap.add_argument("--min-keyint", type=int, default=25)
     ap.add_argument("--scenecut", type=int, default=40)
     ap.add_argument("--merange", type=int, default=16)
+    ap.add_argument("--ref", type=int, default=1,
+                    help="number of L0 reference frames (x264 --ref)")
+    ap.add_argument("--bframes", "-b", type=int, default=0,
+                    help="consecutive B frames between anchors")
     ap.add_argument("--subme", type=int, default=2)
     ap.add_argument("--no-dct-decimate", action="store_true")
     ap.add_argument("--cabac", action="store_true")
@@ -99,6 +103,8 @@ def main(argv=None):
                keyint_max=args.keyint, keyint_min=args.min_keyint,
                scenecut_threshold=args.scenecut,
                me_range=args.merange,
+               ref_frames=args.ref,
+               bframes=args.bframes,
                subpel=args.subme,
                bitrate=args.bitrate, crf=args.crf,
                vbv_maxrate=args.vbv_maxrate,
@@ -151,6 +157,12 @@ def main(argv=None):
                 el = time.time() - t0
                 print(f"\r[{i+1}/{n}] {(i+1)/el:.2f} fps", end="",
                       file=sys.stderr)
+        tail = enc.flush()   # drain frames delayed for B reordering
+        if tail:
+            if mkv is not None:
+                mkv.add_frame(tail)
+            else:
+                f.write(tail)
     if mkv is not None:
         mkv.close()
     print(file=sys.stderr)

@@ -83,8 +83,10 @@ class CabacSliceParser:
     """Context bookkeeping + syntax parse, exact inverse of
     encoder/cabac.py's CabacSliceWriter."""
 
-    def __init__(self, br, mbw, mbh, qp, slice_is_i, model=0):
+    def __init__(self, br, mbw, mbh, qp, slice_is_i, model=0,
+                 num_ref=1):
         self.cd = CabacDecoder(br, qp, slice_is_i, model)
+        self.num_ref = num_ref
         self.mbw, self.mbh = mbw, mbh
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
@@ -94,6 +96,7 @@ class CabacSliceParser:
         self.cbp = np.zeros((mbh, mbw), np.int32)
         self.modes4 = np.full((4 * mbh, 4 * mbw), 2, np.int32)
         self.mvd4 = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)
+        self.ref4 = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.cmode_map = np.zeros((mbh, mbw), np.int32)
 
     # context helpers (identical derivations to the writer)
@@ -222,6 +225,20 @@ class CabacSliceParser:
         if not self.cd.decision(22):
             return 1
         return 2 if self.cd.decision(23) else 3
+
+    def ref_idx(self, gy4, gx4, h4, w4):
+        """ref_idx_l0 (inverse of x264_cabac_mb_ref,
+        encoder/cabac.c:375-395)."""
+        a = int(self.ref4[gy4, gx4 - 1]) if gx4 > 0 else 0
+        b = int(self.ref4[gy4 - 1, gx4]) if gy4 > 0 else 0
+        ctx = (1 if a > 0 else 0) + (2 if b > 0 else 0)
+        ref = 0
+        while self.cd.decision(54 + ctx):
+            ctx = 4 if ctx < 4 else 5
+            ref += 1
+            assert ref < 32
+        self.ref4[gy4:gy4 + h4, gx4:gx4 + w4] = ref
+        return ref
 
     def intra4x4_modes(self, my, mx):
         cd = self.cd
@@ -443,9 +460,15 @@ class CabacSliceParser:
         if part == 3:
             subs = [self.sub_mb_type() for _ in range(4)]
             geom = mb_units(3, subs)
+            ref_geom = self._UGEOM[3]
         else:
             subs = None
             geom = self._UGEOM[part]
+            ref_geom = geom
+        refs = [0] * len(ref_geom)
+        if self.num_ref > 1:
+            refs = [self.ref_idx(4 * my + oy, 4 * mx + ox, h4, w4)
+                    for (oy, ox, w4, h4) in ref_geom]
         mvds = []
         for (oy, ox, w4, h4) in geom:
             mvds.append(self.mvd(4 * my + oy, 4 * mx + ox, h4, w4))
@@ -467,7 +490,7 @@ class CabacSliceParser:
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
-        return (mvds, subs), cbp_luma, cbp_chroma, blocks, cdcs, cacs
+        return (mvds, subs, refs), cbp_luma, cbp_chroma, blocks, cdcs, cacs
 
     def parse_skip_mb(self, my, mx):
         self._clear_mb_ctx(my, mx)

@@ -134,6 +134,8 @@ class DecSPS:
     height: int = 0
     log2_max_frame_num: int = 4
     num_ref_frames: int = 1
+    poc_type: int = 2
+    log2_max_poc_lsb: int = 10
     crop = (0, 0, 0, 0)
 
 
@@ -163,6 +165,7 @@ class DecodedFrame:
     v: np.ndarray
     slice_type: int = 2
     mbs: list = field(default_factory=list)
+    poc: int = 0
 
 
 def parse_nals(data: bytes):
@@ -200,8 +203,11 @@ def parse_sps(rbsp: bytes) -> DecSPS:
     br.read_ue()  # sps id
     sps = DecSPS()
     sps.log2_max_frame_num = br.read_ue() + 4
-    poc_type = br.read_ue()
-    assert poc_type == 2, "only poc_type 2 supported"
+    sps.poc_type = br.read_ue()
+    assert sps.poc_type in (0, 2), \
+        f"unsupported poc_type {sps.poc_type}"
+    if sps.poc_type == 0:
+        sps.log2_max_poc_lsb = br.read_ue() + 4
     sps.num_ref_frames = br.read_ue()
     br.read1()
     mbw = br.read_ue() + 1
@@ -245,9 +251,13 @@ def parse_pps(rbsp: bytes) -> DecPPS:
 class SliceDecoder:
     """Decodes one frame (single slice)."""
 
-    def __init__(self, sps: DecSPS, pps: DecPPS, ref=None):
+    def __init__(self, sps: DecSPS, pps: DecPPS, ref=None, refs=None,
+                 refs_l1=None):
         self.sps, self.pps = sps, pps
-        self.ref = ref  # {"luma": [4,Hp,Wp], "u": ..., "v": ...} padded
+        # DPB: refs[0] = most recent reference (L0 list for P/B)
+        self.refs = refs if refs is not None else ([ref] if ref else [])
+        self.ref = self.refs[0] if self.refs else None
+        self.refs_l1 = refs_l1 or []   # B-slice list 1 (future anchor)
         self.mbw = (sps.width + 15) // 16
         self.mbh = (sps.height + 15) // 16
         self.y = np.zeros((self.mbh * 16, self.mbw * 16), np.int64)
@@ -262,6 +272,11 @@ class SliceDecoder:
         # 4x4-granularity MV field (the reference's cache.mv): supports
         # all partition shapes uniformly
         self.mv4 = np.zeros((4 * self.mbh, 4 * self.mbw, 2), np.int32)
+        self.ref4 = np.full((4 * self.mbh, 4 * self.mbw), -1, np.int32)
+        # list-1 motion fields (B slices only)
+        self.mv4_1 = np.zeros((4 * self.mbh, 4 * self.mbw, 2), np.int32)
+        self.ref4_1 = np.full((4 * self.mbh, 4 * self.mbw), -1,
+                              np.int32)
         self.dec4 = np.zeros((4 * self.mbh, 4 * self.mbw), bool)
         self.decoded = np.zeros((self.mbh, self.mbw), bool)
         self.cur_mv = np.zeros(2, np.int32)  # MV of the MB being decoded
@@ -412,7 +427,8 @@ class SliceDecoder:
             lt = int(self.y[py - 1, px - 1])
         return R.pred_4x4(mode, t, l, lt, at, al)
 
-    def _decode_chroma(self, br, mx, my, cmode, cbp_chroma, qpc, intra):
+    def _decode_chroma(self, br, mx, my, cmode, cbp_chroma, qpc, intra,
+                       preds=None):
         gx, gy = 8 * mx, 8 * my
         at, al = my > 0, mx > 0
         from ..encoder.cavlc import CHROMA_SCAN
@@ -440,7 +456,9 @@ class SliceDecoder:
                 self.nnz_c[ch, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
             blocks[:, :, 0, 0] = dcs[ch]
 
-            if intra:
+            if preds is not None:
+                pred = preds[ch]
+            elif intra:
                 top = plane[gy - 1, gx:gx + 8] if at else np.zeros(8, np.int64)
                 left = plane[gy:gy + 8, gx - 1] if al else np.zeros(8, np.int64)
                 tl = plane[gy - 1, gx - 1] if (at and al) else 0
@@ -459,61 +477,71 @@ class SliceDecoder:
         2x2 chroma block per luma 4x4 (spec 8.4.2.2 partition mapping;
         identical to the coarser per-8x8 path when the MV is uniform
         within the 8x8 — bilinear MC is position-independent)."""
-        plane = self.ref["u"] if ch == 0 else self.ref["v"]
         out = np.zeros((8, 8), np.int64)
         mvblk = self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
-        # fast path: uniform MV over the MB -> one 8x8 MC
-        if (mvblk == mvblk[0, 0]).all():
+        rblk = self.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
+
+        def plane_of(r):
+            d = self.refs[max(0, int(r))]
+            return d["u"] if ch == 0 else d["v"]
+
+        # fast path: uniform MV + ref over the MB -> one 8x8 MC
+        if (mvblk == mvblk[0, 0]).all() and (rblk == rblk[0, 0]).all():
             mv = mvblk[0, 0]
-            return R.np_mc_chroma(plane, 8 * my, 8 * mx,
+            return R.np_mc_chroma(plane_of(rblk[0, 0]), 8 * my, 8 * mx,
                                   int(mv[0]), int(mv[1]), bh=8, bw=8)
         for j in range(4):
             for i in range(4):
                 mv = mvblk[j, i]
                 out[2 * j:2 * j + 2, 2 * i:2 * i + 2] = R.np_mc_chroma(
-                    plane, 8 * my + 2 * j, 8 * mx + 2 * i,
+                    plane_of(rblk[j, i]), 8 * my + 2 * j, 8 * mx + 2 * i,
                     int(mv[0]), int(mv[1]), bh=2, bw=2)
         return out
 
     # ---- MVP at 4x4 granularity (spec 8.4.1.3 / 8.4.1.1) ----
-    def _nb4(self, y4, x4):
+    def _nb4(self, y4, x4, lst=0):
         if (0 <= y4 < 4 * self.mbh and 0 <= x4 < 4 * self.mbw
                 and self.dec4[y4, x4]):
-            return self.mv4[y4, x4], True
-        return np.zeros(2, np.int32), False
+            mv = self.mv4 if lst == 0 else self.mv4_1
+            rf = self.ref4 if lst == 0 else self.ref4_1
+            return mv[y4, x4], int(rf[y4, x4]), True
+        return np.zeros(2, np.int32), -1, False
 
-    def _unit_mvp(self, y4, x4, w4, part, unit):
-        mva, av_a = self._nb4(y4, x4 - 1)
-        mvb, av_b = self._nb4(y4 - 1, x4)
-        mvc, av_c = self._nb4(y4 - 1, x4 + w4)
+    def _unit_mvp(self, y4, x4, w4, part, unit, ref=0, lst=0):
+        mva, ra, av_a = self._nb4(y4, x4 - 1, lst)
+        mvb, rb, av_b = self._nb4(y4 - 1, x4, lst)
+        mvc, rc, av_c = self._nb4(y4 - 1, x4 + w4, lst)
         if not av_c:
-            mvc, av_c = self._nb4(y4 - 1, x4 - 1)
+            mvc, rc, av_c = self._nb4(y4 - 1, x4 - 1, lst)
         if part == 1:      # D_16x8
-            if unit == 0 and av_b:
+            if unit == 0 and av_b and rb == ref:
                 return mvb.copy()
-            if unit == 1 and av_a:
+            if unit == 1 and av_a and ra == ref:
                 return mva.copy()
         elif part == 2:    # D_8x16
-            if unit == 0 and av_a:
+            if unit == 0 and av_a and ra == ref:
                 return mva.copy()
-            if unit == 1 and av_c:
+            if unit == 1 and av_c and rc == ref:
                 return mvc.copy()
-        count = int(av_a) + int(av_b) + int(av_c)
-        if count == 1:
-            return (mva if av_a else mvb if av_b else mvc).copy()
+        match = [av_a and ra == ref, av_b and rb == ref,
+                 av_c and rc == ref]
+        if sum(match) == 1:
+            return (mva if match[0] else mvb if match[1]
+                    else mvc).copy()
         if not av_b and not av_c and av_a:
             return mva.copy()
         return np.median(np.stack([mva, mvb, mvc]), axis=0).astype(np.int32)
 
     def _pskip_mv(self, my, mx):
         y4, x4 = 4 * my, 4 * mx
-        mva, av_a = self._nb4(y4, x4 - 1)
-        mvb, av_b = self._nb4(y4 - 1, x4)
+        mva, ra, av_a = self._nb4(y4, x4 - 1)
+        mvb, rb, av_b = self._nb4(y4 - 1, x4)
         if not av_a or not av_b:
             return np.zeros(2, np.int32)
-        if (mva[0] == 0 and mva[1] == 0) or (mvb[0] == 0 and mvb[1] == 0):
+        if ((ra == 0 and mva[0] == 0 and mva[1] == 0)
+                or (rb == 0 and mvb[0] == 0 and mvb[1] == 0)):
             return np.zeros(2, np.int32)
-        return self._unit_mvp(y4, x4, 4, 0, 0)
+        return self._unit_mvp(y4, x4, 4, 0, 0, ref=0)
 
     def _recon_inter_luma(self, mx, my, blocks):
         """blocks: [4,4,4,4] dequantized (by,bx,r,c) incl. DC. Prediction
@@ -523,14 +551,16 @@ class SliceDecoder:
         gy, gx = 16 * my, 16 * mx
         pred = np.zeros((16, 16), np.int64)
         mvblk = self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
+        rblk = self.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
         for b in range(4):
             j2, i2 = (b >> 1) * 2, (b & 1) * 2
             oy, ox = 8 * (b >> 1), 8 * (b & 1)
             sub = mvblk[j2:j2 + 2, i2:i2 + 2]
+            rlum = self.refs[max(0, int(rblk[j2, i2]))]["luma"]
             if (sub == sub[0, 0]).all():
                 mv = sub[0, 0]
                 pred[oy:oy + 8, ox:ox + 8] = R.np_mc_luma(
-                    self.ref["luma"], gy + oy, gx + ox,
+                    rlum, gy + oy, gx + ox,
                     int(mv[0]), int(mv[1]), bh=8, bw=8)
             else:
                 for j in range(2):
@@ -538,7 +568,7 @@ class SliceDecoder:
                         mv = sub[j, i]
                         pred[oy + 4 * j:oy + 4 * j + 4,
                              ox + 4 * i:ox + 4 * i + 4] = R.np_mc_luma(
-                            self.ref["luma"], gy + oy + 4 * j,
+                            rlum, gy + oy + 4 * j,
                             gx + ox + 4 * i,
                             int(mv[0]), int(mv[1]), bh=4, bw=4)
         for by in range(4):
@@ -563,16 +593,31 @@ class SliceDecoder:
         from ..encoder.scan import mb_units
         if mb_type == 3:
             subs = [br.read_ue() for _ in range(4)]
-            assert all(0 <= s <= 3 for s in subs), \
+            assert all(0 <= st <= 3 for st in subs), \
                 f"unsupported sub_mb_type in {subs}"
             geom = mb_units(3, subs)
+            ref_geom = self._UNIT_GEOM[3]
         else:
             geom = self._UNIT_GEOM[mb_type]
-        unit_mvs = []
+            ref_geom = geom
         y4, x4 = 4 * my, 4 * mx
+        num_ref = self.pps.num_ref_idx_l0_active
+        if num_ref > 1:
+            for (oy, ox, w4, h4) in ref_geom:
+                if num_ref == 2:
+                    r = 1 - br.read1()        # te(v), range 0..1
+                else:
+                    r = br.read_ue()
+                self.ref4[y4 + oy:y4 + oy + h4,
+                          x4 + ox:x4 + ox + w4] = r
+        else:
+            self.ref4[y4:y4 + 4, x4:x4 + 4] = 0
+        unit_mvs = []
         for u, (oy, ox, w4, h4) in enumerate(geom):
             mvd = (br.read_se(), br.read_se())
-            mvp = self._unit_mvp(y4 + oy, x4 + ox, w4, mb_type, u)
+            r = int(self.ref4[y4 + oy, x4 + ox])
+            mvp = self._unit_mvp(y4 + oy, x4 + ox, w4, mb_type, u,
+                                 ref=r)
             mv = np.array([mvp[0] + mvd[0], mvp[1] + mvd[1]], np.int32)
             self.mv4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = mv
             self.dec4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = True
@@ -608,6 +653,7 @@ class SliceDecoder:
         mv = self._pskip_mv(my, mx)
         y4, x4 = 4 * my, 4 * mx
         self.mv4[y4:y4 + 4, x4:x4 + 4] = mv
+        self.ref4[y4:y4 + 4, x4:x4 + 4] = 0
         self.dec4[y4:y4 + 4, x4:x4 + 4] = True
         self._recon_inter_luma(mx, my, np.zeros((4, 4, 4, 4), np.int64))
         for ch, plane in ((0, self.u), (1, self.v)):
@@ -620,6 +666,198 @@ class SliceDecoder:
         self.mb_skip[my, mx] = True
         self.mbs.append(MBInfo("SKIP", (int(mv[0]), int(mv[1])), qp,
                                unit_mvs=[(int(mv[0]), int(mv[1]))]))
+
+    # ------------------------------------------------------------------
+    # B slices (16x16 granularity: direct / L0 / L1 / BI + B_SKIP).
+    # Twin of the encoder's bslice.py scan; spatial direct per spec
+    # 8.4.1.2.2 with direct_8x8_inference.
+    # ------------------------------------------------------------------
+    _COL_CORNERS = ((0, 0), (0, 3), (3, 0), (3, 3))
+
+    def _spatial_direct(self, my, mx):
+        """Spatial direct (use0, use1, mv0 [4,2], mv1 [4,2]) per 8x8
+        z-order block. Colocated = L1[0]'s own motion field."""
+        y4, x4 = 4 * my, 4 * mx
+        col = self.refs_l1[0]
+        col_mv4, col_ref4 = col["mv4"], col["ref4"]
+        refs, mvps = [], []
+        for lst in (0, 1):
+            mva, ra, av_a = self._nb4(y4, x4 - 1, lst)
+            mvb, rb, av_b = self._nb4(y4 - 1, x4, lst)
+            mvc, rc, av_c = self._nb4(y4 - 1, x4 + 4, lst)
+            if not av_c:
+                mvc, rc, av_c = self._nb4(y4 - 1, x4 - 1, lst)
+            cand = [r for r in (ra, rb, rc) if r >= 0]
+            ref = min(cand) if cand else -1
+            refs.append(ref)
+            if ref >= 0:
+                mvps.append(self._unit_mvp(y4, x4, 4, 0, 0, ref=ref,
+                                           lst=lst))
+            else:
+                mvps.append(np.zeros(2, np.int32))
+        mv0 = np.zeros((4, 2), np.int32)
+        mv1 = np.zeros((4, 2), np.int32)
+        if refs[0] < 0 and refs[1] < 0:
+            return True, True, mv0, mv1
+        use0, use1 = refs[0] >= 0, refs[1] >= 0
+        for b, (cy, cx) in enumerate(self._COL_CORNERS):
+            colr = int(col_ref4[y4 + cy, x4 + cx])
+            colm = col_mv4[y4 + cy, x4 + cx]
+            col_zero = (colr == 0 and abs(int(colm[0])) <= 1
+                        and abs(int(colm[1])) <= 1)
+            for use, ref, mvp, out in ((use0, refs[0], mvps[0], mv0),
+                                       (use1, refs[1], mvps[1], mv1)):
+                if use:
+                    out[b] = 0 if (ref == 0 and col_zero) else mvp
+        return use0, use1, mv0, mv1
+
+    def _commit_b(self, my, mx, use0, use1, mv0, mv1):
+        """Write per-8x8 (mv, ref) of both lists into the neighbor
+        fields. mv0/mv1: [4,2] per 8x8 z-order."""
+        y4, x4 = 4 * my, 4 * mx
+        for b in range(4):
+            by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
+            self.mv4[by:by + 2, bx:bx + 2] = mv0[b] if use0 else 0
+            self.ref4[by:by + 2, bx:bx + 2] = 0 if use0 else -1
+            self.mv4_1[by:by + 2, bx:bx + 2] = mv1[b] if use1 else 0
+            self.ref4_1[by:by + 2, bx:bx + 2] = 0 if use1 else -1
+        self.dec4[y4:y4 + 4, x4:x4 + 4] = True
+
+    def _b_pred_luma8(self, gy, gx, use0, use1, mv0, mv1):
+        p0 = p1 = None
+        if use0:
+            p0 = R.np_mc_luma(self.refs[0]["luma"], gy, gx,
+                              int(mv0[0]), int(mv0[1]), bh=8, bw=8)
+        if use1:
+            p1 = R.np_mc_luma(self.refs_l1[0]["luma"], gy, gx,
+                              int(mv1[0]), int(mv1[1]), bh=8, bw=8)
+        if use0 and use1:
+            return (p0 + p1 + 1) >> 1
+        return p0 if use0 else p1
+
+    def _b_pred_chroma4(self, ch, cy, cx, use0, use1, mv0, mv1):
+        pl0 = self.refs[0]["u" if ch == 0 else "v"]
+        pl1 = self.refs_l1[0]["u" if ch == 0 else "v"]
+        p0 = p1 = None
+        if use0:
+            p0 = R.np_mc_chroma(pl0, cy, cx, int(mv0[0]), int(mv0[1]),
+                                bh=4, bw=4)
+        if use1:
+            p1 = R.np_mc_chroma(pl1, cy, cx, int(mv1[0]), int(mv1[1]),
+                                bh=4, bw=4)
+        if use0 and use1:
+            return (p0 + p1 + 1) >> 1
+        return p0 if use0 else p1
+
+    def _recon_b(self, mx, my, use0, use1, mv0, mv1, blocks,
+                 cbp_chroma, br, qp, qpc, read_chroma):
+        """Bipred recon at per-8x8 (mv0, mv1) [4,2] + residual add."""
+        gy, gx = 16 * my, 16 * mx
+        pred = np.zeros((16, 16), np.int64)
+        for b in range(4):
+            oy, ox = 8 * (b >> 1), 8 * (b & 1)
+            pred[oy:oy + 8, ox:ox + 8] = self._b_pred_luma8(
+                gy + oy, gx + ox, use0, use1, mv0[b], mv1[b])
+        for by in range(4):
+            for bx in range(4):
+                py, px = gy + 4 * by, gx + 4 * bx
+                self.y[py:py + 4, px:px + 4] = R.recon_block4x4(
+                    pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
+                    blocks[by, bx])
+        cpreds = []
+        for ch in (0, 1):
+            cpred = np.zeros((8, 8), np.int64)
+            for b in range(4):
+                oy, ox = 4 * (b >> 1), 4 * (b & 1)
+                cpred[oy:oy + 4, ox:ox + 4] = self._b_pred_chroma4(
+                    ch, 8 * my + oy, 8 * mx + ox, use0, use1,
+                    mv0[b], mv1[b])
+            cpreds.append(cpred)
+        if read_chroma:
+            self._decode_chroma(br, mx, my, 0, cbp_chroma, qpc,
+                                intra=False, preds=cpreds)
+        else:
+            for ch, plane in ((0, self.u), (1, self.v)):
+                plane[8 * my:8 * my + 8, 8 * mx:8 * mx + 8] = cpreds[ch]
+                self.nnz_c[ch, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+
+    def decode_b_skip(self, mx: int, my: int, qp: int):
+        use0, use1, mv0, mv1 = self._spatial_direct(my, mx)
+        self._commit_b(my, mx, use0, use1, mv0, mv1)
+        self._recon_b(mx, my, use0, use1, mv0, mv1,
+                      np.zeros((4, 4, 4, 4), np.int64), 0, None, qp,
+                      0, read_chroma=False)
+        self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.decoded[my, mx] = True
+        self.mb_skip[my, mx] = True
+        m0 = (int(mv0[0, 0]), int(mv0[0, 1]))
+        self.mbs.append(MBInfo("BSKIP", m0, qp, unit_mvs=[m0]))
+
+    def decode_b_mb(self, br: BitReader, mx: int, my: int,
+                    mb_type: int, qp: int):
+        """B_Direct_16x16 (0) / B_L0_16x16 (1) / B_L1_16x16 (2) /
+        B_Bi_16x16 (3)."""
+        y4, x4 = 4 * my, 4 * mx
+        if mb_type == 0:
+            use0, use1, mv0, mv1 = self._spatial_direct(my, mx)
+        else:
+            use0 = mb_type in (1, 3)
+            use1 = mb_type in (2, 3)
+            mv0 = np.zeros((4, 2), np.int32)
+            mv1 = np.zeros((4, 2), np.int32)
+            if use0:
+                mvd = (br.read_se(), br.read_se())
+                mvp = self._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=0)
+                mv0[:] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            if use1:
+                mvd = (br.read_se(), br.read_se())
+                mvp = self._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=1)
+                mv1[:] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+        self._commit_b(my, mx, use0, use1, mv0, mv1)
+        cbp_code = br.read_ue()
+        cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.read_se()
+        qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
+                                    0, 51)])
+        from ..encoder.cavlc import LUMA_SCAN
+        blocks = np.zeros((4, 4, 4, 4), np.int64)
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, 4 * my + by, 4 * mx + bx)
+                lv = read_residual(br, 16, nc)
+                self.nnz_y[4 * my + by, 4 * mx + bx] = \
+                    sum(1 for x in lv if x)
+                blocks[by, bx] = R.dequant4x4(R.dezigzag(lv), qp)
+            else:
+                self.nnz_y[4 * my + by, 4 * mx + bx] = 0
+        self._recon_b(mx, my, use0, use1, mv0, mv1, blocks,
+                      cbp_chroma, br, qp, qpc, read_chroma=True)
+        self.decoded[my, mx] = True
+        kind = ("BDIRECT", "BL0", "BL1", "BBI")[mb_type]
+        m0 = (int(mv0[0, 0]), int(mv0[0, 1]))
+        self.mbs.append(MBInfo(kind, m0, qp, unit_mvs=[m0]))
+        return qp
+
+    def decode_b_slice(self, br: BitReader, qp: int):
+        n_mbs = self.mbh * self.mbw
+        addr = 0
+        while addr < n_mbs:
+            skip_run = br.read_ue()
+            for _ in range(skip_run):
+                my, mx = addr // self.mbw, addr % self.mbw
+                self.decode_b_skip(mx, my, qp)
+                addr += 1
+            if addr >= n_mbs:
+                break
+            my, mx = addr // self.mbw, addr % self.mbw
+            mb_type = br.read_ue()
+            assert 0 <= mb_type <= 3, \
+                f"unsupported B mb_type {mb_type}"
+            qp = self.decode_b_mb(br, mx, my, mb_type, qp)
+            addr += 1
 
     def decode_slice(self, br: BitReader, slice_type: int, qp: int):
         if slice_type in (2, 7):
@@ -668,10 +906,14 @@ class SliceDecoder:
 
 
 def decode_annexb(data: bytes) -> list[DecodedFrame]:
-    """Decode an Annex-B stream (IDR + P chain, single reference)."""
+    """Decode an Annex-B stream (IDR + P/B chain, sliding-window DPB of
+    sps.num_ref_frames references). With poc_type 0 (B streams) the
+    returned frames are reordered into display (POC) order."""
     sps = pps = None
     frames = []
-    ref = None
+    dpb = []   # [0] = most recent reference; entries carry poc + motion
+    gop = 0
+    prev_poc_lsb = prev_poc_msb = 0
     for nal_type, ref_idc, rbsp in parse_nals(data):
         if nal_type == 7:
             sps = parse_sps(rbsp)
@@ -686,10 +928,36 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
             br.read(sps.log2_max_frame_num)  # frame_num
             if nal_type == 5:
                 br.read_ue()  # idr_pic_id
-            if slice_type in (0, 5):
+            poc = 0
+            if sps.poc_type == 0:
+                lsb = br.read(sps.log2_max_poc_lsb)
+                max_lsb = 1 << sps.log2_max_poc_lsb
+                if nal_type == 5:
+                    prev_poc_lsb = prev_poc_msb = 0
+                    msb = 0
+                elif (lsb < prev_poc_lsb
+                        and prev_poc_lsb - lsb >= max_lsb // 2):
+                    msb = prev_poc_msb + max_lsb
+                elif (lsb > prev_poc_lsb
+                        and lsb - prev_poc_lsb > max_lsb // 2):
+                    msb = prev_poc_msb - max_lsb
+                else:
+                    msb = prev_poc_msb
+                poc = msb + lsb
+                if ref_idc != 0:
+                    prev_poc_lsb, prev_poc_msb = lsb, msb
+            is_b = slice_type in (1, 6)
+            if is_b:
+                assert br.read1() == 1, \
+                    "only spatial direct supported"
+            if slice_type in (0, 5) or is_b:
                 if br.read1():  # num_ref_idx_override
                     br.read_ue()
-                assert br.read1() == 0  # no reordering
+                    if is_b:
+                        br.read_ue()
+                assert br.read1() == 0  # no reordering (l0)
+                if is_b:
+                    assert br.read1() == 0  # no reordering (l1)
             if nal_type == 5:
                 br.read1()
                 br.read1()
@@ -705,11 +973,28 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 if disable != 1:
                     br.read_se()
                     br.read_se()
-            dec = SliceDecoder(sps, pps, ref=ref)
-            if pps.cabac:
-                _decode_slice_cabac(dec, br, slice_type, qp, cabac_model)
+            if nal_type == 5:
+                dpb = []   # IDR resets the DPB
+                gop += 1
+            if is_b:
+                # default B list init (spec 8.2.4.2.3, one ref each):
+                # L0 = nearest past by POC, L1 = nearest future
+                l0 = sorted((e for e in dpb if e["poc"] < poc),
+                            key=lambda e: -e["poc"])
+                l1 = sorted((e for e in dpb if e["poc"] > poc),
+                            key=lambda e: e["poc"])
+                assert l0 and l1, "B slice needs refs on both sides"
+                assert not pps.cabac, \
+                    "CABAC B slices not supported yet"
+                dec = SliceDecoder(sps, pps, refs=l0, refs_l1=l1)
+                dec.decode_b_slice(br, qp)
             else:
-                dec.decode_slice(br, slice_type, qp)
+                dec = SliceDecoder(sps, pps, refs=list(dpb))
+                if pps.cabac:
+                    _decode_slice_cabac(dec, br, slice_type, qp,
+                                        cabac_model)
+                else:
+                    dec.decode_slice(br, slice_type, qp)
             if disable != 1:
                 from .. import native
                 assert native.load() is not None, \
@@ -722,19 +1007,30 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 native.deblock_frame(
                     dy, du, dv, dec.mb_intra.astype(np.uint8),
                     dec.nnz_y, dec.mv4,
-                    dec.mb_skip.astype(np.uint8), qp, qpc)
+                    dec.mb_skip.astype(np.uint8), qp, qpc,
+                    ref4=np.maximum(dec.ref4, 0))
                 dec.y, dec.u, dec.v = (dy.astype(np.int64),
                                        du.astype(np.int64),
                                        dv.astype(np.int64))
             h, w = sps.height, sps.width
-            frames.append(DecodedFrame(
+            df = DecodedFrame(
                 y=dec.y[:h, :w].astype(np.uint8),
                 u=dec.u[:h // 2, :w // 2].astype(np.uint8),
                 v=dec.v[:h // 2, :w // 2].astype(np.uint8),
-                slice_type=slice_type, mbs=dec.mbs))
+                slice_type=slice_type, mbs=dec.mbs, poc=poc)
+            df._gop = gop
+            frames.append(df)
             if ref_idc != 0:
-                ref = {"luma": R.np_hpel_planes(R.np_pad(dec.y)),
-                       "u": R.np_pad(dec.u), "v": R.np_pad(dec.v)}
+                dpb.insert(0, {"luma": R.np_hpel_planes(R.np_pad(dec.y)),
+                               "u": R.np_pad(dec.u),
+                               "v": R.np_pad(dec.v),
+                               "poc": poc,
+                               "mv4": dec.mv4.copy(),
+                               "ref4": dec.ref4.copy()})
+                del dpb[max(1, sps.num_ref_frames):]
+    if sps is not None and sps.poc_type == 0:
+        # display (POC) order within each GOP; decode order across GOPs
+        frames.sort(key=lambda f: (f._gop, f.poc))
     return frames
 
 
@@ -753,7 +1049,8 @@ def _decode_slice_cabac(dec: SliceDecoder, br, slice_type: int, qp: int,
     while br.bit_position() % 8:
         assert br.read1() == 1, "cabac_alignment_one_bit must be 1"
     is_i = slice_type in (2, 7)
-    ps = CabacSliceParser(br, dec.mbw, dec.mbh, qp, is_i, model)
+    ps = CabacSliceParser(br, dec.mbw, dec.mbh, qp, is_i, model,
+                          num_ref=dec.pps.num_ref_idx_l0_active)
     qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
                                 0, 51)])
     n = dec.mbh * dec.mbw
@@ -872,13 +1169,17 @@ def _recon_i4_cabac(dec, ps, my, mx, qp, qpc):
 
 def _recon_p_cabac(dec, ps, my, mx, part, qp, qpc):
     from ..encoder.scan import mb_units
-    (mvds, subs), cbp_luma, cbp_chroma, blk_lv, cdcs, cacs = \
+    (mvds, subs, refs), cbp_luma, cbp_chroma, blk_lv, cdcs, cacs = \
         ps.parse_p_mb(my, mx, part)
     geom = mb_units(part, subs) if part == 3 else dec._UNIT_GEOM[part]
+    ref_geom = dec._UNIT_GEOM[3] if part == 3 else dec._UNIT_GEOM[part]
     y4, x4 = 4 * my, 4 * mx
+    for k, (oy, ox, w4, h4) in enumerate(ref_geom):
+        dec.ref4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = refs[k]
     unit_mvs = []
     for u, (oy, ox, w4, h4) in enumerate(geom):
-        mvp = dec._unit_mvp(y4 + oy, x4 + ox, w4, part, u)
+        mvp = dec._unit_mvp(y4 + oy, x4 + ox, w4, part, u,
+                            ref=int(dec.ref4[y4 + oy, x4 + ox]))
         mv = np.array([mvp[0] + mvds[u][0], mvp[1] + mvds[u][1]],
                       np.int32)
         dec.mv4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = mv

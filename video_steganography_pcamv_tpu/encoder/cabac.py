@@ -156,6 +156,7 @@ class CabacSliceWriter:
         self.cbp = np.zeros((mbh, mbw), np.int32)           # (chroma<<4)|luma
         self.modes4 = np.full((4 * mbh, 4 * mbw), 2, np.int32)
         self.mvd4 = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)
+        self.ref4 = np.zeros((4 * mbh, 4 * mbw), np.int32)  # L0 refs
         self.cmode_map = np.zeros((mbh, mbw), np.int32)
 
     # ------------------------------------------------------------------
@@ -361,6 +362,22 @@ class CabacSliceWriter:
                 cb.decision(67, 1 if cmode > 2 else 0)
         self.cmode_map[my, mx] = cmode
 
+    def ref_idx(self, gy4, gx4, h4, w4, ref: int):
+        """ref_idx_l0 (reference x264_cabac_mb_ref): unary bins, ctx
+        54 + (refA>0) + 2*(refB>0) for bin 0, then 58, then 59; fills
+        the ref cache over the partition area."""
+        cb = self.cb
+        a = int(self.ref4[gy4, gx4 - 1]) if gx4 > 0 else 0
+        b = int(self.ref4[gy4 - 1, gx4]) if gy4 > 0 else 0
+        ctx = (1 if a > 0 else 0) + (2 if b > 0 else 0)
+        k = ref
+        while k:
+            cb.decision(54 + ctx, 1)
+            ctx = 4 if ctx < 4 else 5
+            k -= 1
+        cb.decision(54 + ctx, 0)
+        self.ref4[gy4:gy4 + h4, gx4:gx4 + w4] = ref
+
     def mvd(self, gy4, gx4, h4, w4, mdx, mdy):
         """One partition's mvd; (gy4,gx4) top-left 4x4, fills the mvd
         cache over the partition area (h4 x w4)."""
@@ -557,9 +574,13 @@ class CabacSliceWriter:
                   (2, 2, 2, 2)]}
 
     def write_p_mb(self, my, mx, part, mvds, cbp_luma, cbp_chroma,
-                   luma_blocks, chroma_dc, chroma_ac, sub_types=None):
+                   luma_blocks, chroma_dc, chroma_ac, sub_types=None,
+                   refs=None, num_ref: int = 1):
         """sub_types: [4] sub_mb_type per 8x8 block (None = all
-        P_L0_8x8); mvds then has one row per unit in coding order."""
+        P_L0_8x8); mvds then has one row per unit in coding order.
+        refs: per-ref-slot L0 refs (parts 0-2: one per unit; P_8x8:
+        one per 8x8 block), coded when num_ref > 1 — refs before mvds,
+        matching the reference's order (encoder/cabac.c:846-893)."""
         from .scan import mb_units
         self.skip_flag(my, mx, False)
         self.mb_type_p_inter(part)
@@ -568,8 +589,14 @@ class CabacSliceWriter:
                 self.sub_mb_type_p(0 if sub_types is None
                                    else int(sub_types[b]))
             geom = mb_units(3, sub_types)
+            ref_geom = self._UGEOM[3]
         else:
             geom = self._UGEOM[part]
+            ref_geom = geom
+        if num_ref > 1:
+            for k, (oy, ox, w4, h4) in enumerate(ref_geom):
+                self.ref_idx(4 * my + oy, 4 * mx + ox, h4, w4,
+                             0 if refs is None else int(refs[k]))
         for u, (oy, ox, w4, h4) in enumerate(geom):
             self.mvd(4 * my + oy, 4 * mx + ox, h4, w4,
                      int(mvds[u, 0]), int(mvds[u, 1]))

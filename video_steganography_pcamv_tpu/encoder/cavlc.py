@@ -268,25 +268,43 @@ class FrameCavlc:
         else:
             self.set_mb_nnz_zero(mx, my, luma_too=False)
 
+    def _write_te_ref(self, bw: BitWriter, ref: int, num_ref: int):
+        """ref_idx_l0 te(v) (spec 9.1.1): inverted single bit when the
+        range is 0..1, else ue(v)."""
+        if num_ref <= 1:
+            return
+        if num_ref == 2:
+            bw.write1(1 - ref)
+        else:
+            bw.write_ue(ref)
+
     def write_p_mb(self, bw: BitWriter, mx: int, my: int, part: int,
                    mvds: np.ndarray, cbp_luma: int, cbp_chroma: int,
                    luma_lev: np.ndarray, chroma_dc: np.ndarray,
                    chroma_ac: np.ndarray, qp_delta: int,
-                   sub_types=None) -> None:
+                   sub_types=None, refs=None, num_ref: int = 1) -> None:
         """Partitioned P macroblock (spec 7.3.5.2). mvds: [U,2] unit
         mvds in coding order (U up to 16; unused slots ignored).
         sub_types: [4] sub_mb_type per 8x8 block (None = all
-        P_L0_8x8)."""
+        P_L0_8x8); refs: per-ref_idx-slot L0 refs in coding order
+        (one per partition for parts 0-2, one per 8x8 block for
+        P_8x8), written when num_ref > 1."""
         from .scan import N_SUB
         bw.write_ue(part)
         if part == 3:
             n_units = 0
+            n_refs = 4
             for b in range(4):
                 st = 0 if sub_types is None else int(sub_types[b])
                 bw.write_ue(st)  # sub_mb_type (7.4.5.2 P table)
                 n_units += N_SUB[st]
         else:
             n_units = (1, 2, 2)[part]
+            n_refs = n_units
+        if num_ref > 1:
+            for k in range(n_refs):
+                self._write_te_ref(bw, 0 if refs is None
+                                   else int(refs[k]), num_ref)
         for u in range(n_units):
             bw.write_se(int(mvds[u, 0]))
             bw.write_se(int(mvds[u, 1]))
@@ -306,6 +324,42 @@ class FrameCavlc:
                 self.nnz_y[yy, xx] = 0
         if cbp:
             self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
+        else:
+            self.set_mb_nnz_zero(mx, my, luma_too=False)
+
+    def write_b_mb(self, bw: BitWriter, mx: int, my: int, btype: int,
+                   mvd0, mvd1, cbp_luma: int, cbp_chroma: int,
+                   luma_lev: np.ndarray, chroma_dc: np.ndarray,
+                   chroma_ac: np.ndarray, qp_delta: int) -> None:
+        """B macroblock, 16x16 granularity (spec 7.4.5 B table subset:
+        B_Direct_16x16=0, B_L0_16x16=1, B_L1_16x16=2, B_Bi_16x16=3;
+        reference encoder/cavlc.c B path). mvd0/mvd1: (x, y) pairs,
+        ignored for the unused list. ref_idx absent (one active ref
+        per list)."""
+        bw.write_ue(btype)
+        if btype in (1, 3):
+            bw.write_se(int(mvd0[0]))
+            bw.write_se(int(mvd0[1]))
+        if btype in (2, 3):
+            bw.write_se(int(mvd1[0]))
+            bw.write_se(int(mvd1[1]))
+        cbp = (cbp_chroma << 4) | cbp_luma
+        bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
+        if cbp:
+            bw.write_se(qp_delta)
+        gy, gx = 4 * my, 4 * mx
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            yy, xx = gy + by, gx + bx
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, yy, xx)
+                lv = zigzag(luma_lev[by, bx])
+                self.nnz_y[yy, xx] = write_residual(bw, lv, 16, nc)
+            else:
+                self.nnz_y[yy, xx] = 0
+        if cbp:
+            self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc,
+                               chroma_ac)
         else:
             self.set_mb_nnz_zero(mx, my, luma_too=False)
 

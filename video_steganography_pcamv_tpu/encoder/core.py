@@ -16,10 +16,10 @@ from dataclasses import dataclass, field
 import numpy as np
 import jax.numpy as jnp
 
-from ..params import Params, SLICE_I, SLICE_P
+from ..params import Params, SLICE_I, SLICE_P, SLICE_B
 from ..utils.bitstream import (BitWriter, nal_unit, NAL_SLICE, NAL_SLICE_IDR,
                                NAL_SPS, NAL_PPS, NAL_PRIORITY_HIGHEST,
-                               NAL_PRIORITY_HIGH)
+                               NAL_PRIORITY_HIGH, NAL_PRIORITY_DISPOSABLE)
 from ..utils.yuv import Frame
 from ..ops import mc
 from ..ops.transform import chroma_qp
@@ -62,6 +62,7 @@ class EncodeStats:
     ssd_v: int = 0
     i_frames: int = 0
     p_frames: int = 0
+    b_frames: int = 0
     # stego counters (reference: h->stat.info, common/common.h:692-697)
     mv_covers: int = 0
     message_bits: int = 0
@@ -76,11 +77,26 @@ class Encoder:
         params.validate()
         self.p = params
         self.sps = H.SPS(params.width, params.height,
-                         num_ref_frames=1,
+                         num_ref_frames=params.ref_frames,
                          log2_max_frame_num=8)
         self.pps = H.PPS(pic_init_qp=params.qp,
                          chroma_qp_index_offset=params.chroma_qp_offset,
+                         num_ref_idx_l0_active=params.ref_frames,
                          cabac=params.cabac)
+        if params.bframes > 0:
+            # out-of-order output needs real POCs; B slices need main
+            # profile; the decoder must hold both anchors
+            self.sps.poc_type = 0
+            self.sps.profile = H.PROFILE_MAIN
+            self.sps.num_ref_frames = 2
+        self.dpb = []   # device ref dicts, newest first (L0 order)
+        self._bbuf = []        # pending display-order frames (B pipe)
+        self._disp_idx = 0     # display index of the next input frame
+        self._last_idr_disp = 0
+        self._col = None       # (mv4, ref4) of the newest anchor
+        self._poc_lsb = 0      # poc of the slice being written
+        self.keep_recon = False     # tests: record recon per display idx
+        self.recon_by_disp = {}
         self.frame_num = 0
         self.idr_pic_id = 0
         self.stats = EncodeStats()
@@ -123,6 +139,117 @@ class Encoder:
         return jnp.asarray(y), jnp.asarray(u), jnp.asarray(v)
 
     def encode_frame(self, frame: Frame) -> bytes:
+        """Encode one input (display-order) frame. With bframes > 0
+        frames are buffered for reordering: the returned bytes are the
+        NALs ready so far, in decode order (may be empty; call flush()
+        after the last input)."""
+        if self.p.bframes > 0:
+            return self._encode_frame_bpipe(frame)
+        return self._encode_frame_ipp(frame)
+
+    # ------------------------------------------------------------------
+    # B pipeline (x264 frame reordering, encoder.c:2179-2228: display
+    # order in, decode order out; anchor first, then its B frames)
+    # ------------------------------------------------------------------
+    def _encode_frame_bpipe(self, frame: Frame) -> bytes:
+        y, u, v = self._pad(frame)
+        is_idr, satd = self.lookahead.decide(y)
+        if self.ref is None:
+            is_idr = True
+        disp = self._disp_idx
+        self._disp_idx += 1
+        out = b""
+        if is_idr:
+            # display-before-IDR constraint: pending frames cannot be
+            # coded as B against an IDR anchor; flush them as P chain
+            out += self._flush_pending_as_p()
+            self._last_idr_disp = disp
+            return out + self._encode_anchor(frame, y, u, v, True,
+                                             satd, disp)
+        self._bbuf.append((frame, y, u, v, satd, disp))
+        if len(self._bbuf) <= self.p.bframes:
+            return out
+        return out + self._flush_gop()
+
+    def flush(self) -> bytes:
+        """Emit any frames still buffered for B reordering (call after
+        the last encode_frame; x264's delayed-frames drain)."""
+        if not self._bbuf:
+            return b""
+        return self._flush_gop()
+
+    def _flush_pending_as_p(self) -> bytes:
+        out = b""
+        for (f, y, u, v, satd, disp) in self._bbuf:
+            out += self._encode_anchor(f, y, u, v, False, satd, disp)
+        self._bbuf = []
+        return out
+
+    def _flush_gop(self) -> bytes:
+        """Encode the newest buffered frame as the P anchor, then the
+        remaining buffered frames as B (decode order)."""
+        items, self._bbuf = self._bbuf, []
+        f, y, u, v, satd, disp = items[-1]
+        ref_l0 = self.ref                 # previous anchor (device)
+        out = self._encode_anchor(f, y, u, v, False, satd, disp)
+        ref_l1 = self.ref                 # the new anchor
+        col = self._col
+        anchor_qp = self._cur_qp
+        for (bf, by, bu, bv, bsatd, bdisp) in items[:-1]:
+            out += self._encode_b_frame(bf, by, bu, bv, ref_l0, ref_l1,
+                                        col, anchor_qp, bsatd, bdisp)
+        return out
+
+    def _encode_anchor(self, frame, y, u, v, is_idr: bool, satd,
+                       disp: int) -> bytes:
+        t0 = time.time()
+        qp = self.rc.start(SLICE_I if is_idr else SLICE_P, satd)
+        self._cur_qp = qp
+        self._poc_lsb = 2 * (disp - self._last_idr_disp)
+        out = b""
+        if is_idr:
+            self.frame_num = 0
+            self.dpb = []
+            self.lookahead.last_keyframe = disp
+            out += self.headers()
+            nal = self._encode_i(y, u, v, qp)
+            out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
+            self.stats.i_frames += 1
+        else:
+            nal = self._encode_p(y, u, v, qp)
+            out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
+            self.stats.p_frames += 1
+        self._save_col()
+        self._accumulate_psnr(frame)
+        if self.keep_recon:
+            self.recon_by_disp[disp] = tuple(
+                np.asarray(x).copy() for x in self.recon_prev)
+        self.frame_num += 1
+        self._frame_idx += 1
+        self.stats.frames += 1
+        self.stats.bits += 8 * len(out)
+        self.rc.end(8 * len(out))
+        self.stats.elapsed += time.time() - t0
+        return out
+
+    def _save_col(self):
+        """Record the anchor's 4x4 motion field for B spatial-direct
+        colocated checks (decoder twin keeps the same field)."""
+        p = self.p
+        info = self.last_frame_info
+        h4, w4 = 4 * p.mb_height, 4 * p.mb_width
+        if info.get("mv8") is None:    # I anchor: all intra
+            self._col = (np.zeros((h4, w4, 2), np.int32),
+                         np.full((h4, w4), -1, np.int32))
+            return
+        mv4 = np.repeat(np.repeat(info["mv8"], 2, 0), 2, 1)
+        intra4 = np.repeat(np.repeat(info["kind"] >= 2, 4, 0), 4, 1)
+        ref8 = info.get("ref8")
+        ref4 = (np.zeros((h4, w4), np.int32) if ref8 is None
+                else np.repeat(np.repeat(ref8, 2, 0), 2, 1))
+        self._col = (mv4, np.where(intra4, -1, ref4).astype(np.int32))
+
+    def _encode_frame_ipp(self, frame: Frame) -> bytes:
         t0 = time.time()
         y, u, v = self._pad(frame)
         # slicetype decision: lookahead scenecut/keyint (slicetype.c:578)
@@ -142,6 +269,7 @@ class Encoder:
         out = b""
         if is_idr:
             self.frame_num = 0
+            self.dpb = []   # IDR resets the DPB
             out += self.headers()
             nal = self._encode_i(y, u, v, qp)
             out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
@@ -189,7 +317,8 @@ class Encoder:
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_I,
                              self.frame_num, qp, idr=True,
                              idr_pic_id=self.idr_pic_id,
-                             disable_deblock=0 if self.p.deblock else 1)
+                             disable_deblock=0 if self.p.deblock else 1,
+                             poc_lsb=self._poc_lsb)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
@@ -280,14 +409,86 @@ class Encoder:
         w.end_slice(bw)
         return bw.get_bytes()
 
+    @staticmethod
+    def _refs_of(part: int, ref8, my: int, mx: int):
+        """Per-ref-slot L0 refs of one MB from the per-8x8 field."""
+        tl = ref8[2 * my, 2 * mx]
+        if part == 0:
+            return [tl]
+        if part == 1:
+            return [tl, ref8[2 * my + 1, 2 * mx]]
+        if part == 2:
+            return [tl, ref8[2 * my, 2 * mx + 1]]
+        return [tl, ref8[2 * my, 2 * mx + 1],
+                ref8[2 * my + 1, 2 * mx], ref8[2 * my + 1, 2 * mx + 1]]
+
+    def _write_p_slice_cavlc_mref(self, bw, res, qp, part, mvd, skip,
+                                  ref8, intra_kind=None,
+                                  intra_res=None) -> bytes:
+        """CAVLC P slice with multi-reference ref_idx syntax (Python
+        writer; the native twin doesn't speak refs yet)."""
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        fc = FrameCavlc(mbw, mbh)
+        skip_run = 0
+        for my in range(mbh):
+            for mx in range(mbw):
+                if skip[my, mx]:
+                    skip_run += 1
+                    fc.set_mb_nnz_zero(mx, my)
+                    continue
+                bw.write_ue(skip_run)
+                skip_run = 0
+                k = (0 if intra_kind is None
+                     else int(intra_kind[my, mx]))
+                if k == 2:
+                    fc.write_i4x4_mb(
+                        bw, mx, my, intra_res["i4_modes"][my, mx],
+                        int(intra_res["cmode"][my, mx]),
+                        int(intra_res["cbp_luma"][my, mx]),
+                        int(intra_res["cbp_chroma"][my, mx]),
+                        intra_res["luma_ac"][my, mx],
+                        intra_res["chroma_dc"][my, mx],
+                        intra_res["chroma_ac"][my, mx], qp_delta=0,
+                        in_p_slice=True)
+                    continue
+                if k == 1:
+                    fc.write_i16x16_mb(
+                        bw, mx, my, int(intra_res["mode"][my, mx]),
+                        int(intra_res["cmode"][my, mx]),
+                        int(intra_res["cbp_luma"][my, mx]),
+                        int(intra_res["cbp_chroma"][my, mx]),
+                        intra_res["luma_dc"][my, mx],
+                        intra_res["luma_ac"][my, mx],
+                        intra_res["chroma_dc"][my, mx],
+                        intra_res["chroma_ac"][my, mx], qp_delta=0,
+                        in_p_slice=True)
+                    continue
+                pt = int(part[my, mx])
+                fc.write_p_mb(
+                    bw, mx, my, pt, mvd[my, mx],
+                    int(res["cbp_luma"][my, mx]),
+                    int(res["cbp_chroma"][my, mx]),
+                    res["luma_lev"][my, mx],
+                    res["chroma_dc"][my, mx],
+                    res["chroma_ac"][my, mx], qp_delta=0,
+                    refs=self._refs_of(pt, ref8, my, mx),
+                    num_ref=p.ref_frames)
+        if skip_run:
+            bw.write_ue(skip_run)
+        bw.rbsp_trailing()
+        return bw.get_bytes()
+
     def _write_p_slice_cabac(self, bw, res, qp, part, mvd, skip,
-                             intra_kind=None, intra_res=None) -> bytes:
+                             intra_kind=None, intra_res=None,
+                             ref8=None) -> bytes:
         """CABAC P slice; part=None means 16x16-only (mvd [mbh,mbw,2])."""
         from .cabac import CabacSliceWriter
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None and intra_res is None:
+        if self._native is not None and intra_res is None \
+                and ref8 is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             if part is None:
@@ -343,7 +544,10 @@ class Encoder:
                              int(res["cbp_chroma"][my, mx]),
                              res["luma_lev"][my, mx],
                              res["chroma_dc"][my, mx],
-                             res["chroma_ac"][my, mx])
+                             res["chroma_ac"][my, mx],
+                             refs=(None if ref8 is None
+                                   else self._refs_of(pt, ref8, my, mx)),
+                             num_ref=self.p.ref_frames)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
@@ -403,7 +607,8 @@ class Encoder:
         return (self.p.deblock_device
                 and jax.default_backend() == "tpu")
 
-    def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev):
+    def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev,
+                        ref4=None):
         """Device wavefront deblock (bit-exact C++ twin): the filtered
         reference never leaves the chip; recon is downloaded once for
         PSNR/dump only."""
@@ -417,18 +622,36 @@ class Encoder:
             jnp.asarray(skip.astype(np.int32)),
             nnz4_dev, jnp.asarray(mv4), qp,
             chroma_qp(qp, p.chroma_qp_offset),
-            p.mb_height, p.mb_width)
-        self.ref = mc.build_ref(dy, du, dv)
+            p.mb_height, p.mb_width,
+            ref4=(jnp.asarray(ref4) if ref4 is not None else None))
+        self._push_ref(mc.build_ref(dy, du, dv))
         self.recon_prev = (np.asarray(dy), np.asarray(du),
                            np.asarray(dv))
 
+    def _push_ref(self, refdict):
+        """Sliding-window DPB update (newest first; spec 8.2.5.3)."""
+        self.dpb.insert(0, refdict)
+        del self.dpb[self.p.ref_frames:]
+        self.ref = self.dpb[0]
+
+    def _dpb_stacked(self):
+        """Stacked DPB arrays padded to ref_frames slots by repeating
+        the newest entry (padding is masked out of the ref decision by
+        n_valid; ties already resolve to the lower index)."""
+        R = self.p.ref_frames
+        dpb = list(self.dpb) + [self.dpb[0]] * (R - len(self.dpb))
+        return (jnp.stack([d["luma"] for d in dpb]),
+                jnp.stack([d["u"] for d in dpb]),
+                jnp.stack([d["v"] for d in dpb]),
+                len(self.dpb))
+
     def _update_ref(self, res):
         """Build padded + hpel reference planes from recon (device)."""
-        self.ref = mc.build_ref(res["recon_y"], res["recon_u"],
-                                res["recon_v"])
+        self._push_ref(mc.build_ref(res["recon_y"], res["recon_u"],
+                                    res["recon_v"]))
 
     def _deblock(self, res_np, intra, mv=None, skip=None, qp=None,
-                 nnz4=None):
+                 nnz4=None, ref4=None):
         """In-loop deblocking on the host recon (native C++; reference
         x264_fdec_filter_row -> x264_frame_deblock_row, encoder.c:1035).
         Returns (y, u, v) uint8 deblocked planes and re-derives the
@@ -454,12 +677,13 @@ class Encoder:
             qp = self._cur_qp
         native.deblock_frame(ry, ru, rv, intra_a, nnz4.astype(np.int32),
                              mv_a, skip, qp,
-                             chroma_qp(qp, p.chroma_qp_offset))
+                             chroma_qp(qp, p.chroma_qp_offset),
+                             ref4=ref4)
         self.recon_prev = (ry, ru, rv)
         # upload as uint8 (4x fewer bytes over the tunnel); build_ref
         # casts on device
-        self.ref = mc.build_ref(jnp.asarray(ry), jnp.asarray(ru),
-                                jnp.asarray(rv))
+        self._push_ref(mc.build_ref(jnp.asarray(ry), jnp.asarray(ru),
+                                    jnp.asarray(rv)))
 
     def analyse_p(self, y, qp=None):
         """Device motion analysis for a P frame (v2 table pipeline:
@@ -487,17 +711,35 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         import jax
         lam = ME.lambda_tab(qp)
-        part, mv8, r_idx8, blocks8, wht8, mb_cost = \
-            PT.analyse_p_frame_parts(
-                y, self.ref["luma"], jnp.asarray(self.prev_mv),
-                p.me_range, mbh, mbw, lam, p.subpel,
-                use_pallas=jax.default_backend() == "tpu")
+        multiref = p.ref_frames > 1
+        if multiref:
+            refs_luma, refs_u, refs_v, n_valid = self._dpb_stacked()
+            part, mv8, ref8, r_idx8, blocks8, wht8, mb_cost = \
+                PT.analyse_p_frame_parts_mref(
+                    y, refs_luma, jnp.asarray(n_valid),
+                    jnp.asarray(self.prev_mv), p.me_range, mbh, mbw,
+                    lam, p.subpel, p.ref_frames,
+                    use_pallas=jax.default_backend() == "tpu")
+            ref8_np = np.asarray(ref8)
+        else:
+            part, mv8, r_idx8, blocks8, wht8, mb_cost = \
+                PT.analyse_p_frame_parts(
+                    y, self.ref["luma"], jnp.asarray(self.prev_mv),
+                    p.me_range, mbh, mbw, lam, p.subpel,
+                    use_pallas=jax.default_backend() == "tpu")
+            ref8, ref8_np = None, None
         self._ptables8 = {"blocks": blocks8, "wht": wht8, "r_idx": r_idx8}
         part_np = np.asarray(part)
         mv8_np = np.asarray(mv8)
-        res = P.encode_p_frame_device8(
-            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
-            mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+        if multiref:
+            res = P.encode_p_frame_device8_mref(
+                y, u, v, refs_luma, refs_u, refs_v, mv8, ref8,
+                qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+            self._mref_stack = (refs_luma, refs_u, refs_v)
+        else:
+            res = P.encode_p_frame_device8(
+                y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+                mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
 
         # intra-vs-inter refinement (off while embedding — the
         # reference disables intra in P too, analyse.c:2862-2863)
@@ -519,25 +761,30 @@ class Encoder:
         cbp_l = np.asarray(res["cbp_luma"])
         cbp_c = np.asarray(res["cbp_chroma"])
         intra_mask = intra_kind > 0
-        if self._native is not None:
+        if self._native is not None and not multiref:
             from .. import native
             skip, mvd, mvp, final8 = native.scan_p_parts(
                 part_np, mv8_np, cbp_l, cbp_c,
                 intra=intra_mask if intra_mask.any() else None)
         else:
+            # the native scan twin doesn't speak refs yet
             skip, mvd, mvp, final8 = SCAN.scan_p_frame(
                 part_np, mv8_np, cbp_l, cbp_c,
-                intra=intra_mask if intra_mask.any() else None)
+                intra=intra_mask if intra_mask.any() else None,
+                ref8=ref8_np)
         skip &= ~intra_mask
 
         if self._stego is not None:
             replaced = self._stego.embed_frame_parts(
-                self, y, u, v, part_np, mv8_np, None, skip, mvp)
+                self, y, u, v, part_np, mv8_np, None, skip, mvp,
+                ref8=ref8_np)
             if replaced is not None:
                 final8, skip, mvd, res = replaced
         res_np = _res_to_host(res, mbh, mbw)
 
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
+        ref4 = (np.repeat(np.repeat(ref8_np, 2, 0), 2, 1)
+                if multiref else None)
         nnz4 = None
         if intra_res is not None:
             # deblock nnz: inter MBs from luma_lev, intra from luma_ac
@@ -552,10 +799,11 @@ class Encoder:
             self._deblock_device(
                 res, intra_mask, skip, mv4, qp,
                 jnp.asarray(nnz4) if nnz4 is not None else
-                _nnz4_device(res["luma_lev"], mbh, mbw))
+                _nnz4_device(res["luma_lev"], mbh, mbw), ref4=ref4)
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
-                          skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4)
+                          skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
+                          ref4=ref4)
         else:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
@@ -566,17 +814,22 @@ class Encoder:
         kind = np.where(intra_kind == 1, 2, kind)
         kind = np.where(intra_kind == 2, 3, kind)
         self.last_frame_info = {"kind": kind, "part": part_np,
-                                "mv8": final8}
+                                "mv8": final8, "ref8": ref8_np}
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
                              self.frame_num, qp, idr=False,
-                             disable_deblock=0 if p.deblock else 1)
+                             disable_deblock=0 if p.deblock else 1,
+                             poc_lsb=self._poc_lsb)
         n = mbh * mbw
         if p.cabac:
             return self._write_p_slice_cabac(bw, res_np, qp, part_np,
                                              mvd, skip, intra_kind,
-                                             intra_res)
+                                             intra_res, ref8=ref8_np)
+        if multiref:
+            return self._write_p_slice_cavlc_mref(
+                bw, res_np, qp, part_np, mvd, skip, ref8_np,
+                intra_kind, intra_res)
         if self._native is not None and intra_res is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
@@ -719,7 +972,8 @@ class Encoder:
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
                              self.frame_num, qp, idr=False,
-                             disable_deblock=0 if p.deblock else 1)
+                             disable_deblock=0 if p.deblock else 1,
+                             poc_lsb=self._poc_lsb)
         if p.cabac:
             return self._write_p_slice_cabac_sub(
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
@@ -772,6 +1026,103 @@ class Encoder:
         bw.rbsp_trailing()
         return bw.get_bytes()
 
+    def _encode_b_frame(self, frame, y, u, v, ref0, ref1, col,
+                        anchor_qp: int, satd, disp: int) -> bytes:
+        """Non-reference B frame between two anchors (bslice.py:
+        two-list exhaustive ME + BI at the per-list winners + spatial
+        direct; reference B path analyse.c:3110-3466)."""
+        from . import bslice as BS
+        import jax
+        t0 = time.time()
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        qp = self.rc.start(SLICE_B, satd)
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+        lam = ME.lambda_tab(qp)
+        on_tpu = jax.default_backend() == "tpu"
+        mv0, c0, mv1, c1, cbi = BS.analyse_b_frame(
+            y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
+            lam, p.subpel, on_tpu)
+        mv0_np, mv1_np = np.asarray(mv0), np.asarray(mv1)
+        col_mv4, col_ref4 = col
+        au0, au1, adv0, adv1 = BS.approx_direct_fields(
+            mv0_np, mv1_np, col_mv4, col_ref4)
+        c_dir = BS.bipred_satd_device(
+            y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
+            jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
+            mbh, mbw)
+        mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = BS.scan_b_frame(
+            np.asarray(c_dir), np.asarray(c0), np.asarray(c1),
+            np.asarray(cbi), mv0_np, mv1_np, col_mv4, col_ref4, lam)
+        res = BS.encode_b_frame_device(
+            y, u, v, ref0["luma"], ref0["u"], ref0["v"],
+            ref1["luma"], ref1["u"], ref1["v"],
+            jnp.asarray(use0), jnp.asarray(use1), jnp.asarray(fmv0),
+            jnp.asarray(fmv1), qp, qpc, mbh, mbw,
+            decimate=p.dct_decimate)
+        res_np = _res_to_host(res, mbh, mbw)
+        # B never enters the DPB: PSNR directly against the source
+        h, w = frame.y.shape
+        dy = (res_np["recon_y"][:h, :w].astype(np.int64)
+              - frame.y.astype(np.int64))
+        du = (res_np["recon_u"][:h // 2, :w // 2].astype(np.int64)
+              - frame.u.astype(np.int64))
+        dv = (res_np["recon_v"][:h // 2, :w // 2].astype(np.int64)
+              - frame.v.astype(np.int64))
+        self.stats.ssd_y += int(np.sum(dy * dy))
+        self.stats.ssd_u += int(np.sum(du * du))
+        self.stats.ssd_v += int(np.sum(dv * dv))
+        if self.keep_recon:
+            self.recon_by_disp[disp] = (res_np["recon_y"].copy(),
+                                        res_np["recon_u"].copy(),
+                                        res_np["recon_v"].copy())
+
+        bw = BitWriter()
+        H.write_slice_header(
+            bw, self.sps, self.pps, H.SLICE_TYPE_B, self.frame_num,
+            qp, idr=False, disable_deblock=1,
+            poc_lsb=2 * (disp - self._last_idr_disp), is_ref=False)
+        nal = self._write_b_slice_cavlc(bw, res_np, qp, mode,
+                                        mvd0, mvd1)
+        out = nal_unit(NAL_SLICE, NAL_PRIORITY_DISPOSABLE, nal)
+        self.stats.b_frames += 1
+        self.stats.frames += 1
+        self.stats.bits += 8 * len(out)
+        self._frame_idx += 1
+        self.rc.end(8 * len(out))
+        self.stats.elapsed += time.time() - t0
+        return out
+
+    def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,
+                             mvd1) -> bytes:
+        """CAVLC B slice: B_SKIP runs + 16x16-granularity B MBs.
+        Skip rule: direct mode with no residual (spec 7.4.4
+        mb_skip_run in B = B_Skip, decoded as direct)."""
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        fc = FrameCavlc(mbw, mbh)
+        skip_run = 0
+        for my in range(mbh):
+            for mx in range(mbw):
+                m = int(mode[my, mx])
+                cl = int(res["cbp_luma"][my, mx])
+                cc = int(res["cbp_chroma"][my, mx])
+                if m == 0 and cl == 0 and cc == 0:
+                    skip_run += 1
+                    fc.set_mb_nnz_zero(mx, my)
+                    continue
+                bw.write_ue(skip_run)
+                skip_run = 0
+                fc.write_b_mb(bw, mx, my, m, mvd0[my, mx],
+                              mvd1[my, mx], cl, cc,
+                              res["luma_lev"][my, mx],
+                              res["chroma_dc"][my, mx],
+                              res["chroma_ac"][my, mx], qp_delta=0)
+        if skip_run:
+            bw.write_ue(skip_run)
+        bw.rbsp_trailing()
+        return bw.get_bytes()
+
     def _encode_p(self, y, u, v, qp: int) -> bytes:
         p = self.p
         qpc = chroma_qp(qp, p.chroma_qp_offset)
@@ -814,7 +1165,8 @@ class Encoder:
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
                              self.frame_num, qp, idr=False,
-                             disable_deblock=0 if self.p.deblock else 1)
+                             disable_deblock=0 if self.p.deblock else 1,
+                             poc_lsb=self._poc_lsb)
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if p.cabac:

@@ -14,8 +14,10 @@ from dataclasses import dataclass
 from ..utils.bitstream import BitWriter
 
 PROFILE_BASELINE = 66
+PROFILE_MAIN = 77
 
 SLICE_TYPE_P = 0
+SLICE_TYPE_B = 1
 SLICE_TYPE_I = 2
 
 
@@ -27,6 +29,9 @@ class SPS:
     log2_max_frame_num: int = 8
     level_idc: int = 30
     sps_id: int = 0
+    poc_type: int = 2         # 2 for IPPP (decode==display); 0 with B
+    log2_max_poc_lsb: int = 10
+    profile: int = PROFILE_BASELINE
 
     @property
     def mb_width(self) -> int:
@@ -38,15 +43,17 @@ class SPS:
 
     def write(self) -> bytes:
         bw = BitWriter()
-        bw.write(8, PROFILE_BASELINE)
-        bw.write1(1)  # constraint_set0: baseline conforming
-        bw.write1(0)  # constraint_set1
+        bw.write(8, self.profile)
+        bw.write1(1 if self.profile == PROFILE_BASELINE else 0)
+        bw.write1(1 if self.profile == PROFILE_MAIN else 0)
         bw.write1(0)  # constraint_set2
         bw.write(5, 0)  # constraint_set3 + reserved
         bw.write(8, self.level_idc)
         bw.write_ue(self.sps_id)
         bw.write_ue(self.log2_max_frame_num - 4)
-        bw.write_ue(2)  # pic_order_cnt_type
+        bw.write_ue(self.poc_type)
+        if self.poc_type == 0:
+            bw.write_ue(self.log2_max_poc_lsb - 4)
         bw.write_ue(self.num_ref_frames)
         bw.write1(0)  # gaps_in_frame_num_value_allowed
         bw.write_ue(self.mb_width - 1)
@@ -101,7 +108,8 @@ class PPS:
 def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
                        frame_num: int, qp: int, idr: bool,
                        idr_pic_id: int = 0,
-                       disable_deblock: int = 1) -> None:
+                       disable_deblock: int = 1,
+                       poc_lsb: int = 0, is_ref: bool = True) -> None:
     """Single-slice frame header (reference: encoder/encoder.c slice
     header writer; fields per spec 7.3.3)."""
     bw.write_ue(0)  # first_mb_in_slice
@@ -110,15 +118,21 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
     bw.write(sps.log2_max_frame_num, frame_num % (1 << sps.log2_max_frame_num))
     if idr:
         bw.write_ue(idr_pic_id)
-    # poc_type == 2: nothing
-    if slice_type == SLICE_TYPE_P:
+    if sps.poc_type == 0:
+        bw.write(sps.log2_max_poc_lsb,
+                 poc_lsb % (1 << sps.log2_max_poc_lsb))
+    if slice_type == SLICE_TYPE_B:
+        bw.write1(1)  # direct_spatial_mv_pred_flag (spatial direct)
+    if slice_type in (SLICE_TYPE_P, SLICE_TYPE_B):
         bw.write1(0)  # num_ref_idx_active_override
         bw.write1(0)  # ref_pic_list_reordering_flag_l0
-    # dec_ref_pic_marking (all our frames are references, nal_ref_idc != 0)
+        if slice_type == SLICE_TYPE_B:
+            bw.write1(0)  # ref_pic_list_reordering_flag_l1
+    # dec_ref_pic_marking only for reference pictures (nal_ref_idc != 0)
     if idr:
         bw.write1(0)  # no_output_of_prior_pics
         bw.write1(0)  # long_term_reference_flag
-    else:
+    elif is_ref:
         bw.write1(0)  # adaptive_ref_pic_marking_mode (sliding window)
     if pps.cabac and slice_type != SLICE_TYPE_I:
         bw.write_ue(0)  # cabac_init_idc

@@ -41,6 +41,12 @@ _DS_TAB = np.array([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
                    np.int32)
 
 
+def _mb_tiles16(y, mbh: int, mbw: int):
+    """Frame plane -> per-MB 16x16 tiles [mbh*mbw, 16, 16]."""
+    return y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+            .reshape(mbh * mbw, 16, 16)
+
+
 def _zigzag_gather(levels):
     """[..., 4, 4, ...]-plane levels -> [..., 16, ...] zigzag order.
     levels: [N, 4(r), 4(c), BY, BX] -> [N, 16, BY, BX]."""
@@ -297,6 +303,104 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
         curc = plane.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
                     .reshape(n, 8, 8)
         pc4 = mc.mc_chroma(refp, ysc, xsc, mvf8, bh=4, bw=4)
+        predc = pc4.reshape(2 * mbh, 2 * mbw, 4, 4).transpose(0, 2, 1, 3) \
+                   .reshape(8 * mbh, 8 * mbw)
+        predc = predc.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                     .reshape(n, 8, 8)
+        resc = to_blocks(curc - predc, 4)
+        coef = T.dct4x4(resc)
+        dc = coef[:, 0, 0][..., None, None]
+        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc, intra=False)
+        ac = coef.at[:, 0, 0].set(0)
+        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if decimate:
+            zzc = _zigzag_gather(ac_lev)
+            scc = jnp.sum(decimate_score(zzc), axis=(1, 2))
+            keep_c = scc >= 7
+            ac_lev = ac_lev * keep_c[:, None, None, None, None]
+        dc_lev = dc_lev * ~fz[:, None, None]
+        ac_lev = ac_lev * ~fz[:, None, None, None, None]
+        chroma_out.append((dc_lev, ac_lev, predc, curc))
+
+    ac_nz = jnp.stack([jnp.any(c[1] != 0, axis=(1, 2, 3, 4))
+                       for c in chroma_out]).any(axis=0)
+    dc_nz = jnp.stack([jnp.any(c[0] != 0, axis=(1, 2))
+                       for c in chroma_out]).any(axis=0)
+    cbp_chroma = jnp.where(ac_nz, 2, jnp.where(dc_nz, 1, 0))
+
+    recs_c = []
+    levs_c = []
+    for dc_lev, ac_lev, predc, curc in chroma_out:
+        deqc = T.dequant4x4(ac_lev, qpc)
+        dc_rec = T.dequant_dc_chroma(
+            T.hadamard2x2(dc_lev[..., None, None])[..., 0, 0], qpc)
+        deqc = deqc.at[:, 0, 0].set(dc_rec)
+        rc = T.idct4x4_add(to_blocks(predc, 4), deqc)
+        rc = rc.reshape(n, 4, 4, 2, 2).transpose(0, 3, 1, 4, 2) \
+               .reshape(n, 8, 8)
+        recs_c.append(rc)
+        levs_c.append((dc_lev, ac_lev))
+
+    def untile(t, b):
+        return t.reshape(mbh, mbw, b, b).transpose(0, 2, 1, 3) \
+                .reshape(mbh * b, mbw * b)
+
+    return {
+        "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
+            mbh, mbw, 256).astype(jnp.int16),
+        "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
+        "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
+        "chroma_dc": jnp.stack(
+            [levs_c[0][0], levs_c[1][0]],
+            axis=1).reshape(mbh, mbw, 8).astype(jnp.int16),
+        "chroma_ac": jnp.stack(
+            [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
+             jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
+            axis=1).reshape(mbh, mbw, 128).astype(jnp.int16),
+        "recon_y": untile(rec, 16).astype(jnp.uint8),
+        "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
+        "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
+                                mv8, ref8, qp, qpc, mbh: int, mbw: int,
+                                decimate: bool = True, force_zero=None):
+    """Multi-reference partitioned final P encode. refs_*: stacked DPB
+    ([R,4,Hp,Wp] luma, [R,Hp,Wp] chroma); ref8: [2mbh,2mbw] per-8x8
+    L0 index. Same outputs as encode_p_frame_device8."""
+    n = mbh * mbw
+    fz = (jnp.zeros(n, bool) if force_zero is None
+          else force_zero.reshape(n))
+
+    n8 = 4 * mbh * mbw
+    ys8 = (jnp.arange(n8) // (2 * mbw)) * 8
+    xs8 = (jnp.arange(n8) % (2 * mbw)) * 8
+    reff = ref8.reshape(n8)
+    p8 = mc.mc_luma_multi(refs_luma, reff, ys8, xs8,
+                          mv8.reshape(n8, 2), bh=8, bw=8)
+    pred = p8.reshape(2 * mbh, 2 * mbw, 8, 8).transpose(0, 2, 1, 3) \
+             .reshape(16 * mbh, 16 * mbw)
+    pred = pred.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+               .reshape(n, 16, 16)
+    cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
+    lev, rec = luma_p_encode(cur, pred, qp, decimate)
+    lev = lev * ~fz[:, None, None, None, None]
+    rec = jnp.where(fz[:, None, None], pred, rec)
+    nz_blk = jnp.any(lev != 0, axis=(1, 2))
+    cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))
+    cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
+                + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8)
+
+    ysc = (jnp.arange(n8) // (2 * mbw)) * 4
+    xsc = (jnp.arange(n8) % (2 * mbw)) * 4
+    mvf8 = mv8.reshape(n8, 2)
+    chroma_out = []
+    for plane, refp in ((u, refs_u), (v, refs_v)):
+        curc = plane.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                    .reshape(n, 8, 8)
+        pc4 = mc.mc_chroma_multi(refp, reff, ysc, xsc, mvf8, bh=4, bw=4)
         predc = pc4.reshape(2 * mbh, 2 * mbw, 4, 4).transpose(0, 2, 1, 3) \
                    .reshape(8 * mbh, 8 * mbw)
         predc = predc.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \

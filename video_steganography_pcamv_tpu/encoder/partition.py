@@ -458,6 +458,119 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
 
 
 # ---------------------------------------------------------------------------
+# Multi-reference ME (x264 i_frame_reference > 1; per-ref search loop of
+# x264_mb_analyse_inter_p16x16 analyse.c:1122-1200 and the mixed-ref
+# p8x8 analysis :1291-1370). TPU redesign: the exhaustive scan runs once
+# per DPB entry; per-unit (cost, mv, ref) merge is a masked argmin with
+# the te(v) ref-bit lambda term. Invalid DPB slots (early frames after
+# an IDR, padded by repeating entries) are masked out with a +inf
+# penalty keyed on the traced n_valid — one compiled program serves
+# every DPB fill level.
+# ---------------------------------------------------------------------------
+
+def te_ref_bits(num_ref: int) -> np.ndarray:
+    """Bit cost of ref_idx te(v) per index (spec 9.1.1): one bit when
+    the range is 0..1, else ue(v) size."""
+    if num_ref <= 1:
+        return np.zeros(num_ref, np.int32)
+    if num_ref == 2:
+        return np.ones(2, np.int32)
+    return np.array([2 * int(np.floor(np.log2(i + 1))) + 1
+                     for i in range(num_ref)], np.int32)
+
+
+def merge_ref_states(sts, lam, ref_bits, n_valid):
+    """Merge per-ref fullpel states into (cost, mv, ref) per unit.
+    sts: list of fullpel_search_parts dicts; ref_bits: [R] te bits;
+    n_valid: traced count of valid DPB slots. Ties keep the lower
+    ref (strictly-better update, ascending scan order)."""
+    out = {}
+    for ck in ("c16", "c16x8", "c8x16", "c8"):
+        mk = "mv" + ck[1:]
+        rk = "r" + ck[1:]
+        best_c = best_mv = best_r = None
+        for r, st in enumerate(sts):
+            pen = jnp.where(r < n_valid, 0, 1 << 28)
+            c = st[ck] + lam * int(ref_bits[r]) + pen
+            if best_c is None:
+                best_c, best_mv = c, st[mk]
+                best_r = jnp.zeros_like(c)
+            else:
+                better = c < best_c
+                best_c = jnp.where(better, c, best_c)
+                best_mv = jnp.where(better[..., None], st[mk], best_mv)
+                best_r = jnp.where(better, r, best_r)
+        out[ck], out[mk], out[rk] = best_c, best_mv, best_r
+    return out
+
+
+def ref8_from_partition(st, part, mbh: int, mbw: int):
+    """Per-8x8-block ref under the chosen partition (take_along twin of
+    decide_partition's mv selection)."""
+    ref_by_part = jnp.stack([
+        jnp.broadcast_to(st["r16"][:, :, None], (mbh, mbw, 4)),
+        st["r16x8"][:, :, [0, 0, 1, 1]],
+        st["r8x16"][:, :, [0, 1, 0, 1]],
+        st["r8"],
+    ])                                              # [4,mbh,mbw,4]
+    r8 = jnp.take_along_axis(
+        ref_by_part, part[None, :, :, None], axis=0)[0]
+    return _z_to_sp(r8[..., None], mbh, mbw)[..., 0]  # [2mbh,2mbw]
+
+
+def gather_windows8_mref(planes_r, mvfp8, ref8, mbh: int, mbw: int):
+    """Multi-ref twin of gather_windows8_jnp: planes_r [R,4,Hp,Wp],
+    ref8 [2mbh,2mbw] per-block DPB index."""
+    n8 = 4 * mbh * mbw
+    bys = (jnp.arange(n8) // (2 * mbw)) * 8
+    bxs = (jnp.arange(n8) % (2 * mbw)) * 8
+    mvf = mvfp8.reshape(n8, 2)
+    ys = bys + mc.PAD - QT.MARGIN + mvf[:, 1]
+    xs = bxs + mc.PAD - QT.MARGIN + mvf[:, 0]
+    W8 = 16
+    r = ref8.reshape(n8)[:, None, None, None]
+    pp = jnp.arange(4)[None, :, None, None]
+    yy = (ys[:, None] + jnp.arange(W8))[:, None, :, None]
+    xx = (xs[:, None] + jnp.arange(W8))[:, None, None, :]
+    return planes_r[r, pp, yy, xx]                  # [n8,4,W8,W8]
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "subpel", "allow_parts",
+                                             "use_pallas", "num_ref"))
+def analyse_p_frame_parts_mref(y, refs_luma, n_valid, prev_mv, rng: int,
+                               mbh: int, mbw: int, lam, subpel: int,
+                               num_ref: int,
+                               allow_parts: bool = True,
+                               use_pallas: bool = False):
+    """Multi-reference fused partition analysis. refs_luma:
+    [R, 4, Hp, Wp] stacked DPB (newest = index 0); n_valid: traced
+    valid-slot count. Returns (part, mv8, ref8, r_idx8, blocks8, wht8,
+    mb_cost)."""
+    ref_bits = te_ref_bits(num_ref)
+    sts = []
+    for r in range(num_ref):
+        if use_pallas:
+            from ..ops.pallas_kernels import fullpel_parts_pallas
+            sts.append(fullpel_parts_pallas.__wrapped__(
+                y, refs_luma[r, 0], rng, mbh, mbw, lam))
+        else:
+            sts.append(fullpel_search_parts.__wrapped__(
+                y, refs_luma[r, 0], prev_mv >> 2, rng, mbh, mbw, lam))
+    st = merge_ref_states(sts, lam, ref_bits, n_valid)
+    part, mvfp8 = decide_partition.__wrapped__(
+        st, mbh, mbw, lam, allow_parts)
+    ref8 = ref8_from_partition(st, part, mbh, mbw)
+    windows = gather_windows8_mref(
+        refs_luma.astype(jnp.uint8), mvfp8, ref8, mbh, mbw)
+    blocks8 = block_table8(windows)
+    wht8 = wht8_flat(blocks8).astype(jnp.int16)
+    mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(
+        y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
+    return part, mv8, ref8, r_idx8, blocks8, wht8, mb_cost
+
+
+# ---------------------------------------------------------------------------
 # Sub-8x8 partitions (P_8x8 sub_mb_types 8x4 / 4x8 / 4x4)
 #
 # Reference: the p4x4/p8x4/p4x8 analysis helpers

@@ -141,8 +141,14 @@ class RateControl:
         self.slice_type = slice_type
         self.last_satd = max(1, satd)
         if self.mode == RC_CQP:
-            q = p.qp if slice_type != SLICE_I else \
-                max(p.qp_min, round(p.qp - p.ip_qp_offset))
+            if slice_type == SLICE_I:
+                q = max(p.qp_min, round(p.qp - p.ip_qp_offset))
+            elif slice_type == SLICE_B:
+                # non-ref B offset (~6*log2(f_pb_factor), ratecontrol.c
+                # qp_constant[SLICE_TYPE_B])
+                q = round(p.qp + p.pb_qp_offset)
+            else:
+                q = p.qp
             self.qpa = int(clip3(q, p.qp_min, p.qp_max))
             return self.qpa
 
@@ -160,6 +166,17 @@ class RateControl:
             q = self._clip_vbv(slice_type, q)
             self.qpa = int(clip3(round(qscale2qp(q)), p.qp_min, p.qp_max))
             self.last_qscale_for[slice_type] = q
+            return self.qpa
+
+        if slice_type == SLICE_B:
+            # B qscale from the last P qscale * pb_factor
+            # (rate_estimate_qscale's B branch, simplified to the
+            # non-adaptive neighbour-average form)
+            q = self.last_qscale_for[SLICE_P] * abs(self.p.pb_ratio)
+            q = self._clip_vbv(slice_type, q)
+            self.last_qscale_for[SLICE_B] = q
+            self.qpa = int(clip3(round(qscale2qp(q)), p.qp_min,
+                                 p.qp_max))
             return self.qpa
 
         # 1-pass: blurred complexity (rate_estimate_qscale)

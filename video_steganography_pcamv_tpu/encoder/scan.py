@@ -56,22 +56,24 @@ def mb_units(part: int, subs=None):
 
 
 class _Grid:
-    """4x4-granularity MV field + decoded mask."""
+    """4x4-granularity MV field + ref field + decoded mask."""
 
     def __init__(self, mbh, mbw):
         self.h4, self.w4 = 4 * mbh, 4 * mbw
         self.mv = np.zeros((self.h4, self.w4, 2), np.int32)
+        self.ref = np.full((self.h4, self.w4), -1, np.int32)
         self.dec = np.zeros((self.h4, self.w4), bool)
 
     def nb(self, y4, x4):
-        """(mv, available) of block (y4, x4); unavailable = out of frame
-        or not yet decoded (x264 cache ref == -2)."""
+        """(mv, ref, available) of block (y4, x4); unavailable = out of
+        frame or not yet decoded (x264 cache ref == -2)."""
         if 0 <= y4 < self.h4 and 0 <= x4 < self.w4 and self.dec[y4, x4]:
-            return self.mv[y4, x4], True
-        return np.zeros(2, np.int32), False
+            return self.mv[y4, x4], int(self.ref[y4, x4]), True
+        return np.zeros(2, np.int32), -1, False
 
-    def commit(self, y4, x4, h4, w4, mv):
+    def commit(self, y4, x4, h4, w4, mv, ref=0):
         self.mv[y4:y4 + h4, x4:x4 + w4] = mv
+        self.ref[y4:y4 + h4, x4:x4 + w4] = ref
         self.dec[y4:y4 + h4, x4:x4 + w4] = True
 
 
@@ -79,42 +81,46 @@ def _median3(a, b, c):
     return np.median(np.stack([a, b, c]), axis=0).astype(np.int32)
 
 
-def unit_mvp(g: _Grid, y4, x4, w4, part, unit):
+def unit_mvp(g: _Grid, y4, x4, w4, part, unit, ref=0):
     """MVP for one partition unit (spec 8.4.1.3; macroblock.c:28-145).
-    Single reference: 'same ref' == 'available inter block'."""
-    mva, av_a = g.nb(y4, x4 - 1)
-    mvb, av_b = g.nb(y4 - 1, x4)
-    mvc, av_c = g.nb(y4 - 1, x4 + w4)
+    With multiple references the 'same ref' rules are live: the
+    directional 16x8/8x16 shortcuts and the exactly-one-match rule
+    compare refIdx (x264 keeps refs in the same cache)."""
+    mva, ra, av_a = g.nb(y4, x4 - 1)
+    mvb, rb, av_b = g.nb(y4 - 1, x4)
+    mvc, rc, av_c = g.nb(y4 - 1, x4 + w4)
     if not av_c:
-        mvc, av_c = g.nb(y4 - 1, x4 - 1)   # D substitution
-    # partition shortcuts (macroblock.c:88-103)
+        mvc, rc, av_c = g.nb(y4 - 1, x4 - 1)   # D substitution
+    # partition shortcuts (macroblock.c:88-103): require same ref
     if part == D_16x8:
-        if unit == 0 and av_b:
+        if unit == 0 and av_b and rb == ref:
             return mvb.copy()
-        if unit == 1 and av_a:
+        if unit == 1 and av_a and ra == ref:
             return mva.copy()
     elif part == D_8x16:
-        if unit == 0 and av_a:
+        if unit == 0 and av_a and ra == ref:
             return mva.copy()
-        if unit == 1 and av_c:
+        if unit == 1 and av_c and rc == ref:
             return mvc.copy()
-    count = int(av_a) + int(av_b) + int(av_c)
-    if count == 1:
-        return (mva if av_a else mvb if av_b else mvc).copy()
+    match = [av_a and ra == ref, av_b and rb == ref, av_c and rc == ref]
+    if sum(match) == 1:
+        return (mva if match[0] else mvb if match[1] else mvc).copy()
     if not av_b and not av_c and av_a:
         return mva.copy()
     return _median3(mva, mvb, mvc)
 
 
 def _pskip_mv(g: _Grid, y4, x4):
-    """P_SKIP MV (spec 8.4.1.1; macroblock.c:165)."""
-    mva, av_a = g.nb(y4, x4 - 1)
-    mvb, av_b = g.nb(y4 - 1, x4)
+    """P_SKIP MV (spec 8.4.1.1; macroblock.c:165): zero when A/B is
+    missing or is a zero-MV *ref-0* neighbour, else the ref-0 MVP."""
+    mva, ra, av_a = g.nb(y4, x4 - 1)
+    mvb, rb, av_b = g.nb(y4 - 1, x4)
     if not av_a or not av_b:
         return np.zeros(2, np.int32)
-    if (mva[0] == 0 and mva[1] == 0) or (mvb[0] == 0 and mvb[1] == 0):
+    if ((ra == 0 and mva[0] == 0 and mva[1] == 0)
+            or (rb == 0 and mvb[0] == 0 and mvb[1] == 0)):
         return np.zeros(2, np.int32)
-    return unit_mvp(g, y4, x4, 4, D_16x16, 0)
+    return unit_mvp(g, y4, x4, 4, D_16x16, 0, ref=0)
 
 
 def _unit_mv(mv8, my, mx, part, unit):
@@ -125,12 +131,14 @@ def _unit_mv(mv8, my, mx, part, unit):
 
 def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
                  cbp_luma: np.ndarray, cbp_chroma: np.ndarray,
-                 intra: np.ndarray | None = None):
+                 intra: np.ndarray | None = None,
+                 ref8: np.ndarray | None = None):
     """Raster scan over a partitioned P frame.
 
     part: [mbh,mbw] in {0..3}; mv8: [2mbh,2mbw,2] qpel (uniform per
     unit); cbp_*: [mbh,mbw]; intra: optional mask — intra MBs carry no
-    MVs and are unavailable for prediction (x264 cache ref == -1).
+    MVs and are unavailable for prediction (x264 cache ref == -1);
+    ref8: optional [2mbh,2mbw] per-8x8 L0 refs (None = all 0).
     Returns (skip [mbh,mbw] bool, mvd [mbh,mbw,4,2], mvp [mbh,mbw,4,2],
     final_mv8 [2mbh,2mbw,2] with pskip MVs substituted)."""
     mbh, mbw = part.shape
@@ -148,15 +156,19 @@ def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
             if p == D_16x16:
                 ps = _pskip_mv(g, y4, x4)
                 here = mv8[2 * my, 2 * mx]
+                r0 = 0 if ref8 is None else int(ref8[2 * my, 2 * mx])
                 if (cbp_luma[my, mx] == 0 and cbp_chroma[my, mx] == 0
+                        and r0 == 0
                         and here[0] == ps[0] and here[1] == ps[1]):
                     skip[my, mx] = True
             for u, (oy, ox, w4, h4) in enumerate(UNIT_GEOM[p]):
-                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                r = (0 if ref8 is None
+                     else int(ref8[2 * my + oy // 2, 2 * mx + ox // 2]))
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u, ref=r)
                 mv = _unit_mv(mv8, my, mx, p, u)
                 mvd[my, mx, u] = mv - mvp
                 mvp_out[my, mx, u] = mvp
-                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv, ref=r)
     return skip, mvd, mvp_out, final
 
 
@@ -230,7 +242,8 @@ def scan_p_frame_sub_forced(part: np.ndarray, sub_type: np.ndarray,
 
 
 def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,
-                        skip: np.ndarray):
+                        skip: np.ndarray,
+                        ref8: np.ndarray | None = None):
     """Stego pass-2 scan: skip flags FORCED to pass-1 (analyse.c:2658
     forcing); skipped MBs take the pskip MV in the NEW context; coded
     units keep their (possibly flipped) MVs. Returns (final_mv8, mvd,
@@ -247,13 +260,15 @@ def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,
             if skip[my, mx]:
                 ps = _pskip_mv(g, y4, x4)
                 final[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = ps
-                g.commit(y4, x4, 4, 4, ps)
+                g.commit(y4, x4, 4, 4, ps, ref=0)
                 continue
             for u, (oy, ox, w4, h4) in enumerate(UNIT_GEOM[p]):
-                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                r = (0 if ref8 is None
+                     else int(ref8[2 * my + oy // 2, 2 * mx + ox // 2]))
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u, ref=r)
                 gy, gx = 2 * my + oy // 2, 2 * mx + ox // 2
                 mv = final[gy, gx].copy()
                 mvd[my, mx, u] = mv - mvp
                 mvp_out[my, mx, u] = mvp
-                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv, ref=r)
     return final, mvd, mvp_out

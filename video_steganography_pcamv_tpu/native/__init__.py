@@ -79,7 +79,7 @@ def load():
     lib.pcamv_deblock_frame.restype = None
     lib.pcamv_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
-        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
     lib.pcamv_write_slice_cabac.restype = ctypes.c_long
     lib.pcamv_write_slice_cabac.argtypes = [
         u8p, ctypes.c_long, u8p, ctypes.c_int,
@@ -261,13 +261,14 @@ def host_scan_p_forced(mv, skip):
     return fmv.reshape(mbh, mbw, 2), mvd.reshape(mbh, mbw, 2)
 
 
-def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc):
+def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None):
     """In-place H.264 deblocking of uint8 planes.
 
     y/u/v: MB-padded planes (modified in place); intra: [mbh,mbw] uint8;
     nnz4: [4mbh,4mbw] int32 luma 4x4 total_coeff; mv: [4mbh,4mbw,2]
     int32 (4x4 granularity — partition-aware bS) or [mbh,mbw,2] which
-    is upsampled; skip: [mbh,mbw] uint8 or None."""
+    is upsampled; skip: [mbh,mbw] uint8 or None; ref4: optional
+    [4mbh,4mbw] int32 L0 refs (different-ref bS rule, spec 8.7.2.1)."""
     lib = load()
     mbh, mbw = intra.shape
     mv = np.asarray(mv)
@@ -279,11 +280,14 @@ def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc):
               if skip is not None else None)
     skip_p = (skip_a.ctypes.data_as(ctypes.c_void_p)
               if skip_a is not None else None)
+    ref_a = (_as_i32(ref4).reshape(-1) if ref4 is not None else None)
+    ref_p = (ref_a.ctypes.data_as(ctypes.c_void_p)
+             if ref_a is not None else None)
     lib.pcamv_deblock_frame(
         y, u, v, mbw, mbh,
         np.ascontiguousarray(intra, np.uint8),
-        _as_i32(nnz4).reshape(-1), _as_i32(mv).reshape(-1), skip_p,
-        qp, qpc)
+        _as_i32(nnz4).reshape(-1), _as_i32(mv).reshape(-1), ref_p,
+        skip_p, qp, qpc)
 
 
 def stc_embed(cover, message, rho, h=10, key=1):

@@ -97,6 +97,7 @@ struct Ctx {
   const uint8_t* intra;  // [N]
   const int32_t* nnz;    // [4mbh][4mbw]
   const int32_t* mv;     // [4mbh][4mbw][2] (4x4 granularity)
+  const int32_t* ref;    // [4mbh][4mbw] L0 refs (nullable = all 0)
   const uint8_t* skip;   // [N]
   int qp, qpc;
 };
@@ -105,6 +106,9 @@ struct Ctx {
 inline int bs_inter(const Ctx& c, int qx, int qy, int px, int py) {
   // global 4x4 coords; both MBs inter here
   if (c.nnz[qy * 4 * c.mbw + qx] || c.nnz[py * 4 * c.mbw + px]) return 2;
+  // different reference pictures -> bS = 1 (spec 8.7.2.1)
+  if (c.ref && c.ref[qy * 4 * c.mbw + qx] != c.ref[py * 4 * c.mbw + px])
+    return 1;
   const int32_t* mq = &c.mv[(qy * 4 * c.mbw + qx) * 2];
   const int32_t* mp = &c.mv[(py * 4 * c.mbw + px) * 2];
   if (abs(mq[0] - mp[0]) >= 4 || abs(mq[1] - mp[1]) >= 4) return 1;
@@ -190,8 +194,9 @@ extern "C" void pcamv_deblock_frame(uint8_t* y, uint8_t* u, uint8_t* v,
                                     int mbw, int mbh,
                                     const uint8_t* intra,
                                     const int32_t* nnz, const int32_t* mv,
+                                    const int32_t* ref,
                                     const uint8_t* skip, int qp, int qpc) {
-  Ctx c{y, u, v, mbw, mbh, 16 * mbw, 8 * mbw, intra, nnz, mv, skip,
+  Ctx c{y, u, v, mbw, mbh, 16 * mbw, 8 * mbw, intra, nnz, mv, ref, skip,
         qp, qpc};
   for (int mby = 0; mby < mbh; mby++)
     for (int mbx = 0; mbx < mbw; mbx++)

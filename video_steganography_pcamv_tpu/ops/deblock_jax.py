@@ -126,10 +126,13 @@ def _chroma_edge(samples, bs2, alpha, beta, tc0_row, strong, active):
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
 def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
-                         mbh: int, mbw: int):
+                         mbh: int, mbw: int, ref4=None):
     """Deblock one frame on device. y/u/v: int32 planes (MB-padded);
     intra/skip: [mbh,mbw]; nnz4: [4mbh,4mbw]; mv4: [4mbh,4mbw,2];
-    qp/qpc traced. Returns filtered (y, u, v) uint8."""
+    qp/qpc traced; ref4: optional [4mbh,4mbw] L0 refs (different-ref
+    bS rule, spec 8.7.2.1). Returns filtered (y, u, v) uint8."""
+    if ref4 is None:
+        ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
     a_l = jnp.asarray(ALPHA_TAB)[qp + 12]
     b_l = jnp.asarray(BETA_TAB)[qp + 12]
     a_c = jnp.asarray(ALPHA_TAB)[qpc + 12]
@@ -143,6 +146,7 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
     vp = jnp.pad(v, PAD)
     nzp = jnp.pad(nnz4, 1)
     mvp = jnp.pad(mv4, ((1, 1), (1, 1), (0, 0)))
+    rfp = jnp.pad(ref4, 1)
     intra_p = jnp.pad(intra.astype(jnp.int32), 1)
     # "no alpha/beta" (qp too low) disables everything via the base
     # conditions automatically; the C++'s edge_end=1 for qp<=15 only
@@ -185,6 +189,7 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         n5c = (4 * mx)[:, None] + jnp.arange(5)
         nz5 = nzp[n5r[:, :, None], n5c[:, None, :]]
         mv5 = mvp[n5r[:, :, None], n5c[:, None, :]]
+        rf5 = rfp[n5r[:, :, None], n5c[:, None, :]]
 
         internal_on = act & ~cur_skip & ~lowqp
 
@@ -196,14 +201,19 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
                 pn = nz5[:, 1:5, e]
                 qmv = mv5[:, 1:5, 1 + e]
                 pmv = mv5[:, 1:5, e]
+                qrf = rf5[:, 1:5, 1 + e]
+                prf = rf5[:, 1:5, e]
             else:
                 qn = nz5[:, 1 + e, 1:5]
                 pn = nz5[:, e, 1:5]
                 qmv = mv5[:, 1 + e, 1:5]
                 pmv = mv5[:, e, 1:5]
+                qrf = rf5[:, 1 + e, 1:5]
+                prf = rf5[:, e, 1:5]
             bs = jnp.where((qn > 0) | (pn > 0), 2, 0)
             mvd = (jnp.abs(qmv[..., 0] - pmv[..., 0]) >= 4) \
-                | (jnp.abs(qmv[..., 1] - pmv[..., 1]) >= 4)
+                | (jnp.abs(qmv[..., 1] - pmv[..., 1]) >= 4) \
+                | (qrf != prf)
             bs = jnp.where((bs == 0) & mvd, 1, bs)
             nb_i = left_i if dir0 else top_i
             promote = cur_i | ((e == 0) & nb_i)

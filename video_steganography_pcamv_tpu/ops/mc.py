@@ -141,6 +141,52 @@ def mc_chroma(plane_padded: jnp.ndarray, mb_y0: jnp.ndarray,
             + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
 
 
+def mc_luma_multi(planes_r: jnp.ndarray, ref_idx: jnp.ndarray,
+                  mb_y0: jnp.ndarray, mb_x0: jnp.ndarray,
+                  mv: jnp.ndarray, bh: int = 16,
+                  bw: int = 16) -> jnp.ndarray:
+    """Multi-reference luma MC: planes_r [R, 4, Hp, Wp] stacked DPB,
+    ref_idx [N] per-block L0 reference index (x264 i_ref per
+    partition; reference me.c per-ref search loop analyse.c:1122)."""
+    mvx, mvy = mv[:, 0], mv[:, 1]
+    ix = mb_x0 + PAD + (mvx >> 2)
+    iy = mb_y0 + PAD + (mvy >> 2)
+    p1, d1y, d1x, p2, d2y, d2x = qpel_phase_tables(mvx, mvy)
+    ys1 = (iy + d1y)[:, None] + jnp.arange(bh)[None, :]
+    xs1 = (ix + d1x)[:, None] + jnp.arange(bw)[None, :]
+    ys2 = (iy + d2y)[:, None] + jnp.arange(bh)[None, :]
+    xs2 = (ix + d2x)[:, None] + jnp.arange(bw)[None, :]
+    r = ref_idx[:, None, None]
+    s1 = planes_r[r, p1[:, None, None], ys1[:, :, None], xs1[:, None, :]]
+    s2 = planes_r[r, p2[:, None, None], ys2[:, :, None], xs2[:, None, :]]
+    return (s1 + s2 + 1) >> 1
+
+
+def mc_chroma_multi(plane_r: jnp.ndarray, ref_idx: jnp.ndarray,
+                    mb_y0: jnp.ndarray, mb_x0: jnp.ndarray,
+                    mv: jnp.ndarray, bh: int = 8,
+                    bw: int = 8) -> jnp.ndarray:
+    """Multi-reference chroma MC: plane_r [R, Hp, Wp]."""
+    mvx, mvy = mv[:, 0], mv[:, 1]
+    ix = mb_x0 + PAD + (mvx >> 3)
+    iy = mb_y0 + PAD + (mvy >> 3)
+    fx = (mvx & 7)[:, None, None]
+    fy = (mvy & 7)[:, None, None]
+
+    def gat(y0, x0):
+        ys = y0[:, None] + jnp.arange(bh)[None, :]
+        xs = x0[:, None] + jnp.arange(bw)[None, :]
+        return plane_r[ref_idx[:, None, None], ys[:, :, None],
+                       xs[:, None, :]]
+
+    a = gat(iy, ix)
+    b = gat(iy, ix + 1)
+    c = gat(iy + 1, ix)
+    d = gat(iy + 1, ix + 1)
+    return ((8 - fx) * (8 - fy) * a + fx * (8 - fy) * b
+            + (8 - fx) * fy * c + fx * fy * d + 32) >> 6
+
+
 def build_ref(recon_y: jnp.ndarray, recon_u: jnp.ndarray,
               recon_v: jnp.ndarray):
     """Package a reconstructed frame as a reference: padded planes +

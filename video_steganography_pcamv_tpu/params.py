@@ -73,6 +73,8 @@ class Params:
     qp_step: int = 4
     ip_qp_offset: float = 2.0      # CQP I-frame offset (common.c defaults)
     ip_ratio: float = 1.4          # qscale ratio I:P (f_ip_factor)
+    pb_ratio: float = 1.3          # qscale ratio P:B (f_pb_factor)
+    pb_qp_offset: float = 2.0      # CQP B-frame offset (~6*log2(1.3))
     bitrate: int = 0               # kbps (ABR target)
     crf: float = 0.0               # CRF quality target
     rate_tolerance: float = 1.0
@@ -92,6 +94,7 @@ class Params:
                                # analyse.c:2862-2863)
     me_method: int = ME_ESA
     me_range: int = 16
+    ref_frames: int = 1        # L0 DPB size (x264 --ref, i_frame_reference)
     subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
     dct_decimate: bool = True  # reference analyse.b_dct_decimate default on
     partitions: bool = True    # P 16x8/8x16/8x8 trees (x264 default
@@ -120,8 +123,18 @@ class Params:
         assert self.width % 2 == 0 and self.height % 2 == 0, \
             "dimensions must be even (4:2:0)"
         self.qp = max(self.qp_min, min(self.qp_max, self.qp))
-        assert self.bframes == 0, "B-frames not yet implemented"
+        self.bframes = max(0, min(16, self.bframes))
+        if self.bframes > 0:
+            assert self.ref_frames == 1, \
+                "bframes + multi-ref P not combined yet (documented gap)"
+            assert not self.cabac, \
+                "B slices are CAVLC-only for now (documented gap)"
         self.subpel = max(0, min(2, self.subpel))
+        self.ref_frames = max(1, min(8, self.ref_frames))
+        if self.ref_frames > 1:
+            assert self.partitions, "multi-ref needs the partition path"
+            assert not self.p4x4, \
+                "multi-ref + sub-8x8 not combined yet (documented gap)"
         if self.crf > 0 and self.rc_mode == 0:
             self.rc_mode = 1
         if self.bitrate > 0 and self.rc_mode == 0:
@@ -191,6 +204,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.me_method = _ME_NAMES[value]
     elif name == "merange":
         p.me_range = int(value)
+    elif name in ("ref", "ref_frames", "frameref"):
+        p.ref_frames = int(value)
     elif name == "subme":
         p.subpel = int(value)
     elif name == "partitions":

@@ -157,7 +157,7 @@ class StegoEngine:
     # ------------------------------------------------------------------
     def embed_frame_parts(self, enc, y, u, v, part: np.ndarray,
                           mv8: np.ndarray, res1: dict, skip1: np.ndarray,
-                          mvp_u: np.ndarray):
+                          mvp_u: np.ndarray, ref8=None):
         """Partition-aware embedding: cover spans every unit MV of
         every coded P MB (reference cover walk encoder.c:1566-1647),
         rho gets the MVC adjustment (encoder.c:1649-1819: c1 for 2-MV
@@ -192,12 +192,21 @@ class StegoEngine:
             jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
             decimate=p.dct_decimate)
         final8, skip1, mvd2 = self.apply_costs(
-            enc, part, mv8, skip1, np.asarray(rho_u), np.asarray(alt_u))
+            enc, part, mv8, skip1, np.asarray(rho_u), np.asarray(alt_u),
+            ref8=ref8)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
-        res2 = I.encode_p_frame_device8(
-            y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
-            jnp.asarray(final8), qp, qpc, mbh, mbw,
-            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
+        if ref8 is not None:
+            refs_luma, refs_u, refs_v = enc._mref_stack
+            res2 = I.encode_p_frame_device8_mref(
+                y, u, v, refs_luma, refs_u, refs_v,
+                jnp.asarray(final8), jnp.asarray(ref8), qp, qpc,
+                mbh, mbw, decimate=p.dct_decimate,
+                force_zero=jnp.asarray(skip1))
+        else:
+            res2 = I.encode_p_frame_device8(
+                y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
+                jnp.asarray(final8), qp, qpc, mbh, mbw,
+                decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
         return final8, skip1, mvd2, res2
 
     def embed_frame_sub(self, enc, y, u, v, part: np.ndarray,
@@ -379,7 +388,8 @@ class StegoEngine:
             part, sub_type, mv4_2, skip1)
         return final4, skip1, mvd2
 
-    def apply_costs(self, enc, part, mv8, skip1, rho_u, alt_u):
+    def apply_costs(self, enc, part, mv8, skip1, rho_u, alt_u,
+                    ref8=None):
         """Host half of the partition embedding: MVC adjustment, cover
         assembly, STC, flip application, forced rescan. Returns
         (final_mv8, skip, mvd4); callers run the re-encode (the
@@ -399,11 +409,12 @@ class StegoEngine:
         if an <= 0 or n_cov == 0:
             # nothing to embed: MVs unchanged; rescan for consistency
             self.sent_messages.append(np.zeros(0, np.uint8))
-            if enc._native is not None:
+            if enc._native is not None and ref8 is None:
                 from .. import native
                 f8, md, _ = native.scan_p_parts_forced(part, mv8, skip1)
             else:
-                f8, md, _ = SCAN.scan_p_frame_forced(part, mv8, skip1)
+                f8, md, _ = SCAN.scan_p_frame_forced(part, mv8, skip1,
+                                                     ref8=ref8)
             return f8, skip1, md
 
         # unit MVs [mbh,mbw,4,2] (z-slot order = coding order)
@@ -488,11 +499,11 @@ class StegoEngine:
                 gy, gx = 2 * my + (b >> 1), 2 * mx + (b & 1)
                 mv8_2[gy, gx] = alt_u[my, mx, ui]
 
-        if enc._native is not None:
+        if enc._native is not None and ref8 is None:
             from .. import native
             final8, mvd2, _mvp2 = native.scan_p_parts_forced(
                 part, mv8_2, skip1)
         else:
             final8, mvd2, _mvp2 = SCAN.scan_p_frame_forced(
-                part, mv8_2, skip1)
+                part, mv8_2, skip1, ref8=ref8)
         return final8, skip1, mvd2

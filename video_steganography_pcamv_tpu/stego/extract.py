@@ -32,8 +32,8 @@ def extract_from_stream(data: bytes, em_rate: float, key: int = 0,
     """Recover per-P-frame messages from an Annex-B stream."""
     out = []
     for frame in decode_annexb(data):
-        if frame.slice_type in (2, 7):
-            continue
+        if frame.slice_type not in (0, 5):
+            continue   # covers live only in P slices (encoder.c:1276)
         cov = cover_bits_of_frame(frame)
         n_cov = len(cov)
         an = int(em_rate) if em_rate > 1 else int(em_rate * n_cov)
