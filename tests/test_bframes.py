@@ -45,11 +45,13 @@ def _encode_all(enc, frames):
     return bs
 
 
-@pytest.mark.parametrize("bframes", [1, 2])
-def test_b_roundtrip_bitexact(bframes):
+@pytest.mark.parametrize("bframes,cabac", [(1, False), (2, False),
+                                           (1, True), (2, True)])
+def test_b_roundtrip_bitexact(bframes, cabac):
     n = 6
     frames = _pan_frames(W, H, n, seed=1)
-    p = Params(width=W, height=H, qp=28, me_range=4, bframes=bframes)
+    p = Params(width=W, height=H, qp=28, me_range=4, bframes=bframes,
+               cabac=cabac)
     enc = Encoder(p)
     enc.keep_recon = True
     bs = _encode_all(enc, frames)

@@ -84,9 +84,10 @@ class CabacSliceParser:
     encoder/cabac.py's CabacSliceWriter."""
 
     def __init__(self, br, mbw, mbh, qp, slice_is_i, model=0,
-                 num_ref=1):
+                 num_ref=1, slice_is_b=False):
         self.cd = CabacDecoder(br, qp, slice_is_i, model)
         self.num_ref = num_ref
+        self.slice_is_b = slice_is_b
         self.mbw, self.mbh = mbw, mbh
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
@@ -96,7 +97,9 @@ class CabacSliceParser:
         self.cbp = np.zeros((mbh, mbw), np.int32)
         self.modes4 = np.full((4 * mbh, 4 * mbw), 2, np.int32)
         self.mvd4 = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)
+        self.mvd4_1 = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)
         self.ref4 = np.zeros((4 * mbh, 4 * mbw), np.int32)
+        self.bdirect = np.zeros((mbh, mbw), bool)
         self.cmode_map = np.zeros((mbh, mbw), np.int32)
 
     # context helpers (identical derivations to the writer)
@@ -174,7 +177,7 @@ class CabacSliceParser:
         return out
 
     def skip_flag(self, my, mx):
-        ctx = 11
+        ctx = 24 if self.slice_is_b else 11
         if mx > 0 and self.mb_kind[my, mx - 1] > 0:
             ctx += 1
         if my > 0 and self.mb_kind[my - 1, mx] > 0:
@@ -279,13 +282,14 @@ class CabacSliceParser:
         self.cmode_map[my, mx] = cmode
         return cmode
 
-    def mvd(self, gy4, gx4, h4, w4):
+    def mvd(self, gy4, gx4, h4, w4, lst: int = 0):
         cd = self.cd
+        cache = self.mvd4 if lst == 0 else self.mvd4_1
         out = []
         for comp in range(2):
-            a = (abs(int(self.mvd4[gy4, gx4 - 1, comp]))
+            a = (abs(int(cache[gy4, gx4 - 1, comp]))
                  if gx4 > 0 else 0)
-            b = (abs(int(self.mvd4[gy4 - 1, gx4, comp]))
+            b = (abs(int(cache[gy4 - 1, gx4, comp]))
                  if gy4 > 0 else 0)
             amvd = a + b
             ctxbase = 40 if comp == 0 else 47
@@ -301,7 +305,7 @@ class CabacSliceParser:
                 iabs += cd.ue_bypass(3)
             sign = cd.bypass()
             out.append(-iabs if sign else iabs)
-        self.mvd4[gy4:gy4 + h4, gx4:gx4 + w4] = out
+        cache[gy4:gy4 + h4, gx4:gx4 + w4] = out
         return out
 
     def cbp_luma(self, my, mx):
@@ -498,3 +502,75 @@ class CabacSliceParser:
         self.cbp[my, mx] = 0
         self.cmode_map[my, mx] = 0
         self.modes4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
+
+    # ------------------------------------------------------------------
+    # B slices (16x16 subset; inverse of the writer's mb_type_b /
+    # write_b_mb / write_b_skip_mb)
+    # ------------------------------------------------------------------
+    def mb_type_b(self, my, mx) -> int:
+        """Returns 0 direct / 1 L0 / 2 L1 / 3 BI; asserts on B
+        partitions, B_8x8 and intra-in-B (not emitted by our
+        encoder)."""
+        cd = self.cd
+        ctx = 0
+        if mx > 0 and self.mb_kind[my, mx - 1] > 0 \
+                and not self.bdirect[my, mx - 1]:
+            ctx += 1
+        if my > 0 and self.mb_kind[my - 1, mx] > 0 \
+                and not self.bdirect[my - 1, mx]:
+            ctx += 1
+        if not cd.decision(27 + ctx):
+            return 0
+        if not cd.decision(30):
+            return 2 if cd.decision(32) else 1
+        assert not cd.decision(31), \
+            "B_8x8 / intra-in-B mb_type unsupported"
+        bits = (cd.decision(32), cd.decision(32), cd.decision(32))
+        assert bits == (0, 0, 0), \
+            f"B partition mb_type unsupported (suffix {bits})"
+        return 3
+
+    def parse_b_skip_mb(self, my, mx):
+        self._clear_mb_ctx(my, mx)
+        self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.mb_kind[my, mx] = 0
+        self.bdirect[my, mx] = True
+        self.cbp[my, mx] = 0
+        self.cmode_map[my, mx] = 0
+        self.modes4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
+
+    def parse_b_mb(self, my, mx, btype):
+        """After mb_type: returns (mvd0, mvd1, cbp_luma, cbp_chroma,
+        blocks, cdcs, cacs)."""
+        y4, x4 = 4 * my, 4 * mx
+        mvd0 = [0, 0]
+        mvd1 = [0, 0]
+        if btype in (1, 3):
+            mvd0 = self.mvd(y4, x4, 4, 4, lst=0)
+        else:
+            self.mvd4[y4:y4 + 4, x4:x4 + 4] = 0
+        if btype in (2, 3):
+            mvd1 = self.mvd(y4, x4, 4, 4, lst=1)
+        else:
+            self.mvd4_1[y4:y4 + 4, x4:x4 + 4] = 0
+        cbp_luma = self.cbp_luma(my, mx)
+        cbp_chroma = self.cbp_chroma(my, mx)
+        self.mb_kind[my, mx] = 1
+        self.bdirect[my, mx] = btype == 0
+        self.cbp[my, mx] = (cbp_chroma << 4) | cbp_luma
+        self.cmode_map[my, mx] = 0
+        self.modes4[y4:y4 + 4, x4:x4 + 4] = 2
+        self.dc_nz_y[my, mx] = 0
+        self.dc_nz_c[:, my, mx] = 0
+        if cbp_luma or cbp_chroma:
+            self.qp_delta_zero()
+            blocks = self._luma_residual_4x4(my, mx, cbp_luma, False)
+            cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma,
+                                               False)
+        else:
+            blocks = np.zeros((4, 4, 16), np.int64)
+            cdcs = np.zeros((2, 4), np.int64)
+            cacs = np.zeros((2, 2, 2, 16), np.int64)
+            self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
+            self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        return mvd0, mvd1, cbp_luma, cbp_chroma, blocks, cdcs, cacs

@@ -984,10 +984,11 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 l1 = sorted((e for e in dpb if e["poc"] > poc),
                             key=lambda e: e["poc"])
                 assert l0 and l1, "B slice needs refs on both sides"
-                assert not pps.cabac, \
-                    "CABAC B slices not supported yet"
                 dec = SliceDecoder(sps, pps, refs=l0, refs_l1=l1)
-                dec.decode_b_slice(br, qp)
+                if pps.cabac:
+                    _decode_slice_cabac_b(dec, br, qp, cabac_model)
+                else:
+                    dec.decode_b_slice(br, qp)
             else:
                 dec = SliceDecoder(sps, pps, refs=list(dpb))
                 if pps.cabac:
@@ -1086,8 +1087,84 @@ def _decode_slice_cabac(dec: SliceDecoder, br, slice_type: int, qp: int,
     dec.nnz_y = ps.nnz_y  # deblock consumes the luma nnz map
 
 
+def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
+                          model: int = 0):
+    """CABAC B slice (16x16 subset; twin of the encoder's
+    _write_b_slice_cabac)."""
+    from .cabac_dec import CabacSliceParser
+
+    while br.bit_position() % 8:
+        assert br.read1() == 1, "cabac_alignment_one_bit must be 1"
+    ps = CabacSliceParser(br, dec.mbw, dec.mbh, qp, False, model,
+                          slice_is_b=True)
+    qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
+                                0, 51)])
+    n = dec.mbh * dec.mbw
+    for a in range(n):
+        my, mx = a // dec.mbw, a % dec.mbw
+        if ps.skip_flag(my, mx):
+            ps.parse_b_skip_mb(my, mx)
+            dec.decode_b_skip(mx, my, qp)
+        else:
+            btype = ps.mb_type_b(my, mx)
+            _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc)
+        eos = ps.end_mb()
+        assert eos == (1 if a == n - 1 else 0), f"end_of_slice at MB {a}"
+
+
+def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
+    y4, x4 = 4 * my, 4 * mx
+    mvd0, mvd1, cbpl, cbpc, blk_lv, cdcs, cacs = \
+        ps.parse_b_mb(my, mx, btype)
+    if btype == 0:
+        use0, use1, mv0, mv1 = dec._spatial_direct(my, mx)
+    else:
+        use0 = btype in (1, 3)
+        use1 = btype in (2, 3)
+        mv0 = np.zeros((4, 2), np.int32)
+        mv1 = np.zeros((4, 2), np.int32)
+        if use0:
+            mvp = dec._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=0)
+            mv0[:] = (mvp[0] + mvd0[0], mvp[1] + mvd0[1])
+        if use1:
+            mvp = dec._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=1)
+            mv1[:] = (mvp[0] + mvd1[0], mvp[1] + mvd1[1])
+    dec._commit_b(my, mx, use0, use1, mv0, mv1)
+    blocks = np.zeros((4, 4, 4, 4), np.int64)
+    for by in range(4):
+        for bx in range(4):
+            blocks[by, bx] = R.dequant4x4(_dez16(blk_lv[by, bx]), qp)
+    gy, gx = 16 * my, 16 * mx
+    pred = np.zeros((16, 16), np.int64)
+    for b in range(4):
+        oy, ox = 8 * (b >> 1), 8 * (b & 1)
+        pred[oy:oy + 8, ox:ox + 8] = dec._b_pred_luma8(
+            gy + oy, gx + ox, use0, use1, mv0[b], mv1[b])
+    for by in range(4):
+        for bx in range(4):
+            py, px = gy + 4 * by, gx + 4 * bx
+            dec.y[py:py + 4, px:px + 4] = R.recon_block4x4(
+                pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
+                blocks[by, bx])
+    cpreds = []
+    for ch in (0, 1):
+        cpred = np.zeros((8, 8), np.int64)
+        for b in range(4):
+            oy, ox = 4 * (b >> 1), 4 * (b & 1)
+            cpred[oy:oy + 4, ox:ox + 4] = dec._b_pred_chroma4(
+                ch, 8 * my + oy, 8 * mx + ox, use0, use1,
+                mv0[b], mv1[b])
+        cpreds.append(cpred)
+    _recon_chroma_from(dec, ps, my, mx, 0, cbpc, cdcs, cacs, qpc,
+                       False, preds=cpreds)
+    dec.decoded[my, mx] = True
+    kind = ("BDIRECT", "BL0", "BL1", "BBI")[btype]
+    m0 = (int(mv0[0, 0]), int(mv0[0, 1]))
+    dec.mbs.append(MBInfo(kind, m0, qp, unit_mvs=[m0]))
+
+
 def _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,
-                       qpc, intra):
+                       qpc, intra, preds=None):
     gx, gy = 8 * mx, 8 * my
     at, al = my > 0, mx > 0
     for ch, plane in ((0, dec.u), (1, dec.v)):
@@ -1102,7 +1179,9 @@ def _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,
                     blocks[by, bx] = R.dequant4x4(
                         _dez16(cacs[ch, by, bx]), qpc)
         blocks[:, :, 0, 0] = dc
-        if intra:
+        if preds is not None:
+            pred = preds[ch]
+        elif intra:
             top = plane[gy - 1, gx:gx + 8] if at else np.zeros(8, np.int64)
             left = plane[gy:gy + 8, gx - 1] if al else np.zeros(8, np.int64)
             tl = plane[gy - 1, gx - 1] if (at and al) else 0

@@ -142,10 +142,11 @@ class CabacSliceWriter:
     """Per-frame CABAC syntax writer (x264_macroblock_write_cabac)."""
 
     def __init__(self, mbw: int, mbh: int, qp: int, slice_is_i: bool,
-                 model: int = 0):
+                 model: int = 0, slice_is_b: bool = False):
         self.mbw, self.mbh = mbw, mbh
         self.cb = CabacEncoder(qp, slice_is_i, model)
         self.slice_is_i = slice_is_i
+        self.slice_is_b = slice_is_b
         # context maps
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
@@ -156,7 +157,9 @@ class CabacSliceWriter:
         self.cbp = np.zeros((mbh, mbw), np.int32)           # (chroma<<4)|luma
         self.modes4 = np.full((4 * mbh, 4 * mbw), 2, np.int32)
         self.mvd4 = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)
+        self.mvd4_1 = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)  # B L1
         self.ref4 = np.zeros((4 * mbh, 4 * mbw), np.int32)  # L0 refs
+        self.bdirect = np.zeros((mbh, mbw), bool)   # B_SKIP/B_DIRECT
         self.cmode_map = np.zeros((mbh, mbw), np.int32)
 
     # ------------------------------------------------------------------
@@ -243,7 +246,9 @@ class CabacSliceWriter:
 
     # ------------------------------------------------------------------
     def skip_flag(self, my, mx, b_skip):
-        ctx = 11
+        """mb_skip_flag (x264_cabac_mb_skip, encoder/cabac.c:300-306):
+        ctx base 11 for P, 24 for B."""
+        ctx = 24 if self.slice_is_b else 11
         if mx > 0 and self.mb_kind[my, mx - 1] > 0:
             ctx += 1
         if my > 0 and self.mb_kind[my - 1, mx] > 0:
@@ -301,6 +306,36 @@ class CabacSliceWriter:
         self.cb.decision(14, 1)
         self._mb_type_intra(i4, mode16, cbpl, cbpc,
                             17, 18, 19, 19, 20, 20)
+
+    def mb_type_b(self, my, mx, btype: int):
+        """B mb_type, 16x16 subset (reference encoder/cabac.c:123-192
+        B branch, D_16x16 columns of i_mb_bits): 0 direct, 1 L0,
+        2 L1, 3 BI. bin0 ctx 27 + (neighbours coded non-direct)."""
+        cb = self.cb
+        ctx = 0
+        if mx > 0 and self.mb_kind[my, mx - 1] > 0 \
+                and not self.bdirect[my, mx - 1]:
+            ctx += 1
+        if my > 0 and self.mb_kind[my - 1, mx] > 0 \
+                and not self.bdirect[my - 1, mx]:
+            ctx += 1
+        if btype == 0:                      # B_Direct_16x16: "0"
+            cb.decision(27 + ctx, 0)
+        elif btype == 1:                    # B_L0_16x16: "100"
+            cb.decision(27 + ctx, 1)
+            cb.decision(30, 0)
+            cb.decision(32, 0)
+        elif btype == 2:                    # B_L1_16x16: "101"
+            cb.decision(27 + ctx, 1)
+            cb.decision(30, 0)
+            cb.decision(32, 1)
+        else:                               # B_Bi_16x16: "110000"
+            cb.decision(27 + ctx, 1)
+            cb.decision(30, 1)
+            cb.decision(31, 0)
+            cb.decision(32, 0)
+            cb.decision(32, 0)
+            cb.decision(32, 0)
 
     def sub_mb_type_l0_8x8(self):
         self.cb.decision(21, 1)
@@ -378,15 +413,17 @@ class CabacSliceWriter:
         cb.decision(54 + ctx, 0)
         self.ref4[gy4:gy4 + h4, gx4:gx4 + w4] = ref
 
-    def mvd(self, gy4, gx4, h4, w4, mdx, mdy):
+    def mvd(self, gy4, gx4, h4, w4, mdx, mdy, lst: int = 0):
         """One partition's mvd; (gy4,gx4) top-left 4x4, fills the mvd
-        cache over the partition area (h4 x w4)."""
+        cache over the partition area (h4 x w4). lst selects the
+        per-list neighbour cache (x264 cache.mvd[i_list]); the ctx
+        block (40/47) is shared between lists."""
         cb = self.cb
-        H4, W4 = 4 * self.mbh, 4 * self.mbw
+        cache = self.mvd4 if lst == 0 else self.mvd4_1
         for comp, val in ((0, mdx), (1, mdy)):
-            a = (abs(int(self.mvd4[gy4, gx4 - 1, comp]))
+            a = (abs(int(cache[gy4, gx4 - 1, comp]))
                  if gx4 > 0 else 0)
-            b = (abs(int(self.mvd4[gy4 - 1, gx4, comp]))
+            b = (abs(int(cache[gy4 - 1, gx4, comp]))
                  if gy4 > 0 else 0)
             amvd = a + b
             ctxbase = 40 if comp == 0 else 47
@@ -407,7 +444,7 @@ class CabacSliceWriter:
                     cb.decision(ctxbase + ctxes[i], 1)
                 cb.ue_bypass(3, iabs - 9)
                 cb.bypass(1 if val < 0 else 0)
-        self.mvd4[gy4:gy4 + h4, gx4:gx4 + w4] = (mdx, mdy)
+        cache[gy4:gy4 + h4, gx4:gx4 + w4] = (mdx, mdy)
 
     def cbp_luma(self, my, mx, cbp):
         cb = self.cb
@@ -616,6 +653,51 @@ class CabacSliceWriter:
                                   chroma_ac, False)
         else:
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+            self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+
+    def write_b_skip_mb(self, my, mx):
+        self.skip_flag(my, mx, True)
+        self._clear_mb_ctx(my, mx)
+        self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.mb_kind[my, mx] = 0
+        self.bdirect[my, mx] = True
+        self.cbp[my, mx] = 0
+        self.cmode_map[my, mx] = 0
+        self.modes4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
+
+    def write_b_mb(self, my, mx, btype, mvd0, mvd1, cbp_luma,
+                   cbp_chroma, luma_blocks, chroma_dc, chroma_ac):
+        """Coded B MB, 16x16 subset (direct/L0/L1/BI). mvd order:
+        all mvd_l0 then all mvd_l1 (spec 7.3.5.1)."""
+        self.skip_flag(my, mx, False)
+        self.mb_type_b(my, mx, btype)
+        y4, x4 = 4 * my, 4 * mx
+        if btype in (1, 3):
+            self.mvd(y4, x4, 4, 4, int(mvd0[0]), int(mvd0[1]), lst=0)
+        else:
+            self.mvd4[y4:y4 + 4, x4:x4 + 4] = 0
+        if btype in (2, 3):
+            self.mvd(y4, x4, 4, 4, int(mvd1[0]), int(mvd1[1]), lst=1)
+        else:
+            self.mvd4_1[y4:y4 + 4, x4:x4 + 4] = 0
+        cbp = (cbp_chroma << 4) | cbp_luma
+        self.cbp_luma(my, mx, cbp_luma)
+        self.cbp_chroma(my, mx, cbp_chroma)
+        self.mb_kind[my, mx] = 1
+        self.bdirect[my, mx] = btype == 0
+        self.cbp[my, mx] = cbp
+        self.cmode_map[my, mx] = 0
+        self.modes4[y4:y4 + 4, x4:x4 + 4] = 2
+        self.dc_nz_y[my, mx] = 0
+        self.dc_nz_c[:, my, mx] = 0
+        if cbp:
+            self.qp_delta_zero(True)
+            self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma,
+                                    False)
+            self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
+                                  chroma_ac, False)
+        else:
+            self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
 
     def end_slice(self, bw: BitWriter):

@@ -1082,8 +1082,12 @@ class Encoder:
             bw, self.sps, self.pps, H.SLICE_TYPE_B, self.frame_num,
             qp, idr=False, disable_deblock=1,
             poc_lsb=2 * (disp - self._last_idr_disp), is_ref=False)
-        nal = self._write_b_slice_cavlc(bw, res_np, qp, mode,
-                                        mvd0, mvd1)
+        if p.cabac:
+            nal = self._write_b_slice_cabac(bw, res_np, qp, mode,
+                                            mvd0, mvd1)
+        else:
+            nal = self._write_b_slice_cavlc(bw, res_np, qp, mode,
+                                            mvd0, mvd1)
         out = nal_unit(NAL_SLICE, NAL_PRIORITY_DISPOSABLE, nal)
         self.stats.b_frames += 1
         self.stats.frames += 1
@@ -1121,6 +1125,34 @@ class Encoder:
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()
+        return bw.get_bytes()
+
+    def _write_b_slice_cabac(self, bw, res, qp, mode, mvd0,
+                             mvd1) -> bytes:
+        """CABAC B slice (reference encoder/cabac.c B branch,
+        D_16x16 subset)."""
+        from .cabac import CabacSliceWriter
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        n = mbh * mbw
+        while not bw.byte_aligned():
+            bw.write1(1)
+        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,
+                             slice_is_b=True)
+        for a in range(n):
+            my, mx = a // mbw, a % mbw
+            m = int(mode[my, mx])
+            cl = int(res["cbp_luma"][my, mx])
+            cc = int(res["cbp_chroma"][my, mx])
+            if m == 0 and cl == 0 and cc == 0:
+                w.write_b_skip_mb(my, mx)
+            else:
+                w.write_b_mb(my, mx, m, mvd0[my, mx], mvd1[my, mx],
+                             cl, cc, res["luma_lev"][my, mx],
+                             res["chroma_dc"][my, mx],
+                             res["chroma_ac"][my, mx])
+            w.end_mb(a == n - 1)
+        w.end_slice(bw)
         return bw.get_bytes()
 
     def _encode_p(self, y, u, v, qp: int) -> bytes:

@@ -127,8 +127,6 @@ class Params:
         if self.bframes > 0:
             assert self.ref_frames == 1, \
                 "bframes + multi-ref P not combined yet (documented gap)"
-            assert not self.cabac, \
-                "B slices are CAVLC-only for now (documented gap)"
         self.subpel = max(0, min(2, self.subpel))
         self.ref_frames = max(1, min(8, self.ref_frames))
         if self.ref_frames > 1:
