@@ -50,6 +50,8 @@ def build_argparser():
     ap.add_argument("--bframes", "-b", type=int, default=0,
                     help="consecutive B frames between anchors")
     ap.add_argument("--subme", type=int, default=2)
+    ap.add_argument("--trellis", type=int, default=0,
+                    help="trellis RD quantization (0 off, 1 final encode)")
     ap.add_argument("--no-dct-decimate", action="store_true")
     ap.add_argument("--cabac", action="store_true")
     ap.add_argument("--no-partitions", action="store_true")
@@ -106,6 +108,7 @@ def main(argv=None):
                ref_frames=args.ref,
                bframes=args.bframes,
                subpel=args.subme,
+               trellis=args.trellis,
                bitrate=args.bitrate, crf=args.crf,
                vbv_maxrate=args.vbv_maxrate,
                vbv_bufsize=args.vbv_bufsize,

@@ -187,11 +187,13 @@ def bipred_satd_device(y, ref0_luma, ref1_luma, use0, use1, mv0_8,
                           QT.wht16(pred)).reshape(mbh, mbw)
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate",
+                                             "trellis"))
 def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
                           ref1_luma, ref1_u, ref1_v,
                           use0, use1, mv0_8, mv1_8, qp, qpc,
-                          mbh: int, mbw: int, decimate: bool = True):
+                          mbh: int, mbw: int, decimate: bool = True,
+                          trellis: bool = False):
     """Final B encode at per-8x8 (use, mv) fields for both lists.
     Same output dict as encode_p_frame_device8."""
     n = mbh * mbw
@@ -202,7 +204,7 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
 
     from .inter import luma_p_encode
     cur = _mb_tiles16(y, mbh, mbw)
-    lev, rec = luma_p_encode(cur, pred_y, qp, decimate)
+    lev, rec = luma_p_encode(cur, pred_y, qp, decimate, trellis)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))
     cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))
     cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
@@ -215,10 +217,16 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
         resc = to_blocks(curc - predc, 4)
         coef = T.dct4x4(resc)
         dc = coef[:, 0, 0][..., None, None]
-        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc,
-                            intra=False)
+        dch = T.hadamard2x2(dc)[..., 0, 0]
         ac = coef.at[:, 0, 0].set(0)
-        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if trellis:
+            from .inter import (trellis_quant_chroma_dc,
+                                trellis_quant_chroma_ac)
+            dc_lev = trellis_quant_chroma_dc(dch, qpc)
+            ac_lev = trellis_quant_chroma_ac(ac, qpc)
+        else:
+            dc_lev = T.quant_dc(dch, qpc, intra=False)
+            ac_lev = T.quant4x4(ac, qpc, intra=False)
         if decimate:
             zzc = _zigzag_gather(ac_lev)
             scc = jnp.sum(decimate_score(zzc), axis=(1, 2))

@@ -734,12 +734,14 @@ class Encoder:
         if multiref:
             res = P.encode_p_frame_device8_mref(
                 y, u, v, refs_luma, refs_u, refs_v, mv8, ref8,
-                qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+                qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                trellis=bool(p.trellis))
             self._mref_stack = (refs_luma, refs_u, refs_v)
         else:
             res = P.encode_p_frame_device8(
                 y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
-                mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+                mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                trellis=bool(p.trellis))
 
         # intra-vs-inter refinement (off while embedding — the
         # reference disables intra in P too, analyse.c:2862-2863)
@@ -908,7 +910,8 @@ class Encoder:
         mv4_np = np.asarray(mv4)
         res = P.encode_p_frame_device4(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
-            mv4, qp, qpc, mbh, mbw, decimate=p.dct_decimate)
+            mv4, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+            trellis=bool(p.trellis))
 
         intra_res = None
         intra_kind = np.zeros((mbh, mbw), np.int32)
@@ -1059,7 +1062,7 @@ class Encoder:
             ref1["luma"], ref1["u"], ref1["v"],
             jnp.asarray(use0), jnp.asarray(use1), jnp.asarray(fmv0),
             jnp.asarray(fmv1), qp, qpc, mbh, mbw,
-            decimate=p.dct_decimate)
+            decimate=p.dct_decimate, trellis=bool(p.trellis))
         res_np = _res_to_host(res, mbh, mbw)
         # B never enters the DPB: PSNR directly against the source
         h, w = frame.y.shape
@@ -1168,7 +1171,7 @@ class Encoder:
         res = P.encode_p_frame_device(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(mv_np), qp, qpc, p.mb_height, p.mb_width,
-            decimate=p.dct_decimate)
+            decimate=p.dct_decimate, trellis=bool(p.trellis))
         cbp_l = np.asarray(res["cbp_luma"])
         cbp_c = np.asarray(res["cbp_chroma"])
         if self._native is not None:

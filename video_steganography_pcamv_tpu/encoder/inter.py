@@ -141,14 +141,61 @@ def luma_p_encode_fast(cur, pred, qp, decimate: bool):
     return _coef16_to_lev(lev16, n), _coef16_to_mb(rec16, n)
 
 
-def luma_p_encode(cur, pred, qp: int, decimate: bool):
-    """Shared inter-luma encode: residual -> quant -> (decimate) ->
-    levels + recon. cur/pred: [N,16,16]. Used by both the real P encode
-    and the stego alt-MV probe (the reference's probe calls the full
-    x264_macroblock_encode, so decimation behaviour must match)."""
+def trellis_quant4x4_planes(coef, qp, intra: bool):
+    """Trellis-quantize [N,4,4,BY,BX] coefficient planes (luma 4x4
+    cat); returns levels in the same plane layout."""
+    from ..ops import trellis as TR
+    n = coef.shape[0]
+    zz = _zigzag_gather(coef)                     # [N,16,BY,BX]
+    v = zz.transpose(0, 2, 3, 1).reshape(n * 16, 16)
+    lev = TR.trellis_quant(v, qp, TR.CAT_LUMA_4x4, intra)
+    lev = lev.reshape(n, 4, 4, 16).transpose(0, 3, 1, 2)  # [N,16,BY,BX]
+    izig = np.zeros((4, 4), np.int64)
+    izig[T.ZIGZAG_4x4[:, 0], T.ZIGZAG_4x4[:, 1]] = np.arange(16)
+    return lev[:, izig]                           # [N,4,4,BY,BX]
+
+
+def trellis_quant_chroma_dc(dch, qpc):
+    """Chroma-DC trellis (2x2 hadamard domain, raster scan; rdo.c
+    x264_quant_dc_trellis DCT_CHROMA_DC). dch: [N,2,2]."""
+    from ..ops import trellis as TR
+    n = dch.shape[0]
+    lev = TR.trellis_quant(dch.reshape(n, 4), qpc, TR.CAT_CHROMA_DC,
+                           False)
+    return lev.reshape(n, 2, 2)
+
+
+def trellis_quant_chroma_ac(ac, qpc):
+    """Chroma-AC trellis (DCT_CHROMA_AC cat, 15 coefs). ac:
+    [N,4,4,BY,BX] coefficient planes with DC already zeroed."""
+    from ..ops import trellis as TR
+    n, _, _, by, bx = ac.shape
+    zz = _zigzag_gather(ac)[:, 1:]                # [N,15,BY,BX]
+    v = zz.transpose(0, 2, 3, 1).reshape(n * by * bx, 15)
+    lev = TR.trellis_quant(v, qpc, TR.CAT_CHROMA_AC, False)
+    lev = jnp.concatenate(
+        [jnp.zeros((n * by * bx, 1), lev.dtype), lev], axis=1)
+    lev = lev.reshape(n, by, bx, 16).transpose(0, 3, 1, 2)
+    izig = np.zeros((4, 4), np.int64)
+    izig[T.ZIGZAG_4x4[:, 0], T.ZIGZAG_4x4[:, 1]] = np.arange(16)
+    return lev[:, izig]
+
+
+def luma_p_encode(cur, pred, qp: int, decimate: bool,
+                  trellis: bool = False):
+    """Shared inter-luma encode: residual -> quant/trellis ->
+    (decimate) -> levels + recon. cur/pred: [N,16,16]. Used by both the
+    real P encode and the stego alt-MV probe (the reference's probe
+    calls the full x264_macroblock_encode, so decimation behaviour must
+    match). trellis follows the reference's --trellis 1 placement: the
+    final MB encode only (encoder/macroblock.c:90-91)."""
     n = cur.shape[0]
     res = to_blocks(cur - pred, 4)                        # [N,4,4,4,4]
-    lev = T.quant4x4(T.dct4x4(res), qp, intra=False)
+    coef = T.dct4x4(res)
+    if trellis:
+        lev = trellis_quant4x4_planes(coef, qp, intra=False)
+    else:
+        lev = T.quant4x4(coef, qp, intra=False)
     if decimate:
         zz = _zigzag_gather(lev)                          # [N,16,4,4]
         sc = decimate_score(zz)                           # [N,4,4]
@@ -165,10 +212,11 @@ def luma_p_encode(cur, pred, qp: int, decimate: bool):
     return lev, rec
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate", "trellis"))
 def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
                           qp, qpc, mbh: int, mbw: int,
-                          decimate: bool = True, force_zero=None):
+                          decimate: bool = True, force_zero=None,
+                          trellis: bool = False):
     """Final P encode at given MVs. mv: [mbh, mbw, 2] qpel.
     force_zero: optional [mbh, mbw] bool — MBs whose residual must be
     dropped entirely (forced P_SKIP in the stego second pass: the decoder
@@ -185,7 +233,7 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
 
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
     pred = mc.mc_luma(ref_luma, ys, xs, mvf)              # [N,16,16]
-    lev, rec = luma_p_encode(cur, pred, qp, decimate)
+    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))               # [N,4,4]
@@ -203,9 +251,14 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
         resc = to_blocks(curc - predc, 4)                 # [N,4,4,2,2]
         coef = T.dct4x4(resc)
         dc = coef[:, 0, 0][..., None, None]               # [N,2,2,1,1]
-        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc, intra=False)
+        dch = T.hadamard2x2(dc)[..., 0, 0]
         ac = coef.at[:, 0, 0].set(0)
-        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if trellis:
+            dc_lev = trellis_quant_chroma_dc(dch, qpc)
+            ac_lev = trellis_quant_chroma_ac(ac, qpc)
+        else:
+            dc_lev = T.quant_dc(dch, qpc, intra=False)
+            ac_lev = T.quant4x4(ac, qpc, intra=False)
         if decimate:
             zzc = _zigzag_gather(ac_lev)                  # [N,16,2,2]
             scc = jnp.sum(decimate_score(zzc), axis=(1, 2))  # [N]
@@ -272,10 +325,11 @@ def assemble_pred_luma(ref_luma, mv8, mbh: int, mbw: int):
                .reshape(n, 16, 16)
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate", "trellis"))
 def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                            qp, qpc, mbh: int, mbw: int,
-                           decimate: bool = True, force_zero=None):
+                           decimate: bool = True, force_zero=None,
+                           trellis: bool = False):
     """Partitioned final P encode: mv per 8x8 block ([2mbh,2mbw,2] qpel,
     uniform within each partition unit). Same outputs as
     encode_p_frame_device (the 16x16 path is the mv8-uniform case)."""
@@ -285,7 +339,7 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
 
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
     pred = assemble_pred_luma(ref_luma, mv8, mbh, mbw)
-    lev, rec = luma_p_encode(cur, pred, qp, decimate)
+    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))
@@ -310,9 +364,14 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
         resc = to_blocks(curc - predc, 4)
         coef = T.dct4x4(resc)
         dc = coef[:, 0, 0][..., None, None]
-        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc, intra=False)
+        dch = T.hadamard2x2(dc)[..., 0, 0]
         ac = coef.at[:, 0, 0].set(0)
-        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if trellis:
+            dc_lev = trellis_quant_chroma_dc(dch, qpc)
+            ac_lev = trellis_quant_chroma_ac(ac, qpc)
+        else:
+            dc_lev = T.quant_dc(dch, qpc, intra=False)
+            ac_lev = T.quant4x4(ac, qpc, intra=False)
         if decimate:
             zzc = _zigzag_gather(ac_lev)
             scc = jnp.sum(decimate_score(zzc), axis=(1, 2))
@@ -363,10 +422,11 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate", "trellis"))
 def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
                                 mv8, ref8, qp, qpc, mbh: int, mbw: int,
-                                decimate: bool = True, force_zero=None):
+                                decimate: bool = True, force_zero=None,
+                                trellis: bool = False):
     """Multi-reference partitioned final P encode. refs_*: stacked DPB
     ([R,4,Hp,Wp] luma, [R,Hp,Wp] chroma); ref8: [2mbh,2mbw] per-8x8
     L0 index. Same outputs as encode_p_frame_device8."""
@@ -385,7 +445,7 @@ def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
     pred = pred.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
                .reshape(n, 16, 16)
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
-    lev, rec = luma_p_encode(cur, pred, qp, decimate)
+    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))
@@ -408,9 +468,14 @@ def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
         resc = to_blocks(curc - predc, 4)
         coef = T.dct4x4(resc)
         dc = coef[:, 0, 0][..., None, None]
-        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc, intra=False)
+        dch = T.hadamard2x2(dc)[..., 0, 0]
         ac = coef.at[:, 0, 0].set(0)
-        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if trellis:
+            dc_lev = trellis_quant_chroma_dc(dch, qpc)
+            ac_lev = trellis_quant_chroma_ac(ac, qpc)
+        else:
+            dc_lev = T.quant_dc(dch, qpc, intra=False)
+            ac_lev = T.quant4x4(ac, qpc, intra=False)
         if decimate:
             zzc = _zigzag_gather(ac_lev)
             scc = jnp.sum(decimate_score(zzc), axis=(1, 2))
@@ -475,10 +540,11 @@ def assemble_pred_luma4(ref_luma, mv4, mbh: int, mbw: int):
                .reshape(n, 16, 16)
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate", "trellis"))
 def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
                            qp, qpc, mbh: int, mbw: int,
-                           decimate: bool = True, force_zero=None):
+                           decimate: bool = True, force_zero=None,
+                           trellis: bool = False):
     """Sub-partitioned final P encode: mv per 4x4 luma block
     ([4mbh,4mbw,2] qpel, uniform within each partition unit); chroma MC
     at 2x2 granularity (the spec's partition mapping — equal to the
@@ -490,7 +556,7 @@ def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
 
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
     pred = assemble_pred_luma4(ref_luma, mv4, mbh, mbw)
-    lev, rec = luma_p_encode(cur, pred, qp, decimate)
+    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))
@@ -515,9 +581,14 @@ def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
         resc = to_blocks(curc - predc, 4)
         coef = T.dct4x4(resc)
         dc = coef[:, 0, 0][..., None, None]
-        dc_lev = T.quant_dc(T.hadamard2x2(dc)[..., 0, 0], qpc, intra=False)
+        dch = T.hadamard2x2(dc)[..., 0, 0]
         ac = coef.at[:, 0, 0].set(0)
-        ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if trellis:
+            dc_lev = trellis_quant_chroma_dc(dch, qpc)
+            ac_lev = trellis_quant_chroma_ac(ac, qpc)
+        else:
+            dc_lev = T.quant_dc(dch, qpc, intra=False)
+            ac_lev = T.quant4x4(ac, qpc, intra=False)
         if decimate:
             zzc = _zigzag_gather(ac_lev)
             scc = jnp.sum(decimate_score(zzc), axis=(1, 2))

@@ -97,6 +97,8 @@ class Params:
     ref_frames: int = 1        # L0 DPB size (x264 --ref, i_frame_reference)
     subpel: int = 2          # 0: fullpel, 1: halfpel, 2: quarterpel
     dct_decimate: bool = True  # reference analyse.b_dct_decimate default on
+    trellis: int = 0           # 0 off, 1 final-encode trellis quant
+                               # (x264 --trellis; rdo.c quant_trellis_cabac)
     partitions: bool = True    # P 16x8/8x16/8x8 trees (x264 default
                                # analyse=p8x8)
     p4x4: bool = False         # sub-8x8 splits 8x4/4x8/4x4 (x264
@@ -206,6 +208,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.ref_frames = int(value)
     elif name == "subme":
         p.subpel = int(value)
+    elif name == "trellis":
+        p.trellis = int(value)
     elif name == "partitions":
         p.partitions = value not in ("none", "0", "false")
     elif name == "i4x4":

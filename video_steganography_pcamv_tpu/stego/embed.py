@@ -201,12 +201,14 @@ class StegoEngine:
                 y, u, v, refs_luma, refs_u, refs_v,
                 jnp.asarray(final8), jnp.asarray(ref8), qp, qpc,
                 mbh, mbw, decimate=p.dct_decimate,
-                force_zero=jnp.asarray(skip1))
+                force_zero=jnp.asarray(skip1),
+                trellis=bool(p.trellis))
         else:
             res2 = I.encode_p_frame_device8(
                 y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
                 jnp.asarray(final8), qp, qpc, mbh, mbw,
-                decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
+                decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
+                trellis=bool(p.trellis))
         return final8, skip1, mvd2, res2
 
     def embed_frame_sub(self, enc, y, u, v, part: np.ndarray,
