@@ -52,6 +52,10 @@ def build_argparser():
     ap.add_argument("--subme", type=int, default=2)
     ap.add_argument("--trellis", type=int, default=0,
                     help="trellis RD quantization (0 off, 1 final encode)")
+    ap.add_argument("--ssim", action="store_true",
+                    help="compute in-loop SSIM (x264 --ssim)")
+    ap.add_argument("--nr", type=int, default=0,
+                    help="noise reduction strength (x264 --nr)")
     ap.add_argument("--no-dct-decimate", action="store_true")
     ap.add_argument("--cabac", action="store_true")
     ap.add_argument("--no-partitions", action="store_true")
@@ -109,6 +113,8 @@ def main(argv=None):
                bframes=args.bframes,
                subpel=args.subme,
                trellis=args.trellis,
+               ssim=args.ssim,
+               noise_reduction=args.nr,
                bitrate=args.bitrate, crf=args.crf,
                vbv_maxrate=args.vbv_maxrate,
                vbv_bufsize=args.vbv_bufsize,
@@ -173,6 +179,8 @@ def main(argv=None):
         yuv.write_y4m(args.dump_yuv, recons,
                       fps=(p.fps_num, p.fps_den))
     s = enc.close()
+    if s.get("ssim_y"):
+        print(f"SSIM Y:{s['ssim_y']:.5f}", file=sys.stderr)
     print(f"encoded {s['frames']} frames, {s['fps']:.2f} fps, "
           f"{s['kbps']:.1f} kb/s, PSNR Y:{s['psnr_y']:.2f} "
           f"U:{s['psnr_u']:.2f} V:{s['psnr_v']:.2f}")

@@ -60,6 +60,7 @@ class EncodeStats:
     ssd_y: int = 0
     ssd_u: int = 0
     ssd_v: int = 0
+    ssim_sum: float = 0.0
     i_frames: int = 0
     p_frames: int = 0
     b_frames: int = 0
@@ -97,6 +98,9 @@ class Encoder:
         self._poc_lsb = 0      # poc of the slice being written
         self.keep_recon = False     # tests: record recon per display idx
         self.recon_by_disp = {}
+        # noise-reduction running state (x264 nr_residual_sum/nr_count)
+        self._nr_sum = np.zeros((4, 4), np.float64)
+        self._nr_count = 0
         self.frame_num = 0
         self.idr_pic_id = 0
         self.stats = EncodeStats()
@@ -119,9 +123,13 @@ class Encoder:
 
     # ------------------------------------------------------------------
     def headers(self) -> bytes:
-        """SPS+PPS Annex-B chunk (x264_encoder_headers, encoder.c:901)."""
+        """SPS+PPS+SEI Annex-B chunk (x264_encoder_headers,
+        encoder.c:901; SEI version encoder/set.c:475)."""
+        from ..params import param2string
         out = nal_unit(NAL_SPS, NAL_PRIORITY_HIGHEST, self.sps.write())
         out += nal_unit(NAL_PPS, NAL_PRIORITY_HIGHEST, self.pps.write())
+        out += nal_unit(H.NAL_SEI, 0,
+                        H.sei_version_payload(param2string(self.p)))
         return out
 
     def _pad(self, frame: Frame):
@@ -735,14 +743,15 @@ class Encoder:
             res = P.encode_p_frame_device8_mref(
                 y, u, v, refs_luma, refs_u, refs_v, mv8, ref8,
                 qp, qpc, mbh, mbw, decimate=p.dct_decimate,
-                trellis=bool(p.trellis))
+                trellis=bool(p.trellis), nr_offset=self._nr_offset())
             self._mref_stack = (refs_luma, refs_u, refs_v)
         else:
             res = P.encode_p_frame_device8(
                 y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
                 mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
-                trellis=bool(p.trellis))
+                trellis=bool(p.trellis), nr_offset=self._nr_offset())
 
+        self._nr_update(res, 16 * mbh * mbw)
         # intra-vs-inter refinement (off while embedding — the
         # reference disables intra in P too, analyse.c:2862-2863)
         intra_res = None
@@ -911,7 +920,7 @@ class Encoder:
         res = P.encode_p_frame_device4(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             mv4, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
-            trellis=bool(p.trellis))
+            trellis=bool(p.trellis), nr_offset=self._nr_offset())
 
         intra_res = None
         intra_kind = np.zeros((mbh, mbw), np.int32)
@@ -1075,6 +1084,13 @@ class Encoder:
         self.stats.ssd_y += int(np.sum(dy * dy))
         self.stats.ssd_u += int(np.sum(du * du))
         self.stats.ssd_v += int(np.sum(dv * dv))
+        if p.ssim:
+            from ..ops.pixel import ssim_wxh
+            self.stats.ssim_sum += float(ssim_wxh(
+                jnp.asarray(np.ascontiguousarray(
+                    res_np["recon_y"][2:h, 2:w], np.int32)),
+                jnp.asarray(np.ascontiguousarray(frame.y[2:, 2:],
+                                                 np.int32))))
         if self.keep_recon:
             self.recon_by_disp[disp] = (res_np["recon_y"].copy(),
                                         res_np["recon_u"].copy(),
@@ -1171,7 +1187,9 @@ class Encoder:
         res = P.encode_p_frame_device(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(mv_np), qp, qpc, p.mb_height, p.mb_width,
-            decimate=p.dct_decimate, trellis=bool(p.trellis))
+            decimate=p.dct_decimate, trellis=bool(p.trellis),
+            nr_offset=self._nr_offset())
+        self._nr_update(res, 16 * p.mb_height * p.mb_width)
         cbp_l = np.asarray(res["cbp_luma"])
         cbp_c = np.asarray(res["cbp_chroma"])
         if self._native is not None:
@@ -1241,6 +1259,30 @@ class Encoder:
         return bw.get_bytes()
 
     # ------------------------------------------------------------------
+    # noise reduction (x264_noise_reduction_update, macroblock.c:902-922;
+    # divergence: offsets lag by one frame — the reference updates its
+    # running sums MB by MB, we accumulate per frame batch)
+    _NR_W2 = np.array([[800, 320, 800, 320], [320, 128, 320, 128],
+                       [800, 320, 800, 320], [320, 128, 320, 128]],
+                      np.float64)   # FIX8(3.125/1.25/0.5), dct.h:55-64
+
+    def _nr_offset(self):
+        if not self.p.noise_reduction:
+            return None
+        num = (float(self.p.noise_reduction) * self._nr_count
+               + self._nr_sum / 2)
+        den = self._nr_sum * self._NR_W2 / 256.0 + 1.0
+        return jnp.asarray((num / den).astype(np.int32))
+
+    def _nr_update(self, res, n_blocks: int):
+        if "nr_sum" not in res:
+            return
+        self._nr_sum += np.asarray(res["nr_sum"], np.float64)
+        self._nr_count += n_blocks
+        if self._nr_count > (1 << 18):
+            self._nr_sum /= 2
+            self._nr_count >>= 1
+
     def _accumulate_psnr(self, frame: Frame):
         if self.recon_prev is None:
             return
@@ -1252,6 +1294,12 @@ class Encoder:
         self.stats.ssd_y += int(np.sum(dy * dy))
         self.stats.ssd_u += int(np.sum(du * du))
         self.stats.ssd_v += int(np.sum(dv * dv))
+        if self.p.ssim:
+            from ..ops.pixel import ssim_wxh
+            self.stats.ssim_sum += float(ssim_wxh(
+                jnp.asarray(np.ascontiguousarray(ry[2:h, 2:w], np.int32)),
+                jnp.asarray(np.ascontiguousarray(frame.y[2:, 2:],
+                                                 np.int32))))
 
     def close(self) -> dict:
         """Final summary (x264_encoder_close, encoder.c:2795-2884) +
@@ -1270,6 +1318,10 @@ class Encoder:
             "psnr_y": psnr_from_ssd(st.ssd_y, npix_y),
             "psnr_u": psnr_from_ssd(st.ssd_u, npix_y // 4),
             "psnr_v": psnr_from_ssd(st.ssd_v, npix_y // 4),
+            "ssim_y": (st.ssim_sum / max(1, st.frames)
+                       / max(1, ((self.p.width - 6) >> 2)
+                             * ((self.p.height - 6) >> 2))
+                       if self.p.ssim else 0.0),
             "mv_covers": st.mv_covers,
             "message_bits": st.message_bits,
             "mv_flips": st.mv_flips,

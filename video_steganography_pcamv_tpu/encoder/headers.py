@@ -142,3 +142,31 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
     if disable_deblock != 1:
         bw.write_se(0)  # alpha offset / 2
         bw.write_se(0)  # beta offset / 2
+
+
+NAL_SEI = 6
+SEI_USER_DATA_UNREGISTERED = 5
+
+# 16-byte UUID identifying this encoder's SEI (role of the x264 uuid in
+# encoder/set.c:475-483)
+_SEI_UUID = bytes([0x7c, 0x1d, 0xb2, 0x54, 0x6e, 0x49, 0x41, 0x3a,
+                   0x8e, 0x11, 0x5d, 0x2f, 0x0a, 0xc5, 0x64, 0x9b])
+
+
+def sei_version_payload(opt_string: str) -> bytes:
+    """SEI user_data_unregistered RBSP carrying the encoder id +
+    options string (x264_sei_version_write, encoder/set.c:475)."""
+    body = _SEI_UUID + (
+        "video-steganography-pcamv-tpu - H.264/MV-stego encoder"
+        " - options: " + opt_string).encode() + b"\x00"
+    bw = BitWriter()
+    bw.write(8, SEI_USER_DATA_UNREGISTERED)   # payload type
+    size = len(body)
+    while size >= 255:
+        bw.write(8, 255)
+        size -= 255
+    bw.write(8, size)
+    for byte in body:
+        bw.write(8, byte)
+    bw.rbsp_trailing()
+    return bw.get_bytes()

@@ -182,7 +182,7 @@ def trellis_quant_chroma_ac(ac, qpc):
 
 
 def luma_p_encode(cur, pred, qp: int, decimate: bool,
-                  trellis: bool = False):
+                  trellis: bool = False, nr_offset=None):
     """Shared inter-luma encode: residual -> quant/trellis ->
     (decimate) -> levels + recon. cur/pred: [N,16,16]. Used by both the
     real P encode and the stego alt-MV probe (the reference's probe
@@ -192,6 +192,17 @@ def luma_p_encode(cur, pred, qp: int, decimate: bool,
     n = cur.shape[0]
     res = to_blocks(cur - pred, 4)                        # [N,4,4,4,4]
     coef = T.dct4x4(res)
+    nrsum = None
+    if nr_offset is not None:
+        # x264_denoise_dct (common/quant.c:180): accumulate |coef| and
+        # subtract the running offset, AC positions only
+        absx = jnp.abs(coef)
+        nrsum = jnp.sum(absx, axis=(0, 3, 4))             # [4,4]
+        ac_mask = jnp.ones((4, 4), jnp.int32).at[0, 0].set(0)
+        newabs = jnp.maximum(
+            absx - nr_offset[None, :, :, None, None], 0)
+        coef = jnp.where(ac_mask[None, :, :, None, None] == 1,
+                         jnp.sign(coef) * newabs, coef)
     if trellis:
         lev = trellis_quant4x4_planes(coef, qp, intra=False)
     else:
@@ -209,6 +220,8 @@ def luma_p_encode(cur, pred, qp: int, decimate: bool,
     rec = T.idct4x4_add(to_blocks(pred, 4), deq)
     rec = rec.reshape(n, 4, 4, 4, 4).transpose(0, 3, 1, 4, 2) \
              .reshape(n, 16, 16)
+    if nr_offset is not None:
+        return lev, rec, nrsum
     return lev, rec
 
 
@@ -216,7 +229,7 @@ def luma_p_encode(cur, pred, qp: int, decimate: bool,
 def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
                           qp, qpc, mbh: int, mbw: int,
                           decimate: bool = True, force_zero=None,
-                          trellis: bool = False):
+                          trellis: bool = False, nr_offset=None):
     """Final P encode at given MVs. mv: [mbh, mbw, 2] qpel.
     force_zero: optional [mbh, mbw] bool — MBs whose residual must be
     dropped entirely (forced P_SKIP in the stego second pass: the decoder
@@ -233,7 +246,12 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
 
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
     pred = mc.mc_luma(ref_luma, ys, xs, mvf)              # [N,16,16]
-    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+    if nr_offset is not None:
+        lev, rec, nrsum = luma_p_encode(cur, pred, qp, decimate,
+                                        trellis, nr_offset)
+    else:
+        lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+        nrsum = None
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))               # [N,4,4]
@@ -309,6 +327,7 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
         "recon_y": untile(rec, 16).astype(jnp.uint8),
         "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
         "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
+        **({"nr_sum": nrsum} if nrsum is not None else {}),
     }
 
 
@@ -329,7 +348,7 @@ def assemble_pred_luma(ref_luma, mv8, mbh: int, mbw: int):
 def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                            qp, qpc, mbh: int, mbw: int,
                            decimate: bool = True, force_zero=None,
-                           trellis: bool = False):
+                           trellis: bool = False, nr_offset=None):
     """Partitioned final P encode: mv per 8x8 block ([2mbh,2mbw,2] qpel,
     uniform within each partition unit). Same outputs as
     encode_p_frame_device (the 16x16 path is the mv8-uniform case)."""
@@ -339,7 +358,12 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
 
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
     pred = assemble_pred_luma(ref_luma, mv8, mbh, mbw)
-    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+    if nr_offset is not None:
+        lev, rec, nrsum = luma_p_encode(cur, pred, qp, decimate,
+                                        trellis, nr_offset)
+    else:
+        lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+        nrsum = None
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))
@@ -419,6 +443,7 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
         "recon_y": untile(rec, 16).astype(jnp.uint8),
         "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
         "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
+        **({"nr_sum": nrsum} if nrsum is not None else {}),
     }
 
 
@@ -426,7 +451,7 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
 def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
                                 mv8, ref8, qp, qpc, mbh: int, mbw: int,
                                 decimate: bool = True, force_zero=None,
-                                trellis: bool = False):
+                                trellis: bool = False, nr_offset=None):
     """Multi-reference partitioned final P encode. refs_*: stacked DPB
     ([R,4,Hp,Wp] luma, [R,Hp,Wp] chroma); ref8: [2mbh,2mbw] per-8x8
     L0 index. Same outputs as encode_p_frame_device8."""
@@ -445,7 +470,12 @@ def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
     pred = pred.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
                .reshape(n, 16, 16)
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
-    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+    if nr_offset is not None:
+        lev, rec, nrsum = luma_p_encode(cur, pred, qp, decimate,
+                                        trellis, nr_offset)
+    else:
+        lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+        nrsum = None
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))
@@ -523,6 +553,7 @@ def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
         "recon_y": untile(rec, 16).astype(jnp.uint8),
         "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
         "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
+        **({"nr_sum": nrsum} if nrsum is not None else {}),
     }
 
 
@@ -544,7 +575,7 @@ def assemble_pred_luma4(ref_luma, mv4, mbh: int, mbw: int):
 def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
                            qp, qpc, mbh: int, mbw: int,
                            decimate: bool = True, force_zero=None,
-                           trellis: bool = False):
+                           trellis: bool = False, nr_offset=None):
     """Sub-partitioned final P encode: mv per 4x4 luma block
     ([4mbh,4mbw,2] qpel, uniform within each partition unit); chroma MC
     at 2x2 granularity (the spec's partition mapping — equal to the
@@ -556,7 +587,12 @@ def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
 
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
     pred = assemble_pred_luma4(ref_luma, mv4, mbh, mbw)
-    lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+    if nr_offset is not None:
+        lev, rec, nrsum = luma_p_encode(cur, pred, qp, decimate,
+                                        trellis, nr_offset)
+    else:
+        lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+        nrsum = None
     lev = lev * ~fz[:, None, None, None, None]
     rec = jnp.where(fz[:, None, None], pred, rec)
     nz_blk = jnp.any(lev != 0, axis=(1, 2))
@@ -636,6 +672,7 @@ def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
         "recon_y": untile(rec, 16).astype(jnp.uint8),
         "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
         "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
+        **({"nr_sum": nrsum} if nrsum is not None else {}),
     }
 
 

@@ -58,3 +58,39 @@ def psnr_from_ssd(ssd_val: float, n_pixels: int) -> float:
         return 99.99
     mse = ssd_val / n_pixels
     return 10.0 * math.log10(255.0 * 255.0 / mse)
+
+
+import jax as _jax
+
+
+@_jax.jit
+def ssim_wxh(recon: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
+    """x264-semantics SSIM sum over 8x8 windows at stride 4 (reference
+    pixel.c:435-470 ssim_4x4x2_core/ssim_end1, driven per frame as in
+    encoder.c:1069-1080 with the +2-pixel anti-DCT-alignment offset
+    applied by the caller). recon/src: equal-shape int planes; the sum
+    over ((w>>2)-1)*((h>>2)-1) windows is returned (normalization is
+    the caller's, encoder.c:2605-2610)."""
+    h, w = recon.shape
+    bh, bw = h // 4, w // 4
+    a = recon[:4 * bh, :4 * bw].astype(jnp.int32)
+    b = src[:4 * bh, :4 * bw].astype(jnp.int32)
+
+    def blksum(x):
+        return x.reshape(bh, 4, bw, 4).sum(axis=(1, 3))
+    s1 = blksum(a)
+    s2 = blksum(b)
+    ss = blksum(a * a) + blksum(b * b)
+    s12 = blksum(a * b)
+
+    def win(x):  # 2x2 block window sums -> [bh-1, bw-1]
+        return (x[:-1, :-1] + x[:-1, 1:] + x[1:, :-1] + x[1:, 1:]) \
+            .astype(jnp.float32)
+    s1w, s2w, ssw, s12w = win(s1), win(s2), win(ss), win(s12)
+    c1 = jnp.float32(int(.01 * .01 * 255 * 255 * 64 + .5))
+    c2 = jnp.float32(int(.03 * .03 * 255 * 255 * 64 * 63 + .5))
+    vars_ = ssw * 64 - s1w * s1w - s2w * s2w
+    covar = s12w * 64 - s1w * s2w
+    ssim = (2 * s1w * s2w + c1) * (2 * covar + c2) \
+        / ((s1w * s1w + s2w * s2w + c1) * (vars_ + c2))
+    return jnp.sum(ssim)

@@ -105,6 +105,10 @@ class Params:
                                # analyse=p4x4, off by default there too)
 
     # entropy / tools
+    ssim: bool = False         # in-loop SSIM metric (x264 --ssim,
+                               # encoder.c:1069-1080)
+    noise_reduction: int = 0   # denoise_dct strength (x264 --nr,
+                               # quant.c:180 / macroblock.c:902)
     cabac: bool = False
     deblock: bool = True     # in-loop deblocking (reference default: on)
     deblock_device: bool = False  # run the deblocker on-device (bit-
@@ -210,6 +214,10 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.subpel = int(value)
     elif name == "trellis":
         p.trellis = int(value)
+    elif name == "ssim":
+        p.ssim = _BOOL[value.lower()]
+    elif name in ("nr", "noise_reduction"):
+        p.noise_reduction = int(value)
     elif name == "partitions":
         p.partitions = value not in ("none", "0", "false")
     elif name == "i4x4":
@@ -249,3 +257,22 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.stego.stc_h = int(value)
     else:
         raise KeyError(f"unknown option: {name}")
+
+
+def param2string(p: Params) -> str:
+    """Option summary string for the SEI version message (reference:
+    x264_param2string, common/common.c:818)."""
+    s = (f"qp={p.qp} keyint={p.keyint_max} min-keyint={p.keyint_min} "
+         f"scenecut={p.scenecut_threshold} bframes={p.bframes} "
+         f"ref={p.ref_frames} me=esa merange={p.me_range} "
+         f"subme={p.subpel} trellis={p.trellis} "
+         f"cabac={int(p.cabac)} deblock={int(p.deblock)} "
+         f"decimate={int(p.dct_decimate)} nr={p.noise_reduction} "
+         f"8x8dct=0 parts={int(p.partitions)} p4x4={int(p.p4x4)}")
+    if p.rc_mode == 1:
+        s += f" crf={p.crf:.1f}"
+    elif p.rc_mode == 2:
+        s += f" bitrate={p.bitrate} ratetol={p.rate_tolerance:.1f}"
+    if p.stego.enabled:
+        s += f" emrate={p.stego.em_rate:g} stc_h={p.stego.stc_h}"
+    return s
