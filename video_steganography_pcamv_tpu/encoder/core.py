@@ -418,6 +418,22 @@ class Encoder:
         return bw.get_bytes()
 
     @staticmethod
+    def _refs4(part_np, ref8):
+        """[mbh,mbw,4] per-ref-slot L0 refs for the native writers
+        (slot layout of _refs_of; unused slots are 0)."""
+        mbh, mbw = part_np.shape
+        tl = ref8[::2, ::2]
+        tr = ref8[::2, 1::2]
+        bl = ref8[1::2, ::2]
+        br = ref8[1::2, 1::2]
+        r = np.zeros((mbh, mbw, 4), np.int32)
+        r[..., 0] = tl
+        r[..., 1] = np.where(part_np == 1, bl, tr)
+        r[..., 2] = bl
+        r[..., 3] = br
+        return r
+
+    @staticmethod
     def _refs_of(part: int, ref8, my: int, mx: int):
         """Per-ref-slot L0 refs of one MB from the per-8x8 field."""
         tl = ref8[2 * my, 2 * mx]
@@ -433,10 +449,23 @@ class Encoder:
     def _write_p_slice_cavlc_mref(self, bw, res, qp, part, mvd, skip,
                                   ref8, intra_kind=None,
                                   intra_res=None) -> bytes:
-        """CAVLC P slice with multi-reference ref_idx syntax (Python
-        writer; the native twin doesn't speak refs yet)."""
+        """CAVLC P slice with multi-reference ref_idx syntax (native
+        C++ twin when no intra MBs; Python writer otherwise)."""
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
+        if self._native is not None and intra_res is None:
+            from .. import native
+            n = mbh * mbw
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice(
+                hdr, nbits, H.SLICE_TYPE_P, mbw, mbh,
+                skip=skip.reshape(n).astype(np.uint8),
+                part=part.reshape(n), mvd4=mvd.reshape(n, 4, 2),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_blocks=res["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
+                refs=self._refs4(part, ref8), num_ref=p.ref_frames)
         fc = FrameCavlc(mbw, mbh)
         skip_run = 0
         for my in range(mbh):
@@ -495,8 +524,7 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None and intra_res is None \
-                and ref8 is None:
+        if self._native is not None and intra_res is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             if part is None:
@@ -512,7 +540,10 @@ class Encoder:
                 cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
-                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
+                refs=(None if ref8 is None
+                      else self._refs4(part_a, ref8)),
+                num_ref=self.p.ref_frames)
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
@@ -772,13 +803,13 @@ class Encoder:
         cbp_l = np.asarray(res["cbp_luma"])
         cbp_c = np.asarray(res["cbp_chroma"])
         intra_mask = intra_kind > 0
-        if self._native is not None and not multiref:
+        if self._native is not None:
             from .. import native
             skip, mvd, mvp, final8 = native.scan_p_parts(
                 part_np, mv8_np, cbp_l, cbp_c,
-                intra=intra_mask if intra_mask.any() else None)
+                intra=intra_mask if intra_mask.any() else None,
+                ref8=ref8_np)
         else:
-            # the native scan twin doesn't speak refs yet
             skip, mvd, mvp, final8 = SCAN.scan_p_frame(
                 part_np, mv8_np, cbp_l, cbp_c,
                 intra=intra_mask if intra_mask.any() else None,
@@ -1123,6 +1154,17 @@ class Encoder:
         mb_skip_run in B = B_Skip, decoded as direct)."""
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
+        if self._native is not None:
+            from .. import native
+            n = mbh * mbw
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice_b(
+                hdr, nbits, mbw, mbh, mode=mode.reshape(n),
+                mvd0=mvd0.reshape(n, 2), mvd1=mvd1.reshape(n, 2),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_blocks=res["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
         fc = FrameCavlc(mbw, mbh)
         skip_run = 0
         for my in range(mbh):
@@ -1154,6 +1196,16 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
+        if self._native is not None:
+            from .. import native
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice_cabac_b(
+                hdr, nbits, mbw, mbh, qp, mode=mode.reshape(n),
+                mvd0=mvd0.reshape(n, 2), mvd1=mvd1.reshape(n, 2),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_blocks=res["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,

@@ -59,7 +59,18 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+
+    lib.pcamv_write_slice_b.restype = ctypes.c_long
+    lib.pcamv_write_slice_b.argtypes = [
+        u8p, ctypes.c_long, u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
+
+    lib.pcamv_write_slice_cabac_b.restype = ctypes.c_long
+    lib.pcamv_write_slice_cabac_b.argtypes = [
+        u8p, ctypes.c_long, u8p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p]
 
     lib.pcamv_host_scan_p.restype = None
     lib.pcamv_host_scan_p.argtypes = [i32p, i32p, i32p, ctypes.c_int,
@@ -71,11 +82,13 @@ def load():
     lib.pcamv_scan_p_parts.argtypes = [i32p, i32p, i32p, i32p,
                                        ctypes.c_int, ctypes.c_int,
                                        ctypes.c_void_p,
-                                       u8p, i32p, i32p, i32p]
+                                       u8p, i32p, i32p, i32p,
+                                       ctypes.c_void_p]
     lib.pcamv_scan_p_parts_forced.restype = None
     lib.pcamv_scan_p_parts_forced.argtypes = [i32p, i32p, u8p,
                                               ctypes.c_int, ctypes.c_int,
-                                              i32p, i32p, i32p]
+                                              i32p, i32p, i32p,
+                                              ctypes.c_void_p]
     lib.pcamv_deblock_frame.restype = None
     lib.pcamv_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
@@ -88,7 +101,7 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, i32p, i32p,
         ctypes.c_void_p, i32p, i32p, i32p,
-        ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.pcamv_stc_embed.restype = ctypes.c_int
     lib.pcamv_stc_embed.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long,
                                     f64p, ctypes.c_int, ctypes.c_uint32,
@@ -105,7 +118,8 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
                 mbw: int, mbh: int, *, skip=None, mvd=None, mode=None,
                 cmode=None, cbp_luma, cbp_chroma, luma_dc=None,
                 luma_blocks, chroma_dc, chroma_ac, mb_i4=None,
-                i4_modes=None, part=None, mvd4=None) -> bytes:
+                i4_modes=None, part=None, mvd4=None, refs=None,
+                num_ref: int = 1) -> bytes:
     """Native whole-slice entropy coding. Shapes:
     luma_blocks [N,16,16], luma_dc [N,16], chroma_dc [N,2,4],
     chroma_ac [N,2,4,16], mvd [N,2], mb_i4 [N] u8, i4_modes [N,16]."""
@@ -134,6 +148,8 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
         part_a = _as_i32(part).reshape(n) if part is not None else None
         mvd4_a = (_as_i32(mvd4).reshape(n * 8)
                   if mvd4 is not None else None)
+        refs_a = (_as_i32(refs).reshape(n * 4)
+                  if refs is not None else None)
         r = lib.pcamv_write_slice(
             out, cap, hdr, header_nbits, slice_type, mbw, mbh,
             ptr(skip_a), ptr(mvd_a), ptr(mode_a), ptr(cmode_a),
@@ -141,7 +157,8 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
             ptr(dc_a), _as_i32(luma_blocks).reshape(n * 256),
             _as_i32(chroma_dc).reshape(n * 8),
             _as_i32(chroma_ac).reshape(n * 128),
-            ptr(i4_a), ptr(i4m_a), ptr(part_a), ptr(mvd4_a))
+            ptr(i4_a), ptr(i4m_a), ptr(part_a), ptr(mvd4_a),
+            ptr(refs_a), num_ref)
         if r >= 0:
             return bytes(out[:r])
         cap *= 4
@@ -168,7 +185,8 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
                       model: int = 0, skip=None, part=None, mvd4=None,
                       mode=None, cmode=None, cbp_luma, cbp_chroma,
                       luma_dc=None, luma_blocks, chroma_dc, chroma_ac,
-                      mb_i4=None, i4_modes=None) -> bytes:
+                      mb_i4=None, i4_modes=None, refs=None,
+                      num_ref: int = 1) -> bytes:
     """Native CABAC whole-slice entropy coding (twin of
     encoder/cabac.py's CabacSliceWriter; bit-identical)."""
     lib = load()
@@ -196,6 +214,8 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
                 if mb_i4 is not None else None)
         i4m_a = (_as_i32(i4_modes).reshape(n * 16)
                  if i4_modes is not None else None)
+        refs_a = (_as_i32(refs).reshape(n * 4)
+                  if refs is not None else None)
         r = lib.pcamv_write_slice_cabac(
             out, cap, hdr, header_nbits, slice_type, mbw, mbh, qp,
             model, ptr(skip_a), ptr(part_a), ptr(mvd4_a), ptr(mode_a),
@@ -204,7 +224,7 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
             ptr(dc_a), _as_i32(luma_blocks).reshape(n * 256),
             _as_i32(chroma_dc).reshape(n * 8),
             _as_i32(chroma_ac).reshape(n * 128),
-            ptr(i4_a), ptr(i4m_a))
+            ptr(i4_a), ptr(i4m_a), ptr(refs_a), num_ref)
         if r >= 0:
             return bytes(out[:r])
         cap *= 4
@@ -212,7 +232,58 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
             raise RuntimeError("native cabac writer overflow")
 
 
-def scan_p_parts(part, mv8, cbp_luma, cbp_chroma, intra=None):
+def write_slice_b(header_bytes: bytes, header_nbits: int, mbw: int,
+                  mbh: int, *, mode, mvd0, mvd1, cbp_luma, cbp_chroma,
+                  luma_blocks, chroma_dc, chroma_ac) -> bytes:
+    """Native CAVLC B slice (twin of core.py _write_b_slice_cavlc)."""
+    lib = load()
+    n = mbw * mbh
+    cap = 1 << 22
+    while True:
+        out = np.zeros(cap, np.uint8)
+        hdr = np.frombuffer(header_bytes + b"\0" * 8, np.uint8).copy()
+        r = lib.pcamv_write_slice_b(
+            out, cap, hdr, header_nbits, mbw, mbh,
+            _as_i32(mode).reshape(n), _as_i32(mvd0).reshape(n * 2),
+            _as_i32(mvd1).reshape(n * 2),
+            _as_i32(cbp_luma).reshape(n), _as_i32(cbp_chroma).reshape(n),
+            _as_i32(luma_blocks).reshape(n * 256),
+            _as_i32(chroma_dc).reshape(n * 8),
+            _as_i32(chroma_ac).reshape(n * 128))
+        if r >= 0:
+            return bytes(out[:r])
+        cap *= 4
+        if cap > (1 << 28):
+            raise RuntimeError("native B slice writer overflow")
+
+
+def write_slice_cabac_b(header_bytes: bytes, header_nbits: int,
+                        mbw: int, mbh: int, qp: int, *, model: int = 0,
+                        mode, mvd0, mvd1, cbp_luma, cbp_chroma,
+                        luma_blocks, chroma_dc, chroma_ac) -> bytes:
+    """Native CABAC B slice (twin of core.py _write_b_slice_cabac)."""
+    lib = load()
+    n = mbw * mbh
+    cap = 1 << 22
+    while True:
+        out = np.zeros(cap, np.uint8)
+        hdr = np.frombuffer(header_bytes + b"\0" * 8, np.uint8).copy()
+        r = lib.pcamv_write_slice_cabac_b(
+            out, cap, hdr, header_nbits, mbw, mbh, qp, model,
+            _as_i32(mode).reshape(n), _as_i32(mvd0).reshape(n * 2),
+            _as_i32(mvd1).reshape(n * 2),
+            _as_i32(cbp_luma).reshape(n), _as_i32(cbp_chroma).reshape(n),
+            _as_i32(luma_blocks).reshape(n * 256),
+            _as_i32(chroma_dc).reshape(n * 8),
+            _as_i32(chroma_ac).reshape(n * 128))
+        if r >= 0:
+            return bytes(out[:r])
+        cap *= 4
+        if cap > (1 << 28):
+            raise RuntimeError("native CABAC B writer overflow")
+
+
+def scan_p_parts(part, mv8, cbp_luma, cbp_chroma, intra=None, ref8=None):
     """Native partition-aware scan (twin of encoder/scan.py
     scan_p_frame). Returns (skip, mvd [mbh,mbw,4,2], mvp, final8)."""
     lib = load()
@@ -225,16 +296,19 @@ def scan_p_parts(part, mv8, cbp_luma, cbp_chroma, intra=None):
                if intra is not None else None)
     intra_p = (intra_a.ctypes.data_as(ctypes.c_void_p)
                if intra_a is not None else None)
+    ref8_a = (_as_i32(ref8).reshape(-1) if ref8 is not None else None)
+    ref8_p = (ref8_a.ctypes.data_as(ctypes.c_void_p)
+              if ref8_a is not None else None)
     lib.pcamv_scan_p_parts(
         _as_i32(part).reshape(-1), _as_i32(mv8).reshape(-1),
         _as_i32(cbp_luma).reshape(-1), _as_i32(cbp_chroma).reshape(-1),
-        mbw, mbh, intra_p, skip, mvd, mvp, final8)
+        mbw, mbh, intra_p, skip, mvd, mvp, final8, ref8_p)
     return (skip.reshape(mbh, mbw).astype(bool),
             mvd.reshape(mbh, mbw, 4, 2), mvp.reshape(mbh, mbw, 4, 2),
             final8.reshape(2 * mbh, 2 * mbw, 2))
 
 
-def scan_p_parts_forced(part, mv8, skip):
+def scan_p_parts_forced(part, mv8, skip, ref8=None):
     """Native forced scan (twin of scan.py scan_p_frame_forced).
     Returns (final8, mvd, mvp)."""
     lib = load()
@@ -242,10 +316,13 @@ def scan_p_parts_forced(part, mv8, skip):
     final8 = np.zeros(2 * mbh * 2 * mbw * 2, np.int32)
     mvd = np.zeros(mbh * mbw * 8, np.int32)
     mvp = np.zeros(mbh * mbw * 8, np.int32)
+    ref8_a = (_as_i32(ref8).reshape(-1) if ref8 is not None else None)
+    ref8_p = (ref8_a.ctypes.data_as(ctypes.c_void_p)
+              if ref8_a is not None else None)
     lib.pcamv_scan_p_parts_forced(
         _as_i32(part).reshape(-1), _as_i32(mv8).reshape(-1),
         np.ascontiguousarray(skip, np.uint8).reshape(-1), mbw, mbh,
-        final8, mvd, mvp)
+        final8, mvd, mvp, ref8_p)
     return (final8.reshape(2 * mbh, 2 * mbw, 2),
             mvd.reshape(mbh, mbw, 4, 2), mvp.reshape(mbh, mbw, 4, 2))
 

@@ -108,11 +108,13 @@ struct Cabac {
 struct CabacCtxMaps {
   int mbw, mbh;
   std::vector<int32_t> nnz_y, nnz_c, dc_nz_y, dc_nz_c, mb_kind, cbp,
-      modes4, mvd4, cmode_map;
+      modes4, mvd4, mvd4_1, ref4, cmode_map;
+  std::vector<uint8_t> bdirect;
   CabacCtxMaps(int w, int h) : mbw(w), mbh(h),
       nnz_y(16 * w * h, 0), nnz_c(8 * w * h, 0), dc_nz_y(w * h, 0),
       dc_nz_c(2 * w * h, 0), mb_kind(w * h, -1), cbp(w * h, 0),
-      modes4(16 * w * h, 2), mvd4(32 * w * h, 0), cmode_map(w * h, 0) {}
+      modes4(16 * w * h, 2), mvd4(32 * w * h, 0), mvd4_1(32 * w * h, 0),
+      ref4(16 * w * h, 0), cmode_map(w * h, 0), bdirect(w * h, 0) {}
   inline int kind(int my, int mx) const { return mb_kind[my * mbw + mx]; }
   inline int& ny(int y, int x) { return nnz_y[y * 4 * mbw + x]; }
   inline int& nc(int ch, int y, int x) {
@@ -122,6 +124,10 @@ struct CabacCtxMaps {
   inline int32_t& md(int y, int x, int c) {
     return mvd4[(y * 4 * mbw + x) * 2 + c];
   }
+  inline int32_t& md1(int y, int x, int c) {
+    return mvd4_1[(y * 4 * mbw + x) * 2 + c];
+  }
+  inline int32_t& rf(int y, int x) { return ref4[y * 4 * mbw + x]; }
 };
 
 static const int LSCAN[16] = {0, 1, 4, 5, 2, 3, 6, 7,
@@ -141,6 +147,7 @@ struct CabacSlice {
   Cabac cb;
   CabacCtxMaps m;
   bool is_i;
+  bool is_b = false;
   CabacSlice(int w, int h, int qp, bool slice_is_i, int model)
       : m(w, h), is_i(slice_is_i) {
     cb.init(qp, slice_is_i, model);
@@ -221,10 +228,41 @@ struct CabacSlice {
   }
 
   void skip_flag(int my, int mx, int b_skip) {
-    int ctx = 11;
+    int ctx = is_b ? 24 : 11;  // encoder/cabac.c:300-306
     if (mx > 0 && m.kind(my, mx - 1) > 0) ctx++;
     if (my > 0 && m.kind(my - 1, mx) > 0) ctx++;
     cb.dec(ctx, b_skip);
+  }
+
+  // B mb_type, 16x16 subset (encoder/cabac.c:123-192 B branch)
+  void mb_type_b(int my, int mx, int btype) {
+    int ctx = 0;
+    if (mx > 0 && m.kind(my, mx - 1) > 0 &&
+        !m.bdirect[my * m.mbw + mx - 1]) ctx++;
+    if (my > 0 && m.kind(my - 1, mx) > 0 &&
+        !m.bdirect[(my - 1) * m.mbw + mx]) ctx++;
+    if (btype == 0) { cb.dec(27 + ctx, 0); return; }
+    cb.dec(27 + ctx, 1);
+    if (btype == 1) { cb.dec(30, 0); cb.dec(32, 0); return; }
+    if (btype == 2) { cb.dec(30, 0); cb.dec(32, 1); return; }
+    cb.dec(30, 1); cb.dec(31, 0);                 // BI: "110000"
+    cb.dec(32, 0); cb.dec(32, 0); cb.dec(32, 0);
+  }
+
+  // ref_idx_l0 unary (x264_cabac_mb_ref, encoder/cabac.c:375-395)
+  void ref_one(int gy4, int gx4, int h4, int w4, int ref) {
+    int a = gx4 > 0 ? m.rf(gy4, gx4 - 1) : 0;
+    int b = gy4 > 0 ? m.rf(gy4 - 1, gx4) : 0;
+    int ctx = (a > 0 ? 1 : 0) + (b > 0 ? 2 : 0);
+    int k = ref;
+    while (k) {
+      cb.dec(54 + ctx, 1);
+      ctx = ctx < 4 ? 4 : 5;
+      k--;
+    }
+    cb.dec(54 + ctx, 0);
+    for (int y = gy4; y < gy4 + h4; y++)
+      for (int x = gx4; x < gx4 + w4; x++) m.rf(y, x) = ref;
   }
 
   void mb_type_intra(bool i4, int mode16, int cbpl, int cbpc, int c0,
@@ -239,12 +277,15 @@ struct CabacSlice {
     cb.dec(c5, mode16 & 1);
   }
 
-  void mvd_one(int gy4, int gx4, int h4, int w4, int mdx, int mdy) {
+  void mvd_one(int gy4, int gx4, int h4, int w4, int mdx, int mdy,
+               int lst = 0) {
     static const int ctxes[9] = {0, 3, 4, 5, 6, 6, 6, 6, 6};
     int vals[2] = {mdx, mdy};
     for (int comp = 0; comp < 2; comp++) {
-      int a = gx4 > 0 ? std::abs(m.md(gy4, gx4 - 1, comp)) : 0;
-      int b = gy4 > 0 ? std::abs(m.md(gy4 - 1, gx4, comp)) : 0;
+      int a = gx4 > 0 ? std::abs(lst ? m.md1(gy4, gx4 - 1, comp)
+                                     : m.md(gy4, gx4 - 1, comp)) : 0;
+      int b = gy4 > 0 ? std::abs(lst ? m.md1(gy4 - 1, gx4, comp)
+                                     : m.md(gy4 - 1, gx4, comp)) : 0;
       int amvd = a + b;
       int base = comp ? 47 : 40;
       int ctx = (amvd > 2) + (amvd > 32);
@@ -266,8 +307,8 @@ struct CabacSlice {
     }
     for (int y = gy4; y < gy4 + h4; y++)
       for (int x = gx4; x < gx4 + w4; x++) {
-        m.md(y, x, 0) = mdx;
-        m.md(y, x, 1) = mdy;
+        if (lst) { m.md1(y, x, 0) = mdx; m.md1(y, x, 1) = mdy; }
+        else { m.md(y, x, 0) = mdx; m.md(y, x, 1) = mdy; }
       }
   }
 
@@ -342,6 +383,13 @@ struct CabacSlice {
       for (int x = 0; x < 4; x++) {
         m.md(4 * my + y, 4 * mx + x, 0) = 0;
         m.md(4 * my + y, 4 * mx + x, 1) = 0;
+      }
+  }
+  void clear_mvd1(int my, int mx) {
+    for (int y = 0; y < 4; y++)
+      for (int x = 0; x < 4; x++) {
+        m.md1(4 * my + y, 4 * mx + x, 0) = 0;
+        m.md1(4 * my + y, 4 * mx + x, 1) = 0;
       }
   }
   void clear_nnz(int my, int mx, bool luma_too) {
@@ -436,7 +484,7 @@ extern "C" long pcamv_write_slice_cabac(
     const int32_t* cbp_chroma, const int32_t* luma_dc,
     const int32_t* luma_blocks, const int32_t* chroma_dc,
     const int32_t* chroma_ac, const uint8_t* mb_i4,
-    const int32_t* i4_modes) {
+    const int32_t* i4_modes, const int32_t* refs, int num_ref) {
   CabacBits bits(out, out_cap);
   for (int i = 0; i < header_nbits; i++)
     bits.bit((header[i >> 3] >> (7 - (i & 7))) & 1);
@@ -512,6 +560,14 @@ extern "C" long pcamv_write_slice_cabac(
       else { S.cb.dec(14, 0); S.cb.dec(15, 0); S.cb.dec(16, 1); }
       if (p == 3)
         for (int s = 0; s < 4; s++) S.cb.dec(21, 1);  // P_L0_8x8
+      if (num_ref > 1) {  // ref_idx before mvds (encoder/cabac.c order)
+        int n_refs = NUNITS_C[p];
+        for (int k = 0; k < n_refs; k++) {
+          const int* g = UGEOM_C[p][k];
+          S.ref_one(4 * my + g[0], 4 * mx + g[1], g[3], g[2],
+                    refs ? refs[a * 4 + k] : 0);
+        }
+      }
       for (int u = 0; u < NUNITS_C[p]; u++) {
         const int* g = UGEOM_C[p][u];
         S.mvd_one(4 * my + g[0], 4 * mx + g[1], g[3], g[2],
@@ -539,6 +595,78 @@ extern "C" long pcamv_write_slice_cabac(
     S.cb.terminal(a == n - 1);
   }
   // pad the rbsp to a byte boundary
+  while (bits.nbits) bits.bit(0);
+  return bits.overflow ? -1 : bits.bytes;
+}
+
+
+extern "C" long pcamv_write_slice_cabac_b(
+    uint8_t* out, long out_cap, const uint8_t* header, int header_nbits,
+    int mbw, int mbh, int qp, int model, const int32_t* mode,
+    const int32_t* mvd0, const int32_t* mvd1, const int32_t* cbp_luma,
+    const int32_t* cbp_chroma, const int32_t* luma_blocks,
+    const int32_t* chroma_dc, const int32_t* chroma_ac) {
+  // CABAC B slice, 16x16 subset; Python twin:
+  // encoder/core.py _write_b_slice_cabac
+  CabacBits bits(out, out_cap);
+  for (int i = 0; i < header_nbits; i++)
+    bits.bit((header[i >> 3] >> (7 - (i & 7))) & 1);
+  while (bits.nbits) bits.bit(1);
+
+  CabacSlice S(mbw, mbh, qp, false, model);
+  S.is_b = true;
+  S.cb.out = &bits;
+  int n = mbw * mbh;
+  for (int a = 0; a < n; a++) {
+    int my = a / mbw, mx = a % mbw;
+    int btype = mode[a];
+    int cbpl = cbp_luma[a], cbpc = cbp_chroma[a];
+    if (btype == 0 && cbpl == 0 && cbpc == 0) {  // B_SKIP
+      S.skip_flag(my, mx, 1);
+      S.clear_nnz(my, mx, true);
+      S.clear_mvd(my, mx);
+      S.clear_mvd1(my, mx);
+      S.m.dc_nz_y[a] = 0;
+      S.m.dc_nz_c[my * mbw + mx] = 0;
+      S.m.dc_nz_c[(mbh + my) * mbw + mx] = 0;
+      S.m.mb_kind[a] = 0;
+      S.m.bdirect[a] = 1;
+      S.m.cbp[a] = 0;
+      S.m.cmode_map[a] = 0;
+      S.fill_m4(my, mx, 2);
+      S.cb.terminal(a == n - 1);
+      continue;
+    }
+    S.skip_flag(my, mx, 0);
+    S.mb_type_b(my, mx, btype);
+    if (btype == 1 || btype == 3)
+      S.mvd_one(4 * my, 4 * mx, 4, 4, mvd0[a * 2], mvd0[a * 2 + 1], 0);
+    else
+      S.clear_mvd(my, mx);
+    if (btype == 2 || btype == 3)
+      S.mvd_one(4 * my, 4 * mx, 4, 4, mvd1[a * 2], mvd1[a * 2 + 1], 1);
+    else
+      S.clear_mvd1(my, mx);
+    S.cbp_luma(my, mx, cbpl);
+    S.cbp_chroma(my, mx, cbpc);
+    S.m.mb_kind[a] = 1;
+    S.m.bdirect[a] = btype == 0;
+    S.m.cbp[a] = (cbpc << 4) | cbpl;
+    S.m.cmode_map[a] = 0;
+    S.fill_m4(my, mx, 2);
+    S.m.dc_nz_y[a] = 0;
+    S.m.dc_nz_c[my * mbw + mx] = 0;
+    S.m.dc_nz_c[(mbh + my) * mbw + mx] = 0;
+    if (cbpl || cbpc) {
+      S.cb.dec(60, 0);  // mb_qp_delta == 0
+      luma_res_4x4(S, my, mx, &luma_blocks[a * 256], cbpl, false);
+      chroma_res(S, my, mx, cbpc, &chroma_dc[a * 8],
+                 &chroma_ac[a * 128], false);
+    } else {
+      S.clear_nnz(my, mx, true);
+    }
+    S.cb.terminal(a == n - 1);
+  }
   while (bits.nbits) bits.bit(0);
   return bits.overflow ? -1 : bits.bytes;
 }

@@ -220,7 +220,8 @@ extern "C" long pcamv_write_slice(
     const int32_t* luma_dc, const int32_t* luma_blocks,
     const int32_t* chroma_dc, const int32_t* chroma_ac,
     const uint8_t* mb_i4, const int32_t* i4_modes,
-    const int32_t* part, const int32_t* mvd4) {
+    const int32_t* part, const int32_t* mvd4,
+    const int32_t* refs, int num_ref) {
   BitWriter bw(out, out_cap);
   for (int i = 0; i < header_nbits; i++)
     bw.put(1, (header[i >> 3] >> (7 - (i & 7))) & 1);
@@ -249,6 +250,14 @@ extern "C" long pcamv_write_slice(
       bw.put_ue(p);
       if (p == 3)
         for (int s = 0; s < 4; s++) bw.put_ue(0);  // sub P_L0_8x8
+      if (num_ref > 1) {  // ref_idx_l0 te(v), one per ref slot
+        int n_refs = p == 3 ? 4 : NU[p];
+        for (int k = 0; k < n_refs; k++) {
+          int r = refs ? refs[a * 4 + k] : 0;
+          if (num_ref == 2) bw.put(1, 1 - r);
+          else bw.put_ue((uint32_t)r);
+        }
+      }
       if (part) {
         for (int u = 0; u < NU[p]; u++) {
           bw.put_se(mvd4[(a * 4 + u) * 2]);
@@ -345,6 +354,77 @@ extern "C" long pcamv_write_slice(
     }
   }
   if (slice_type == 0 && skip_run) bw.put_ue(skip_run);
+  bw.trailing();
+  return bw.overflow ? -1 : bw.bytes;
+}
+
+// B slice, 16x16 subset (spec 7.4.5 B table: direct=0/L0=1/L1=2/BI=3;
+// B_SKIP = direct with empty cbp, coded in mb_skip_run). Python twin:
+// encoder/core.py _write_b_slice_cavlc.
+extern "C" long pcamv_write_slice_b(
+    uint8_t* out, long out_cap, const uint8_t* header, int header_nbits,
+    int mbw, int mbh, const int32_t* mode, const int32_t* mvd0,
+    const int32_t* mvd1, const int32_t* cbp_luma,
+    const int32_t* cbp_chroma, const int32_t* luma_blocks,
+    const int32_t* chroma_dc, const int32_t* chroma_ac) {
+  BitWriter bw(out, out_cap);
+  for (int i = 0; i < header_nbits; i++)
+    bw.put(1, (header[i >> 3] >> (7 - (i & 7))) & 1);
+  FrameCtx fc(mbw, mbh);
+  int n = mbw * mbh;
+  int skip_run = 0;
+  for (int a = 0; a < n; a++) {
+    int my = a / mbw, mx = a % mbw;
+    int m = mode[a];
+    int cbpl = cbp_luma[a], cbpc = cbp_chroma[a];
+    if (m == 0 && cbpl == 0 && cbpc == 0) {  // B_SKIP
+      skip_run++;
+      for (int b = 0; b < 4; b++)
+        for (int c = 0; c < 4; c++) fc.set_ny(4 * my + b, 4 * mx + c, 0);
+      for (int ch = 0; ch < 2; ch++)
+        for (int b = 0; b < 2; b++)
+          for (int c = 0; c < 2; c++)
+            fc.set_nc(ch, 2 * my + b, 2 * mx + c, 0);
+      continue;
+    }
+    bw.put_ue(skip_run);
+    skip_run = 0;
+    bw.put_ue((uint32_t)m);
+    if (m == 1 || m == 3) {
+      bw.put_se(mvd0[a * 2]);
+      bw.put_se(mvd0[a * 2 + 1]);
+    }
+    if (m == 2 || m == 3) {
+      bw.put_se(mvd1[a * 2]);
+      bw.put_se(mvd1[a * 2 + 1]);
+    }
+    int cbp = (cbpc << 4) | cbpl;
+    bw.put_ue(CBP_INTER_TO_GOLOMB[cbp]);
+    if (cbp) bw.put_se(0);  // qp_delta (CQP)
+    for (int blk = 0; blk < 16; blk++) {
+      int braster = LSCAN[blk];
+      int by = braster >> 2, bx = braster & 3;
+      int yy = 4 * my + by, xx = 4 * mx + bx;
+      if (cbpl & (1 << (blk >> 2))) {
+        int z[16];
+        zigzag16(&luma_blocks[(a * 16 + braster) * 16], z);
+        int nc = fc.ctx(true, 0, yy, xx);
+        fc.set_ny(yy, xx, write_residual(bw, z, 16, nc));
+      } else {
+        fc.set_ny(yy, xx, 0);
+      }
+    }
+    if (cbp) {
+      write_chroma(bw, fc, mx, my, cbpc, &chroma_dc[a * 8],
+                   &chroma_ac[a * 128]);
+    } else {
+      for (int ch = 0; ch < 2; ch++)
+        for (int b = 0; b < 2; b++)
+          for (int c = 0; c < 2; c++)
+            fc.set_nc(ch, 2 * my + b, 2 * mx + c, 0);
+    }
+  }
+  if (skip_run) bw.put_ue(skip_run);
   bw.trailing();
   return bw.overflow ? -1 : bw.bytes;
 }
@@ -552,23 +632,29 @@ namespace {
 struct Grid4 {
   int h4, w4;
   std::vector<int32_t> mv;   // [h4][w4][2]
+  std::vector<int32_t> ref;  // [h4][w4] (-1 = none)
   std::vector<uint8_t> dec;  // [h4][w4]
   Grid4(int mbw, int mbh)
-      : h4(4 * mbh), w4(4 * mbw), mv(2 * h4 * w4, 0), dec(h4 * w4, 0) {}
-  inline bool nb(int y4, int x4, int32_t out[2]) const {
+      : h4(4 * mbh), w4(4 * mbw), mv(2 * h4 * w4, 0),
+        ref(h4 * w4, -1), dec(h4 * w4, 0) {}
+  inline bool nb(int y4, int x4, int32_t out[2], int* r) const {
     if (y4 < 0 || x4 < 0 || y4 >= h4 || x4 >= w4 || !dec[y4 * w4 + x4]) {
       out[0] = out[1] = 0;
+      *r = -1;
       return false;
     }
     out[0] = mv[(y4 * w4 + x4) * 2];
     out[1] = mv[(y4 * w4 + x4) * 2 + 1];
+    *r = ref[y4 * w4 + x4];
     return true;
   }
-  inline void commit(int y4, int x4, int h, int w, const int32_t m[2]) {
+  inline void commit(int y4, int x4, int h, int w, const int32_t m[2],
+                     int r = 0) {
     for (int y = y4; y < y4 + h; y++)
       for (int x = x4; x < x4 + w; x++) {
         mv[(y * w4 + x) * 2] = m[0];
         mv[(y * w4 + x) * 2 + 1] = m[1];
+        ref[y * w4 + x] = r;
         dec[y * w4 + x] = 1;
       }
   }
@@ -589,22 +675,25 @@ static const int UGEOM[4][4][4] = {
 static const int NUNITS[4] = {1, 2, 2, 4};
 
 void unit_mvp4(const Grid4& g, int y4, int x4, int w4, int part, int unit,
-               int32_t out[2]) {
+               int32_t out[2], int ref = 0) {
+  // spec 8.4.1.3 with the multi-ref same-ref rules (scan.py unit_mvp)
   int32_t a[2], b[2], c[2];
-  bool av_a = g.nb(y4, x4 - 1, a);
-  bool av_b = g.nb(y4 - 1, x4, b);
-  bool av_c = g.nb(y4 - 1, x4 + w4, c);
-  if (!av_c) av_c = g.nb(y4 - 1, x4 - 1, c);
+  int ra, rb, rc;
+  bool av_a = g.nb(y4, x4 - 1, a, &ra);
+  bool av_b = g.nb(y4 - 1, x4, b, &rb);
+  bool av_c = g.nb(y4 - 1, x4 + w4, c, &rc);
+  if (!av_c) av_c = g.nb(y4 - 1, x4 - 1, c, &rc);
   if (part == 1) {  // D_16x8
-    if (unit == 0 && av_b) { out[0] = b[0]; out[1] = b[1]; return; }
-    if (unit == 1 && av_a) { out[0] = a[0]; out[1] = a[1]; return; }
+    if (unit == 0 && av_b && rb == ref) { out[0] = b[0]; out[1] = b[1]; return; }
+    if (unit == 1 && av_a && ra == ref) { out[0] = a[0]; out[1] = a[1]; return; }
   } else if (part == 2) {  // D_8x16
-    if (unit == 0 && av_a) { out[0] = a[0]; out[1] = a[1]; return; }
-    if (unit == 1 && av_c) { out[0] = c[0]; out[1] = c[1]; return; }
+    if (unit == 0 && av_a && ra == ref) { out[0] = a[0]; out[1] = a[1]; return; }
+    if (unit == 1 && av_c && rc == ref) { out[0] = c[0]; out[1] = c[1]; return; }
   }
-  int count = (int)av_a + (int)av_b + (int)av_c;
-  if (count == 1) {
-    const int32_t* m = av_a ? a : av_b ? b : c;
+  bool m_a = av_a && ra == ref, m_b = av_b && rb == ref,
+       m_c = av_c && rc == ref;
+  if ((int)m_a + (int)m_b + (int)m_c == 1) {
+    const int32_t* m = m_a ? a : m_b ? b : c;
     out[0] = m[0]; out[1] = m[1];
     return;
   }
@@ -614,15 +703,17 @@ void unit_mvp4(const Grid4& g, int y4, int x4, int w4, int part, int unit,
 }
 
 void pskip_mv4(const Grid4& g, int y4, int x4, int32_t out[2]) {
+  // zero when A/B missing or a zero-MV *ref-0* neighbour (8.4.1.1)
   int32_t a[2], b[2];
-  bool av_a = g.nb(y4, x4 - 1, a);
-  bool av_b = g.nb(y4 - 1, x4, b);
-  if (!av_a || !av_b || (a[0] == 0 && a[1] == 0)
-      || (b[0] == 0 && b[1] == 0)) {
+  int ra, rb;
+  bool av_a = g.nb(y4, x4 - 1, a, &ra);
+  bool av_b = g.nb(y4 - 1, x4, b, &rb);
+  if (!av_a || !av_b || (ra == 0 && a[0] == 0 && a[1] == 0)
+      || (rb == 0 && b[0] == 0 && b[1] == 0)) {
     out[0] = out[1] = 0;
     return;
   }
-  unit_mvp4(g, y4, x4, 4, 0, 0, out);
+  unit_mvp4(g, y4, x4, 4, 0, 0, out, 0);
 }
 
 }  // namespace
@@ -630,7 +721,8 @@ void pskip_mv4(const Grid4& g, int y4, int x4, int32_t out[2]) {
 extern "C" void pcamv_scan_p_parts(
     const int32_t* part, const int32_t* mv8, const int32_t* cbp_luma,
     const int32_t* cbp_chroma, int mbw, int mbh, const uint8_t* intra,
-    uint8_t* skip, int32_t* mvd, int32_t* mvp_out, int32_t* final8) {
+    uint8_t* skip, int32_t* mvd, int32_t* mvp_out, int32_t* final8,
+    const int32_t* ref8) {
   // mv8/final8: [2mbh][2mbw][2]; mvd/mvp_out: [mbh][mbw][4][2];
   // intra (nullable): intra MBs carry no MVs, unavailable to neighbours
   Grid4 g(mbw, mbh);
@@ -646,28 +738,31 @@ extern "C" void pcamv_scan_p_parts(
         int32_t ps[2];
         pskip_mv4(g, y4, x4, ps);
         const int32_t* here = &mv8[((2 * my) * w8 + 2 * mx) * 2];
-        if (cbp_luma[a] == 0 && cbp_chroma[a] == 0 && here[0] == ps[0]
-            && here[1] == ps[1])
+        int r0 = ref8 ? ref8[(2 * my) * w8 + 2 * mx] : 0;
+        if (cbp_luma[a] == 0 && cbp_chroma[a] == 0 && r0 == 0
+            && here[0] == ps[0] && here[1] == ps[1])
           skip[a] = 1;
       }
       for (int u = 0; u < NUNITS[p]; u++) {
         const int* gg = UGEOM[p][u];
+        int g8 = (2 * my + gg[0] / 2) * w8 + 2 * mx + gg[1] / 2;
+        int r = ref8 ? ref8[g8] : 0;
         int32_t mvp[2];
-        unit_mvp4(g, y4 + gg[0], x4 + gg[1], gg[2], p, u, mvp);
-        const int32_t* mv =
-            &mv8[((2 * my + gg[0] / 2) * w8 + 2 * mx + gg[1] / 2) * 2];
+        unit_mvp4(g, y4 + gg[0], x4 + gg[1], gg[2], p, u, mvp, r);
+        const int32_t* mv = &mv8[g8 * 2];
         mvd[(a * 4 + u) * 2] = mv[0] - mvp[0];
         mvd[(a * 4 + u) * 2 + 1] = mv[1] - mvp[1];
         mvp_out[(a * 4 + u) * 2] = mvp[0];
         mvp_out[(a * 4 + u) * 2 + 1] = mvp[1];
-        g.commit(y4 + gg[0], x4 + gg[1], gg[3], gg[2], mv);
+        g.commit(y4 + gg[0], x4 + gg[1], gg[3], gg[2], mv, r);
       }
     }
 }
 
 extern "C" void pcamv_scan_p_parts_forced(
     const int32_t* part, const int32_t* mv8, const uint8_t* skip,
-    int mbw, int mbh, int32_t* final8, int32_t* mvd, int32_t* mvp_out) {
+    int mbw, int mbh, int32_t* final8, int32_t* mvd, int32_t* mvp_out,
+    const int32_t* ref8) {
   Grid4 g(mbw, mbh);
   const int w8 = 2 * mbw;
   memcpy(final8, mv8, sizeof(int32_t) * 2 * w8 * 2 * mbh);
@@ -689,15 +784,16 @@ extern "C" void pcamv_scan_p_parts_forced(
       }
       for (int u = 0; u < NUNITS[p]; u++) {
         const int* gg = UGEOM[p][u];
+        int g8 = (2 * my + gg[0] / 2) * w8 + 2 * mx + gg[1] / 2;
+        int r = ref8 ? ref8[g8] : 0;
         int32_t mvp[2];
-        unit_mvp4(g, y4 + gg[0], x4 + gg[1], gg[2], p, u, mvp);
-        const int32_t* mv =
-            &final8[((2 * my + gg[0] / 2) * w8 + 2 * mx + gg[1] / 2) * 2];
+        unit_mvp4(g, y4 + gg[0], x4 + gg[1], gg[2], p, u, mvp, r);
+        const int32_t* mv = &final8[g8 * 2];
         mvd[(a * 4 + u) * 2] = mv[0] - mvp[0];
         mvd[(a * 4 + u) * 2 + 1] = mv[1] - mvp[1];
         mvp_out[(a * 4 + u) * 2] = mvp[0];
         mvp_out[(a * 4 + u) * 2 + 1] = mvp[1];
-        g.commit(y4 + gg[0], x4 + gg[1], gg[3], gg[2], mv);
+        g.commit(y4 + gg[0], x4 + gg[1], gg[3], gg[2], mv, r);
       }
     }
 }

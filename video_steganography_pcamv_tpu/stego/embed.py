@@ -411,9 +411,10 @@ class StegoEngine:
         if an <= 0 or n_cov == 0:
             # nothing to embed: MVs unchanged; rescan for consistency
             self.sent_messages.append(np.zeros(0, np.uint8))
-            if enc._native is not None and ref8 is None:
+            if enc._native is not None:
                 from .. import native
-                f8, md, _ = native.scan_p_parts_forced(part, mv8, skip1)
+                f8, md, _ = native.scan_p_parts_forced(part, mv8, skip1,
+                                                       ref8=ref8)
             else:
                 f8, md, _ = SCAN.scan_p_frame_forced(part, mv8, skip1,
                                                      ref8=ref8)
@@ -501,10 +502,10 @@ class StegoEngine:
                 gy, gx = 2 * my + (b >> 1), 2 * mx + (b & 1)
                 mv8_2[gy, gx] = alt_u[my, mx, ui]
 
-        if enc._native is not None and ref8 is None:
+        if enc._native is not None:
             from .. import native
             final8, mvd2, _mvp2 = native.scan_p_parts_forced(
-                part, mv8_2, skip1)
+                part, mv8_2, skip1, ref8=ref8)
         else:
             final8, mvd2, _mvp2 = SCAN.scan_p_frame_forced(
                 part, mv8_2, skip1, ref8=ref8)
