@@ -119,3 +119,37 @@ def test_b_stego_roundtrip():
     assert len(got) == len(sent) > 0
     for g, s in zip(got, sent):
         np.testing.assert_array_equal(g, s)
+
+
+def test_b_adapt_closes_gop():
+    """A mid-sequence content change (below the scenecut bar) must pull
+    the anchor forward under b_adapt: the hard frame is coded P, not B."""
+    rng = np.random.RandomState(9)
+    pad = 24
+    a = rng.randint(20, 236, (H + 2 * pad, W + 2 * pad)).astype(np.uint8)
+    b2 = rng.randint(20, 236, (H + 2 * pad, W + 2 * pad)).astype(np.uint8)
+    for _ in range(2):
+        a = ((a.astype(np.int32) + np.roll(a, 1, 0) + np.roll(a, 1, 1)
+              + np.roll(np.roll(a, 1, 0), 1, 1)) // 4).astype(np.uint8)
+        b2 = ((b2.astype(np.int32) + np.roll(b2, 1, 0) + np.roll(b2, 1, 1)
+               + np.roll(np.roll(b2, 1, 0), 1, 1)) // 4).astype(np.uint8)
+    u = np.full((H // 2, W // 2), 128, np.uint8)
+    frames = []
+    for i in range(6):
+        src = a if i < 2 else b2   # content switch mid-GOP (frame 2)
+        s = i if i < 2 else i - 2
+        yp = src[pad + s:pad + s + H, pad + 2 * s:pad + 2 * s + W]
+        frames.append(Frame(np.ascontiguousarray(yp), u.copy(), u.copy()))
+
+    types = {}
+    for adapt in (0, 1):
+        p = Params(width=W, height=H, qp=28, me_range=4, bframes=2,
+                   b_adapt=adapt, scenecut_threshold=0, keyint_max=250)
+        enc = Encoder(p)
+        bs = _encode_all(enc, frames)
+        dec = decode_annexb(bs)
+        assert len(dec) == 6
+        types[adapt] = [d.slice_type for d in dec]
+    # fixed cadence codes frame 2 as B; adaptive must anchor it as P
+    assert types[1] != types[0], types
+    assert types[1][2] in (0, 5), types

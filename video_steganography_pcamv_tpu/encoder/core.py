@@ -175,7 +175,9 @@ class Encoder:
             return out + self._encode_anchor(frame, y, u, v, True,
                                              satd, disp)
         self._bbuf.append((frame, y, u, v, satd, disp))
-        if len(self._bbuf) <= self.p.bframes:
+        adapt_close = (self.p.b_adapt and len(self._bbuf) > 1
+                       and self.lookahead.bad_b_candidate)
+        if len(self._bbuf) <= self.p.bframes and not adapt_close:
             return out
         return out + self._flush_gop()
 

@@ -114,6 +114,9 @@ class Lookahead:
         self.prev_lr = None
         self.last_keyframe = -(10 ** 9)
         self.frame_idx = -1
+        # B-adapt signal: True when the incoming frame predicts poorly
+        # from its predecessor (close the GOP, code it as the P anchor)
+        self.bad_b_candidate = False
 
     def decide(self, y: jnp.ndarray):
         """Returns (is_idr, satd_complexity) for the incoming frame.
@@ -151,6 +154,11 @@ class Lookahead:
                        thresh + thresh * (since_key / p.keyint_max))
             if cp >= (1.0 - bias) * ci:
                 is_idr = True
+        # adaptive-B signal (role of slicetype.c:476 B_ADAPT_FAST,
+        # redesigned for the 1-frame lookahead: a frame whose lowres
+        # inter cost approaches its intra cost interpolates badly and
+        # should anchor the GOP instead of riding as a B)
+        self.bad_b_candidate = cp * 10 > ci * 9
         if is_idr:
             self.last_keyframe = idx
             return True, ci

@@ -64,6 +64,8 @@ class Params:
     scenecut_threshold: int = 40   # reference default i_scenecut_threshold
     lookahead_me_range: int = 8
     bframes: int = 0
+    b_adapt: int = 1               # adaptive B placement (x264
+                                   # i_bframe_adaptive default on)
 
     # rate control (reference: x264_param_t.rc, ratecontrol.c)
     rc_mode: int = 0               # 0 CQP / 1 CRF / 2 ABR (RC_* below)
@@ -238,6 +240,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.chroma_qp_offset = int(value)
     elif name == "bframes":
         p.bframes = int(value)
+    elif name in ("b_adapt", "b-adapt"):
+        p.b_adapt = int(value)
     elif name == "threads":
         p.threads = int(value)
     elif name == "fps":
