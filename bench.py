@@ -30,7 +30,11 @@ def run(width=1920, height=1088, n_measure=6, qp=26, em_rate=64.0):
         extract_from_stream)
 
     frames = synthetic_sequence(width, height, 3, seed=7)
+    # serving configuration: reference stays on-device (wavefront
+    # deblock twin), metrics off (x264 also computes PSNR only when
+    # asked); levels cross the tunnel as one packed transfer
     p = Params(width=width, height=height, qp=qp, me_range=16,
+               deblock_device=True, psnr=False,
                stego=StegoParams(em_rate=em_rate, key=99))
     enc = Encoder(p)
 

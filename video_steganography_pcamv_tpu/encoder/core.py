@@ -34,13 +34,32 @@ import functools
 import jax as _jax
 
 
-def _res_to_host(res, mbh, mbw):
+def _res_to_host(res, mbh, mbw, with_recon: bool = True):
     """Pull the per-frame result dict and restore the structured level
-    shapes (the device emits flat trailing dims; np reshape is free)."""
-    out = {k: np.asarray(v) for k, v in res.items()}
-    out["luma_lev"] = out["luma_lev"].reshape(mbh, mbw, 4, 4, 4, 4)
-    out["chroma_dc"] = out["chroma_dc"].reshape(mbh, mbw, 2, 2, 2)
-    out["chroma_ac"] = out["chroma_ac"].reshape(mbh, mbw, 2, 2, 2, 4, 4)
+    shapes (the device emits flat trailing dims; np reshape is free).
+
+    The three level tensors ride ONE device concat + ONE transfer (the
+    tunnel charges per round trip); recon planes are skipped when the
+    reference stays on-device (with_recon=False)."""
+    n = mbh * mbw
+    lev3 = jnp.concatenate(
+        [res["luma_lev"].reshape(n, 256).astype(jnp.int16),
+         res["chroma_dc"].reshape(n, 8).astype(jnp.int16),
+         res["chroma_ac"].reshape(n, 128).astype(jnp.int16)], axis=1)
+    packed = np.asarray(lev3)
+    out = {}
+    for k, v in res.items():
+        if k in ("luma_lev", "chroma_dc", "chroma_ac"):
+            continue
+        if not with_recon and k.startswith("recon_"):
+            continue
+        out[k] = np.asarray(v)
+    out["luma_lev"] = np.ascontiguousarray(packed[:, :256]) \
+        .reshape(mbh, mbw, 4, 4, 4, 4)
+    out["chroma_dc"] = np.ascontiguousarray(packed[:, 256:264]) \
+        .reshape(mbh, mbw, 2, 2, 2)
+    out["chroma_ac"] = np.ascontiguousarray(packed[:, 264:]) \
+        .reshape(mbh, mbw, 2, 2, 2, 4, 4)
     return out
 
 
@@ -666,8 +685,13 @@ class Encoder:
             p.mb_height, p.mb_width,
             ref4=(jnp.asarray(ref4) if ref4 is not None else None))
         self._push_ref(mc.build_ref(dy, du, dv))
-        self.recon_prev = (np.asarray(dy), np.asarray(du),
-                           np.asarray(dv))
+        if self.p.psnr or self.keep_recon:
+            self.recon_prev = (np.asarray(dy), np.asarray(du),
+                               np.asarray(dv))
+        else:
+            # no metrics: the reference never leaves the chip; keep
+            # device handles for --dump-yuv-style consumers
+            self.recon_prev = (dy, du, dv)
 
     def _push_ref(self, refdict):
         """Sliding-window DPB update (newest first; spec 8.2.5.3)."""
@@ -824,7 +848,9 @@ class Encoder:
                 ref8=ref8_np)
             if replaced is not None:
                 final8, skip, mvd, res = replaced
-        res_np = _res_to_host(res, mbh, mbw)
+        need_recon = (self.keep_recon
+                      or not (p.deblock and self._on_tpu()))
+        res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
 
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
         ref4 = (np.repeat(np.repeat(ref8_np, 2, 0), 2, 1)
@@ -981,7 +1007,9 @@ class Encoder:
                 self, y, u, v, part_np, sub_np, mv4_np, skip, mvp)
             if replaced is not None:
                 final4, skip, mvd, res = replaced
-        res_np = _res_to_host(res, mbh, mbw)
+        need_recon = (self.keep_recon
+                      or not (p.deblock and self._on_tpu()))
+        res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
 
         nnz4 = None
         if intra_res is not None:
@@ -1105,18 +1133,20 @@ class Encoder:
             jnp.asarray(use0), jnp.asarray(use1), jnp.asarray(fmv0),
             jnp.asarray(fmv1), qp, qpc, mbh, mbw,
             decimate=p.dct_decimate, trellis=bool(p.trellis))
-        res_np = _res_to_host(res, mbh, mbw)
+        need_recon = self.keep_recon or p.psnr or p.ssim
+        res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
         # B never enters the DPB: PSNR directly against the source
         h, w = frame.y.shape
-        dy = (res_np["recon_y"][:h, :w].astype(np.int64)
-              - frame.y.astype(np.int64))
-        du = (res_np["recon_u"][:h // 2, :w // 2].astype(np.int64)
-              - frame.u.astype(np.int64))
-        dv = (res_np["recon_v"][:h // 2, :w // 2].astype(np.int64)
-              - frame.v.astype(np.int64))
-        self.stats.ssd_y += int(np.sum(dy * dy))
-        self.stats.ssd_u += int(np.sum(du * du))
-        self.stats.ssd_v += int(np.sum(dv * dv))
+        if need_recon and p.psnr:
+            dy = (res_np["recon_y"][:h, :w].astype(np.int64)
+                  - frame.y.astype(np.int64))
+            du = (res_np["recon_u"][:h // 2, :w // 2].astype(np.int64)
+                  - frame.u.astype(np.int64))
+            dv = (res_np["recon_v"][:h // 2, :w // 2].astype(np.int64)
+                  - frame.v.astype(np.int64))
+            self.stats.ssd_y += int(np.sum(dy * dy))
+            self.stats.ssd_u += int(np.sum(du * du))
+            self.stats.ssd_v += int(np.sum(dv * dv))
         if p.ssim:
             from ..ops.pixel import ssim_wxh
             self.stats.ssim_sum += float(ssim_wxh(
@@ -1257,7 +1287,10 @@ class Encoder:
                                                None, skip, mvp)
             if replaced is not None:
                 mv_np, skip, mvd, res = replaced
-        res_np = _res_to_host(res, p.mb_height, p.mb_width)
+        need_recon = (self.keep_recon
+                      or not (p.deblock and self._on_tpu()))
+        res_np = _res_to_host(res, p.mb_height, p.mb_width,
+                              with_recon=need_recon)
 
         if p.deblock and self._native is not None:
             self._deblock(res_np, intra=False, mv=mv_np,
@@ -1338,7 +1371,7 @@ class Encoder:
             self._nr_count >>= 1
 
     def _accumulate_psnr(self, frame: Frame):
-        if self.recon_prev is None:
+        if self.recon_prev is None or not self.p.psnr:
             return
         ry, ru, rv = self.recon_prev
         h, w = frame.y.shape

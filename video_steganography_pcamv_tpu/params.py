@@ -107,6 +107,9 @@ class Params:
                                # analyse=p4x4, off by default there too)
 
     # entropy / tools
+    psnr: bool = True          # in-loop PSNR (x264 b_psnr; off skips
+                               # the recon download when the reference
+                               # stays on-device)
     ssim: bool = False         # in-loop SSIM metric (x264 --ssim,
                                # encoder.c:1069-1080)
     noise_reduction: int = 0   # denoise_dct strength (x264 --nr,
@@ -218,6 +221,9 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.trellis = int(value)
     elif name == "ssim":
         p.ssim = _BOOL[value.lower()]
+    elif name in ("psnr", "no_psnr"):
+        p.psnr = _BOOL[value.lower()] if name == "psnr" \
+            else not _BOOL[value.lower()]
     elif name in ("nr", "noise_reduction"):
         p.noise_reduction = int(value)
     elif name == "partitions":
