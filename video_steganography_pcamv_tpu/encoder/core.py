@@ -785,17 +785,14 @@ class Encoder:
                     jnp.asarray(self.prev_mv), p.me_range, mbh, mbw,
                     lam, p.subpel, p.ref_frames,
                     use_pallas=jax.default_backend() == "tpu")
-            ref8_np = np.asarray(ref8)
         else:
             part, mv8, r_idx8, blocks8, wht8, mb_cost = \
                 PT.analyse_p_frame_parts(
                     y, self.ref["luma"], jnp.asarray(self.prev_mv),
                     p.me_range, mbh, mbw, lam, p.subpel,
                     use_pallas=jax.default_backend() == "tpu")
-            ref8, ref8_np = None, None
+            ref8 = None
         self._ptables8 = {"blocks": blocks8, "wht": wht8, "r_idx": r_idx8}
-        part_np = np.asarray(part)
-        mv8_np = np.asarray(mv8)
         if multiref:
             res = P.encode_p_frame_device8_mref(
                 y, u, v, refs_luma, refs_u, refs_v, mv8, ref8,
@@ -824,10 +821,27 @@ class Encoder:
                 for k in ("recon_y", "recon_u", "recon_v"):
                     res[k] = ir[k]
 
-        # the scan needs only the cbp maps; the bulky arrays cross the
-        # link exactly once, after a possible stego re-encode
-        cbp_l = np.asarray(res["cbp_luma"])
-        cbp_c = np.asarray(res["cbp_chroma"])
+        # ONE pull for all per-MB metadata (part + mv + cbp + refs):
+        # the tunnel charges per blocking round trip, so everything the
+        # host scan needs crosses together; the bulky level arrays
+        # cross once more after a possible stego re-encode
+        n_mb = mbh * mbw
+        metas = [part.reshape(-1), mv8.reshape(-1),
+                 res["cbp_luma"].reshape(-1).astype(jnp.int32),
+                 res["cbp_chroma"].reshape(-1).astype(jnp.int32)]
+        if multiref:
+            metas.append(ref8.reshape(-1))
+        meta = np.asarray(jnp.concatenate(
+            [m.astype(jnp.int32) for m in metas]))
+        part_np = np.ascontiguousarray(meta[:n_mb]).reshape(mbh, mbw)
+        mv8_np = np.ascontiguousarray(meta[n_mb:9 * n_mb]) \
+            .reshape(2 * mbh, 2 * mbw, 2)
+        cbp_l = np.ascontiguousarray(
+            meta[9 * n_mb:10 * n_mb]).reshape(mbh, mbw)
+        cbp_c = np.ascontiguousarray(
+            meta[10 * n_mb:11 * n_mb]).reshape(mbh, mbw)
+        ref8_np = (np.ascontiguousarray(meta[11 * n_mb:15 * n_mb])
+                   .reshape(2 * mbh, 2 * mbw) if multiref else None)
         intra_mask = intra_kind > 0
         if self._native is not None:
             from .. import native
@@ -850,11 +864,15 @@ class Encoder:
                 final8, skip, mvd, res = replaced
         need_recon = (self.keep_recon
                       or not (p.deblock and self._on_tpu()))
-        res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
-
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
         ref4 = (np.repeat(np.repeat(ref8_np, 2, 0), 2, 1)
                 if multiref else None)
+        # level pull before the deblock dispatch: the device drains
+        # its queue in order, so enqueueing the 254-wave deblock first
+        # would put it ahead of the transfer; measured equal through
+        # the tunnel (variance band +-15%), so keep the simpler order
+        res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
+
         nnz4 = None
         if intra_res is not None:
             # deblock nnz: inter MBs from luma_lev, intra from luma_ac
@@ -878,6 +896,17 @@ class Encoder:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
                                res_np["recon_v"])
+        return self._finish_p_slice(res_np, qp, part_np, mvd, skip,
+                                    intra_kind, intra_res, ref8_np,
+                                    final8, intra_mask, multiref)
+
+    def _finish_p_slice(self, res_np, qp, part_np, mvd, skip,
+                        intra_kind, intra_res, ref8_np, final8,
+                        intra_mask, multiref):
+        """Host tail of the partitioned P path: predictor update,
+        frame info, slice header + entropy."""
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
         self.prev_mv = np.where(intra_mask[..., None], 0,
                                 np.ascontiguousarray(final8[::2, ::2]))
         kind = np.where(skip, 0, 1).astype(np.int32)

@@ -63,7 +63,7 @@ def lowres_costs_pallas(cur_lr, ref_lr, bh: int, bw: int, rng: int = 8):
     intra = jnp.sum(jnp.abs(blocks - dc), axis=(-4, -3))
     cost_p = jnp.sum(jnp.minimum(inter, intra))
     cost_i = jnp.sum(intra)
-    return cost_i, cost_p
+    return jnp.stack([cost_i, cost_p])  # one array = one host pull
 
 
 @functools.partial(jax.jit, static_argnames=("bh", "bw", "rng"))
@@ -99,7 +99,7 @@ def lowres_costs(cur_lr, ref_lr, bh: int, bw: int, rng: int = 8):
 
     cost_p = jnp.sum(jnp.minimum(inter, intra))
     cost_i = jnp.sum(intra)
-    return cost_i, cost_p
+    return jnp.stack([cost_i, cost_p])
 
 
 class Lookahead:
@@ -131,15 +131,16 @@ class Lookahead:
             self.prev_lr = cur_lr
             self.last_keyframe = idx
             # first frame: intra cost only
-            ci, _ = lowres_costs(cur_lr, cur_lr, bh, bw, rng=0)
-            return True, int(ci)
+            both = np.asarray(lowres_costs(cur_lr, cur_lr, bh, bw,
+                                           rng=0))
+            return True, int(both[0])
 
         # (lowres_costs_pallas exists and matches within heuristic
         # tolerance, but the jnp scan measures equal at half-res — keep
         # the simpler path)
-        ci, cp = lowres_costs(cur_lr, self.prev_lr, bh, bw,
-                              rng=p.lookahead_me_range)
-        ci, cp = int(ci), int(cp)
+        both = np.asarray(lowres_costs(cur_lr, self.prev_lr, bh, bw,
+                                       rng=p.lookahead_me_range))
+        ci, cp = int(both[0]), int(both[1])
         self.prev_lr = cur_lr
 
         since_key = idx - self.last_keyframe

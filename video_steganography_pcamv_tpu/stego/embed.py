@@ -191,9 +191,16 @@ class StegoEngine:
             jnp.asarray(mv8), jnp.asarray(mvp_u),
             jnp.asarray(cost_mv_table(lam)), qp, mbh, mbw,
             decimate=p.dct_decimate)
+        # rho + alt ride one pull (alt qpel MVs are exact in f32)
+        n_mb = mbh * mbw
+        packed = np.asarray(jnp.concatenate(
+            [rho_u.reshape(-1).astype(jnp.float32),
+             alt_u.reshape(-1).astype(jnp.float32)]))
+        rho_np = packed[:4 * n_mb].reshape(mbh, mbw, 4)
+        alt_np = packed[4 * n_mb:].reshape(mbh, mbw, 4, 2) \
+            .astype(np.int32)
         final8, skip1, mvd2 = self.apply_costs(
-            enc, part, mv8, skip1, np.asarray(rho_u), np.asarray(alt_u),
-            ref8=ref8)
+            enc, part, mv8, skip1, rho_np, alt_np, ref8=ref8)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         if ref8 is not None:
             refs_luma, refs_u, refs_v = enc._mref_stack
