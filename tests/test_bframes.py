@@ -153,3 +153,30 @@ def test_b_adapt_closes_gop():
     # fixed cadence codes frame 2 as B; adaptive must anchor it as P
     assert types[1] != types[0], types
     assert types[1][2] in (0, 5), types
+
+
+def test_b_with_multiref_p():
+    """--bframes + --ref 2: P anchors search the full DPB while B
+    frames ride between anchors; blind stego extraction intact."""
+    from video_steganography_pcamv_tpu.stego.extract import (
+        extract_from_stream)
+    n = 7
+    frames = _pan_frames(W, H, n, seed=13)
+    p = Params(width=W, height=H, qp=26, me_range=4, bframes=1,
+               ref_frames=2,
+               stego=StegoParams(em_rate=16.0, key=11))
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == n
+    assert 1 in [d.slice_type for d in dec]
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i}")
+    got = extract_from_stream(bs, em_rate=16.0, key=11)
+    sent = enc._stego.sent_messages
+    assert len(got) == len(sent) > 0
+    for g, s in zip(got, sent):
+        np.testing.assert_array_equal(g, s)

@@ -105,10 +105,11 @@ class Encoder:
                          cabac=params.cabac)
         if params.bframes > 0:
             # out-of-order output needs real POCs; B slices need main
-            # profile; the decoder must hold both anchors
+            # profile; the decoder must hold both anchors (plus the
+            # full L0 window when multi-ref P is on too)
             self.sps.poc_type = 0
             self.sps.profile = H.PROFILE_MAIN
-            self.sps.num_ref_frames = 2
+            self.sps.num_ref_frames = max(2, params.ref_frames)
         self.dpb = []   # device ref dicts, newest first (L0 order)
         self._bbuf = []        # pending display-order frames (B pipe)
         self._disp_idx = 0     # display index of the next input frame

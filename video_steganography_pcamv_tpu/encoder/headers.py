@@ -124,7 +124,15 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
     if slice_type == SLICE_TYPE_B:
         bw.write1(1)  # direct_spatial_mv_pred_flag (spatial direct)
     if slice_type in (SLICE_TYPE_P, SLICE_TYPE_B):
-        bw.write1(0)  # num_ref_idx_active_override
+        if (slice_type == SLICE_TYPE_B
+                and pps.num_ref_idx_l0_active != 1):
+            # B MBs here use one ref per list; override the PPS's
+            # multi-ref P default (spec 7.4.3 num_ref_idx_active)
+            bw.write1(1)
+            bw.write_ue(0)   # num_ref_idx_l0_active_minus1
+            bw.write_ue(0)   # num_ref_idx_l1_active_minus1
+        else:
+            bw.write1(0)  # num_ref_idx_active_override
         bw.write1(0)  # ref_pic_list_reordering_flag_l0
         if slice_type == SLICE_TYPE_B:
             bw.write1(0)  # ref_pic_list_reordering_flag_l1

@@ -135,9 +135,6 @@ class Params:
             "dimensions must be even (4:2:0)"
         self.qp = max(self.qp_min, min(self.qp_max, self.qp))
         self.bframes = max(0, min(16, self.bframes))
-        if self.bframes > 0:
-            assert self.ref_frames == 1, \
-                "bframes + multi-ref P not combined yet (documented gap)"
         self.subpel = max(0, min(2, self.subpel))
         self.ref_frames = max(1, min(8, self.ref_frames))
         if self.ref_frames > 1:
