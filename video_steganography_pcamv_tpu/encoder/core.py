@@ -309,6 +309,9 @@ class Encoder:
             out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
             self.stats.p_frames += 1
         self._accumulate_psnr(frame)
+        if self.keep_recon:
+            self.recon_by_disp[self._frame_idx] = tuple(
+                np.asarray(x).copy() for x in self.recon_prev)
         self.frame_num += 1
         self._frame_idx += 1
         self.stats.frames += 1
