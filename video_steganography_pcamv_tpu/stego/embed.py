@@ -436,55 +436,47 @@ class StegoEngine:
             for ui, blks in enumerate(units):
                 unit_mv[sel, ui] = mvz[sel, blks[0]]
 
-        # MVC adjustment (encoder.c:1649-1819)
+        # MVC adjustment (encoder.c:1649-1819), vectorized over the
+        # MB grid (the reference's per-MB loop costs ~1 s at 1080p in
+        # Python on busy content)
         c1, c2 = st.mvc_c1, st.mvc_c2
-        for my in range(mbh):
-            for mx in range(mbw):
-                if skip1[my, mx]:
-                    continue
-                pt = int(part[my, mx])
-                if pt in (1, 2):        # 16x8 / 8x16: first-class pair
-                    d = np.abs(unit_mv[my, mx, 0] - unit_mv[my, mx, 1])
-                    if d[0] + d[1] < 2:
-                        rho_u[my, mx, 0] *= c1
-                        rho_u[my, mx, 1] *= c1
-                elif pt == 3:           # all-8x8 quad: cycle count
-                    m = unit_mv[my, mx]   # slots 0..3 = TL,TR,BL,BR
-                    pairs = [(0, 1), (1, 3), (3, 2), (2, 0)]
-                    cnt = 0
-                    for a, b in pairs:
-                        for comp in range(2):
-                            if abs(int(m[a, comp]) - int(m[b, comp])) <= 1:
-                                cnt += 1
-                    rho_u[my, mx, :4] *= (c2 * cnt + 1)
+        coded = ~skip1
+        pair = coded & ((part == 1) | (part == 2))
+        d01 = np.abs(unit_mv[:, :, 0] - unit_mv[:, :, 1]).sum(-1)
+        near = pair & (d01 < 2)
+        rho_u[near, 0] *= c1
+        rho_u[near, 1] *= c1
+        quad = coded & (part == 3)
+        cnt = np.zeros((mbh, mbw), np.int64)
+        for a, b in ((0, 1), (1, 3), (3, 2), (2, 0)):
+            for comp in range(2):
+                cnt += (np.abs(unit_mv[:, :, a, comp].astype(np.int64)
+                               - unit_mv[:, :, b, comp]) <= 1)
+        rho_u[quad] *= (c2 * cnt[quad] + 1.0)[:, None]
         rho_u *= st.alpha_loc
         if st.alpha_com != 0.0:
             from ..ops.uniward import dense_mv_field, mv_field_cost
+            from ..encoder.scan import UNIT_GEOM
             mv4 = np.repeat(np.repeat(mv8, 2, 0), 2, 1)
             rho_com = np.asarray(mv_field_cost(
                 jnp.asarray(mv4[..., 0].astype(np.float32)),
                 jnp.asarray(mv4[..., 1].astype(np.float32))))
-            # per-unit complexity at the unit's top-left 4x4
-            from ..encoder.scan import UNIT_GEOM
-            for my in range(mbh):
-                for mx in range(mbw):
-                    pt = int(part[my, mx])
-                    for ui, (oy, ox, _, _) in enumerate(UNIT_GEOM[pt]):
-                        rho_u[my, mx, ui] += st.alpha_com * \
-                            rho_com[4 * my + oy, 4 * mx + ox]
+            ys4 = 4 * np.arange(mbh)[:, None]
+            xs4 = 4 * np.arange(mbw)[None, :]
+            for pt_, geom in UNIT_GEOM.items():
+                sel = part == pt_
+                for ui, (oy, ox, _, _) in enumerate(geom):
+                    rho_u[sel, ui] += st.alpha_com * \
+                        rho_com[ys4 + oy, xs4 + ox][sel]
 
-        # assemble cover in coding order
-        cov_bits, cov_pos = [], []
-        for my in range(mbh):
-            for mx in range(mbw):
-                if skip1[my, mx]:
-                    continue
-                for ui in range(int(nu[my, mx])):
-                    mv = unit_mv[my, mx, ui]
-                    cov_bits.append(int(mv[0] + mv[1]) & 1)
-                    cov_pos.append((my, mx, ui))
-        cov = np.array(cov_bits, np.uint8)
-        rho_cov = np.array([rho_u[pos] for pos in cov_pos], np.float64)
+        # assemble cover in coding order: raster (my, mx) then unit —
+        # exactly np.nonzero's order over the [mbh,mbw,4] mask
+        valid = coded[:, :, None] & (np.arange(4)[None, None, :]
+                                     < nu[:, :, None])
+        cov_idx = np.nonzero(valid.reshape(-1))[0]
+        umv_f = unit_mv.reshape(-1, 2)[cov_idx]
+        cov = ((umv_f[:, 0] + umv_f[:, 1]) & 1).astype(np.uint8)
+        rho_cov = rho_u.reshape(-1)[cov_idx].astype(np.float64)
 
         message = self._next_message(an)
         if enc._native is not None:
@@ -501,9 +493,9 @@ class StegoEngine:
 
         # apply flips: member blocks of flipped units take the alt MV
         mv8_2 = mv8.copy()
-        for f, (my, mx, ui) in zip(flips, cov_pos):
-            if not f:
-                continue
+        for fi in cov_idx[flips]:
+            my, rem = divmod(int(fi), mbw * 4)
+            mx, ui = divmod(rem, 4)
             pt = int(part[my, mx])
             for b in UNIT_BLOCKS[pt][ui]:
                 gy, gx = 2 * my + (b >> 1), 2 * mx + (b & 1)
