@@ -157,7 +157,8 @@ def main(argv=None):
                     info["kind"], info["part"], info["mv8"])
                 write_ppm(f"{args.visualize}{i:04d}.ppm", rgb)
             if args.dump_yuv:
-                ry, ru, rv = enc.recon_prev
+                # recon may be device-resident under --no-psnr
+                ry, ru, rv = (np.asarray(x) for x in enc.recon_prev)
                 recons.append(yuv.Frame(
                     ry[:p.height, :p.width].astype(np.uint8),
                     ru[:p.height // 2, :p.width // 2].astype(np.uint8),
