@@ -54,6 +54,12 @@ def build_argparser():
                     help="trellis RD quantization (0 off, 1 final encode)")
     ap.add_argument("--ssim", action="store_true",
                     help="compute in-loop SSIM (x264 --ssim)")
+    ap.add_argument("--no-psnr", action="store_true",
+                    help="skip in-loop PSNR (keeps recon on-device "
+                         "with device deblocking)")
+    ap.add_argument("--deblock-device", action="store_true",
+                    help="run the in-loop deblocker on-device "
+                         "(serving config; reference stays on-chip)")
     ap.add_argument("--nr", type=int, default=0,
                     help="noise reduction strength (x264 --nr)")
     ap.add_argument("--no-dct-decimate", action="store_true")
@@ -114,6 +120,8 @@ def main(argv=None):
                subpel=args.subme,
                trellis=args.trellis,
                ssim=args.ssim,
+               psnr=not args.no_psnr,
+               deblock_device=args.deblock_device,
                noise_reduction=args.nr,
                bitrate=args.bitrate, crf=args.crf,
                vbv_maxrate=args.vbv_maxrate,
