@@ -180,3 +180,28 @@ def test_b_with_multiref_p():
     assert len(got) == len(sent) > 0
     for g, s in zip(got, sent):
         np.testing.assert_array_equal(g, s)
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_b_p4x4_roundtrip_bitexact(cabac):
+    """p4x4 + bframes: spatial-direct colocated checks read the
+    anchor's TRUE per-4x4 motion field (sub-8x8 anchors must not
+    coarsen it to 8x8 granularity, or decoded B frames diverge)."""
+    n = 5
+    frames = _pan_frames(W, H, n, seed=11, step=3)
+    p = Params(width=W, height=H, qp=27, me_range=4, bframes=1,
+               cabac=cabac, p4x4=True)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == n
+    types = [d.slice_type for d in dec]
+    assert 1 in types, f"no B slices in {types}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")

@@ -143,48 +143,53 @@ def main(argv=None):
         n = min(n, args.frames)
 
     t0 = time.time()
-    recons = []
     mkv = None
     if args.output.endswith(".mkv"):
         from .utils.mkv import MkvWriter
         mkv = MkvWriter(args.output, p.width, p.height,
                         p.fps_num, p.fps_den)
-    with open(args.output, "wb") if mkv is None else _null_ctx() as f:
-        for i in range(n):
-            frame = reader.read(args.seek + i)
-            chunk = enc.encode_frame(frame)
+    if args.dump_yuv:
+        # recon gathered per display index (with --bframes the encoder
+        # emits AUs in decode order; recon_by_disp restores display
+        # order, and keep_recon materializes device-resident recon)
+        enc.keep_recon = True
+
+    def emit(aus, f):
+        from .utils.visualize import overlay_frame, write_ppm
+        for disp, chunk, kind in aus:
             if mkv is not None:
-                mkv.add_frame(chunk)
+                mkv.add_frame(chunk, timecode_ms=int(
+                    disp * 1000 * p.fps_den / p.fps_num))
             else:
                 f.write(chunk)
-            if args.visualize:
-                from .utils.visualize import overlay_frame, write_ppm
+            if args.visualize and kind in ("I", "P"):
+                # overlays cover anchors (B MB metadata isn't recorded)
                 info = enc.last_frame_info
                 rgb = overlay_frame(
                     np.asarray(enc.recon_prev[0])[:p.height, :p.width],
                     info["kind"], info["part"], info["mv8"])
-                write_ppm(f"{args.visualize}{i:04d}.ppm", rgb)
-            if args.dump_yuv:
-                # recon may be device-resident under --no-psnr
-                ry, ru, rv = (np.asarray(x) for x in enc.recon_prev)
-                recons.append(yuv.Frame(
-                    ry[:p.height, :p.width].astype(np.uint8),
-                    ru[:p.height // 2, :p.width // 2].astype(np.uint8),
-                    rv[:p.height // 2, :p.width // 2].astype(np.uint8)))
+                write_ppm(f"{args.visualize}{disp:04d}.ppm", rgb)
+
+    with open(args.output, "wb") if mkv is None else _null_ctx() as f:
+        for i in range(n):
+            frame = reader.read(args.seek + i)
+            emit(enc.encode_frame_aus(frame), f)
             if (i + 1) % 10 == 0 or i + 1 == n:
                 el = time.time() - t0
                 print(f"\r[{i+1}/{n}] {(i+1)/el:.2f} fps", end="",
                       file=sys.stderr)
-        tail = enc.flush()   # drain frames delayed for B reordering
-        if tail:
-            if mkv is not None:
-                mkv.add_frame(tail)
-            else:
-                f.write(tail)
+        emit(enc.flush_aus(), f)  # drain frames delayed for B reorder
     if mkv is not None:
         mkv.close()
     print(file=sys.stderr)
     if args.dump_yuv:
+        recons = []
+        for disp in sorted(enc.recon_by_disp):
+            ry, ru, rv = enc.recon_by_disp[disp]
+            recons.append(yuv.Frame(
+                ry[:p.height, :p.width].astype(np.uint8),
+                ru[:p.height // 2, :p.width // 2].astype(np.uint8),
+                rv[:p.height // 2, :p.width // 2].astype(np.uint8)))
         yuv.write_y4m(args.dump_yuv, recons,
                       fps=(p.fps_num, p.fps_den))
     s = enc.close()

@@ -118,6 +118,7 @@ class Encoder:
         self._poc_lsb = 0      # poc of the slice being written
         self.keep_recon = False     # tests: record recon per display idx
         self.recon_by_disp = {}
+        self._aus = None       # when a list: (disp, bytes, kind) per AU
         # noise-reduction running state (x264 nr_residual_sum/nr_count)
         self._nr_sum = np.zeros((4, 4), np.float64)
         self._nr_count = 0
@@ -174,6 +175,27 @@ class Encoder:
         if self.p.bframes > 0:
             return self._encode_frame_bpipe(frame)
         return self._encode_frame_ipp(frame)
+
+    def encode_frame_aus(self, frame: Frame):
+        """Like encode_frame, but returns the access units emitted by
+        this call as a list of (display_idx, annexb_bytes, kind) with
+        kind in {"I","P","B"} — what a muxer needs (per-AU blocks +
+        display-order timestamps) instead of one opaque chunk."""
+        self._aus = []
+        self.encode_frame(frame)
+        aus, self._aus = self._aus, None
+        return aus
+
+    def flush_aus(self):
+        """flush(), AU-granular (see encode_frame_aus)."""
+        self._aus = []
+        self.flush()
+        aus, self._aus = self._aus, None
+        return aus
+
+    def _emit_au(self, disp: int, chunk: bytes, kind: str):
+        if self._aus is not None and chunk:
+            self._aus.append((disp, chunk, kind))
 
     # ------------------------------------------------------------------
     # B pipeline (x264 frame reordering, encoder.c:2179-2228: display
@@ -260,6 +282,7 @@ class Encoder:
         self.stats.bits += 8 * len(out)
         self.rc.end(8 * len(out))
         self.stats.elapsed += time.time() - t0
+        self._emit_au(disp, out, "I" if is_idr else "P")
         return out
 
     def _save_col(self):
@@ -272,7 +295,12 @@ class Encoder:
             self._col = (np.zeros((h4, w4, 2), np.int32),
                          np.full((h4, w4), -1, np.int32))
             return
-        mv4 = np.repeat(np.repeat(info["mv8"], 2, 0), 2, 1)
+        # sub-8x8 anchors carry a true per-4x4 field; the decoder's
+        # colocated corner checks (8.4.1.2.2) read that exact field, so
+        # never coarsen it to 8x8 granularity here
+        mv4 = info.get("mv4")
+        if mv4 is None:
+            mv4 = np.repeat(np.repeat(info["mv8"], 2, 0), 2, 1)
         intra4 = np.repeat(np.repeat(info["kind"] >= 2, 4, 0), 4, 1)
         ref8 = info.get("ref8")
         ref4 = (np.zeros((h4, w4), np.int32) if ref8 is None
@@ -312,6 +340,7 @@ class Encoder:
         if self.keep_recon:
             self.recon_by_disp[self._frame_idx] = tuple(
                 np.asarray(x).copy() for x in self.recon_prev)
+        self._emit_au(self._frame_idx, out, "I" if is_idr else "P")
         self.frame_num += 1
         self._frame_idx += 1
         self.stats.frames += 1
@@ -689,7 +718,7 @@ class Encoder:
             p.mb_height, p.mb_width,
             ref4=(jnp.asarray(ref4) if ref4 is not None else None))
         self._push_ref(mc.build_ref(dy, du, dv))
-        if self.p.psnr or self.keep_recon:
+        if self.p.psnr or self.p.ssim or self.keep_recon:
             self.recon_prev = (np.asarray(dy), np.asarray(du),
                                np.asarray(dv))
         else:
@@ -1072,7 +1101,8 @@ class Encoder:
         kind = np.where(intra_kind == 2, 3, kind)
         self.last_frame_info = {"kind": kind, "part": part_np,
                                 "mv8": np.ascontiguousarray(
-                                    final4[::2, ::2])}
+                                    final4[::2, ::2]),
+                                "mv4": np.ascontiguousarray(final4)}
         self._last_sub_types = sub_np
 
         bw = BitWriter()
@@ -1210,6 +1240,7 @@ class Encoder:
         self._frame_idx += 1
         self.rc.end(8 * len(out))
         self.stats.elapsed += time.time() - t0
+        self._emit_au(disp, out, "B")
         return out
 
     def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,
@@ -1404,18 +1435,25 @@ class Encoder:
             self._nr_count >>= 1
 
     def _accumulate_psnr(self, frame: Frame):
-        if self.recon_prev is None or not self.p.psnr:
+        if self.recon_prev is None or not (self.p.psnr or self.p.ssim):
             return
-        ry, ru, rv = self.recon_prev
         h, w = frame.y.shape
-        dy = ry[:h, :w].astype(np.int64) - frame.y.astype(np.int64)
-        du = ru[:h // 2, :w // 2].astype(np.int64) - frame.u.astype(np.int64)
-        dv = rv[:h // 2, :w // 2].astype(np.int64) - frame.v.astype(np.int64)
-        self.stats.ssd_y += int(np.sum(dy * dy))
-        self.stats.ssd_u += int(np.sum(du * du))
-        self.stats.ssd_v += int(np.sum(dv * dv))
+        if self.p.psnr:
+            ry, ru, rv = (np.asarray(x) for x in self.recon_prev)
+            dy = ry[:h, :w].astype(np.int64) - frame.y.astype(np.int64)
+            du = (ru[:h // 2, :w // 2].astype(np.int64)
+                  - frame.u.astype(np.int64))
+            dv = (rv[:h // 2, :w // 2].astype(np.int64)
+                  - frame.v.astype(np.int64))
+            self.stats.ssd_y += int(np.sum(dy * dy))
+            self.stats.ssd_u += int(np.sum(du * du))
+            self.stats.ssd_v += int(np.sum(dv * dv))
         if self.p.ssim:
+            # SSIM must accumulate regardless of p.psnr — the serving
+            # config --ssim --no-psnr depends on it (close() divides by
+            # every encoded frame)
             from ..ops.pixel import ssim_wxh
+            ry = np.asarray(self.recon_prev[0])
             self.stats.ssim_sum += float(ssim_wxh(
                 jnp.asarray(np.ascontiguousarray(ry[2:h, 2:w], np.int32)),
                 jnp.asarray(np.ascontiguousarray(frame.y[2:, 2:],

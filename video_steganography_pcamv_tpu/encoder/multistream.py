@@ -84,7 +84,7 @@ class MultiEncoder:
     """Encode S independent streams in lockstep (one frame from each
     per step). Device stages batch over streams; host stages loop."""
 
-    def __init__(self, params: Params, n_streams: int):
+    def __init__(self, params: Params, n_streams: int, sharding=None):
         self.S = n_streams
         # intra-in-P refinement isn't batched here yet; keep device
         # stages identical across the stream axis
@@ -92,6 +92,11 @@ class MultiEncoder:
         self.encs = [Encoder(params) for _ in range(n_streams)]
         self.p = params
         self._refs = None  # stacked device refs {luma/u/v: [S, ...]}
+        # optional jax.sharding.Sharding for the stream axis: when set,
+        # every stacked device input is placed with it so XLA partitions
+        # the vmapped stages across the mesh (one stream per chip)
+        self._put = ((lambda x: jax.device_put(x, sharding))
+                     if sharding is not None else (lambda x: x))
 
     def encode_step(self, frames) -> list[bytes]:
         """frames: one Frame per stream. Returns per-stream chunks."""
@@ -127,14 +132,16 @@ class MultiEncoder:
             self._stack_refs()
             return outs
 
-        qps = jnp.asarray([d[1] for d in decisions])
-        qpcs = jnp.asarray([chroma_qp(d[1], p.chroma_qp_offset)
-                            for d in decisions])
-        lams = jnp.asarray([ME.lambda_tab(d[1]) for d in decisions])
-        ys = jnp.stack([t[0] for t in padded])
-        us = jnp.stack([t[1] for t in padded])
-        vs = jnp.stack([t[2] for t in padded])
-        prev = jnp.stack([jnp.asarray(e.prev_mv) for e in encs])
+        qps = self._put(jnp.asarray([d[1] for d in decisions]))
+        qpcs = self._put(jnp.asarray([chroma_qp(d[1], p.chroma_qp_offset)
+                                      for d in decisions]))
+        lams = self._put(jnp.asarray([ME.lambda_tab(d[1])
+                                      for d in decisions]))
+        ys = self._put(jnp.stack([t[0] for t in padded]))
+        us = self._put(jnp.stack([t[1] for t in padded]))
+        vs = self._put(jnp.stack([t[2] for t in padded]))
+        prev = self._put(jnp.stack([jnp.asarray(e.prev_mv)
+                                    for e in encs]))
         on_tpu = jax.default_backend() == "tpu"
 
         part, mv8, r_idx8, blocks8, wht8, res = _analyse_encode_s(
@@ -185,11 +192,11 @@ class MultiEncoder:
                 mvds.append(md)
             res = _reencode_s(
                 ys, us, vs, self._refs["luma"], self._refs["u"],
-                self._refs["v"], jnp.stack([jnp.asarray(f)
-                                            for f in final8s]),
+                self._refs["v"],
+                self._put(jnp.stack([jnp.asarray(f) for f in final8s])),
                 qps, qpcs,
-                jnp.stack([jnp.asarray(s_) for s_ in skips]), mbh, mbw,
-                p.dct_decimate)
+                self._put(jnp.stack([jnp.asarray(s_) for s_ in skips])),
+                mbh, mbw, p.dct_decimate)
         else:
             final8s = [sc[3] for sc in scans]
             skips = [sc[0] for sc in scans]
@@ -240,9 +247,9 @@ class MultiEncoder:
             outs.append(chunk)
 
         self._refs = _build_refs_s(
-            jnp.stack([r[0] for r in recons]),
-            jnp.stack([r[1] for r in recons]),
-            jnp.stack([r[2] for r in recons]))
+            self._put(jnp.stack([r[0] for r in recons])),
+            self._put(jnp.stack([r[1] for r in recons])),
+            self._put(jnp.stack([r[2] for r in recons])))
         return outs
 
     def _finish(self, e, chunk):
@@ -255,7 +262,8 @@ class MultiEncoder:
     def _stack_refs(self):
         """After per-stream I frames (each built its own ref)."""
         self._refs = {
-            "luma": jnp.stack([e.ref["luma"] for e in self.encs]),
-            "u": jnp.stack([e.ref["u"] for e in self.encs]),
-            "v": jnp.stack([e.ref["v"] for e in self.encs]),
+            "luma": self._put(jnp.stack([e.ref["luma"]
+                                         for e in self.encs])),
+            "u": self._put(jnp.stack([e.ref["u"] for e in self.encs])),
+            "v": self._put(jnp.stack([e.ref["v"] for e in self.encs])),
         }

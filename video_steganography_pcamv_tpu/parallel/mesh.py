@@ -35,6 +35,19 @@ def build_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.array(devs[:n]), (axis,))
 
 
+def build_multi_encoder(params, mesh: Mesh, axis: str = "dp"):
+    """A MultiEncoder whose stream axis is sharded over the mesh: one
+    stream per chip. Every stacked device input (frames, refs, MV
+    fields) is placed with NamedSharding(mesh, P(axis)), so the vmapped
+    analyse/encode/stego/re-encode jits are partitioned by XLA with no
+    collectives on the hot path — the TPU-native analog of the
+    reference's one-thread-per-frame pthreads model
+    (/root/reference/encoder/encoder.c:2358-2362, doc/threads.txt)."""
+    from ..encoder.multistream import MultiEncoder
+    sh = NamedSharding(mesh, P(axis))
+    return MultiEncoder(params, mesh.devices.size, sharding=sh)
+
+
 def encode_streams_sharded(mesh: Mesh, ys, us, vs, ref_lumas, ref_us,
                            ref_vs, prev_mvs, **kw):
     """Run the fused P-step for S streams sharded over the mesh's dp

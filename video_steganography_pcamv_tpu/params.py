@@ -150,6 +150,11 @@ class Params:
         if self.vbv_maxrate > 0:
             assert self.vbv_bufsize > 0, "VBV needs bufsize"
         self.keyint_min = min(self.keyint_min, self.keyint_max)
+        if not self.cabac:
+            # ops/trellis.py rates bits with a CABAC context model; the
+            # reference likewise forces trellis off without CABAC
+            # (encoder.c:506-508)
+            self.trellis = 0
 
     @property
     def mb_width(self) -> int:

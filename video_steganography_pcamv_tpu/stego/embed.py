@@ -148,10 +148,14 @@ class StegoEngine:
         else:
             final_mv, mvd2 = I.host_scan_p_forced(mv2, skip1)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
+        # pass-2 re-encode must mirror the pass-1 configuration
+        # (trellis + denoise), or --nr/--trellis silently no-op under
+        # embedding while pass-1 skip/cbp decisions assumed them
         res2 = I.encode_p_frame_device(
             y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
             jnp.asarray(final_mv), qp, qpc, mbh, mbw,
-            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
+            trellis=bool(p.trellis), nr_offset=enc._nr_offset())
         return final_mv, skip1, mvd2, res2
 
     # ------------------------------------------------------------------
@@ -209,13 +213,13 @@ class StegoEngine:
                 jnp.asarray(final8), jnp.asarray(ref8), qp, qpc,
                 mbh, mbw, decimate=p.dct_decimate,
                 force_zero=jnp.asarray(skip1),
-                trellis=bool(p.trellis))
+                trellis=bool(p.trellis), nr_offset=enc._nr_offset())
         else:
             res2 = I.encode_p_frame_device8(
                 y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
                 jnp.asarray(final8), qp, qpc, mbh, mbw,
                 decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
-                trellis=bool(p.trellis))
+                trellis=bool(p.trellis), nr_offset=enc._nr_offset())
         return final8, skip1, mvd2, res2
 
     def embed_frame_sub(self, enc, y, u, v, part: np.ndarray,
@@ -270,7 +274,8 @@ class StegoEngine:
         res2 = I.encode_p_frame_device4(
             y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
             jnp.asarray(final4), qp, qpc, mbh, mbw,
-            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1))
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
+            trellis=bool(p.trellis), nr_offset=enc._nr_offset())
         return final4, skip1, mvd2, res2
 
     def apply_costs_sub(self, enc, part, sub_type, mv4, skip1, rho_s,

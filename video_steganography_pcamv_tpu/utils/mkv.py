@@ -131,8 +131,12 @@ class MkvWriter:
         self.f.write(elem(0x1654AE6B, elem(0xAE, track)))
         self.header_written = True
 
-    def add_frame(self, annexb: bytes):
-        """One encoded frame (Annex-B chunk, possibly with SPS/PPS)."""
+    def add_frame(self, annexb: bytes, timecode_ms: int | None = None):
+        """One access unit (Annex-B, possibly with SPS/PPS). With B
+        frames the encoder emits AUs in decode order: pass each AU's
+        display-order timecode_ms (mk_startFrame per AU, matroska.c);
+        empty chunks (frames still buffered for reordering) are
+        skipped."""
         nals = split_annexb(annexb)
         payload = b""
         keyframe = False
@@ -147,10 +151,13 @@ class MkvWriter:
             if t == 5:
                 keyframe = True
             payload += struct.pack(">I", len(nal)) + nal
+        if not payload:
+            return
         if not self.header_written:
             assert self.sps and self.pps, "first frame must carry SPS/PPS"
             self._write_header()
-        tc = int(self.frame_idx * 1000 / self.fps)
+        tc = (int(timecode_ms) if timecode_ms is not None
+              else int(self.frame_idx * 1000 / self.fps))
         # SimpleBlock: track 1, relative timecode 0, flags
         sb = (b"\x81" + struct.pack(">h", 0)
               + (b"\x80" if keyframe else b"\x00") + payload)
