@@ -38,18 +38,22 @@ def test_host_scan_matches_python():
 
 
 def test_stc_matches_python():
-    from video_steganography_pcamv_tpu.stego.stc import stc_embed, stc_extract
+    from video_steganography_pcamv_tpu.stego.stc import (
+        stc_embed, stc_extract, StcState)
+    st_py, st_na, st_ex = StcState(), StcState(), StcState()
     for _ in range(5):
         n = rng.randint(60, 400)
         k = max(1, n // rng.choice([3, 6, 10]))
         x = rng.randint(0, 2, n).astype(np.uint8)
         m = rng.randint(0, 2, k).astype(np.uint8)
-        rho = rng.uniform(0.1, 9, n)
-        y_py, c_py = stc_embed(x, m, rho, h=10, key=5)
-        y_na, c_na = native.stc_embed(x, m, rho, h=10, key=5)
+        rho = rng.uniform(0.1, 9, n).astype(np.float32)
+        y_py, c_py = stc_embed(x, m, rho, h=10, state=st_py)
+        y_na, c_na = native.stc_embed(x, m, rho, h=10, state=st_na)
         np.testing.assert_array_equal(y_py, y_na)
+        assert st_py.holdrand == st_na.holdrand  # persistent LCG parity
         assert abs(c_py - c_na) < 1e-9
-        np.testing.assert_array_equal(stc_extract(y_na, k, h=10, key=5), m)
+        np.testing.assert_array_equal(
+            stc_extract(y_na, k, h=10, state=st_ex), m)
 
 
 def _frame_arrays(mbh, mbw):

@@ -1,0 +1,125 @@
+"""Reference-parity checks of the STC embedder (embed.h:309-548).
+
+Covers: the toolbox mats[] table transcription (embed.h:11-132), the
+MSVC-rand LCG fallback with persistent state (embed.h:134-139,276-306),
+the shorter/longer width schedule (embed.h:377-391), syndrome
+consistency, and brute-force optimality on small instances (prefer-flip
+tie handling included via randomized equal costs).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from video_steganography_pcamv_tpu.stego.stc import (
+    StcState, get_matrix, ref_layout, stc_embed, stc_extract)
+from video_steganography_pcamv_tpu.stego.stc_mats import MATS
+
+rng = np.random.RandomState(7)
+
+
+def test_mats_table_shape_and_structure():
+    assert len(MATS) == 6
+    for hb, block in enumerate(MATS):
+        h = hb + 7
+        assert len(block) == 19
+        for w, row in enumerate(block, start=2):
+            assert len(row) == w
+            for c in row:
+                # toolbox invariant: bit0 and bit(h-1) always set
+                assert c & 1 and (c >> (h - 1)) & 1, (h, w, c)
+            assert len(set(row)) == w  # distinct columns
+
+
+def test_mats_table_spot_values():
+    # embed.h:11-132 spot checks (h=7 w=2; h=10 w=20; h=12 w=20 last)
+    assert MATS[0][0] == (109, 71)
+    assert MATS[3][18][:4] == (1009, 1003, 901, 715)
+    assert MATS[3][18][-1] == 523
+    assert MATS[5][18][-2:] == (4069, 2069)
+
+
+def test_msvc_rand_sequence():
+    st = StcState()
+    seq = [st.rand() for _ in range(4)]
+    # the canonical MSVC CRT rand() sequence for seed 1
+    assert seq == [41, 18467, 6334, 26500]
+
+
+def test_get_matrix_sources():
+    st = StcState()
+    # table path consumes no LCG state
+    cols = get_matrix(5, 10, st)
+    np.testing.assert_array_equal(cols, MATS[3][3])
+    assert st.holdrand == 1
+    # fallback path (w=1 and w>20) draws from the persistent LCG
+    c1 = get_matrix(1, 10, st)
+    assert st.holdrand != 1
+    assert len(c1) == 1 and (c1[0] & 1) and (c1[0] >> 9) & 1
+    c21 = get_matrix(21, 10, st)
+    assert len(set(int(x) for x in c21)) == 21
+    # exceeding 2^(h-2) distinct columns must raise, as the reference
+    # errors out (embed.h:287-290)
+    with pytest.raises(ValueError):
+        get_matrix(300, 10, StcState())
+
+
+def test_width_schedule():
+    _, _, widths, use_l = ref_layout(10, 4, 10, StcState())
+    assert widths.tolist() == [3, 2, 3, 2]
+    assert use_l.tolist() == [1, 0, 1, 0]
+    assert widths.sum() == 10
+    for n, k in [(300, 64), (127, 64), (99, 64), (8160, 64)]:
+        _, _, w, _ = ref_layout(n, k, 10, StcState())
+        assert w.sum() == n
+
+
+def _syndrome(y, n, k, h):
+    return stc_extract(y, k, h=h, state=StcState())
+
+
+@pytest.mark.parametrize("h", [7, 10])
+def test_embed_extract_roundtrip(h):
+    st_e = StcState()
+    for _ in range(6):
+        n = rng.randint(40, 300)
+        k = max(1, n // int(rng.choice([2, 5, 25])))
+        x = rng.randint(0, 2, n).astype(np.uint8)
+        m = rng.randint(0, 2, k).astype(np.uint8)
+        rho = rng.uniform(0.01, 5, n).astype(np.float32)
+        hold0 = st_e.holdrand
+        y, cost = stc_embed(x, m, rho, h=h, state=st_e)
+        ex = StcState()
+        ex.holdrand = hold0
+        np.testing.assert_array_equal(stc_extract(y, k, h=h, state=ex), m)
+        if k >= h:
+            # reference quirk reproduced for parity: with k < h the
+            # traceback's column mask reconstruction ((colmask<<1)|1,
+            # embed.h:523-524) disagrees with the forward shrink
+            # (embed.h:483-484), so the walked path can cost more than
+            # the reported forward optimum; for k >= h they agree
+            assert abs(cost - float(rho[(x != y)].sum())) < 1e-3
+
+
+def test_bruteforce_optimality_with_ties():
+    """On tiny instances the embedder must hit the global cost optimum
+    (ties included: quantized costs make equal-cost solutions common).
+    k >= h so the reference's k < h traceback-mask quirk (see
+    test_embed_extract_roundtrip) is out of play."""
+    h = 4
+    for trial in range(8):
+        n = rng.randint(9, 14)
+        k = rng.randint(h, h + 3)
+        x = rng.randint(0, 2, n).astype(np.uint8)
+        m = rng.randint(0, 2, k).astype(np.uint8)
+        rho = rng.randint(1, 4, n).astype(np.float32)  # small ints: ties
+        y, cost = stc_embed(x, m, rho, h=h, state=StcState())
+        np.testing.assert_array_equal(_syndrome(y, n, k, h), m)
+        best = np.inf
+        for bits in itertools.product((0, 1), repeat=n):
+            cand = np.array(bits, np.uint8)
+            if np.array_equal(_syndrome(cand, n, k, h), m):
+                c = float(rho[(cand != x)].sum())
+                best = min(best, c)
+        assert abs(cost - best) < 1e-4, (trial, cost, best)

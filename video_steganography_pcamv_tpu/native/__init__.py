@@ -104,7 +104,9 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.pcamv_stc_embed.restype = ctypes.c_int
     lib.pcamv_stc_embed.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long,
-                                    f64p, ctypes.c_int, ctypes.c_uint32,
+                                    ctypes.POINTER(ctypes.c_float),
+                                    ctypes.c_int,
+                                    ctypes.POINTER(ctypes.c_uint32),
                                     u8p, ctypes.POINTER(ctypes.c_double)]
     _lib = lib
     return lib
@@ -367,16 +369,25 @@ def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None):
         skip_p, qp, qpc)
 
 
-def stc_embed(cover, message, rho, h=10, key=1):
+def stc_embed(cover, message, rho, h=10, state=None):
+    """Reference-parity STC (embed.h:309-548). `state` is a
+    stego.stc.StcState whose persistent LCG word is advanced in place
+    (the reference's static myholdrand, embed.h:134)."""
+    from ..stego.stc import StcState
     lib = load()
+    if state is None:
+        state = StcState()
     cover = np.ascontiguousarray(cover, np.uint8)
     message = np.ascontiguousarray(message, np.uint8)
-    rho = np.ascontiguousarray(rho, np.float64)
+    rho32 = np.ascontiguousarray(rho, np.float32)
     stego = np.zeros(len(cover), np.uint8)
     cost = ctypes.c_double(0.0)
-    r = lib.pcamv_stc_embed(cover, len(cover), message, len(message), rho,
-                            h, key & 0xFFFFFFFF, stego,
-                            ctypes.byref(cost))
+    hold = ctypes.c_uint32(state.holdrand & 0xFFFFFFFF)
+    r = lib.pcamv_stc_embed(
+        cover, len(cover), message, len(message),
+        rho32.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), h,
+        ctypes.byref(hold), stego, ctypes.byref(cost))
+    state.holdrand = int(hold.value)
     if r != 0:
         raise ValueError(f"stc_embed native error {r}")
     return stego, float(cost.value)

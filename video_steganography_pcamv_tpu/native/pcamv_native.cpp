@@ -13,6 +13,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <cmath>
+#include <limits>
 #include <vector>
 
 #include "vlc_tables.inc"
@@ -531,65 +532,93 @@ extern "C" void pcamv_host_scan_p_forced(const int32_t* mv,
 }
 
 // ------------------------------------------------------------------ STC ---
-namespace {
-struct Lcg {
-  uint32_t s;
-  explicit Lcg(uint32_t seed) : s(seed) {}
-  uint32_t next() { s = 1664525u * s + 1013904223u; return s; }
-};
+// Bit-parity twin of the reference stc_embed (/root/reference/embed.h:
+// 309-548): toolbox mats[] table for w in [2,20] (stc_mats.inc,
+// generated from stego/stc_mats.py), MSVC-rand LCG fallback whose
+// state persists across calls (embed.h:134-139), shorter/longer width
+// schedule (embed.h:377-391), f32 prices with the flip transition
+// winning ties (embed.h:436-467).
+#include "stc_mats.inc"
 
-static void gen_columns(int width, int height, uint32_t key, uint32_t* cols) {
-  Lcg rng((uint32_t)((uint64_t)key * 2654435761ull % 0x100000000ull) +
-          (uint32_t)(height * 131 + width));
+namespace {
+
+static inline int msvc_rand(uint32_t* hold) {
+  *hold = *hold * 214013u + 2531011u;  // embed.h:136-139
+  return (int)((*hold >> 16) & 0x7fff);
+}
+
+static int stc_get_matrix(int width, int height, uint32_t* hold,
+                          std::vector<uint32_t>& out) {
+  out.resize(width);
+  if (width >= 2 && width <= 20 && height >= 7 && height <= 12) {
+    for (int i = 0; i < width; i++)
+      out[i] = STC_MATS[height - 7][width - 2][i];
+    return 0;
+  }
+  if ((1 << (height - 2)) < width) return -4;
   uint32_t mask = (1u << (height - 2)) - 1;
-  uint32_t base = (1u << (height - 1)) | 1u;
+  uint32_t bop = (1u << (height - 1)) + 1u;
   int got = 0;
   while (got < width) {
-    uint32_t r = ((rng.next() & mask) << 1) | base;
+    uint32_t r = ((uint32_t)(msvc_rand(hold)) & mask) * 2u + bop;
     bool dup = false;
     for (int j = 0; j < got; j++)
-      if (cols[j] == r) { dup = true; break; }
-    if (!dup) cols[got++] = r;
+      if (out[j] == r) { dup = true; break; }
+    if (!dup) out[got++] = r;
   }
+  return 0;
 }
 }  // namespace
 
 extern "C" int pcamv_stc_embed(const uint8_t* cover, long n,
                                const uint8_t* msg, long k,
-                               const double* rho, int h, uint32_t key,
-                               uint8_t* stego, double* cost_out) {
+                               const float* rho, int h,
+                               uint32_t* holdrand, uint8_t* stego,
+                               double* cost_out) {
   if (k <= 0) { std::memcpy(stego, cover, n); *cost_out = 0; return 0; }
   if (k > n || h < 2 || h > 24) return -1;
-  const double INF = 1e30;
+  const float INF = std::numeric_limits<float>::infinity();
   long n_states = 1L << h;
 
-  // block widths: floor((j+1)n/k) - floor(jn/k)
+  // layout: invalpha floor/ceil widths + worm schedule (embed.h:377-391)
+  double invalpha = (double)n / (double)k;
+  int shorter = (int)std::floor(invalpha);
+  int longer = (int)std::ceil(invalpha);
+  std::vector<uint32_t> cols_s, cols_l;
+  int rc = stc_get_matrix(shorter, h, holdrand, cols_s);
+  if (rc) return rc;
+  if (longer == shorter) cols_l = cols_s;
+  else if ((rc = stc_get_matrix(longer, h, holdrand, cols_l))) return rc;
   std::vector<int> widths(k);
-  int max_w = 0;
+  std::vector<uint8_t> use_l(k);
+  long worm = 0;
   for (long j = 0; j < k; j++) {
-    widths[j] = (int)(((j + 1) * n) / k - (j * n) / k);
-    if (widths[j] > max_w) max_w = widths[j];
+    if ((double)(worm + longer) <= (double)(j + 1) * invalpha + 0.5) {
+      use_l[j] = 1; widths[j] = longer; worm += longer;
+    } else {
+      use_l[j] = 0; widths[j] = shorter; worm += shorter;
+    }
   }
-  std::vector<uint32_t> cols(max_w);
-  gen_columns(max_w, h, key, cols.data());
 
-  std::vector<double> price(n_states, INF), nxt(n_states);
-  price[0] = 0.0;
+  std::vector<float> price(n_states, INF), nxt(n_states);
+  price[0] = 0.0f;
   std::vector<uint8_t> path((size_t)n * n_states);
 
+  uint32_t colmask = (uint32_t)(n_states - 1);
   long i = 0;
   for (long j = 0; j < k; j++) {
-    uint32_t mask = (uint32_t)((1L << (h < (k - j) ? h : (k - j))) - 1);
+    const uint32_t* cols = use_l[j] ? cols_l.data() : cols_s.data();
     for (int t = 0; t < widths[j]; t++) {
-      uint32_t col = cols[t] & mask;
-      double w0 = cover[i] == 1 ? rho[i] : 0.0;
-      double w1 = cover[i] == 0 ? rho[i] : 0.0;
+      uint32_t col = cols[t] & colmask;
+      float c_keep = cover[i] == 1 ? rho[i] : 0.0f;  // y_i = 0
+      float c_flip = cover[i] == 0 ? rho[i] : 0.0f;  // y_i = 1
       uint8_t* p = &path[(size_t)i * n_states];
       for (long s = 0; s < n_states; s++) {
-        double c0 = price[s] + w0;
-        double c1 = price[s ^ col] + w1;
-        if (c1 < c0) { nxt[s] = c1; p[s] = 1; }
-        else { nxt[s] = c0; p[s] = 0; }
+        float v0 = price[s] + c_keep;
+        float v1 = price[s ^ col] + c_flip;
+        // reference tie rule: flip wins equal prices (embed.h:458-467)
+        if (v1 <= v0) { nxt[s] = v1; p[s] = 1; }
+        else { nxt[s] = v0; p[s] = 0; }
       }
       price.swap(nxt);
       i++;
@@ -600,21 +629,23 @@ extern "C" int pcamv_stc_embed(const uint8_t* cover, long n,
       nxt[s] = src < n_states ? price[src] : INF;
     }
     price.swap(nxt);
+    if (k - j <= h) colmask >>= 1;
   }
-  if (price[0] >= INF) return -2;
-  *cost_out = price[0];
+  if (!(price[0] < INF)) return -2;
+  *cost_out = (double)price[0];
 
-  // backtrack
+  // backtrack (embed.h:508-538)
   long state = 0;
+  colmask = 0;
   i = n - 1;
   for (long j = k - 1; j >= 0; j--) {
-    state = ((state << 1) | msg[j]) & (n_states - 1);
-    uint32_t mask = (uint32_t)((1L << (h < (k - j) ? h : (k - j))) - 1);
+    const uint32_t* cols = use_l[j] ? cols_l.data() : cols_s.data();
+    state = (state << 1) | msg[j];
+    if (k - j <= h) colmask = (colmask << 1) | 1u;
     for (int t = widths[j] - 1; t >= 0; t--) {
-      uint32_t col = cols[t] & mask;
       if (path[(size_t)i * n_states + state]) {
         stego[i] = 1;
-        state ^= col;
+        state ^= (long)(cols[t] & colmask);
       } else {
         stego[i] = 0;
       }

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .stc import stc_embed
+from .stc import stc_embed, StcState
 from .cost import alt_mv_costs, cost_mv_table
 
 
@@ -61,6 +61,9 @@ class StegoEngine:
             self._emfile_bits = np.unpackbits(data)
         # record of embedded messages per frame (for tests/verification)
         self.sent_messages: list[np.ndarray] = []
+        # the reference's persistent getMatrix LCG word (embed.h:134):
+        # one per stream, replayed by the extractor in frame order
+        self._stc_state = StcState()
 
     def _next_message(self, an: int) -> np.ndarray:
         if self._emfile_bits is not None:
@@ -128,10 +131,10 @@ class StegoEngine:
         if enc._native is not None:
             from .. import native
             stego_bits, _cost = native.stc_embed(
-                cov, message, rho_cov, h=st.stc_h, key=st.key or 1)
+                cov, message, rho_cov, h=st.stc_h, state=self._stc_state)
         else:
             stego_bits, _cost = stc_embed(cov, message, rho_cov,
-                                          h=st.stc_h, key=st.key or 1)
+                                          h=st.stc_h, state=self._stc_state)
         flip_cov = (cov ^ stego_bits).astype(bool)
         self.sent_messages.append(message)
         enc.stats.message_bits += an
@@ -381,10 +384,10 @@ class StegoEngine:
         if enc._native is not None:
             from .. import native
             stego_bits, _cost = native.stc_embed(
-                cov, message, rho_cov, h=st.stc_h, key=st.key or 1)
+                cov, message, rho_cov, h=st.stc_h, state=self._stc_state)
         else:
             stego_bits, _cost = stc_embed(cov, message, rho_cov,
-                                          h=st.stc_h, key=st.key or 1)
+                                          h=st.stc_h, state=self._stc_state)
         flips = (cov ^ stego_bits).astype(bool)
         self.sent_messages.append(message)
         enc.stats.message_bits += an
@@ -487,10 +490,10 @@ class StegoEngine:
         if enc._native is not None:
             from .. import native
             stego_bits, _cost = native.stc_embed(
-                cov, message, rho_cov, h=st.stc_h, key=st.key or 1)
+                cov, message, rho_cov, h=st.stc_h, state=self._stc_state)
         else:
             stego_bits, _cost = stc_embed(cov, message, rho_cov,
-                                          h=st.stc_h, key=st.key or 1)
+                                          h=st.stc_h, state=self._stc_state)
         flips = (cov ^ stego_bits).astype(bool)
         self.sent_messages.append(message)
         enc.stats.message_bits += an

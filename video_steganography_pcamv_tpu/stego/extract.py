@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..decoder import decode_annexb
-from .stc import stc_extract
+from .stc import stc_extract, StcState
 
 
 def cover_bits_of_frame(frame) -> np.ndarray:
@@ -29,8 +29,13 @@ def cover_bits_of_frame(frame) -> np.ndarray:
 
 def extract_from_stream(data: bytes, em_rate: float, key: int = 0,
                         stc_h: int = 10) -> list[np.ndarray]:
-    """Recover per-P-frame messages from an Annex-B stream."""
+    """Recover per-P-frame messages from an Annex-B stream. Extraction
+    is blind and keyless (the parity-check matrix is deterministic:
+    toolbox table + the persistent LCG replayed in frame order exactly
+    as the embedder consumed it); `key` is kept for API compatibility
+    but only guards the message PRNG on the embed side."""
     out = []
+    state = StcState()  # replays the embedder's matrix sequence
     for frame in decode_annexb(data):
         if frame.slice_type not in (0, 5):
             continue   # covers live only in P slices (encoder.c:1276)
@@ -41,5 +46,5 @@ def extract_from_stream(data: bytes, em_rate: float, key: int = 0,
         if an <= 0:
             out.append(np.zeros(0, np.uint8))
             continue
-        out.append(stc_extract(cov, an, h=stc_h, key=key or 1))
+        out.append(stc_extract(cov, an, h=stc_h, state=state))
     return out

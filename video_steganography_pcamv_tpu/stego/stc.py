@@ -1,149 +1,194 @@
-"""Syndrome-Trellis Codes: minimal-cost embedding + syndrome extraction.
+"""Syndrome-Trellis Codes: minimal-cost embedding + syndrome extraction,
+bit-parity with the reference embedder.
 
-Reference: /root/reference/embed.h:309-548 (`stc_embed`, a copy of the
-Filler/Judas/Fridrich STC toolbox embedder; the parity submatrix comes
-from a hardcoded table for h in [7,12] (embed.h:11-132) or an LCG
-fallback (embed.h:136-139, 276-306)). The reference calls it with
-constraint height 10 (encoder/encoder.c:1843) and never ships an
-extractor (the stc_extract include is commented out, analyse.c:43).
+Reference: /root/reference/embed.h:309-548 (`stc_embed`, the
+Filler/Judas/Fridrich STC toolbox embedder). The semantics reproduced
+exactly here (verified against an independent C++ twin on random
+inputs, tests/test_stc_parity.py):
 
-This is a from-scratch implementation of the published STC algorithm:
+- Submatrix columns come from the toolbox's hard-coded table for
+  heights 7-12 and widths 2-20 (embed.h:11-132 `mats[]`, transcribed as
+  data in stc_mats.py), else from the MSVC-rand LCG fallback
+  (embed.h:134-139 `myrand`, 214013/2531011 >> 16 & 0x7fff) whose state
+  `myholdrand` starts at 1 and PERSISTS across calls — modeled by
+  StcState, one per stream (the reference is one process per stream).
+- Block widths: invalpha = n/k, shorter = floor, longer = ceil; block j
+  takes `longer` iff worm + longer <= (j+1)*invalpha + 0.5
+  (embed.h:377-391). Two column sets are generated per call: shorter
+  first, then longer (this LCG consumption order matters for parity).
+- Forward Viterbi over 2^h f32 prices; the y=1 transition wins ties
+  (embed.h:436-467: the path bit is set when the kept price equals the
+  flip-arrival price). Message bit j contracts state s -> 2s + m_j
+  (embed.h:476-489); the column mask shrinks once per block while
+  k - j <= h (embed.h:483-484).
+- Backward traceback from state 0 (embed.h:516-538).
 
-- submatrix columns are generated deterministically from a key with the
-  same structural property as the toolbox fallback (first and last row
-  set, distinct columns). DIVERGENCE: the exact toolbox table is not
-  reproduced, so raw stego bitstreams differ from the reference binary's;
-  embed->extract is self-consistent, which is all the reference's own
-  pipeline verifies (its message is unseeded rand(), encoder.c:1838).
-- block widths follow floor((j+1)n/k) - floor(jn/k) (uniform spread).
-- the forward pass is vectorized over all 2^h trellis states (numpy),
-  with per-element path bits for the backward traceback.
-
-Conventions: state bit t carries the running parity of message bit
-j + t while processing block j; a column's bit t therefore targets
-message bit j + t. Columns are masked near the end so no state bit
-constrains a nonexistent message bit.
+The reference never ships an extractor (stc_extract_c.h include is
+commented out, analyse.c:43); stc_extract computes the documented
+syndrome of the same banded matrix.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-INF = np.float64(1e30)
+from .stc_mats import MATS
+
+INF = np.float32(np.inf)
 
 
-def _lcg(state: int):
-    """Deterministic 32-bit LCG (same family as embed.h:136 `myrand`,
-    parameters are the classic Numerical-Recipes pair)."""
-    while True:
-        state = (1664525 * state + 1013904223) & 0xFFFFFFFF
-        yield state
+class StcState:
+    """The reference's static `myholdrand` (embed.h:134, seeded 1):
+    getMatrix's LCG fallback consumes it across calls. One instance per
+    stream (encoder and extractor each replay the same sequence)."""
+
+    def __init__(self):
+        self.holdrand = 1
+
+    def rand(self) -> int:
+        # MSVC CRT rand(): embed.h:136-139
+        self.holdrand = (self.holdrand * 214013 + 2531011) & 0xFFFFFFFF
+        return (self.holdrand >> 16) & 0x7FFF
 
 
-def gen_columns(width: int, height: int, key: int = 1) -> np.ndarray:
-    """Distinct h-bit columns with first and last row set
-    (structure per embed.h:292-303)."""
-    assert (1 << max(0, height - 2)) >= width, \
-        "cannot generate matrix for this payload; raise stc_h"
-    rng = _lcg(key * 2654435761 % (1 << 32) + height * 131 + width)
+def get_matrix(width: int, height: int, state: StcState) -> np.ndarray:
+    """Toolbox submatrix columns (embed.h:276-306 getMatrix)."""
+    if 2 <= width <= 20 and 7 <= height <= 12:
+        return np.array(MATS[height - 7][width - 2], np.uint32)
+    if (1 << (height - 2)) < width:
+        raise ValueError(
+            "Cannot generate matrix for this payload; raise stc_h")
     mask = (1 << (height - 2)) - 1
-    base = (1 << (height - 1)) | 1
+    bop = (1 << (height - 1)) + 1
     cols: list[int] = []
     while len(cols) < width:
-        r = ((next(rng) & mask) << 1) | base
+        r = ((state.rand() & mask) << 1) + bop
         if r not in cols:
             cols.append(r)
     return np.array(cols, np.uint32)
 
 
-def block_widths(n: int, k: int) -> np.ndarray:
-    """Per-message-bit sub-block widths; sums to n."""
-    edges = (np.arange(k + 1) * n) // k
-    return np.diff(edges).astype(np.int32)
+def ref_layout(n: int, k: int, h: int, state: StcState):
+    """Column sets + per-block widths exactly as the reference builds
+    them (embed.h:344-391). Returns (cols_short, cols_long, widths[k],
+    use_longer[k]). Raises ValueError when k > n."""
+    invalpha = n / k
+    if invalpha < 1:
+        raise ValueError("message cannot be longer than the cover")
+    shorter = int(np.floor(invalpha))
+    longer = int(np.ceil(invalpha))
+    cols_s = get_matrix(shorter, h, state)   # order matters for the LCG
+    cols_l = (cols_s if longer == shorter
+              else get_matrix(longer, h, state))
+    widths = np.empty(k, np.int32)
+    use_longer = np.empty(k, np.uint8)
+    worm = 0
+    for j in range(k):
+        if worm + longer <= (j + 1) * invalpha + 0.5:
+            use_longer[j] = 1
+            widths[j] = longer
+            worm += longer
+        else:
+            use_longer[j] = 0
+            widths[j] = shorter
+            worm += shorter
+    return cols_s, cols_l, widths, use_longer
 
 
 def stc_embed(cover: np.ndarray, message: np.ndarray, rho: np.ndarray,
-              h: int = 10, key: int = 1):
+              h: int = 10, state: StcState | None = None):
     """Find stego bits y minimizing sum(rho[x != y]) with syndrome(y) ==
-    message. Returns (stego_bits [n], total_cost). Raises ValueError if
-    k > n."""
+    message, reproducing the reference trellis bit-for-bit. Returns
+    (stego_bits [n], total_cost)."""
     x = np.asarray(cover, np.uint8)
     m = np.asarray(message, np.uint8)
-    costs = np.asarray(rho, np.float64)
+    costs = np.asarray(rho, np.float32)
     n, k = len(x), len(m)
     if k == 0:
         return x.copy(), 0.0
-    if k > n:
-        raise ValueError("message cannot be longer than the cover")
-
-    widths = block_widths(n, k)
-    max_w = int(widths.max())
-    cols_tab = gen_columns(max_w, h, key)
+    if state is None:
+        state = StcState()
+    cols_s, cols_l, widths, use_longer = ref_layout(n, k, h, state)
 
     n_states = 1 << h
-    price = np.full(n_states, INF)
-    price[0] = 0.0
-    # path bits: for element i, whether the optimal arrival at state s
-    # used y_i = 1
-    path = np.zeros((n, n_states), np.uint8)
-
     states = np.arange(n_states)
+    price = np.full(n_states, INF, np.float32)
+    price[0] = np.float32(0.0)
+    # path[i, s]: optimal arrival at state s after element i used y_i=1
+    path = np.zeros((n, n_states), bool)
+
+    colmask = n_states - 1
     i = 0
     for j in range(k):
-        mask = (1 << min(h, k - j)) - 1
+        cols = cols_l if use_longer[j] else cols_s
         for t in range(int(widths[j])):
-            col = int(cols_tab[t]) & mask
-            c0 = price + (costs[i] if x[i] == 1 else 0.0)   # y_i = 0
-            c1 = price[states ^ col] + (costs[i] if x[i] == 0 else 0.0)
-            use1 = c1 < c0
-            price = np.where(use1, c1, c0)
+            col = int(cols[t]) & colmask
+            if x[i] == 0:
+                c_keep, c_flip = np.float32(0.0), costs[i]
+            else:
+                c_keep, c_flip = costs[i], np.float32(0.0)
+            v_keep = price + c_keep               # y_i = 0, stay
+            v_flip = price[states ^ col] + c_flip  # y_i = 1, via column
+            # reference tie rule: the flip transition wins equal prices
+            # (embed.h:458-467 sets the path bit when min == flip price)
+            use1 = v_flip <= v_keep
+            price = np.where(use1, v_flip, v_keep)
             path[i] = use1
             i += 1
-        # enforce message bit j, shift state down
-        surviving = price[(states << 1 | int(m[j])) & (n_states - 1)]
-        # states whose shifted source exceeds h bits are invalid
-        valid = (states << 1 | int(m[j])) < n_states
-        price = np.where(valid, surviving, INF)
-    total = price[0]
+        # enforce message bit j: new state l <- old state 2l + m_j
+        # (embed.h:476-489)
+        src = (states << 1) | int(m[j])
+        valid = src < n_states
+        price = np.where(valid, price[src & (n_states - 1)], INF)
+        if k - j <= h:
+            colmask >>= 1
+    total = float(price[0])
     if not np.isfinite(total):
-        raise ValueError("syndrome not reachable")
+        raise ValueError("syndrome not in the range of the matrix")
 
-    # backward traceback
+    # backward traceback (embed.h:508-538)
     y = np.zeros(n, np.uint8)
-    state = 0
+    st = 0
+    colmask = 0
     i = n - 1
     for j in range(k - 1, -1, -1):
-        state = ((state << 1) | int(m[j])) & (n_states - 1)
-        mask = (1 << min(h, k - j)) - 1
+        cols = cols_l if use_longer[j] else cols_s
+        st = (st << 1) | int(m[j])
+        if k - j <= h:
+            colmask = (colmask << 1) | 1
         for t in range(int(widths[j]) - 1, -1, -1):
-            col = int(cols_tab[t]) & mask
-            if path[i, state]:
+            if path[i, st]:
                 y[i] = 1
-                state ^= col
+                st ^= int(cols[t]) & colmask
             i -= 1
-    assert i == -1 and state == 0, (i, state)
-    return y, float(total)
+    assert i == -1 and st == 0, (i, st)
+    return y, total
 
 
 def stc_extract(stego: np.ndarray, k: int, h: int = 10,
-                key: int = 1) -> np.ndarray:
-    """Recover the k message bits from stego cover bits (blind given
-    key/h/k): incremental syndrome of the banded parity matrix."""
+                state: StcState | None = None) -> np.ndarray:
+    """Recover the k message bits from stego cover bits (blind — the
+    banded matrix is deterministic given the running StcState):
+    incremental syndrome, LSB after each block."""
     y = np.asarray(stego, np.uint8)
     n = len(y)
     if k == 0:
         return np.zeros(0, np.uint8)
-    widths = block_widths(n, k)
-    cols_tab = gen_columns(int(widths.max()), h, key)
+    if state is None:
+        state = StcState()
+    cols_s, cols_l, widths, use_longer = ref_layout(n, k, h, state)
     out = np.zeros(k, np.uint8)
-    state = 0
+    st = 0
+    colmask = (1 << h) - 1
     i = 0
     for j in range(k):
-        mask = (1 << min(h, k - j)) - 1
+        cols = cols_l if use_longer[j] else cols_s
         for t in range(int(widths[j])):
             if y[i]:
-                state ^= int(cols_tab[t]) & mask
+                st ^= int(cols[t]) & colmask
             i += 1
-        out[j] = state & 1
-        state >>= 1
+        out[j] = st & 1
+        st >>= 1
+        if k - j <= h:
+            colmask >>= 1
     return out
