@@ -49,6 +49,7 @@ def run(width=1920, height=1088, n_measure=6, qp=26, em_rate=64.0):
         done += 1
         if time.time() - t0 > 600:
             break
+    bs += enc.flush()   # pipelined driver: drain the deferred entropy
     elapsed = time.time() - t0
     fps = done / elapsed
 

@@ -81,10 +81,17 @@ def _syndrome(y, n, k, h):
 
 @pytest.mark.parametrize("h", [7, 10])
 def test_embed_extract_roundtrip(h):
+    from video_steganography_pcamv_tpu.stego.stc import stc_feasible_k
     st_e = StcState()
-    for _ in range(6):
+    tried = 0
+    for _ in range(8):
         n = rng.randint(40, 300)
         k = max(1, n // int(rng.choice([2, 5, 25])))
+        # route through the framework's deterministic feasibility gate
+        k = stc_feasible_k(n, k, h, st_e)
+        if k == 0:
+            continue
+        tried += 1
         x = rng.randint(0, 2, n).astype(np.uint8)
         m = rng.randint(0, 2, k).astype(np.uint8)
         rho = rng.uniform(0.01, 5, n).astype(np.float32)
@@ -93,13 +100,10 @@ def test_embed_extract_roundtrip(h):
         ex = StcState()
         ex.holdrand = hold0
         np.testing.assert_array_equal(stc_extract(y, k, h=h, state=ex), m)
-        if k >= h:
-            # reference quirk reproduced for parity: with k < h the
-            # traceback's column mask reconstruction ((colmask<<1)|1,
-            # embed.h:523-524) disagrees with the forward shrink
-            # (embed.h:483-484), so the walked path can cost more than
-            # the reported forward optimum; for k >= h they agree
-            assert abs(cost - float(rho[(x != y)].sum())) < 1e-3
+        # with the self-consistent effective height, the walked path's
+        # cost always equals the reported forward optimum
+        assert abs(cost - float(rho[(x != y)].sum())) < 1e-3
+    assert tried >= 4
 
 
 def test_bruteforce_optimality_with_ties():
@@ -123,3 +127,32 @@ def test_bruteforce_optimality_with_ties():
                 c = float(rho[(cand != x)].sum())
                 best = min(best, c)
         assert abs(cost - best) < 1e-4, (trial, cost, best)
+
+
+def test_feasibility_reduction_deterministic():
+    """stc_feasible_k: full-rank cases keep k; degenerate ones shrink
+    deterministically without touching the caller's LCG word; and the
+    resulting k' is always embeddable for arbitrary messages."""
+    from video_steganography_pcamv_tpu.stego.stc import stc_feasible_k
+    st = StcState()
+    st.holdrand = 123456789
+    for (n, k) in [(8000, 64), (300, 64), (64, 64), (40, 40), (23, 23),
+                   (9, 9), (5, 5)]:
+        hold0 = st.holdrand
+        k1 = stc_feasible_k(n, k, 10, st)
+        assert st.holdrand == hold0          # probes must clone
+        assert 0 <= k1 <= k
+        if k1 > 0:
+            for trial in range(3):
+                x = rng.randint(0, 2, n).astype(np.uint8)
+                m = rng.randint(0, 2, k1).astype(np.uint8)
+                rho = rng.uniform(1, 100, n).astype(np.float32)
+                e = StcState()
+                e.holdrand = hold0
+                y, _ = stc_embed(x, m, rho, h=10, state=e)
+                d = StcState()
+                d.holdrand = hold0
+                np.testing.assert_array_equal(
+                    stc_extract(y, k1, h=10, state=d), m)
+    # impossible rate (width > 2^(h-2)) -> 0, as the reference errors
+    assert stc_feasible_k(20000, 64, 10, StcState()) == 0

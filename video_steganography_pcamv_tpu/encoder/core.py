@@ -310,6 +310,13 @@ class Encoder:
     def _encode_frame_ipp(self, frame: Frame) -> bytes:
         t0 = time.time()
         y, u, v = self._pad(frame)
+        p = self.p
+        if (self._stego is not None and p.partitions and not p.p4x4
+                and p.ref_frames == 1 and p.rc_mode == 0
+                and self.ref is not None
+                and self.lookahead.prev_lr is not None
+                and self.rc.forced(self._frame_idx) is None):
+            return self._encode_frame_ipp_fast(frame, y, u, v, t0)
         # slicetype decision: lookahead scenecut/keyint (slicetype.c:578)
         is_idr, satd = self.lookahead.decide(y)
         if self.ref is None:
@@ -334,6 +341,55 @@ class Encoder:
             self.stats.i_frames += 1
         else:
             nal = self._encode_p(y, u, v, qp)
+            out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
+            self.stats.p_frames += 1
+        self._accumulate_psnr(frame)
+        if self.keep_recon:
+            self.recon_by_disp[self._frame_idx] = tuple(
+                np.asarray(x).copy() for x in self.recon_prev)
+        self._emit_au(self._frame_idx, out, "I" if is_idr else "P")
+        self.frame_num += 1
+        self._frame_idx += 1
+        self.stats.frames += 1
+        self.stats.bits += 8 * len(out)
+        self.rc.end(8 * len(out))
+        self.stats.elapsed += time.time() - t0
+        return out
+
+    def _encode_frame_ipp_fast(self, frame: Frame, y, u, v, t0) -> bytes:
+        """Speculative-P IPPP step for the stego serving path (CQP):
+        the lowres slice-type costs ride the fused stage-1 packed pull,
+        so a steady-state P frame costs exactly TWO tunnel round trips
+        (stage-1 packed, then levels). On the rare IDR decision
+        (keyint expiry / scenecut) the speculative stage-1 work is
+        discarded and the I path runs as usual."""
+        p = self.p
+        lr2 = self.lookahead.costs_device(y)     # dispatch only
+        qp = self.rc.start(SLICE_P, 1)           # CQP: satd unused
+        self._cur_qp = qp
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+        d = self._fused_dispatch(y, u, v, qp, qpc, extra=lr2)
+        n = p.mb_height * p.mb_width
+        packed = np.asarray(d["packed"])         # ONE pull, costs ride
+        ci, cp = int(packed[24 * n]), int(packed[24 * n + 1])
+        is_idr, satd = self.lookahead.decide_from_costs(ci, cp)
+        out = b""
+        if is_idr:
+            qp = self.rc.start(SLICE_I, satd)
+            self._cur_qp = qp
+            self.frame_num = 0
+            self.dpb = []
+            out += self.headers()
+            nal = self._encode_i(y, u, v, qp)
+            out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
+            self.stats.i_frames += 1
+        else:
+            d["packed"] = packed
+            res_np, part_np, mvd, skip, final8, intra_kind = \
+                self._fused_complete(d)
+            nal = self._finish_p_slice(
+                res_np, qp, part_np, mvd, skip, intra_kind, None, None,
+                final8, intra_kind > 0, False, update_state=False)
             out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
             self.stats.p_frames += 1
         self._accumulate_psnr(frame)
@@ -810,6 +866,8 @@ class Encoder:
         import jax
         lam = ME.lambda_tab(qp)
         multiref = p.ref_frames > 1
+        if self._stego is not None and not multiref:
+            return self._encode_p_parts_fused(y, u, v, qp, qpc)
         if multiref:
             refs_luma, refs_u, refs_v, n_valid = self._dpb_stacked()
             part, mv8, ref8, r_idx8, blocks8, wht8, mb_cost = \
@@ -895,6 +953,121 @@ class Encoder:
                 ref8=ref8_np)
             if replaced is not None:
                 final8, skip, mvd, res = replaced
+        return self._p_finalize(res, qp, part_np, mvd, skip, intra_kind,
+                                intra_res, ref8_np, final8, intra_mask,
+                                multiref)
+
+    def _p_state_update(self, part_np, skip, final8, intra_kind,
+                        ref8_np, intra_mask):
+        """Predictor + frame-info state of a coded P frame."""
+        self.prev_mv = np.where(intra_mask[..., None], 0,
+                                np.ascontiguousarray(final8[::2, ::2]))
+        kind = np.where(skip, 0, 1).astype(np.int32)
+        kind = np.where(intra_kind == 1, 2, kind)
+        kind = np.where(intra_kind == 2, 3, kind)
+        self.last_frame_info = {"kind": kind, "part": part_np,
+                                "mv8": final8, "ref8": ref8_np}
+
+    def _encode_p_parts_fused(self, y, u, v, qp: int, qpc: int) -> bytes:
+        """Stego serving path: ONE fused dispatch (analyse + pass-1
+        encode + device scan + RCA probe costs) and ONE packed pull
+        feed the host STC; the re-encode rides a second dispatch and
+        the packed level pull. Two tunnel round trips per frame total
+        (was four: meta pull + host scan + probe pull + level pull)."""
+        d = self._fused_dispatch(y, u, v, qp, qpc)
+        res_np, part_np, mvd, skip, final8, intra_kind = \
+            self._fused_complete(d)
+        return self._finish_p_slice(res_np, qp, part_np, mvd, skip,
+                                    intra_kind, None, None, final8,
+                                    intra_kind > 0, False,
+                                    update_state=False)
+
+    def _fused_dispatch(self, y, u, v, qp: int, qpc: int,
+                        extra=None) -> dict:
+        """Enqueue the fused stage-1 program; returns the context the
+        completion half consumes. No blocking pulls here — the
+        pipelined driver runs the previous frame's entropy between
+        this dispatch and _fused_complete's pull."""
+        from . import partition as PT
+        import jax
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        lam = ME.lambda_tab(qp)
+        cmv = self._cost_mv_dev(qp, lam)
+        packed_dev, res, blocks8, wht8, r_idx8 = PT.p_stage1_stego(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            jnp.asarray(self.prev_mv), qp, qpc, lam, cmv,
+            p.me_range, mbh, mbw, p.subpel,
+            jax.default_backend() == "tpu", p.dct_decimate,
+            bool(p.trellis), nr_offset=self._nr_offset(), extra=extra)
+        self._ptables8 = {"blocks": blocks8, "wht": wht8,
+                          "r_idx": r_idx8}
+        return dict(packed=packed_dev, res=res, y=y, u=u, v=v,
+                    qp=qp, qpc=qpc)
+
+    def _fused_complete(self, d):
+        """Pull the packed stage-1 results, run host STC + flips,
+        dispatch the re-encode, pull levels, dispatch the deblocker,
+        and update predictor/frame state. Entropy is NOT written here."""
+        from . import inter as P
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        qp, qpc, y, u, v = d["qp"], d["qpc"], d["y"], d["u"], d["v"]
+        n = mbh * mbw
+        packed = np.asarray(d["packed"])
+        self._nr_update(d["res"], 16 * mbh * mbw)
+        part_np = packed[:n].astype(np.int32).reshape(mbh, mbw)
+        mv8_np = packed[n:9 * n].astype(np.int32) \
+            .reshape(2 * mbh, 2 * mbw, 2)
+        skip = packed[11 * n:12 * n].astype(bool).reshape(mbh, mbw)
+        alt_u = packed[12 * n:20 * n].astype(np.int32) \
+            .reshape(mbh, mbw, 4, 2)
+        rho_u = np.ascontiguousarray(packed[20 * n:24 * n]) \
+            .reshape(mbh, mbw, 4).astype(np.float64)
+
+        final8, skip, mvd = self._stego.apply_costs(
+            self, part_np, mv8_np, skip, rho_u, alt_u)
+        res2 = P.encode_p_frame_device8(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            jnp.asarray(final8), qp, qpc, mbh, mbw,
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip),
+            trellis=bool(p.trellis), nr_offset=self._nr_offset())
+        intra_kind = np.zeros((mbh, mbw), np.int32)
+        intra_mask = intra_kind > 0
+
+        need_recon = (self.keep_recon
+                      or not (p.deblock and self._on_tpu()))
+        mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
+        res_np = _res_to_host(res2, mbh, mbw, with_recon=need_recon)
+        if p.deblock and self._on_tpu():
+            self._deblock_device(res2, intra_mask, skip, mv4, qp,
+                                 _nnz4_device(res2["luma_lev"], mbh,
+                                              mbw))
+        elif p.deblock and self._native is not None:
+            self._deblock(res_np, intra=intra_mask, mv=mv4,
+                          skip=skip.astype(np.uint8), qp=qp)
+        else:
+            self._update_ref(res2)
+            self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
+                               res_np["recon_v"])
+        self._p_state_update(part_np, skip, final8, intra_kind, None,
+                             intra_mask)
+        return res_np, part_np, mvd, skip, final8, intra_kind
+
+    def _cost_mv_dev(self, qp, lam):
+        """Device-cached lambda-weighted mv cost table per QP."""
+        if not hasattr(self, "_cmv_cache"):
+            self._cmv_cache = {}
+        if qp not in self._cmv_cache:
+            from ..stego.cost import cost_mv_table
+            self._cmv_cache[qp] = jnp.asarray(cost_mv_table(lam))
+        return self._cmv_cache[qp]
+
+    def _p_finalize(self, res, qp, part_np, mvd, skip, intra_kind,
+                    intra_res, ref8_np, final8, intra_mask, multiref):
+        """Common P tail: level pull, deblock/ref update, entropy."""
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
         need_recon = (self.keep_recon
                       or not (p.deblock and self._on_tpu()))
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
@@ -935,24 +1108,27 @@ class Encoder:
 
     def _finish_p_slice(self, res_np, qp, part_np, mvd, skip,
                         intra_kind, intra_res, ref8_np, final8,
-                        intra_mask, multiref):
+                        intra_mask, multiref, frame_num=None,
+                        poc_lsb=None, update_state=True):
         """Host tail of the partitioned P path: predictor update,
-        frame info, slice header + entropy."""
+        frame info, slice header + entropy. The pipelined driver
+        defers this entropy half to the NEXT frame's call (overlapping
+        the device's stage-1 compute), passing the captured frame_num/
+        poc_lsb and update_state=False (state was updated at dispatch
+        time)."""
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
-        self.prev_mv = np.where(intra_mask[..., None], 0,
-                                np.ascontiguousarray(final8[::2, ::2]))
-        kind = np.where(skip, 0, 1).astype(np.int32)
-        kind = np.where(intra_kind == 1, 2, kind)
-        kind = np.where(intra_kind == 2, 3, kind)
-        self.last_frame_info = {"kind": kind, "part": part_np,
-                                "mv8": final8, "ref8": ref8_np}
+        if update_state:
+            self._p_state_update(part_np, skip, final8, intra_kind,
+                                 ref8_np, intra_mask)
 
         bw = BitWriter()
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
-                             self.frame_num, qp, idr=False,
+                             self.frame_num if frame_num is None
+                             else frame_num, qp, idr=False,
                              disable_deblock=0 if p.deblock else 1,
-                             poc_lsb=self._poc_lsb)
+                             poc_lsb=self._poc_lsb if poc_lsb is None
+                             else poc_lsb)
         n = mbh * mbw
         if p.cabac:
             return self._write_p_slice_cabac(bw, res_np, qp, part_np,

@@ -344,14 +344,21 @@ def assemble_pred_luma(ref_luma, mv8, mbh: int, mbw: int):
                .reshape(n, 16, 16)
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate", "trellis"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate",
+                                             "trellis", "cbp_only"))
 def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                            qp, qpc, mbh: int, mbw: int,
                            decimate: bool = True, force_zero=None,
-                           trellis: bool = False, nr_offset=None):
+                           trellis: bool = False, nr_offset=None,
+                           cbp_only: bool = False):
     """Partitioned final P encode: mv per 8x8 block ([2mbh,2mbw,2] qpel,
     uniform within each partition unit). Same outputs as
-    encode_p_frame_device (the 16x16 path is the mv8-uniform case)."""
+    encode_p_frame_device (the 16x16 path is the mv8-uniform case).
+
+    cbp_only: emit just cbp_luma/cbp_chroma (+nr_sum) — the stego
+    pass-1 needs only the skip/cover decisions, so the recon and level
+    materialization (dequant/idct chains + the int16 HBM copies) are
+    dead code XLA prunes from the fused stage-1 program."""
     n = mbh * mbw
     fz = (jnp.zeros(n, bool) if force_zero is None
           else force_zero.reshape(n))
@@ -410,6 +417,13 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
     dc_nz = jnp.stack([jnp.any(c[0] != 0, axis=(1, 2))
                        for c in chroma_out]).any(axis=0)
     cbp_chroma = jnp.where(ac_nz, 2, jnp.where(dc_nz, 1, 0))
+
+    if cbp_only:
+        return {
+            "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
+            "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
+            **({"nr_sum": nrsum} if nrsum is not None else {}),
+        }
 
     recs_c = []
     levs_c = []

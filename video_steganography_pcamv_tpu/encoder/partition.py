@@ -1057,3 +1057,60 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(
         y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
     return part, mv8, r_idx8, blocks8, wht8, mb_cost
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "subpel", "use_pallas",
+                                             "decimate", "trellis"))
+def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
+                   lam, cost_mv, rng: int, mbh: int, mbw: int,
+                   subpel: int, use_pallas: bool, decimate: bool,
+                   trellis: bool, nr_offset=None, extra=None):
+    """Fused P-frame stage 1 for the stego serving path: analyse ->
+    pass-1 encode -> device scan (MVP/P_SKIP/skip) -> per-unit RCA
+    stego costs, ONE dispatch. Everything the host STC step needs
+    crosses the tunnel as ONE packed f32 array (all packed quantities
+    are small integers or native f32, exact in f32):
+
+      [part n | mv8 8n | cbp_l n | cbp_c n | skip n | alt 8n | rho 4n]
+
+    The per-8x8 qpel tables and the pass-1 result stay device-resident
+    for the re-encode. Replaces the previous
+    analyse/encode -> meta pull -> host scan -> probe dispatch ->
+    rho pull sequence (two ~100 ms tunnel round trips + a host scan
+    on the critical path)."""
+    from . import inter as INTER
+    from .scan_device import _scan_p_device
+
+    part, mv8, r_idx8, blocks8, wht8, _mb_cost = \
+        analyse_p_frame_parts.__wrapped__(
+            y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
+            use_pallas=use_pallas)
+    res = INTER.encode_p_frame_device8.__wrapped__(
+        y, u, v, ref_luma, ref_u, ref_v, mv8, qp, qpc, mbh, mbw,
+        decimate, None, trellis, nr_offset, cbp_only=True)
+    cbp_l = res["cbp_luma"].astype(jnp.int32)
+    cbp_c = res["cbp_chroma"].astype(jnp.int32)
+    skip, _mvd, mvp_u, _ = _scan_p_device(part, mv8, cbp_l, cbp_c,
+                                          mbh, mbw)
+    rho, alt, _valid = stego_costs_parts.__wrapped__(
+        y, blocks8, wht8, r_idx8, part, mv8, mvp_u, cost_mv, qp,
+        mbh, mbw, decimate)
+    f32 = jnp.float32
+    pieces = [
+        part.reshape(-1).astype(f32),
+        mv8.reshape(-1).astype(f32),
+        cbp_l.reshape(-1).astype(f32),
+        cbp_c.reshape(-1).astype(f32),
+        skip.reshape(-1).astype(f32),
+        alt.reshape(-1).astype(f32),
+        rho.reshape(-1).astype(f32),
+    ]
+    if extra is not None:
+        # e.g. the lookahead's [2] (cost_i, cost_p): the slice-type
+        # decision rides this pull instead of its own round trip
+        # (speculative-P; f32 rounding of the lowres sums is ~1e-7
+        # relative, far inside the scenecut threshold's granularity)
+        pieces.append(extra.reshape(-1).astype(f32))
+    packed = jnp.concatenate(pieces)
+    return packed, res, blocks8, wht8, r_idx8

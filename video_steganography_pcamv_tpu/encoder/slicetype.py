@@ -118,6 +118,27 @@ class Lookahead:
         # from its predecessor (close the GOP, code it as the P anchor)
         self.bad_b_candidate = False
 
+    def costs_device(self, y: jnp.ndarray):
+        """Dispatch the lowres frame-cost program WITHOUT pulling: the
+        fused P driver appends the [2] (cost_i, cost_p) array to its
+        stage-1 packed pull so the slice-type decision costs no extra
+        tunnel round trip (speculative-P under CQP). Pair with
+        decide_from_costs once the values are host-side. Requires a
+        previous frame (prev_lr not None)."""
+        p = self.p
+        bh, bw = p.mb_height, p.mb_width
+        cur_lr = lowres(y)
+        out = lowres_costs(cur_lr, self.prev_lr, bh, bw,
+                           rng=p.lookahead_me_range)
+        self._pending_lr = cur_lr
+        return out
+
+    def decide_from_costs(self, ci: int, cp: int):
+        """Host half of decide() for costs pulled elsewhere."""
+        self.frame_idx += 1
+        self.prev_lr = self._pending_lr
+        return self._decide_host(self.frame_idx, ci, cp)
+
     def decide(self, y: jnp.ndarray):
         """Returns (is_idr, satd_complexity) for the incoming frame.
         y: padded luma [16*mbh, 16*mbw] int32 device array."""
@@ -142,7 +163,10 @@ class Lookahead:
                                        rng=p.lookahead_me_range))
         ci, cp = int(both[0]), int(both[1])
         self.prev_lr = cur_lr
+        return self._decide_host(idx, ci, cp)
 
+    def _decide_host(self, idx: int, ci: int, cp: int):
+        p = self.p
         since_key = idx - self.last_keyframe
         is_idr = since_key >= p.keyint_max
         if (not is_idr and p.scenecut_threshold > 0

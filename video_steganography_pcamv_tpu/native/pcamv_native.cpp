@@ -577,6 +577,10 @@ extern "C" int pcamv_stc_embed(const uint8_t* cover, long n,
                                double* cost_out) {
   if (k <= 0) { std::memcpy(stego, cover, n); *cost_out = 0; return 0; }
   if (k > n || h < 2 || h > 24) return -1;
+  // self-consistent effective height for k < h (stc.py _eff_h): the
+  // reference's k<h traceback mask diverges from its forward mask and
+  // frames fail non-deterministically; min(h, k) makes them identical
+  if (k < h) h = k < 2 ? 2 : (int)k;
   const float INF = std::numeric_limits<float>::infinity();
   long n_states = 1L << h;
 

@@ -26,7 +26,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .stc import stc_embed, StcState
+from .stc import stc_embed, stc_feasible_k, StcState
 from .cost import alt_mv_costs, cost_mv_table
 
 
@@ -89,6 +89,11 @@ class StegoEngine:
         rate = st.em_rate
         an = int(rate) if rate > 1 else int(rate * n_cov)
         an = min(an, n_cov)
+        # deterministic feasibility reduction (see stc.stc_feasible_k):
+        # the reference fails frames whose syndrome is unreachable; a
+        # blind extractor can't see that, so both sides shrink k to the
+        # parity matrix's rank instead
+        an = stc_feasible_k(n_cov, an, st.stc_h, self._stc_state)
         enc.stats.mv_covers += n_cov
         if an <= 0 or n_cov == 0:
             self.sent_messages.append(np.zeros(0, np.uint8))
@@ -186,6 +191,11 @@ class StegoEngine:
         rate = st.em_rate
         an = int(rate) if rate > 1 else int(rate * n_cov)
         an = min(an, n_cov)
+        # deterministic feasibility reduction (see stc.stc_feasible_k):
+        # the reference fails frames whose syndrome is unreachable; a
+        # blind extractor can't see that, so both sides shrink k to the
+        # parity matrix's rank instead
+        an = stc_feasible_k(n_cov, an, st.stc_h, self._stc_state)
         if an <= 0 or n_cov == 0:   # counters handled by apply_costs
             enc.stats.mv_covers += n_cov
             self.sent_messages.append(np.zeros(0, np.uint8))
@@ -251,6 +261,11 @@ class StegoEngine:
         rate = st.em_rate
         an = int(rate) if rate > 1 else int(rate * n_cov)
         an = min(an, n_cov)
+        # deterministic feasibility reduction (see stc.stc_feasible_k):
+        # the reference fails frames whose syndrome is unreachable; a
+        # blind extractor can't see that, so both sides shrink k to the
+        # parity matrix's rank instead
+        an = stc_feasible_k(n_cov, an, st.stc_h, self._stc_state)
         if an <= 0 or n_cov == 0:
             enc.stats.mv_covers += n_cov
             self.sent_messages.append(np.zeros(0, np.uint8))
@@ -299,6 +314,11 @@ class StegoEngine:
         rate = st.em_rate
         an = int(rate) if rate > 1 else int(rate * n_cov)
         an = min(an, n_cov)
+        # deterministic feasibility reduction (see stc.stc_feasible_k):
+        # the reference fails frames whose syndrome is unreachable; a
+        # blind extractor can't see that, so both sides shrink k to the
+        # parity matrix's rank instead
+        an = stc_feasible_k(n_cov, an, st.stc_h, self._stc_state)
         enc.stats.mv_covers += n_cov
         if an <= 0 or n_cov == 0:
             self.sent_messages.append(np.zeros(0, np.uint8))
@@ -422,6 +442,11 @@ class StegoEngine:
         rate = st.em_rate
         an = int(rate) if rate > 1 else int(rate * n_cov)
         an = min(an, n_cov)
+        # deterministic feasibility reduction (see stc.stc_feasible_k):
+        # the reference fails frames whose syndrome is unreachable; a
+        # blind extractor can't see that, so both sides shrink k to the
+        # parity matrix's rank instead
+        an = stc_feasible_k(n_cov, an, st.stc_h, self._stc_state)
         enc.stats.mv_covers += n_cov
         if an <= 0 or n_cov == 0:
             # nothing to embed: MVs unchanged; rescan for consistency

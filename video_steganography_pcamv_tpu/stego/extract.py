@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..decoder import decode_annexb
-from .stc import stc_extract, StcState
+from .stc import stc_extract, stc_feasible_k, StcState
 
 
 def cover_bits_of_frame(frame) -> np.ndarray:
@@ -43,6 +43,8 @@ def extract_from_stream(data: bytes, em_rate: float, key: int = 0,
         n_cov = len(cov)
         an = int(em_rate) if em_rate > 1 else int(em_rate * n_cov)
         an = min(an, n_cov)
+        # mirror the embedder's deterministic feasibility reduction
+        an = stc_feasible_k(n_cov, an, stc_h, state)
         if an <= 0:
             out.append(np.zeros(0, np.uint8))
             continue

@@ -95,6 +95,76 @@ def ref_layout(n: int, k: int, h: int, state: StcState):
     return cols_s, cols_l, widths, use_longer
 
 
+def _h_column_ints(n: int, k: int, h: int, state: StcState):
+    """Each cover element's parity-check column as a k-bit int:
+    element i of block j with (masked) column c contributes bit t of c
+    to message bit j + t (the trellis state-bit t carries the parity of
+    message bit j + t)."""
+    cols_s, cols_l, widths, use_longer = ref_layout(n, k, h, state)
+    out = []
+    colmask = (1 << h) - 1
+    for j in range(k):
+        cols = cols_l if use_longer[j] else cols_s
+        for t in range(int(widths[j])):
+            c = int(cols[t]) & colmask
+            out.append(c << j)
+        if k - j <= h:
+            colmask >>= 1
+    return out
+
+
+def _gf2_rank(col_ints) -> int:
+    pivots = {}
+    r = 0
+    for v in col_ints:
+        while v:
+            low = v & -v
+            p = pivots.get(low)
+            if p is None:
+                pivots[low] = v
+                r += 1
+                break
+            v ^= p
+    return r
+
+
+def _eff_h(k: int, h: int) -> int:
+    """Effective constraint height: min(h, k), floored at 2. For k >= h
+    this is h (bit-parity with the reference). For k < h the reference
+    is broken (its traceback mask diverges from the forward mask and
+    frames fail non-deterministically, embed.h:483 vs :523); reducing
+    the height to k makes both masks identical ((2^k-1) >> j at block j)
+    and the trellis self-consistent. Deterministic on both sides."""
+    return max(2, min(h, k))
+
+
+def stc_feasible_k(n: int, k: int, h: int, state: StcState) -> int:
+    """Largest k' <= k whose parity-check matrix has full rank — i.e.
+    every message is embeddable. The reference simply fails the frame
+    when the syndrome is out of range (embed.h:495-504 totalprice
+    check); a blind extractor cannot observe that, so both sides apply
+    this DETERMINISTIC reduction instead (it depends only on
+    (n, k, h) and the running LCG word, all of which the extractor
+    knows). Probes use clones of `state`; the caller's state advances
+    only through the eventual ref_layout of the accepted k'. With the
+    self-consistent height _eff_h(k, h), the trellis realizes exactly
+    the linear code of the banded matrix, so full rank <=> every
+    message embeddable."""
+    while k > 0:
+        probe = StcState()
+        probe.holdrand = state.holdrand
+        try:
+            r = _gf2_rank(_h_column_ints(n, k, _eff_h(k, h), probe))
+        except ValueError:
+            # width > 2^(h-2): no matrix exists at this rate (the
+            # reference errors out the same way, embed.h:287-290)
+            return 0
+        if r == k:
+            return k
+        k = r
+    return 0
+
+
 def stc_embed(cover: np.ndarray, message: np.ndarray, rho: np.ndarray,
               h: int = 10, state: StcState | None = None):
     """Find stego bits y minimizing sum(rho[x != y]) with syndrome(y) ==
@@ -108,6 +178,7 @@ def stc_embed(cover: np.ndarray, message: np.ndarray, rho: np.ndarray,
         return x.copy(), 0.0
     if state is None:
         state = StcState()
+    h = _eff_h(k, h)
     cols_s, cols_l, widths, use_longer = ref_layout(n, k, h, state)
 
     n_states = 1 << h
@@ -176,6 +247,7 @@ def stc_extract(stego: np.ndarray, k: int, h: int = 10,
         return np.zeros(0, np.uint8)
     if state is None:
         state = StcState()
+    h = _eff_h(k, h)
     cols_s, cols_l, widths, use_longer = ref_layout(n, k, h, state)
     out = np.zeros(k, np.uint8)
     st = 0
