@@ -68,6 +68,9 @@ def build_argparser():
     ap.add_argument("--p4x4", action="store_true",
                     help="sub-8x8 partitions 8x4/4x8/4x4 "
                          "(x264 analyse=p4x4)")
+    ap.add_argument("--8x8dct", dest="dct8", action="store_true",
+                    help="High profile 8x8 transform + i8x8 intra "
+                         "(x264 --8x8dct)")
     # stego (reference: x264.c:394-402)
     ap.add_argument("--emrate", type=float, default=0.0)
     ap.add_argument("--key", type=int, default=0)
@@ -135,6 +138,7 @@ def main(argv=None):
                cabac=args.cabac,
                partitions=not args.no_partitions,
                p4x4=args.p4x4,
+               transform_8x8=args.dct8,
                stego=StegoParams(em_rate=args.emrate, key=args.key,
                                  em_file=args.emfile))
     enc = Encoder(p)

@@ -130,6 +130,7 @@ def read_residual(br: BitReader, max_coeff: int, nc: int) -> list[int]:
 
 @dataclass
 class DecSPS:
+    profile: int = 66
     width: int = 0
     height: int = 0
     log2_max_frame_num: int = 4
@@ -141,6 +142,7 @@ class DecSPS:
 
 @dataclass
 class DecPPS:
+    transform_8x8: bool = False
     cabac: bool = False
     pic_init_qp: int = 26
     chroma_qp_index_offset: int = 0
@@ -197,11 +199,19 @@ def parse_nals(data: bytes):
 
 def parse_sps(rbsp: bytes) -> DecSPS:
     br = BitReader(rbsp)
-    br.read(8)  # profile
+    profile = br.read(8)
     br.read(8)  # constraints
     br.read(8)  # level
     br.read_ue()  # sps id
     sps = DecSPS()
+    sps.profile = profile
+    if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
+        # High-profile extension block (spec 7.3.2.1)
+        chroma_format = br.read_ue()
+        assert chroma_format == 1, "only 4:2:0 supported"
+        assert br.read_ue() == 0 and br.read_ue() == 0, "8-bit only"
+        br.read1()  # qpprime_y_zero_transform_bypass
+        assert br.read1() == 0, "seq scaling matrices unsupported"
     sps.log2_max_frame_num = br.read_ue() + 4
     sps.poc_type = br.read_ue()
     assert sps.poc_type in (0, 2), \
@@ -245,6 +255,11 @@ def parse_pps(rbsp: bytes) -> DecPPS:
     pps.deblocking_control_present = bool(br.read1())
     br.read1()
     br.read1()
+    if br.more_rbsp_data():
+        # FRExt tail (spec 7.3.2.2)
+        pps.transform_8x8 = bool(br.read1())
+        assert br.read1() == 0, "pic scaling matrices unsupported"
+        br.read_se()  # second_chroma_qp_index_offset
     return pps
 
 
@@ -269,6 +284,11 @@ class SliceDecoder:
         self.modes4 = np.full((4 * self.mbh, 4 * self.mbw), 2, np.int32)
         self.mb_intra = np.zeros((self.mbh, self.mbw), bool)
         self.mb_skip = np.zeros((self.mbh, self.mbw), bool)
+        self.mb_trans8 = np.zeros((self.mbh, self.mbw), bool)
+        # per-8x8 coeff counts of trans8 inter MBs (deblock bS reads
+        # the 8x8's count through every covered 4x4 cell, while nnz_y
+        # keeps the interleaved sub-block counts for CAVLC nC)
+        self.nnz8 = np.zeros((2 * self.mbh, 2 * self.mbw), np.int32)
         # 4x4-granularity MV field (the reference's cache.mv): supports
         # all partition shapes uniformly
         self.mv4 = np.zeros((4 * self.mbh, 4 * self.mbw, 2), np.int32)
@@ -386,6 +406,89 @@ class SliceDecoder:
         self._decode_chroma(br, mx, my, cmode, cbp_chroma, qpc, intra=True)
         self.mb_intra[my, mx] = True
         return qp
+
+    _Z8 = [(0, 0), (0, 1), (1, 0), (1, 1)]
+
+    def decode_i8x8(self, br: BitReader, mx: int, my: int, qp: int):
+        """I_NxN with transform_size_8x8_flag == 1 (spec 7.3.5 +
+        7.4.5.3.3 interleaved CAVLC split + 8.3.2 prediction)."""
+        modes = np.zeros(4, np.int32)
+        for b, (by8, bx8) in enumerate(self._Z8):
+            gy4, gx4 = 4 * my + 2 * by8, 4 * mx + 2 * bx8
+            pm = self._pred_i4_mode(gy4, gx4)
+            if br.read1():
+                modes[b] = pm
+            else:
+                rem = br.read(3)
+                modes[b] = rem + (1 if rem >= pm else 0)
+            # i8x8 modes replicate into the 2x2 ctx cells (x264 cache)
+            self.modes4[gy4:gy4 + 2, gx4:gx4 + 2] = modes[b]
+
+        cmode = br.read_ue()
+        cbp = VT.CBP_INTRA_TO_GOLOMB.index(br.read_ue())
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.read_se()
+        qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
+                                    0, 51)])
+
+        # interleaved residual: sub-block j carries zigzag8 pos 4k + j
+        lev8 = np.zeros((2, 2, 64), np.int64)
+        for b, (by8, bx8) in enumerate(self._Z8):
+            for j, (sy, sx) in enumerate(self._Z8):
+                yy = 4 * my + 2 * by8 + sy
+                xx = 4 * mx + 2 * bx8 + sx
+                if cbp_luma & (1 << b):
+                    nc = self._nc(self.nnz_y, yy, xx)
+                    lv = read_residual(br, 16, nc)
+                    self.nnz_y[yy, xx] = sum(1 for x in lv if x)
+                    lev8[by8, bx8, j::4] = lv
+                else:
+                    self.nnz_y[yy, xx] = 0
+        for b, (by8, bx8) in enumerate(self._Z8):
+            deq = R.dequant8x8(R.dezigzag8(lev8[by8, bx8]), qp,
+                               intra=True)
+            pred = self._i8_pred_block(mx, my, by8, bx8, int(modes[b]))
+            py, px = 16 * my + 8 * by8, 16 * mx + 8 * bx8
+            self.y[py:py + 8, px:px + 8] = R.idct8x8_add(pred, deq)
+
+        self._decode_chroma(br, mx, my, cmode, cbp_chroma, qpc,
+                            intra=True)
+        self.mb_intra[my, mx] = True
+        self.mb_trans8[my, mx] = True
+        return qp
+
+    def _i8_pred_block(self, mx, my, by8, bx8, mode):
+        """Borders from reconstructed samples + spec availability/
+        substitution, then the shared 8x8 edge filter + prediction."""
+        gy8, gx8 = 2 * my + by8, 2 * mx + bx8
+        py, px = 8 * gy8, 8 * gx8
+        at, al = gy8 > 0, gx8 > 0
+        t = np.zeros(16, np.int64)
+        l = np.zeros(8, np.int64)
+        lt = 0
+        have_lt = at and al
+        have_tr = False
+        if at:
+            t[:8] = self.y[py - 1, px:px + 8]
+            if gx8 + 1 < 2 * self.mbw:
+                mb2 = ((gy8 - 1) // 2, (gx8 + 1) // 2)
+                if mb2 < (my, mx):
+                    have_tr = True
+                elif mb2 == (my, mx):
+                    z = {p: i for i, p in enumerate(self._Z8)}
+                    have_tr = (z[((gy8 - 1) % 2, (gx8 + 1) % 2)]
+                               < z[(by8, bx8)])
+            if have_tr:
+                t[8:] = self.y[py - 1, px + 8:px + 16]
+            else:
+                t[8:] = t[7]
+        if al:
+            l[:] = self.y[py:py + 8, px - 1]
+        if have_lt:
+            lt = int(self.y[py - 1, px - 1])
+        edge = R.filter_edge8(lt, t, l, have_lt, have_tr)
+        return R.pred_8x8(mode, edge, at, al)
 
     def _pred_i4_mode(self, gy4: int, gx4: int) -> int:
         """predIntra4x4PredMode (spec 8.3.1.1): DC if either neighbour
@@ -549,6 +652,27 @@ class SliceDecoder:
         8x8 MC — the FIR interpolation is position-independent, so the
         result is identical either way)."""
         gy, gx = 16 * my, 16 * mx
+        pred = self._inter_pred_luma16(mx, my)
+        for by in range(4):
+            for bx in range(4):
+                py, px = gy + 4 * by, gx + 4 * bx
+                self.y[py:py + 4, px:px + 4] = R.recon_block4x4(
+                    pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
+                    blocks[by, bx])
+
+    def _recon_inter_luma8(self, mx, my, deq8):
+        """8x8-transform inter recon: deq8 [2,2,8,8] dequantized."""
+        gy, gx = 16 * my, 16 * mx
+        pred = self._inter_pred_luma16(mx, my)
+        for by8 in range(2):
+            for bx8 in range(2):
+                py, px = gy + 8 * by8, gx + 8 * bx8
+                self.y[py:py + 8, px:px + 8] = R.idct8x8_add(
+                    pred[8 * by8:8 * by8 + 8, 8 * bx8:8 * bx8 + 8],
+                    deq8[by8, bx8])
+
+    def _inter_pred_luma16(self, mx, my):
+        gy, gx = 16 * my, 16 * mx
         pred = np.zeros((16, 16), np.int64)
         mvblk = self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
         rblk = self.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4]
@@ -571,12 +695,7 @@ class SliceDecoder:
                             rlum, gy + oy + 4 * j,
                             gx + ox + 4 * i,
                             int(mv[0]), int(mv[1]), bh=4, bw=4)
-        for by in range(4):
-            for bx in range(4):
-                py, px = gy + 4 * by, gx + 4 * bx
-                self.y[py:py + 4, px:px + 4] = R.recon_block4x4(
-                    pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
-                    blocks[by, bx])
+        return pred
 
     # unit geometry (y4off, x4off, w4, h4) per P partition mb_type 0..3
     _UNIT_GEOM = {
@@ -625,23 +744,48 @@ class SliceDecoder:
         cbp_code = br.read_ue()
         cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        # transform_size_8x8_flag between cbp and dqp (spec 7.3.5)
+        trans8 = bool(self.pps.transform_8x8 and cbp_luma
+                      and br.read1())
         if cbp:
             qp = qp + br.read_se()
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
                                     0, 51)])
         from ..encoder.cavlc import LUMA_SCAN
-        blocks = np.zeros((4, 4, 4, 4), np.int64)
-        for blk in range(16):
-            by, bx = LUMA_SCAN[blk]
-            if cbp_luma & (1 << (blk >> 2)):
-                nc = self._nc(self.nnz_y, 4 * my + by, 4 * mx + bx)
-                lv = read_residual(br, 16, nc)
-                self.nnz_y[4 * my + by, 4 * mx + bx] = \
-                    sum(1 for x in lv if x)
-                blocks[by, bx] = R.dequant4x4(R.dezigzag(lv), qp)
-            else:
-                self.nnz_y[4 * my + by, 4 * mx + bx] = 0
-        self._recon_inter_luma(mx, my, blocks)
+        if trans8:
+            lev8 = np.zeros((2, 2, 64), np.int64)
+            for b, (by8, bx8) in enumerate(self._Z8):
+                for j, (sy, sx) in enumerate(self._Z8):
+                    yy = 4 * my + 2 * by8 + sy
+                    xx = 4 * mx + 2 * bx8 + sx
+                    if cbp_luma & (1 << b):
+                        nc = self._nc(self.nnz_y, yy, xx)
+                        lv = read_residual(br, 16, nc)
+                        self.nnz_y[yy, xx] = sum(1 for x in lv if x)
+                        lev8[by8, bx8, j::4] = lv
+                    else:
+                        self.nnz_y[yy, xx] = 0
+            deq8 = np.stack([np.stack([
+                R.dequant8x8(R.dezigzag8(lev8[a, b2]), qp, intra=False)
+                for b2 in range(2)]) for a in range(2)])
+            self._recon_inter_luma8(mx, my, deq8)
+            self.mb_trans8[my, mx] = True
+            for b, (by8, bx8) in enumerate(self._Z8):
+                self.nnz8[2 * my + by8, 2 * mx + bx8] = int(
+                    np.count_nonzero(lev8[by8, bx8]))
+        else:
+            blocks = np.zeros((4, 4, 4, 4), np.int64)
+            for blk in range(16):
+                by, bx = LUMA_SCAN[blk]
+                if cbp_luma & (1 << (blk >> 2)):
+                    nc = self._nc(self.nnz_y, 4 * my + by, 4 * mx + bx)
+                    lv = read_residual(br, 16, nc)
+                    self.nnz_y[4 * my + by, 4 * mx + bx] = \
+                        sum(1 for x in lv if x)
+                    blocks[by, bx] = R.dequant4x4(R.dezigzag(lv), qp)
+                else:
+                    self.nnz_y[4 * my + by, 4 * mx + bx] = 0
+            self._recon_inter_luma(mx, my, blocks)
         self._decode_chroma(br, mx, my, 0, cbp_chroma if cbp else 0, qpc,
                             intra=False)
         self.decoded[my, mx] = True
@@ -867,8 +1011,13 @@ class SliceDecoder:
                     assert 0 <= mb_type <= 24, \
                         f"unsupported I mb_type {mb_type}"
                     if mb_type == 0:
-                        qp = self.decode_i4x4(br, mx, my, qp)
-                        kind = "I4x4"
+                        t8 = (self.pps.transform_8x8 and br.read1())
+                        if t8:
+                            qp = self.decode_i8x8(br, mx, my, qp)
+                            kind = "I8x8"
+                        else:
+                            qp = self.decode_i4x4(br, mx, my, qp)
+                            kind = "I4x4"
                     else:
                         qp = self.decode_i16x16(br, mx, my, mb_type, qp)
                         kind = "I16x16"
@@ -892,9 +1041,15 @@ class SliceDecoder:
                 qp = self.decode_p_mb(br, mx, my, mb_type, qp)
             elif mb_type == 5:
                 self.mb_intra[my, mx] = True
-                qp = self.decode_i4x4(br, mx, my, qp)
+                t8 = (self.pps.transform_8x8 and br.read1())
+                if t8:
+                    qp = self.decode_i8x8(br, mx, my, qp)
+                    kind = "I8x8"
+                else:
+                    qp = self.decode_i4x4(br, mx, my, qp)
+                    kind = "I4x4"
                 self.decoded[my, mx] = True
-                self.mbs.append(MBInfo("I4x4", (0, 0), qp))
+                self.mbs.append(MBInfo(kind, (0, 0), qp))
             elif 6 <= mb_type <= 29:
                 self.mb_intra[my, mx] = True
                 qp = self.decode_i16x16(br, mx, my, mb_type - 5, qp)
@@ -1005,11 +1160,18 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 dv = np.ascontiguousarray(dec.v, np.uint8)
                 qpc = int(CHROMA_QP[np.clip(
                     qp + pps.chroma_qp_index_offset, 0, 51)])
+                nnz_eff = dec.nnz_y
+                if dec.mb_trans8.any():
+                    t8r = np.repeat(np.repeat(dec.mb_trans8, 4, 0), 4, 1)
+                    nz8r = np.repeat(np.repeat(dec.nnz8, 2, 0), 2, 1)
+                    nnz_eff = np.where(t8r, nz8r, dec.nnz_y) \
+                        .astype(np.int32)
                 native.deblock_frame(
                     dy, du, dv, dec.mb_intra.astype(np.uint8),
-                    dec.nnz_y, dec.mv4,
+                    nnz_eff, dec.mv4,
                     dec.mb_skip.astype(np.uint8), qp, qpc,
-                    ref4=np.maximum(dec.ref4, 0))
+                    ref4=np.maximum(dec.ref4, 0),
+                    trans8=dec.mb_trans8.astype(np.uint8))
                 dec.y, dec.u, dec.v = (dy.astype(np.int64),
                                        du.astype(np.int64),
                                        dv.astype(np.int64))

@@ -139,12 +139,15 @@ def _write_level(bw: BitWriter, code: int, suffix_len: int) -> None:
 class FrameCavlc:
     """Per-frame CAVLC state: nnz context maps + bit writer glue."""
 
-    def __init__(self, mbw: int, mbh: int):
+    def __init__(self, mbw: int, mbh: int, trans8_mode: bool = False):
         self.mbw, self.mbh = mbw, mbh
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
         # i4x4 mode map (2 = not i4x4-coded), mirrors the decoder's
         self.modes4 = np.full((4 * mbh, 4 * mbw), 2, np.int32)
+        # PPS transform_8x8_mode_flag: I_NxN MBs then carry a
+        # transform_size_8x8_flag right after mb_type (spec 7.3.5)
+        self.trans8_mode = trans8_mode
 
     def _nc(self, arr, by, bx) -> int:
         """Neighbour context (spec 9.2.1): mean of available left/top
@@ -207,6 +210,8 @@ class FrameCavlc:
         (by,bx,r,c) full 16-coeff blocks.
         """
         bw.write_ue(5 if in_p_slice else 0)   # mb_type I_NxN
+        if self.trans8_mode:
+            bw.write1(0)                      # transform_size_8x8_flag
         for blk in range(16):
             by, bx = LUMA_SCAN[blk]
             gy4, gx4 = 4 * my + by, 4 * mx + bx
@@ -238,6 +243,64 @@ class FrameCavlc:
             else:
                 self.nnz_y[yy, xx] = 0
         self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
+
+    def write_i8x8_mb(self, bw: BitWriter, mx: int, my: int,
+                      modes8, cmode: int, cbp_luma: int,
+                      cbp_chroma: int, luma8_lev, chroma_dc,
+                      chroma_ac, qp_delta: int,
+                      in_p_slice: bool = False) -> None:
+        """One I_NxN (Intra_8x8) macroblock (spec 7.3.5/7.4.5.3.3 with
+        transform_size_8x8_flag = 1; reference encoder/cavlc.c High
+        path). modes8: [4] z-order 8x8 modes; luma8_lev: [2,2,8,8].
+        CAVLC splits each 8x8 into four interleaved 4x4 blocks: sub
+        block j carries zigzag8 positions 4k + j; each sub-block's
+        TotalCoeff lands in its 4x4 nnz cell (spec 9.2.1)."""
+        from ..ops.transform8 import ZIGZAG_8x8
+        assert self.trans8_mode
+        bw.write_ue(5 if in_p_slice else 0)   # mb_type I_NxN
+        bw.write1(1)                          # transform_size_8x8_flag
+        for b, (by8, bx8) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            gy4, gx4 = 4 * my + 2 * by8, 4 * mx + 2 * bx8
+            mode = int(modes8[b])
+            if gx4 == 0 or gy4 == 0:
+                pm = 2
+            else:
+                pm = int(min(self.modes4[gy4, gx4 - 1],
+                             self.modes4[gy4 - 1, gx4]))
+            if mode == pm:
+                bw.write1(1)
+            else:
+                bw.write1(0)
+                bw.write(3, mode - (1 if mode > pm else 0))
+            # replicate into the 2x2 ctx cells (x264 cache layout)
+            self.modes4[gy4:gy4 + 2, gx4:gx4 + 2] = mode
+        bw.write_ue(cmode)
+        cbp = (cbp_chroma << 4) | cbp_luma
+        bw.write_ue(VT.CBP_INTRA_TO_GOLOMB[cbp])
+        if cbp:
+            bw.write_se(qp_delta)
+        self._write_luma8(bw, mx, my, cbp_luma, luma8_lev)
+        self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
+
+    def _write_luma8(self, bw: BitWriter, mx: int, my: int,
+                     cbp_luma: int, luma8_lev) -> None:
+        """8x8-transform luma residual: four interleaved 4x4 CAVLC
+        blocks per coded 8x8 (spec 7.4.5.3.3 level8x8 split)."""
+        from ..ops.transform8 import ZIGZAG_8x8
+        zz = ZIGZAG_8x8
+        for b, (by8, bx8) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            blk8 = np.asarray(luma8_lev[by8, bx8])
+            scan = blk8[zz[:, 0], zz[:, 1]]          # [64] zigzag order
+            for j, (sy, sx) in enumerate([(0, 0), (0, 1), (1, 0),
+                                          (1, 1)]):
+                yy = 4 * my + 2 * by8 + sy
+                xx = 4 * mx + 2 * bx8 + sx
+                if cbp_luma & (1 << b):
+                    lv = [int(x) for x in scan[j::4]]  # interleave 4k+j
+                    nc = self._nc(self.nnz_y, yy, xx)
+                    self.nnz_y[yy, xx] = write_residual(bw, lv, 16, nc)
+                else:
+                    self.nnz_y[yy, xx] = 0
 
     def write_p16x16_mb(self, bw: BitWriter, mx: int, my: int,
                         mvd: tuple, cbp_luma: int, cbp_chroma: int,
@@ -282,7 +345,8 @@ class FrameCavlc:
                    mvds: np.ndarray, cbp_luma: int, cbp_chroma: int,
                    luma_lev: np.ndarray, chroma_dc: np.ndarray,
                    chroma_ac: np.ndarray, qp_delta: int,
-                   sub_types=None, refs=None, num_ref: int = 1) -> None:
+                   sub_types=None, refs=None, num_ref: int = 1,
+                   trans8: bool = False, luma8_lev=None) -> None:
         """Partitioned P macroblock (spec 7.3.5.2). mvds: [U,2] unit
         mvds in coding order (U up to 16; unused slots ignored).
         sub_types: [4] sub_mb_type per 8x8 block (None = all
@@ -310,18 +374,26 @@ class FrameCavlc:
             bw.write_se(int(mvds[u, 1]))
         cbp = (cbp_chroma << 4) | cbp_luma
         bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
+        # transform_size_8x8_flag between cbp and dqp (spec 7.3.5: only
+        # when luma residual exists; our P partitions are all >= 8x8 so
+        # noSubMbPartSizeLessThan8x8Flag holds)
+        if self.trans8_mode and cbp_luma:
+            bw.write1(1 if trans8 else 0)
         if cbp:
             bw.write_se(qp_delta)
-        gy, gx = 4 * my, 4 * mx
-        for blk in range(16):
-            by, bx = LUMA_SCAN[blk]
-            yy, xx = gy + by, gx + bx
-            if cbp_luma & (1 << (blk >> 2)):
-                nc = self._nc(self.nnz_y, yy, xx)
-                lv = zigzag(luma_lev[by, bx])
-                self.nnz_y[yy, xx] = write_residual(bw, lv, 16, nc)
-            else:
-                self.nnz_y[yy, xx] = 0
+        if trans8 and cbp_luma:
+            self._write_luma8(bw, mx, my, cbp_luma, luma8_lev)
+        else:
+            gy, gx = 4 * my, 4 * mx
+            for blk in range(16):
+                by, bx = LUMA_SCAN[blk]
+                yy, xx = gy + by, gx + bx
+                if cbp_luma & (1 << (blk >> 2)):
+                    nc = self._nc(self.nnz_y, yy, xx)
+                    lv = zigzag(luma_lev[by, bx])
+                    self.nnz_y[yy, xx] = write_residual(bw, lv, 16, nc)
+                else:
+                    self.nnz_y[yy, xx] = 0
         if cbp:
             self._write_chroma(bw, mx, my, cbp_chroma, chroma_dc, chroma_ac)
         else:

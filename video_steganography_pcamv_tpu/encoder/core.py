@@ -42,14 +42,18 @@ def _res_to_host(res, mbh, mbw, with_recon: bool = True):
     tunnel charges per round trip); recon planes are skipped when the
     reference stays on-device (with_recon=False)."""
     n = mbh * mbw
-    lev3 = jnp.concatenate(
-        [res["luma_lev"].reshape(n, 256).astype(jnp.int16),
-         res["chroma_dc"].reshape(n, 8).astype(jnp.int16),
-         res["chroma_ac"].reshape(n, 128).astype(jnp.int16)], axis=1)
-    packed = np.asarray(lev3)
+    pieces = [res["luma_lev"].reshape(n, 256).astype(jnp.int16),
+              res["chroma_dc"].reshape(n, 8).astype(jnp.int16),
+              res["chroma_ac"].reshape(n, 128).astype(jnp.int16)]
+    has8 = "luma8_lev" in res
+    if has8:
+        pieces.append(res["luma8_lev"].reshape(n, 256).astype(jnp.int16))
+        pieces.append(res["trans8"].reshape(n, 1).astype(jnp.int16))
+    packed = np.asarray(jnp.concatenate(pieces, axis=1))
     out = {}
     for k, v in res.items():
-        if k in ("luma_lev", "chroma_dc", "chroma_ac"):
+        if k in ("luma_lev", "chroma_dc", "chroma_ac", "luma8_lev",
+                 "trans8"):
             continue
         if not with_recon and k.startswith("recon_"):
             continue
@@ -58,8 +62,12 @@ def _res_to_host(res, mbh, mbw, with_recon: bool = True):
         .reshape(mbh, mbw, 4, 4, 4, 4)
     out["chroma_dc"] = np.ascontiguousarray(packed[:, 256:264]) \
         .reshape(mbh, mbw, 2, 2, 2)
-    out["chroma_ac"] = np.ascontiguousarray(packed[:, 264:]) \
+    out["chroma_ac"] = np.ascontiguousarray(packed[:, 264:392]) \
         .reshape(mbh, mbw, 2, 2, 2, 4, 4)
+    if has8:
+        out["luma8_lev"] = np.ascontiguousarray(packed[:, 392:648]) \
+            .reshape(mbh, mbw, 2, 2, 8, 8)
+        out["trans8"] = packed[:, 648].astype(bool).reshape(mbh, mbw)
     return out
 
 
@@ -110,6 +118,9 @@ class Encoder:
             self.sps.poc_type = 0
             self.sps.profile = H.PROFILE_MAIN
             self.sps.num_ref_frames = max(2, params.ref_frames)
+        if params.transform_8x8:
+            self.sps.profile = H.PROFILE_HIGH
+            self.pps.transform_8x8 = True
         self.dpb = []   # device ref dicts, newest first (L0 order)
         self._bbuf = []        # pending display-order frames (B pipe)
         self._disp_idx = 0     # display index of the next input frame
@@ -411,7 +422,7 @@ class Encoder:
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         res_dev = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width,
                                    p.mb_height, lam=ME.lambda_tab(qp),
-                                   i4x4=p.i4x4)
+                                   i4x4=p.i4x4, i8x8=p.transform_8x8)
         res = {k: np.asarray(val) for k, val in res_dev.items()}
         if p.deblock and self._on_tpu():
             mbh2, mbw2 = p.mb_height, p.mb_width
@@ -421,7 +432,9 @@ class Encoder:
                 np.zeros((4 * mbh2, 4 * mbw2, 2), np.int32), qp,
                 _nnz4_device(res_dev["luma_ac"], mbh2, mbw2))
         elif p.deblock and self._native is not None:
-            self._deblock(res, intra=True, qp=qp)
+            self._deblock(res, intra=True, qp=qp,
+                          trans8=(res["mb_i8"].astype(np.uint8)
+                                  if p.transform_8x8 else None))
         else:
             self._update_ref(res_dev)
             self.recon_prev = (res["recon_y"], res["recon_u"],
@@ -442,7 +455,7 @@ class Encoder:
         n = mbh * mbw
         if p.cabac:
             return self._write_i_slice_cabac(bw, res, qp)
-        if self._native is not None:
+        if self._native is not None and not p.transform_8x8:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice(
@@ -455,9 +468,19 @@ class Encoder:
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
                 mb_i4=res["mb_i4"].reshape(n) if p.i4x4 else None,
                 i4_modes=res["i4_modes"].reshape(n, 16) if p.i4x4 else None)
-        fc = FrameCavlc(mbw, mbh)
+        fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         for my in range(mbh):
             for mx in range(mbw):
+                if p.transform_8x8 and res["mb_i8"][my, mx]:
+                    fc.write_i8x8_mb(
+                        bw, mx, my, res["i8_modes"][my, mx],
+                        int(res["cmode"][my, mx]),
+                        int(res["cbp_luma"][my, mx]),
+                        int(res["cbp_chroma"][my, mx]),
+                        res["luma8_lev"][my, mx],
+                        res["chroma_dc"][my, mx],
+                        res["chroma_ac"][my, mx], qp_delta=0)
+                    continue
                 if p.i4x4 and res["mb_i4"][my, mx]:
                     fc.write_i4x4_mb(
                         bw, mx, my, res["i4_modes"][my, mx],
@@ -754,6 +777,8 @@ class Encoder:
     def _on_tpu(self) -> bool:
         import jax
         return (self.p.deblock_device
+                and not self.p.transform_8x8  # device twin lacks the
+                                              # 8x8 transform-edge rule
                 and jax.default_backend() == "tpu")
 
     def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev,
@@ -805,7 +830,7 @@ class Encoder:
                                     res["recon_v"]))
 
     def _deblock(self, res_np, intra, mv=None, skip=None, qp=None,
-                 nnz4=None, ref4=None):
+                 nnz4=None, ref4=None, trans8=None):
         """In-loop deblocking on the host recon (native C++; reference
         x264_fdec_filter_row -> x264_frame_deblock_row, encoder.c:1035).
         Returns (y, u, v) uint8 deblocked planes and re-derives the
@@ -832,7 +857,7 @@ class Encoder:
         native.deblock_frame(ry, ru, rv, intra_a, nnz4.astype(np.int32),
                              mv_a, skip, qp,
                              chroma_qp(qp, p.chroma_qp_offset),
-                             ref4=ref4)
+                             ref4=ref4, trans8=trans8)
         self.recon_prev = (ry, ru, rv)
         # upload as uint8 (4x fewer bytes over the tunnel); build_ref
         # casts on device
@@ -894,7 +919,8 @@ class Encoder:
             res = P.encode_p_frame_device8(
                 y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
                 mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
-                trellis=bool(p.trellis), nr_offset=self._nr_offset())
+                trellis=bool(p.trellis), nr_offset=self._nr_offset(),
+                trans8=p.transform_8x8)
 
         self._nr_update(res, 16 * mbh * mbw)
         # intra-vs-inter refinement (off while embedding — the
@@ -999,7 +1025,8 @@ class Encoder:
             jnp.asarray(self.prev_mv), qp, qpc, lam, cmv,
             p.me_range, mbh, mbw, p.subpel,
             jax.default_backend() == "tpu", p.dct_decimate,
-            bool(p.trellis), nr_offset=self._nr_offset(), extra=extra)
+            bool(p.trellis), nr_offset=self._nr_offset(), extra=extra,
+            trans8=p.transform_8x8)
         self._ptables8 = {"blocks": blocks8, "wht": wht8,
                           "r_idx": r_idx8}
         return dict(packed=packed_dev, res=res, y=y, u=u, v=v,
@@ -1031,7 +1058,8 @@ class Encoder:
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(final8), qp, qpc, mbh, mbw,
             decimate=p.dct_decimate, force_zero=jnp.asarray(skip),
-            trellis=bool(p.trellis), nr_offset=self._nr_offset())
+            trellis=bool(p.trellis), nr_offset=self._nr_offset(),
+            trans8=p.transform_8x8)
         intra_kind = np.zeros((mbh, mbw), np.int32)
         intra_mask = intra_kind > 0
 
@@ -1039,13 +1067,26 @@ class Encoder:
                       or not (p.deblock and self._on_tpu()))
         mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
         res_np = _res_to_host(res2, mbh, mbw, with_recon=need_recon)
+        nnz4 = None
+        trans8_mask = None
+        if p.transform_8x8 and "trans8" in res_np:
+            nz4 = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            nz8 = np.count_nonzero(res_np["luma8_lev"], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(2 * mbh, 2 * mbw)
+            nnz4 = np.where(
+                np.repeat(np.repeat(res_np["trans8"], 4, 0), 4, 1),
+                np.repeat(np.repeat(nz8, 2, 0), 2, 1),
+                nz4).astype(np.int32)
+            trans8_mask = res_np["trans8"].astype(np.uint8)
         if p.deblock and self._on_tpu():
             self._deblock_device(res2, intra_mask, skip, mv4, qp,
                                  _nnz4_device(res2["luma_lev"], mbh,
                                               mbw))
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
-                          skip=skip.astype(np.uint8), qp=qp)
+                          skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
+                          trans8=trans8_mask)
         else:
             self._update_ref(res2)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
@@ -1080,6 +1121,7 @@ class Encoder:
         res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
 
         nnz4 = None
+        trans8_mask = None
         if intra_res is not None:
             # deblock nnz: inter MBs from luma_lev, intra from luma_ac
             nz_inter = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
@@ -1089,6 +1131,18 @@ class Encoder:
                 .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
             m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
             nnz4 = np.where(m4, nz_intra, nz_inter).astype(np.int32)
+        if p.transform_8x8 and "trans8" in res_np:
+            # trans8 MBs: every 4x4 cell carries its 8x8's coeff count
+            # (bS at 8x8 edges reads any covered cell; internal edges
+            # are skipped by the deblocker's trans8 rule)
+            nz4 = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            nz8 = np.count_nonzero(res_np["luma8_lev"], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(2 * mbh, 2 * mbw)
+            nz8r = np.repeat(np.repeat(nz8, 2, 0), 2, 1)
+            t8r = np.repeat(np.repeat(res_np["trans8"], 4, 0), 4, 1)
+            nnz4 = np.where(t8r, nz8r, nz4).astype(np.int32)
+            trans8_mask = res_np["trans8"].astype(np.uint8)
         if p.deblock and self._on_tpu():
             self._deblock_device(
                 res, intra_mask, skip, mv4, qp,
@@ -1097,7 +1151,7 @@ class Encoder:
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
-                          ref4=ref4)
+                          ref4=ref4, trans8=trans8_mask)
         else:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
@@ -1138,7 +1192,8 @@ class Encoder:
             return self._write_p_slice_cavlc_mref(
                 bw, res_np, qp, part_np, mvd, skip, ref8_np,
                 intra_kind, intra_res)
-        if self._native is not None and intra_res is None:
+        if (self._native is not None and intra_res is None
+                and not p.transform_8x8):
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice(
@@ -1150,7 +1205,7 @@ class Encoder:
                 luma_blocks=res_np["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res_np["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16))
-        fc = FrameCavlc(mbw, mbh)
+        fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
         for my in range(mbh):
             for mx in range(mbw):
@@ -1190,7 +1245,11 @@ class Encoder:
                     int(res_np["cbp_chroma"][my, mx]),
                     res_np["luma_lev"][my, mx],
                     res_np["chroma_dc"][my, mx],
-                    res_np["chroma_ac"][my, mx], qp_delta=0)
+                    res_np["chroma_ac"][my, mx], qp_delta=0,
+                    trans8=bool(p.transform_8x8
+                                and res_np["trans8"][my, mx]),
+                    luma8_lev=(res_np["luma8_lev"][my, mx]
+                               if p.transform_8x8 else None))
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()

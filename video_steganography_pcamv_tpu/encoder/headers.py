@@ -15,6 +15,7 @@ from ..utils.bitstream import BitWriter
 
 PROFILE_BASELINE = 66
 PROFILE_MAIN = 77
+PROFILE_HIGH = 100
 
 SLICE_TYPE_P = 0
 SLICE_TYPE_B = 1
@@ -50,6 +51,14 @@ class SPS:
         bw.write(5, 0)  # constraint_set3 + reserved
         bw.write(8, self.level_idc)
         bw.write_ue(self.sps_id)
+        if self.profile >= PROFILE_HIGH:
+            # High-profile extension block (spec 7.3.2.1; reference
+            # sps_write for FRExt profiles)
+            bw.write_ue(1)   # chroma_format_idc 4:2:0
+            bw.write_ue(0)   # bit_depth_luma_minus8
+            bw.write_ue(0)   # bit_depth_chroma_minus8
+            bw.write1(0)     # qpprime_y_zero_transform_bypass
+            bw.write1(0)     # seq_scaling_matrix_present
         bw.write_ue(self.log2_max_frame_num - 4)
         bw.write_ue(self.poc_type)
         if self.poc_type == 0:
@@ -83,6 +92,7 @@ class PPS:
     chroma_qp_index_offset: int = 0
     num_ref_idx_l0_active: int = 1
     cabac: bool = False
+    transform_8x8: bool = False
 
     def write(self) -> bytes:
         bw = BitWriter()
@@ -101,6 +111,11 @@ class PPS:
         bw.write1(1)  # deblocking_filter_control_present
         bw.write1(0)  # constrained_intra_pred
         bw.write1(0)  # redundant_pic_cnt_present
+        if self.transform_8x8:
+            # PPS FRExt tail (spec 7.3.2.2 more_rbsp_data section)
+            bw.write1(1)     # transform_8x8_mode_flag
+            bw.write1(0)     # pic_scaling_matrix_present
+            bw.write_se(self.chroma_qp_index_offset)  # 2nd chroma offset
         bw.rbsp_trailing()
         return bw.get_bytes()
 

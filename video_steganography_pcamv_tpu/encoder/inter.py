@@ -345,12 +345,14 @@ def assemble_pred_luma(ref_luma, mv8, mbh: int, mbw: int):
 
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate",
-                                             "trellis", "cbp_only"))
+                                             "trellis", "cbp_only",
+                                             "trans8"))
 def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                            qp, qpc, mbh: int, mbw: int,
                            decimate: bool = True, force_zero=None,
                            trellis: bool = False, nr_offset=None,
-                           cbp_only: bool = False):
+                           cbp_only: bool = False,
+                           trans8: bool = False):
     """Partitioned final P encode: mv per 8x8 block ([2mbh,2mbw,2] qpel,
     uniform within each partition unit). Same outputs as
     encode_p_frame_device (the 16x16 path is the mv8-uniform case).
@@ -377,6 +379,49 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
     cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))
     cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
                 + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8)
+
+    if trans8:
+        # High profile adaptive transform (x264_mb_analyse_transform,
+        # analyse.c:2291-2303: b_transform_8x8 = sa8d < satd on the MC
+        # residual) + the 8x8 inter encode (macroblock.c sub16x16_dct8
+        # path with decimate_score64, per-8x8 >= 4 / MB >= 6 rules)
+        from ..ops import transform8 as T8
+        from ..ops.pixel import sa8d_16x16
+        from ..ops.transform import hadamard4x4
+        d4 = to_blocks(cur - pred, 4)
+        satd16 = jnp.sum(jnp.abs(hadamard4x4(d4)),
+                         axis=(1, 2, 3, 4)) >> 1
+        sa8d16 = sa8d_16x16(cur, pred)
+        t8 = (sa8d16 < satd16) & ~fz
+
+        blk8 = (cur - pred).reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
+        pred8 = pred.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
+        coef8 = T8.dct8x8(blk8)
+        lev8 = T8.quant8x8(coef8, qp, intra=False)
+        nz8 = jnp.any(lev8 != 0, axis=(3, 4))              # [n,2,2]
+        if decimate:
+            sc8 = T8.decimate_score64(lev8)                # [n,2,2]
+            keep8 = nz8 & (sc8 >= 4)
+            tot = jnp.sum(jnp.where(nz8, sc8, 0), axis=(1, 2))
+            keep8 = keep8 & (tot >= 6)[:, None, None]
+        else:
+            keep8 = nz8
+        lev8 = lev8 * keep8[:, :, :, None, None]
+        deq8 = T8.dequant8x8(lev8, qp, intra=False)
+        rec8b = T8.idct8x8_add(pred8, deq8)
+        rec8 = rec8b.transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+        cbp8_t = (keep8[:, 0, 0] * 1 + keep8[:, 0, 1] * 2
+                  + keep8[:, 1, 0] * 4 + keep8[:, 1, 1] * 8)
+
+        lev = lev * ~t8[:, None, None, None, None]
+        lev8 = lev8 * t8[:, None, None, None, None]
+        rec = jnp.where(t8[:, None, None], rec8, rec)
+        cbp_luma = jnp.where(t8, cbp8_t, cbp_luma)
+        # the cover/skip rule is unaffected (MVs only), but skip also
+        # requires an empty residual -> uses the selected cbp
+    else:
+        t8 = None
+        lev8 = None
 
     # ---- chroma: 4x4 blocks, one per luma 8x8 partition cell ----
     n8 = 4 * mbh * mbw
@@ -443,6 +488,9 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                 .reshape(mbh * b, mbw * b)
 
     return {
+        **({"trans8": t8.reshape(mbh, mbw),
+            "luma8_lev": lev8.reshape(mbh, mbw, 256).astype(jnp.int16)}
+           if trans8 else {}),
         "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
             mbh, mbw, 256).astype(jnp.int16),
         "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),

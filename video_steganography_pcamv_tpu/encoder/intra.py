@@ -219,6 +219,114 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
     return (jnp.stack(modes_out, axis=1), lev_out, cbp_luma, wt, cost)
 
 
+def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
+           nb_left_modes, nb_top_modes):
+    """Batched Intra_8x8 encode for one wave: static 4-step z-scan over
+    the MB's 8x8 blocks (reference: x264_mb_analyse_intra's i8x8 sweep
+    analyse.c:659-697 + x264_mb_encode_i8x8 encoder/macroblock.c:156).
+
+    enc: [W,16,16]; top24: [W,24] (above MB row15 + above-right MB's
+    first 8, pre-substituted when atr is false); left: [W,16];
+    topleft: [W]; nb_left_modes/[W,4] nb_top_modes: neighbour MBs'
+    border 4x4-ctx mode cells (i8x8 modes are replicated into the 4x4
+    ctx grid exactly as x264 caches them).
+    Returns (modes [W,4] z-order, lev [W,2,2,8,8], cbp_luma [W] 4-bit,
+    recon [W,16,16], cost [W], ctx4 [W,4,4])."""
+    from ..ops import predict8 as P8
+    from ..ops import transform8 as T8
+    W = enc.shape[0]
+    ones = jnp.ones(W, bool)
+    wt = jnp.zeros((W, 16, 16), jnp.int32)
+    ctx4 = jnp.full((W, 4, 4), 2, jnp.int32)
+    lev_out = jnp.zeros((W, 2, 2, 8, 8), jnp.int32)
+    modes_out = []
+    cost = jnp.zeros(W, jnp.int32)
+    needs_t = jnp.asarray(P8.I8_NEEDS_TOP)
+    needs_l = jnp.asarray(P8.I8_NEEDS_LEFT)
+
+    for b, (by8, bx8) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        y0, x0 = 8 * by8, 8 * bx8
+        # ---- raw borders (16 top incl. top-right, 8 left, lt) ----
+        if by8 == 0:
+            t16 = top24[:, x0:x0 + 16]
+            t_av = at
+            have_tr = at if bx8 == 0 else atr
+        else:
+            row = wt[:, 7, :]
+            if bx8 == 0:
+                t16 = row[:, 0:16]     # block 1's recon fills t8..15
+                have_tr = ones
+            else:
+                t8 = row[:, 8:16]
+                t16 = jnp.concatenate(
+                    [t8, jnp.repeat(t8[:, 7:8], 8, 1)], axis=1)
+                have_tr = jnp.zeros(W, bool)
+            t_av = ones
+        if bx8 == 0:
+            l8 = left[:, y0:y0 + 8]
+            l_av = al
+        else:
+            l8 = wt[:, y0:y0 + 8, 7]
+            l_av = ones
+        if by8 == 0 and bx8 == 0:
+            lt = topleft
+            have_lt = at & al
+        elif by8 == 0:
+            lt = top24[:, 7]
+            have_lt = at
+        elif bx8 == 0:
+            lt = left[:, 7]
+            have_lt = al
+        else:
+            lt = wt[:, 7, 7]
+            have_lt = ones
+        # !have_tr raw substitution (t8.. = t7) before the filter
+        t16 = jnp.where(have_tr[:, None], t16,
+                        jnp.concatenate(
+                            [t16[:, :8],
+                             jnp.repeat(t16[:, 7:8], 8, 1)], axis=1))
+
+        edge = P8.filter_edges(lt, t16, l8, have_lt, have_tr)
+        preds = P8.predict_i8x8_all(edge, t_av, l_av)      # [W,9,8,8]
+        eblk = enc[:, y0:y0 + 8, x0:x0 + 8]
+        d = to_blocks(eblk[:, None] - preds, 4)
+        satd = jnp.sum(jnp.abs(hadamard4x4(d)),
+                       axis=(-4, -3, -2, -1)) >> 1         # [W,9]
+
+        # predicted mode (spec 8.3.2.1, same rule as i4x4 over the
+        # replicated 4x4 ctx cells)
+        cy, cx = 2 * by8, 2 * bx8
+        mA = nb_left_modes[:, cy] if bx8 == 0 else ctx4[:, cy, cx - 1]
+        mB = nb_top_modes[:, cx] if by8 == 0 else ctx4[:, cy - 1, cx]
+        av_a = al if bx8 == 0 else ones
+        av_b = at if by8 == 0 else ones
+        pm = jnp.where(av_a & av_b, jnp.minimum(mA, mB), 2)
+        bits = jnp.where(jnp.arange(9)[None, :] == pm[:, None], 1, 4)
+        valid = ~((needs_t[None, :] & ~t_av[:, None])
+                  | (needs_l[None, :] & ~l_av[:, None]))
+        mcost = jnp.where(valid, satd + lam * bits, jnp.int32(1 << 30))
+        mode = jnp.argmin(mcost, axis=1)
+        cost = cost + jnp.min(mcost, axis=1)
+        pred = jnp.take_along_axis(
+            preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,8,8]
+
+        coef = T8.dct8x8(eblk - pred)
+        lev = T8.quant8x8(coef, qp, intra=True)
+        deq = T8.dequant8x8(lev, qp, intra=True)
+        rec = T8.idct8x8_add(pred, deq)
+        wt = wt.at[:, y0:y0 + 8, x0:x0 + 8].set(rec)
+        ctx4 = ctx4.at[:, cy:cy + 2, cx:cx + 2].set(
+            mode[:, None, None])
+        lev_out = lev_out.at[:, by8, bx8].set(lev)
+        modes_out.append(mode)
+
+    nz8 = jnp.any(lev_out != 0, axis=(3, 4))                # [W,2,2]
+    cbp_luma = (nz8[:, 0, 0] * 1 + nz8[:, 0, 1] * 2
+                + nz8[:, 1, 0] * 4 + nz8[:, 1, 1] * 8).astype(jnp.int32)
+    return (jnp.stack(modes_out, axis=1), lev_out, cbp_luma, wt, cost,
+            ctx4)
+
+
 def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
                qpc, lam):
     """Batched chroma encode, joint U+V mode decision.
@@ -268,9 +376,10 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
     return mode, dc_lev, ac_lev, cbp_chroma, ru, rv
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4"))
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4",
+                                             "i8x8"))
 def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
-                   i4x4: bool = True):
+                   i4x4: bool = True, i8x8: bool = False):
     """Encode one I-frame. y: [16*mbh, 16*mbw] int32; u, v: half size.
     qp/qpc/lam are traced scalars (per-frame rate control re-uses one
     compiled program across QPs).
@@ -304,6 +413,10 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         luma_ac=jnp.zeros((mbh, mbw, 4, 4, 4, 4), jnp.int32),
         chroma_dc=jnp.zeros((mbh, mbw, 2, 2, 2), jnp.int32),
         chroma_ac=jnp.zeros((mbh, mbw, 2, 2, 2, 4, 4), jnp.int32),
+        mb_i8=jnp.zeros((mbh, mbw), bool),
+        i8_modes=jnp.full((mbh, mbw, 4), 2, jnp.int32),
+        luma8_lev=jnp.zeros((mbh, mbw, 2, 2, 8, 8),
+                            jnp.int32 if i8x8 else jnp.int8),
     )
 
     def body(d, st):
@@ -324,11 +437,11 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         mode16, dc_lev, ac_lev, cbpl16, rec16, cost16 = _i16_mb(
             enc, top, left, tl, at, al, qp, lam)
 
+        nb_lm = st["modes4"][my, mxc, :, 3]               # [W,4]
+        nb_tm = st["modes4"][myc, mx, 3, :]
         if i4x4:
             tr4 = st["ry"][myc, mxr, 15, 0:4]
             top20 = jnp.concatenate([top, tr4], axis=1)   # [W,20]
-            nb_lm = st["modes4"][my, mxc, :, 3]           # [W,4]
-            nb_tm = st["modes4"][myc, mx, 3, :]
             m4, lev4, cbpl4, rec4, cost4 = _i4_mb(
                 enc, top20, left, tl, at, al, atr, qp, lam,
                 nb_lm, nb_tm)
@@ -339,16 +452,37 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             lev4 = jnp.zeros((W, 4, 4, 4, 4), jnp.int32)
             cbpl4 = jnp.zeros((W,), jnp.int32)
             rec4 = rec16
+            cost4 = jnp.full_like(cost16, 1 << 30)
+        if i8x8:
+            tr8 = st["ry"][myc, mxr, 15, 0:8]
+            top24 = jnp.concatenate([top, tr8], axis=1)   # [W,24]
+            m8, lev8, cbpl8, rec8, cost8, ctx8 = _i8_mb(
+                enc, top24, left, tl, at, al, atr, qp, lam,
+                nb_lm, nb_tm)
+            use8 = (cost8 < cost16) & (cost8 <= cost4)
+            use4 = use4 & ~use8
+        else:
+            use8 = jnp.zeros_like(cost16, dtype=bool)
+            m8 = jnp.full((W, 4), 2, jnp.int32)
+            lev8 = jnp.zeros((W, 2, 2, 8, 8), jnp.int32)
+            cbpl8 = jnp.zeros((W,), jnp.int32)
+            rec8 = rec16
+            ctx8 = jnp.full((W, 4, 4), 2, jnp.int32)
 
         rec = jnp.where(use4[:, None, None], rec4, rec16)
+        rec = jnp.where(use8[:, None, None], rec8, rec)
         luma_ac16 = jnp.moveaxis(ac_lev, (1, 2), (3, 4))  # [W,by,bx,r,c]
         luma_ac = jnp.where(use4[:, None, None, None, None],
                             lev4, luma_ac16)
+        luma_ac = jnp.where(use8[:, None, None, None, None],
+                            0, luma_ac)
         cbp_luma = jnp.where(use4, cbpl4, cbpl16.astype(jnp.int32) * 15)
-        dc_out = jnp.where(use4[:, None, None],
+        cbp_luma = jnp.where(use8, cbpl8, cbp_luma)
+        dc_out = jnp.where((use4 | use8)[:, None, None],
                            jnp.zeros_like(dc_lev), dc_lev)
         ctx4 = jnp.where(use4[:, None, None],
                          _z_to_grid(m4), jnp.full((W, 4, 4), 2, jnp.int32))
+        ctx4 = jnp.where(use8[:, None, None], ctx8, ctx4)
 
         cu, cvv = tu[my, mx], tv[my, mx]
         top_u = st["ru"][myc, mx, 7, :]
@@ -372,6 +506,10 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         st["cmode"] = st["cmode"].at[sy, sx].set(cmode, mode="drop")
         st["mb_i4"] = st["mb_i4"].at[sy, sx].set(use4, mode="drop")
         st["i4_modes"] = st["i4_modes"].at[sy, sx].set(m4, mode="drop")
+        st["mb_i8"] = st["mb_i8"].at[sy, sx].set(use8, mode="drop")
+        st["i8_modes"] = st["i8_modes"].at[sy, sx].set(m8, mode="drop")
+        st["luma8_lev"] = st["luma8_lev"].at[sy, sx].set(
+            lev8.astype(st["luma8_lev"].dtype), mode="drop")
         st["modes4"] = st["modes4"].at[sy, sx].set(ctx4, mode="drop")
         st["cbp_luma"] = st["cbp_luma"].at[sy, sx].set(cbp_luma,
                                                        mode="drop")

@@ -1061,11 +1061,13 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
 
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "subpel", "use_pallas",
-                                             "decimate", "trellis"))
+                                             "decimate", "trellis",
+                                             "trans8"))
 def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
                    lam, cost_mv, rng: int, mbh: int, mbw: int,
                    subpel: int, use_pallas: bool, decimate: bool,
-                   trellis: bool, nr_offset=None, extra=None):
+                   trellis: bool, nr_offset=None, extra=None,
+                   trans8: bool = False):
     """Fused P-frame stage 1 for the stego serving path: analyse ->
     pass-1 encode -> device scan (MVP/P_SKIP/skip) -> per-unit RCA
     stego costs, ONE dispatch. Everything the host STC step needs
@@ -1088,7 +1090,8 @@ def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
             use_pallas=use_pallas)
     res = INTER.encode_p_frame_device8.__wrapped__(
         y, u, v, ref_luma, ref_u, ref_v, mv8, qp, qpc, mbh, mbw,
-        decimate, None, trellis, nr_offset, cbp_only=True)
+        decimate, None, trellis, nr_offset, cbp_only=True,
+        trans8=trans8)
     cbp_l = res["cbp_luma"].astype(jnp.int32)
     cbp_c = res["cbp_chroma"].astype(jnp.int32)
     skip, _mvd, mvp_u, _ = _scan_p_device(part, mv8, cbp_l, cbp_c,

@@ -92,7 +92,8 @@ def load():
     lib.pcamv_deblock_frame.restype = None
     lib.pcamv_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p]
     lib.pcamv_write_slice_cabac.restype = ctypes.c_long
     lib.pcamv_write_slice_cabac.argtypes = [
         u8p, ctypes.c_long, u8p, ctypes.c_int,
@@ -340,7 +341,8 @@ def host_scan_p_forced(mv, skip):
     return fmv.reshape(mbh, mbw, 2), mvd.reshape(mbh, mbw, 2)
 
 
-def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None):
+def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None,
+                  trans8=None):
     """In-place H.264 deblocking of uint8 planes.
 
     y/u/v: MB-padded planes (modified in place); intra: [mbh,mbw] uint8;
@@ -362,11 +364,15 @@ def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None):
     ref_a = (_as_i32(ref4).reshape(-1) if ref4 is not None else None)
     ref_p = (ref_a.ctypes.data_as(ctypes.c_void_p)
              if ref_a is not None else None)
+    t8_a = (np.ascontiguousarray(trans8, np.uint8)
+            if trans8 is not None else None)
+    t8_p = (t8_a.ctypes.data_as(ctypes.c_void_p)
+            if t8_a is not None else None)
     lib.pcamv_deblock_frame(
         y, u, v, mbw, mbh,
         np.ascontiguousarray(intra, np.uint8),
         _as_i32(nnz4).reshape(-1), _as_i32(mv).reshape(-1), ref_p,
-        skip_p, qp, qpc)
+        skip_p, qp, qpc, t8_p)
 
 
 def stc_embed(cover, message, rho, h=10, state=None):

@@ -100,6 +100,7 @@ struct Ctx {
   const int32_t* ref;    // [4mbh][4mbw] L0 refs (nullable = all 0)
   const uint8_t* skip;   // [N]
   int qp, qpc;
+  const uint8_t* trans8 = nullptr;  // [N] transform_size_8x8 per MB
 };
 
 // bS for one 4-sample group on an edge between 4x4 blocks p(-1 side) / q
@@ -116,6 +117,8 @@ inline int bs_inter(const Ctx& c, int qx, int qy, int px, int py) {
 }
 
 void deblock_mb(const Ctx& c, int mbx, int mby) {
+  // 8x8-transform MBs: internal 4x4-only luma edges (e = 1, 3) are not
+  // transform edges and are NOT filtered (spec 8.7 transform_size_8x8)
   const int a_l = ALPHA_TAB[c.qp + 12], b_l = BETA_TAB[c.qp + 12];
   const int a_c = ALPHA_TAB[c.qpc + 12], b_c = BETA_TAB[c.qpc + 12];
   const int mb = mby * c.mbw + mbx;
@@ -151,6 +154,7 @@ void deblock_mb(const Ctx& c, int mbx, int mby) {
         }
       }
       // luma
+      if (c.trans8 && c.trans8[mb] && (e & 1)) goto chroma;
       for (int i = 0; i < 4; i++) {
         for (int d = 0; d < 4; d++) {
           uint8_t* p = dir == 0
@@ -165,6 +169,7 @@ void deblock_mb(const Ctx& c, int mbx, int mby) {
         }
       }
       // chroma on even edges
+      chroma:
       if (!(e & 1) && a_c && b_c) {
         for (int i = 0; i < 4; i++) {
           for (int d = 0; d < 2; d++) {
@@ -195,9 +200,10 @@ extern "C" void pcamv_deblock_frame(uint8_t* y, uint8_t* u, uint8_t* v,
                                     const uint8_t* intra,
                                     const int32_t* nnz, const int32_t* mv,
                                     const int32_t* ref,
-                                    const uint8_t* skip, int qp, int qpc) {
+                                    const uint8_t* skip, int qp, int qpc,
+                                    const uint8_t* trans8) {
   Ctx c{y, u, v, mbw, mbh, 16 * mbw, 8 * mbw, intra, nnz, mv, ref, skip,
-        qp, qpc};
+        qp, qpc, trans8};
   for (int mby = 0; mby < mbh; mby++)
     for (int mbx = 0; mbx < mbw; mbx++)
       deblock_mb(c, mbx, mby);

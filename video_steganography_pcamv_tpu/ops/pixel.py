@@ -13,6 +13,7 @@ Divergence note: x264 computes SATD as sum over 8x4 halves with a final
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from .blocks import to_blocks
@@ -94,3 +95,21 @@ def ssim_wxh(recon: jnp.ndarray, src: jnp.ndarray) -> jnp.ndarray:
     ssim = (2 * s1w * s2w + c1) * (2 * covar + c2) \
         / ((s1w * s1w + s2w * s2w + c1) * (vars_ + c2))
     return jnp.sum(ssim)
+
+
+# Sylvester-order 8x8 Hadamard matrix (sa8d is invariant to row/col
+# ordering and sign conventions of the Hadamard basis)
+_H8 = np.array([[1 if bin(r & c).count("1") % 2 == 0 else -1
+                 for c in range(8)] for r in range(8)], np.int32)
+
+
+def sa8d_16x16(a, b):
+    """x264_pixel_sa8d_16x16 (reference common/pixel.c:256-302): sum
+    over the four 8x8 sub-blocks of |H8 (a-b) H8^T| summed, then
+    (sum + 2) >> 2. a/b: [N, 16, 16] int32. Returns [N] int32."""
+    import jax.numpy as jnp
+    d = (a - b).reshape(-1, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
+    h = jnp.asarray(_H8)
+    t = jnp.einsum("ij,nabjk,kl->nabil", h, d, h)
+    s = jnp.sum(jnp.abs(t), axis=(1, 2, 3, 4))
+    return (s + 2) >> 2

@@ -214,3 +214,30 @@ def dequant8x8(level: jnp.ndarray, qp, intra: bool = False,
     f = 1 << jnp.maximum(-qbits - 1, 0)
     shr = (lvl + f) >> jnp.maximum(-qbits, 0)
     return jnp.where(qbits >= 0, shl, shr).astype(jnp.int32)
+
+
+# JVT-B118 64-coef decimation run table (reference common/quant.c
+# x264_decimate_table8)
+DECIMATE_TABLE8 = np.array(
+    [3, 3, 3, 3, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1] + [0] * 40, np.int32)
+
+
+def decimate_score64(lev8: jnp.ndarray) -> jnp.ndarray:
+    """x264_decimate_score64 batched: lev8 [..., 8, 8] levels ->
+    score [...] (9 when any |coef| > 1)."""
+    import jax
+    zz = jnp.asarray(ZIGZAG_8x8)
+    z = lev8[..., zz[:, 0], zz[:, 1]]                  # [..., 64]
+    a = jnp.abs(z)
+    anybig = jnp.any(a > 1, axis=-1)
+    nz = a > 0
+    idx = jnp.arange(64)
+    marked = jnp.where(nz, idx, -1)
+    prev = jax.lax.cummax(marked, axis=marked.ndim - 1)
+    prev_excl = jnp.concatenate(
+        [jnp.full_like(prev[..., :1], -1), prev[..., :-1]], axis=-1)
+    run = idx - prev_excl - 1
+    contrib = jnp.where(nz, jnp.asarray(DECIMATE_TABLE8)[
+        jnp.clip(run, 0, 63)], 0)
+    return jnp.where(anybig, 9, jnp.sum(contrib, axis=-1))

@@ -105,6 +105,8 @@ class Params:
                                # analyse=p8x8)
     p4x4: bool = False         # sub-8x8 splits 8x4/4x8/4x4 (x264
                                # analyse=p4x4, off by default there too)
+    transform_8x8: bool = False  # High profile 8x8 transform + i8x8
+                                 # intra (x264 --8x8dct)
 
     # entropy / tools
     psnr: bool = True          # in-loop PSNR (x264 b_psnr; off skips
@@ -150,6 +152,11 @@ class Params:
         if self.vbv_maxrate > 0:
             assert self.vbv_bufsize > 0, "VBV needs bufsize"
         self.keyint_min = min(self.keyint_min, self.keyint_max)
+        if self.transform_8x8:
+            assert not self.cabac, \
+                "8x8dct+CABAC (cat-5 residual) not implemented yet"
+            assert not self.p4x4, \
+                "8x8dct excludes sub-8x8 partitions (x264 rule)"
         if not self.cabac:
             # ops/trellis.py rates bits with a CABAC context model; the
             # reference likewise forces trellis off without CABAC
@@ -234,6 +241,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.i4x4 = _BOOL[value.lower()]
     elif name == "p4x4":
         p.p4x4 = _BOOL[value.lower()]
+    elif name in ("8x8dct", "transform_8x8"):
+        p.transform_8x8 = _BOOL[value.lower()]
     elif name == "intra_in_p":
         p.intra_in_p = _BOOL[value.lower()]
     elif name == "deblock_device":
@@ -280,7 +289,8 @@ def param2string(p: Params) -> str:
          f"subme={p.subpel} trellis={p.trellis} "
          f"cabac={int(p.cabac)} deblock={int(p.deblock)} "
          f"decimate={int(p.dct_decimate)} nr={p.noise_reduction} "
-         f"8x8dct=0 parts={int(p.partitions)} p4x4={int(p.p4x4)}")
+         f"8x8dct={int(p.transform_8x8)} parts={int(p.partitions)} "
+         f"p4x4={int(p.p4x4)}")
     if p.rc_mode == 1:
         s += f" crf={p.crf:.1f}"
     elif p.rc_mode == 2:

@@ -232,7 +232,8 @@ class StegoEngine:
                 y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
                 jnp.asarray(final8), qp, qpc, mbh, mbw,
                 decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
-                trellis=bool(p.trellis), nr_offset=enc._nr_offset())
+                trellis=bool(p.trellis), nr_offset=enc._nr_offset(),
+                trans8=p.transform_8x8)
         return final8, skip1, mvd2, res2
 
     def embed_frame_sub(self, enc, y, u, v, part: np.ndarray,

@@ -22,6 +22,12 @@ class BitWriter:
 
     def write(self, n_bits: int, value: int) -> None:
         """Write ``n_bits`` of ``value`` (MSB first)."""
+        # coerce numpy scalars: an np.int16 n_bits contaminates _acc /
+        # _nbits with fixed-width ints that silently WRAP on a later
+        # (acc << n) once past 2^15 — a real corruption observed when
+        # entropy writers passed numpy level values through
+        n_bits = int(n_bits)
+        value = int(value)
         if n_bits == 0:
             return
         assert 0 <= value < (1 << n_bits), (n_bits, value)
