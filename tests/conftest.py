@@ -19,9 +19,12 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 # persistent compile cache: the fused frame programs take minutes to
-# build on this 1-core box; cache them across test files/processes
+# build on this 1-core box; cache them across test files/processes.
+# PCAMV_JAX_CACHE overrides the dir — concurrent pytest processes on
+# the SAME cache segfault on racing entries (use a private dir).
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/pcamv_jax_cpu"))
+                  os.environ.get("PCAMV_JAX_CACHE",
+                                 os.path.expanduser("~/.cache/pcamv_jax_cpu")))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,117 @@
+"""Adaptive quantization (--aq-mode) + --zones.
+
+Reference model: x264_adaptive_quant_frame (ratecontrol.c:231) computes
+per-MB qp offsets from source AC energy; x264_adaptive_quant (:255)
+assigns per-MB QP with +-1 hysteresis; mb_qp_delta carries the chain
+(spec 7.4.5); the deblocker uses the decoder-visible per-MB QP with
+qPav on MB edges (spec 8.7.2.2). Zones: parse_zones (:602)."""
+
+import numpy as np
+import pytest
+
+from video_steganography_pcamv_tpu import native
+from video_steganography_pcamv_tpu.params import Params
+from video_steganography_pcamv_tpu.utils.yuv import Frame
+from video_steganography_pcamv_tpu.encoder.core import Encoder
+from video_steganography_pcamv_tpu.decoder import decode_annexb
+
+W, H = 96, 64
+
+pytestmark = pytest.mark.skipif(native.load() is None,
+                                reason="native lib unavailable")
+
+
+def _mixed_energy_frames(n, seed=5):
+    """Half the frame flat, half noisy: AQ must spread QP."""
+    rng = np.random.RandomState(seed)
+    u = np.full((H // 2, W // 2), 110, np.uint8)
+    v = np.full((H // 2, W // 2), 140, np.uint8)
+    out = []
+    base = rng.randint(0, 256, (H, W)).astype(np.uint8)
+    for i in range(n):
+        y = np.full((H, W), 80, np.uint8)
+        y[:, W // 2:] = np.roll(base, i, axis=1)[:, W // 2:]
+        y[:8] += np.arange(W, dtype=np.uint8) % 7  # mild texture band
+        out.append(Frame(y, u.copy(), v.copy()))
+    return out
+
+
+def _encode_all(enc, frames):
+    bs = b""
+    for f in frames:
+        bs += enc.encode_frame(f)
+    return bs + enc.flush()
+
+
+def test_aq_roundtrip_and_qp_spread():
+    frames = _mixed_energy_frames(4)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 4
+    # P frames must carry a real per-MB QP spread
+    spread = set()
+    for d in dec[1:]:
+        spread |= {m.qp for m in d.mbs}
+    assert len(spread) >= 3, f"AQ produced no qp spread: {spread}"
+    # encoder recon == decoder output (incl. the per-MB-qp deblocker)
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+        np.testing.assert_array_equal(
+            d.v, rv[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} V")
+
+
+def test_aq_offsets_formula():
+    """aq_offsets matches the reference formula
+    strength*1.0397*(log2(energy)-14.427) with energy = var16(luma) +
+    var8(u) + var8(v) (ratecontrol.c:231-249 with exact log2), and
+    flat MBs get lower offsets than noisy ones."""
+    import jax.numpy as jnp
+    from video_steganography_pcamv_tpu.ops.aq import aq_offsets
+    rng = np.random.RandomState(1)
+    y = np.full((H, W), 80, np.int32)
+    y[:, W // 2:] = rng.randint(0, 256, (H, W // 2))
+    u = rng.randint(100, 120, (H // 2, W // 2)).astype(np.int32)
+    v = np.full((H // 2, W // 2), 140, np.int32)
+    offs = np.asarray(aq_offsets(jnp.asarray(y), jnp.asarray(u),
+                                 jnp.asarray(v), H // 16, W // 16,
+                                 jnp.float32(1.0)))
+    # serial oracle (PIXEL_VAR_C semantics)
+    def var(t, shift):
+        s, sq = int(t.sum()), int((t.astype(np.int64) ** 2).sum())
+        return sq - ((s * s) >> shift)
+    for my in range(H // 16):
+        for mx in range(W // 16):
+            e = (var(y[16*my:16*my+16, 16*mx:16*mx+16], 8)
+                 + var(u[8*my:8*my+8, 8*mx:8*mx+8], 6)
+                 + var(v[8*my:8*my+8, 8*mx:8*mx+8], 6))
+            want = 1.0397 * (np.log2(max(e, 1)) - 14.427)
+            assert abs(offs[my, mx] - want) < 1e-3, (my, mx)
+    assert offs[:, :W // 32].mean() < offs[:, W // 32:].mean()
+
+
+def test_zones_force_qp():
+    frames = _mixed_energy_frames(6, seed=3)
+    p = Params(width=W, height=H, qp=30, me_range=4,
+               zones="2,3,q=40/4,5,b=2.0")
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    got = [d.mbs[0].qp for d in dec]
+    assert got[2] == 40 and got[3] == 40, got
+    # b=2.0 -> qp -= 6*log2(2) = 6
+    assert got[4] == 24 and got[5] == 24, got
+    assert got[1] == 30, got
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")

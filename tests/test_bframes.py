@@ -205,3 +205,78 @@ def test_b_p4x4_roundtrip_bitexact(cabac):
         np.testing.assert_array_equal(
             d.u, ru[:H // 2, :W // 2].astype(np.uint8),
             err_msg=f"frame {i} U")
+
+
+def test_qpfile_honored_in_b_pipe(tmp_path):
+    """--qpfile forced types/QPs steer the B pipeline too (was a
+    documented divergence: qpfile only applied to the IPP path)."""
+    from video_steganography_pcamv_tpu.decoder import decode_annexb
+    qpf = tmp_path / "qpf.txt"
+    qpf.write_text("0 I 30\n1 B 36\n2 P 33\n3 B 35\n4 P 31\n5 B 34\n")
+    frames = _pan_frames(W, H, 6, seed=1)
+    p = Params(width=W, height=H, qp=28, me_range=4, bframes=2,
+               qpfile=str(qpf))
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    got = [d.mbs[0].qp for d in dec]
+    assert got == [30, 36, 33, 35, 31, 34], got
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+
+
+def _split_motion_frames(w, h, n, yb=24, xb=40, seed=7, step=3):
+    """Three regions with different motion, boundaries mid-MB: forces
+    B 16x8/8x16/8x8 partition decisions."""
+    rng = np.random.RandomState(seed)
+    pad = step * n + 16
+    a = rng.randint(16, 240, (h + 2 * pad, w + 2 * pad)).astype(np.uint8)
+    for _ in range(2):
+        a = ((a.astype(np.int32) + np.roll(a, 1, 0) + np.roll(a, 1, 1)
+              + np.roll(np.roll(a, 1, 0), 1, 1)) // 4).astype(np.uint8)
+    u = np.full((h // 2, w // 2), 110, np.uint8)
+    v = np.full((h // 2, w // 2), 140, np.uint8)
+    out = []
+    for i in range(n):
+        s = step * i
+        y = np.empty((h, w), np.uint8)
+        y[:yb] = a[pad:pad + yb, pad + s:pad + s + w]
+        y[yb:, :xb] = a[pad + yb + s:pad + h + s, pad:pad + xb]
+        y[yb:, xb:] = a[pad + yb:pad + h, pad - s + xb:pad - s + w]
+        out.append(Frame(y, u.copy(), v.copy()))
+    return out
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_b_partitions_roundtrip(cabac):
+    """B partition MBs (16x8/8x16/B_8x8 incl. direct subs) must be
+    chosen on split-motion content and decode bit-exactly in both
+    entropy modes (spec Tables 7-14/7-18; reference
+    analyse.c:3110-3466 B partition analysis)."""
+    n = 5
+    frames = _split_motion_frames(W, H, n)
+    p = Params(width=W, height=H, qp=26, me_range=12, bframes=1,
+               cabac=cabac)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == n
+    kinds = set()
+    for d in dec:
+        if d.slice_type == 1:
+            kinds |= {m.mb_type for m in d.mbs}
+    assert kinds & {"B16x8", "B8x16", "B8x8"}, \
+        f"no B partition MBs chosen: {kinds}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+        np.testing.assert_array_equal(
+            d.v, rv[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} V")

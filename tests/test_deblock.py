@@ -74,3 +74,25 @@ def test_deblock_actually_filters():
         return np.array(e.recon_prev[0])
 
     assert not np.array_equal(recon(True), recon(False))
+
+
+def test_deblock_alpha_beta_offsets():
+    """--deblock A:B offsets (spec slice_alpha_c0/beta_offset_div2):
+    bitstream signals them, decoder applies them, recon stays
+    bit-exact, and nonzero offsets actually change the filtering."""
+    from tests.test_bframes import _pan_frames
+    from video_steganography_pcamv_tpu.decoder import decode_annexb
+    W2, H2 = 96, 64
+    frames = _pan_frames(W2, H2, 4, seed=1)
+    outs = {}
+    for ab in ((0, 0), (3, 3), (-6, -6)):
+        p = Params(width=W2, height=H2, qp=30, me_range=4,
+                   deblock_alpha=ab[0], deblock_beta=ab[1])
+        enc = Encoder(p)
+        bs = b"".join(enc.encode_frame(f) for f in frames)
+        dec = decode_annexb(bs)
+        ry = np.asarray(enc.recon_prev[0])[:H2, :W2].astype(np.uint8)
+        np.testing.assert_array_equal(dec[-1].y, ry, err_msg=f"{ab}")
+        outs[ab] = dec[-1].y.copy()
+    assert not np.array_equal(outs[(0, 0)], outs[(3, 3)])
+    assert not np.array_equal(outs[(0, 0)], outs[(-6, -6)])

@@ -113,3 +113,28 @@ def test_noise_reduction_rd():
                                       err_msg=f"nr={nr}")
         sizes[nr] = len(bs)
     assert sizes[1000] < sizes[0], sizes
+
+
+def test_lean_level_packer_exact():
+    """int8+exceptions level transfer (serving path) must be exact,
+    including out-of-int8-range coefficients."""
+    import jax.numpy as jnp
+    from video_steganography_pcamv_tpu.encoder import core as C
+    rng2 = np.random.RandomState(0)
+    n = 24
+    res = {"luma_lev": jnp.asarray(
+               rng2.randint(-300, 300, (n, 256)).astype(np.int16)),
+           "chroma_dc": jnp.asarray(
+               rng2.randint(-80, 80, (n, 8)).astype(np.int16)),
+           "chroma_ac": jnp.asarray(
+               rng2.randint(-10, 10, (n, 128)).astype(np.int16))}
+    out = C._res_to_host(res, 4, 6, with_recon=False)
+    np.testing.assert_array_equal(
+        out["luma_lev"].reshape(-1),
+        np.asarray(res["luma_lev"]).reshape(-1))
+    np.testing.assert_array_equal(
+        out["chroma_dc"].reshape(-1),
+        np.asarray(res["chroma_dc"]).reshape(-1))
+    np.testing.assert_array_equal(
+        out["chroma_ac"].reshape(-1),
+        np.asarray(res["chroma_ac"]).reshape(-1))

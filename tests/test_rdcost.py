@@ -1,0 +1,102 @@
+"""Device CAVLC bit-size estimator vs the serial writer (checkasm
+pattern: batched kernel vs oracle on random sparse blocks)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_steganography_pcamv_tpu.ops.rdcost import cavlc_block_bits
+from video_steganography_pcamv_tpu.encoder.cavlc import write_residual
+from video_steganography_pcamv_tpu.utils.bitstream import BitWriter
+
+rng = np.random.RandomState(9)
+
+
+def oracle_bits(levels, max_coeff, nc):
+    bw = BitWriter()
+    write_residual(bw, [int(x) for x in levels], max_coeff, int(nc))
+    return int(bw.bit_length())
+
+
+def _random_blocks(n, mc, density, mag):
+    lev = np.zeros((n, mc), np.int32)
+    for i in range(n):
+        k = rng.randint(0, max(2, int(mc * density)))
+        pos = rng.choice(mc, size=k, replace=False)
+        lev[i, pos] = rng.randint(1, mag + 1, k) * \
+            rng.choice([-1, 1], k)
+    return lev
+
+
+def test_cavlc_bits_matches_writer_4x4():
+    for density, mag in [(0.2, 1), (0.4, 3), (0.8, 12), (1.0, 40),
+                         (0.3, 300)]:
+        lev = _random_blocks(64, 16, density, mag)
+        nc = rng.randint(0, 17, 64)
+        got = np.asarray(cavlc_block_bits(jnp.asarray(lev),
+                                          jnp.asarray(nc)))
+        for i in range(64):
+            exp = oracle_bits(lev[i], 16, nc[i])
+            assert got[i] == exp, (density, mag, i, lev[i], nc[i],
+                                   got[i], exp)
+
+
+def test_cavlc_bits_matches_writer_chroma_dc():
+    lev = _random_blocks(48, 4, 1.0, 8)
+    nc = np.full(48, -1)
+    got = np.asarray(cavlc_block_bits(jnp.asarray(lev),
+                                      jnp.asarray(nc), max_coeff=4))
+    for i in range(48):
+        exp = oracle_bits(lev[i], 4, -1)
+        assert got[i] == exp, (i, lev[i], got[i], exp)
+
+
+def test_cavlc_bits_trailing_one_edge_cases():
+    cases = [
+        [0] * 16,
+        [1] + [0] * 15,
+        [-1, 1, -1, 1] + [0] * 12,          # 4 ones: t1s caps at 3
+        [5, 1, 1, 1] + [0] * 12,
+        [0, 0, 7, 0, 0, -1, 0, 1] + [0] * 8,
+        [2] * 16,
+        [1] * 16,
+    ]
+    lev = np.array(cases, np.int32)
+    nc = np.array([0, 1, 3, 5, 9, 2, 16])
+    got = np.asarray(cavlc_block_bits(jnp.asarray(lev),
+                                      jnp.asarray(nc)))
+    for i in range(len(cases)):
+        exp = oracle_bits(lev[i], 16, nc[i])
+        assert got[i] == exp, (i, lev[i], got[i], exp)
+
+
+def test_rd_mode_decision_improves_objective():
+    """--rd 1 (transform RD + intra RD ranking) must not worsen the
+    SSD + lambda2*bits objective, and streams stay bit-exact."""
+    import jax
+    from video_steganography_pcamv_tpu.params import Params, StegoParams
+    from video_steganography_pcamv_tpu.encoder.core import Encoder
+    from video_steganography_pcamv_tpu.decoder import decode_annexb
+    from tests.test_dct8_e2e import _pan_frames, W, H
+
+    frames = _pan_frames(5)
+    out = {}
+    for rd in (0, 1):
+        p = Params(width=W, height=H, qp=27, me_range=8,
+                   transform_8x8=True, rd=rd,
+                   stego=StegoParams(em_rate=16.0, key=3))
+        enc = Encoder(p)
+        enc.keep_recon = True
+        bs = b"".join(enc.encode_frame(f) for f in frames)
+        dec = decode_annexb(bs)
+        for i, d in enumerate(dec):
+            ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+            np.testing.assert_array_equal(d.y, ry,
+                                          err_msg=f"rd={rd} f{i}")
+        ssd = sum(int(np.sum(
+            (enc.recon_by_disp[i][0][:H, :W].astype(np.int64)
+             - frames[i].y) ** 2)) for i in range(5))
+        out[rd] = (len(bs), ssd)
+    lam2 = 5851 / 256.0  # qp 27
+    c0 = out[0][1] + lam2 * 8 * out[0][0]
+    c1 = out[1][1] + lam2 * 8 * out[1][0]
+    assert c1 <= c0 * 1.002, (out, c0, c1)

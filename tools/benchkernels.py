@@ -23,6 +23,9 @@ def _sync(x):
     np.asarray(leaf[(0,) * leaf.ndim])
 
 
+_TIMINGS = {}
+
+
 def bench(name, fn, n_it=5):
     out = fn()
     _sync(out)          # warmup: compile excluded from the timing
@@ -30,7 +33,9 @@ def bench(name, fn, n_it=5):
     for _ in range(n_it):
         out = fn()
     _sync(out)
-    print(f"  {name:<44s} {(time.time() - t0) / n_it * 1000:9.2f} ms")
+    dt = (time.time() - t0) / n_it
+    _TIMINGS[name] = dt
+    print(f"  {name:<44s} {dt * 1000:9.2f} ms")
     return out
 
 
@@ -39,6 +44,9 @@ def main():
     ap.add_argument("--tpu", action="store_true")
     ap.add_argument("--mbh", type=int, default=34)   # 544p default
     ap.add_argument("--mbw", type=int, default=60)
+    ap.add_argument("--json", action="store_true",
+                    help="print a final JSON line of timings "
+                         "(tools/perf_gate.py consumes it)")
     args = ap.parse_args()
     if not args.tpu:
         import tools.cpu_env  # noqa: F401
@@ -114,6 +122,9 @@ def main():
         m))
     bench("mc_luma qpel gather [n MBs]", lambda: mcf(mvr))
     print("done")
+    if args.json:
+        import json
+        print(json.dumps(_TIMINGS))
 
 
 if __name__ == "__main__":

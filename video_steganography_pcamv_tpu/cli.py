@@ -49,6 +49,12 @@ def build_argparser():
                     help="number of L0 reference frames (x264 --ref)")
     ap.add_argument("--bframes", "-b", type=int, default=0,
                     help="consecutive B frames between anchors")
+    ap.add_argument("--b-adapt", type=int, default=1, choices=(0, 1, 2),
+                    help="adaptive B placement (0 off, 1 fast, "
+                         "2 lookahead trellis; x264 --b-adapt)")
+    ap.add_argument("--rc-lookahead", type=int, default=0,
+                    help="slice-type lookahead window in frames "
+                         "(x264 --rc-lookahead)")
     ap.add_argument("--subme", type=int, default=2)
     ap.add_argument("--trellis", type=int, default=0,
                     help="trellis RD quantization (0 off, 1 final encode)")
@@ -57,11 +63,22 @@ def build_argparser():
     ap.add_argument("--no-psnr", action="store_true",
                     help="skip in-loop PSNR (keeps recon on-device "
                          "with device deblocking)")
+    ap.add_argument("--deblock", default="0:0", dest="deblock_ab",
+                    help="alpha:beta deblock offsets in [-6,6] "
+                         "(x264 --deblock / -f)")
     ap.add_argument("--deblock-device", action="store_true",
                     help="run the in-loop deblocker on-device "
                          "(serving config; reference stays on-chip)")
     ap.add_argument("--nr", type=int, default=0,
                     help="noise reduction strength (x264 --nr)")
+    ap.add_argument("--aq-mode", type=int, default=0,
+                    help="adaptive quantization (0 off, 1 variance AQ; "
+                         "x264 --aq-mode)")
+    ap.add_argument("--aq-strength", type=float, default=1.0,
+                    help="AQ strength (x264 --aq-strength)")
+    ap.add_argument("--zones", default="",
+                    help="start,end,q=QP or b=FACTOR zones separated "
+                         "by '/' (x264 --zones)")
     ap.add_argument("--no-dct-decimate", action="store_true")
     ap.add_argument("--cabac", action="store_true")
     ap.add_argument("--no-partitions", action="store_true")
@@ -71,6 +88,8 @@ def build_argparser():
     ap.add_argument("--8x8dct", dest="dct8", action="store_true",
                     help="High profile 8x8 transform + i8x8 intra "
                          "(x264 --8x8dct)")
+    ap.add_argument("--rd", type=int, default=0,
+                    help="RD mode decision (x264 i_mbrd / subme>=6)")
     # stego (reference: x264.c:394-402)
     ap.add_argument("--emrate", type=float, default=0.0)
     ap.add_argument("--key", type=int, default=0)
@@ -82,6 +101,31 @@ def build_argparser():
     ap.add_argument("--visualize", default="",
                     help="dump per-frame MB/MV overlay PPMs with this "
                          "prefix (reference: --visualize X11 overlay)")
+    # stream metadata / VUI (x264.c:301-347)
+    ap.add_argument("--fps", default="",
+                    help="framerate (num/den or float) for timing VUI "
+                         "+ rate control")
+    ap.add_argument("--sar", default="", help="sample aspect ratio w:h")
+    ap.add_argument("--level", default="",
+                    help="level (Annex A): '3.1' or '31'; default auto")
+    ap.add_argument("--sps-id", type=int, default=0)
+    ap.add_argument("--aud", action="store_true",
+                    help="write access-unit delimiters")
+    ap.add_argument("--overscan", default="undef",
+                    help="undef / show / crop")
+    ap.add_argument("--videoformat", default="undef",
+                    help="component/pal/ntsc/secam/mac/undef")
+    ap.add_argument("--fullrange", default="off", help="off / on")
+    ap.add_argument("--colorprim", default="undef")
+    ap.add_argument("--transfer", default="undef")
+    ap.add_argument("--colormatrix", default="undef")
+    ap.add_argument("--chromaloc", type=int, default=0,
+                    help="chroma sample location (0-5)")
+    ap.add_argument("--log-level", type=int, default=2,
+                    help="-1 none, 0 error, 1 warning, 2 info, 3 debug "
+                         "(x264 --log-level)")
+    ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
     return ap
 
 
@@ -94,8 +138,21 @@ def _null_ctx():
 
 
 def main(argv=None):
+    from .utils.log import (set_level, error, PcamvError, LOG_ERROR,
+                            LOG_DEBUG)
     args = build_argparser().parse_args(argv)
+    set_level(LOG_ERROR if args.quiet
+              else LOG_DEBUG if args.verbose else args.log_level)
+    try:
+        return _run(args)
+    except (PcamvError, AssertionError, OSError) as e:
+        # x264-style error contract: log + nonzero exit, no traceback
+        # (x264.c:786-790 handles encoder_encode < 0 the same way)
+        error(str(e) or type(e).__name__)
+        return -1
 
+
+def _run(args):
     if args.extract:
         from .stego.extract import extract_from_stream
         data = open(args.input, "rb").read()
@@ -120,12 +177,20 @@ def main(argv=None):
                me_range=args.merange,
                ref_frames=args.ref,
                bframes=args.bframes,
+               b_adapt=args.b_adapt,
+               rc_lookahead=args.rc_lookahead,
                subpel=args.subme,
                trellis=args.trellis,
                ssim=args.ssim,
                psnr=not args.no_psnr,
                deblock_device=args.deblock_device,
+               deblock_alpha=int(args.deblock_ab.replace(":", ",")
+                                 .split(",")[0]),
+               deblock_beta=int((args.deblock_ab.replace(":", ",")
+                                 .split(",") + ["0"])[1]),
                noise_reduction=args.nr,
+               aq_mode=args.aq_mode, aq_strength=args.aq_strength,
+               zones=args.zones,
                bitrate=args.bitrate, crf=args.crf,
                vbv_maxrate=args.vbv_maxrate,
                vbv_bufsize=args.vbv_bufsize,
@@ -139,8 +204,21 @@ def main(argv=None):
                partitions=not args.no_partitions,
                p4x4=args.p4x4,
                transform_8x8=args.dct8,
+               rd=args.rd,
                stego=StegoParams(em_rate=args.emrate, key=args.key,
                                  em_file=args.emfile))
+    p.sps_id = args.sps_id
+    p.aud = args.aud
+    p.chromaloc = args.chromaloc
+    for key, val in (("fps", args.fps), ("sar", args.sar),
+                     ("level", args.level), ("overscan", args.overscan),
+                     ("videoformat", args.videoformat),
+                     ("fullrange", args.fullrange),
+                     ("colorprim", args.colorprim),
+                     ("transfer", args.transfer),
+                     ("colormatrix", args.colormatrix)):
+        if val:
+            param_parse(p, key, val)
     enc = Encoder(p)
     n = reader.num_frames - args.seek
     if args.frames:

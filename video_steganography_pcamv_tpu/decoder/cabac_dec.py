@@ -20,6 +20,18 @@ from ..encoder.cabac import (_SIG_OFF, _LAST_OFF, _ABS_OFF, _MAXC,
 from ..encoder.cavlc import LUMA_SCAN, CHROMA_SCAN
 from ..ops.transform import ZIGZAG_4x4
 
+_B_TYPE_INV = None
+
+
+def _b_type_inv():
+    """bins tuple -> B mb_type ue code (inverse of the writer's
+    B_TYPE_BINS; the binarization is prefix-free)."""
+    global _B_TYPE_INV
+    if _B_TYPE_INV is None:
+        from ..encoder.cabac import B_TYPE_BINS
+        _B_TYPE_INV = {tuple(v): k for k, v in B_TYPE_BINS.items()}
+    return _B_TYPE_INV
+
 
 class CabacDecoder:
     """Arithmetic decoding engine (spec 9.3.3.2)."""
@@ -508,9 +520,11 @@ class CabacSliceParser:
     # write_b_mb / write_b_skip_mb)
     # ------------------------------------------------------------------
     def mb_type_b(self, my, mx) -> int:
-        """Returns 0 direct / 1 L0 / 2 L1 / 3 BI; asserts on B
-        partitions, B_8x8 and intra-in-B (not emitted by our
-        encoder)."""
+        """Returns the spec Table 7-14 ue code: 0 direct, 1-3 16x16
+        L0/L1/BI, 4-21 two-partition list combos, 22 B_8x8 (inverse of
+        the writer's mb_type_b/mb_type_b_bins; reference
+        encoder/cabac.c:123-192 i_mb_bits). Asserts on intra-in-B
+        (prefix 111101, not emitted by our encoder)."""
         cd = self.cd
         ctx = 0
         if mx > 0 and self.mb_kind[my, mx - 1] > 0 \
@@ -521,14 +535,84 @@ class CabacSliceParser:
             ctx += 1
         if not cd.decision(27 + ctx):
             return 0
-        if not cd.decision(30):
-            return 2 if cd.decision(32) else 1
-        assert not cd.decision(31), \
-            "B_8x8 / intra-in-B mb_type unsupported"
-        bits = (cd.decision(32), cd.decision(32), cd.decision(32))
-        assert bits == (0, 0, 0), \
-            f"B partition mb_type unsupported (suffix {bits})"
+        b1 = cd.decision(30)
+        b2 = cd.decision(32 - b1)
+        bins = (1, b1, b2)
+        inv = _b_type_inv()
+        while bins not in inv:
+            assert len(bins) < 7, \
+                f"unsupported B mb_type bins {bins} (intra-in-B?)"
+            bins = bins + (cd.decision(32),)
+        return inv[bins]
+
+    def sub_mb_type_b(self) -> int:
+        """B sub_mb_type, 8x8 subset (inverse of the writer's
+        sub_mb_type_b; reference x264_cabac_mb_sub_b_partition,
+        encoder/cabac.c:332-367): 0 direct / 1 L0 / 2 L1 / 3 BI.
+        Asserts on sub-8x8 splits (not emitted)."""
+        cd = self.cd
+        if not cd.decision(36):
+            return 0
+        if not cd.decision(37):
+            return 2 if cd.decision(39) else 1
+        assert not cd.decision(38), "B sub-8x8 splits unsupported"
+        bits = (cd.decision(39), cd.decision(39))
+        assert bits == (0, 0), \
+            f"B sub-8x8 splits unsupported (suffix {bits})"
         return 3
+
+    def parse_b_mb_parts(self, my, mx, code):
+        """After a partition mb_type (codes 4-22): returns (subs,
+        mvds [2][n_units] of (x, y) or None, cbp_luma, cbp_chroma,
+        blocks, cdcs, cacs). Twin of the writer's write_b_mb_ext
+        (all-L0-then-all-L1 mvd order)."""
+        from ..encoder.cavlc import B_CODE_USES, B_SUB_USES
+        from ..encoder.cabac import _B_GEOM
+        y4, x4 = 4 * my, 4 * mx
+        if code == 22:
+            subs = [self.sub_mb_type_b() for _ in range(4)]
+            geom = _B_GEOM[3]
+            uses = ([B_SUB_USES[s][0] for s in subs],
+                    [B_SUB_USES[s][1] for s in subs])
+            dirs = {b for b in range(4) if subs[b] == 0}
+        else:
+            _n, u0, u1 = B_CODE_USES[code]
+            geom = _B_GEOM[1 if code % 2 == 0 else 2]
+            uses = (list(u0), list(u1))
+            dirs = set()
+            subs = None
+        mvds = [[None] * len(geom), [None] * len(geom)]
+        for li in (0, 1):
+            cache = self.mvd4 if li == 0 else self.mvd4_1
+            for u, ((oy, ox), h4, w4) in enumerate(geom):
+                if uses[li][u] and u not in dirs:
+                    mvds[li][u] = self.mvd(y4 + oy, x4 + ox, h4, w4,
+                                           lst=li)
+                else:
+                    cache[y4 + oy:y4 + oy + h4,
+                          x4 + ox:x4 + ox + w4] = 0
+        cbp_luma = self.cbp_luma(my, mx)
+        cbp_chroma = self.cbp_chroma(my, mx)
+        self.mb_kind[my, mx] = 1
+        self.bdirect[my, mx] = False
+        self.cbp[my, mx] = (cbp_chroma << 4) | cbp_luma
+        self.cmode_map[my, mx] = 0
+        self.modes4[y4:y4 + 4, x4:x4 + 4] = 2
+        self.dc_nz_y[my, mx] = 0
+        self.dc_nz_c[:, my, mx] = 0
+        if cbp_luma or cbp_chroma:
+            self.qp_delta_zero()
+            blocks = self._luma_residual_4x4(my, mx, cbp_luma, False)
+            cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma,
+                                               False)
+        else:
+            blocks = np.zeros((4, 4, 16), np.int64)
+            cdcs = np.zeros((2, 4), np.int64)
+            cacs = np.zeros((2, 2, 2, 16), np.int64)
+            self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
+            self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        return (subs, mvds, cbp_luma, cbp_chroma, blocks, cdcs,
+                cacs)
 
     def parse_b_skip_mb(self, my, mx):
         self._clear_mb_ctx(my, mx)

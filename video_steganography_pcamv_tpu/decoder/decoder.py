@@ -50,7 +50,8 @@ def _read_vlc(br: BitReader, dmap: dict):
         s += str(br.read1())
         if s in dmap:
             return dmap[s]
-    raise ValueError(f"VLC decode failure: {s}")
+    from ..utils.log import PcamvError
+    raise PcamvError(f"VLC decode failure: {s}")
 
 
 def read_residual(br: BitReader, max_coeff: int, nc: int) -> list[int]:
@@ -138,6 +139,10 @@ class DecSPS:
     poc_type: int = 2
     log2_max_poc_lsb: int = 10
     crop = (0, 0, 0, 0)
+    level_idc: int = 0
+    sps_id: int = 0
+    # VUI (None when absent): dict with sar/fps/etc.
+    vui: dict = None
 
 
 @dataclass
@@ -201,9 +206,9 @@ def parse_sps(rbsp: bytes) -> DecSPS:
     br = BitReader(rbsp)
     profile = br.read(8)
     br.read(8)  # constraints
-    br.read(8)  # level
-    br.read_ue()  # sps id
     sps = DecSPS()
+    sps.level_idc = br.read(8)
+    sps.sps_id = br.read_ue()
     sps.profile = profile
     if profile in (100, 110, 122, 244, 44, 83, 86, 118, 128):
         # High-profile extension block (spec 7.3.2.1)
@@ -230,11 +235,57 @@ def parse_sps(rbsp: bytes) -> DecSPS:
     if crop:
         cl, cr, ct, cb = (br.read_ue(), br.read_ue(),
                           br.read_ue(), br.read_ue())
-    br.read1()  # vui
+    if br.read1():  # vui_parameters_present
+        sps.vui = _parse_vui(br)
     sps.width = mbw * 16 - 2 * (cl + cr)
     sps.height = mbh * 16 - 2 * (ct + cb)
     sps.crop = (cl, cr, ct, cb)
     return sps
+
+
+_SAR_TABLE = {1: (1, 1), 2: (12, 11), 3: (10, 11), 4: (16, 11),
+              5: (40, 33), 6: (24, 11), 7: (20, 11), 8: (32, 11),
+              9: (80, 33), 10: (18, 11), 11: (15, 11), 12: (64, 33),
+              13: (160, 99)}
+
+
+def _parse_vui(br) -> dict:
+    """VUI parameters (spec E.1.1) — metadata surfaced for tests."""
+    v = {}
+    if br.read1():  # aspect_ratio_info
+        idc = br.read(8)
+        if idc == 255:
+            v["sar"] = (br.read(16), br.read(16))
+        else:
+            v["sar"] = _SAR_TABLE.get(idc, (0, 0))
+    if br.read1():  # overscan_info
+        v["overscan"] = br.read1()
+    if br.read1():  # signal_type
+        v["videoformat"] = br.read(3)
+        v["fullrange"] = br.read1()
+        if br.read1():  # colour_description
+            v["colorprim"] = br.read(8)
+            v["transfer"] = br.read(8)
+            v["colmatrix"] = br.read(8)
+    if br.read1():  # chroma_loc_info
+        v["chromaloc"] = (br.read_ue(), br.read_ue())
+    if br.read1():  # timing_info
+        num_units = br.read(32)
+        time_scale = br.read(32)
+        v["fps"] = (time_scale, 2 * num_units)  # fps = ts / (2*nuit)
+        v["fixed_frame_rate"] = br.read1()
+    assert br.read1() == 0  # nal_hrd
+    assert br.read1() == 0  # vcl_hrd
+    br.read1()  # pic_struct
+    if br.read1():  # bitstream_restriction
+        br.read1()
+        br.read_ue()
+        br.read_ue()
+        v["log2_max_mv_h"] = br.read_ue()
+        v["log2_max_mv_v"] = br.read_ue()
+        v["num_reorder_frames"] = br.read_ue()
+        v["max_dec_frame_buffering"] = br.read_ue()
+    return v
 
 
 def parse_pps(rbsp: bytes) -> DecPPS:
@@ -857,14 +908,17 @@ class SliceDecoder:
 
     def _commit_b(self, my, mx, use0, use1, mv0, mv1):
         """Write per-8x8 (mv, ref) of both lists into the neighbor
-        fields. mv0/mv1: [4,2] per 8x8 z-order."""
+        fields. mv0/mv1: [4,2] per 8x8 z-order; use0/use1: bool (whole
+        MB) or [4] per-8x8 arrays (B partitions / mixed subs)."""
         y4, x4 = 4 * my, 4 * mx
+        u0 = np.broadcast_to(np.asarray(use0), (4,))
+        u1 = np.broadcast_to(np.asarray(use1), (4,))
         for b in range(4):
             by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
-            self.mv4[by:by + 2, bx:bx + 2] = mv0[b] if use0 else 0
-            self.ref4[by:by + 2, bx:bx + 2] = 0 if use0 else -1
-            self.mv4_1[by:by + 2, bx:bx + 2] = mv1[b] if use1 else 0
-            self.ref4_1[by:by + 2, bx:bx + 2] = 0 if use1 else -1
+            self.mv4[by:by + 2, bx:bx + 2] = mv0[b] if u0[b] else 0
+            self.ref4[by:by + 2, bx:bx + 2] = 0 if u0[b] else -1
+            self.mv4_1[by:by + 2, bx:bx + 2] = mv1[b] if u1[b] else 0
+            self.ref4_1[by:by + 2, bx:bx + 2] = 0 if u1[b] else -1
         self.dec4[y4:y4 + 4, x4:x4 + 4] = True
 
     def _b_pred_luma8(self, gy, gx, use0, use1, mv0, mv1):
@@ -895,13 +949,16 @@ class SliceDecoder:
 
     def _recon_b(self, mx, my, use0, use1, mv0, mv1, blocks,
                  cbp_chroma, br, qp, qpc, read_chroma):
-        """Bipred recon at per-8x8 (mv0, mv1) [4,2] + residual add."""
+        """Bipred recon at per-8x8 (mv0, mv1) [4,2] + residual add.
+        use0/use1: bool (whole MB) or [4] per-8x8 arrays."""
+        u0a = np.broadcast_to(np.asarray(use0), (4,))
+        u1a = np.broadcast_to(np.asarray(use1), (4,))
         gy, gx = 16 * my, 16 * mx
         pred = np.zeros((16, 16), np.int64)
         for b in range(4):
             oy, ox = 8 * (b >> 1), 8 * (b & 1)
             pred[oy:oy + 8, ox:ox + 8] = self._b_pred_luma8(
-                gy + oy, gx + ox, use0, use1, mv0[b], mv1[b])
+                gy + oy, gx + ox, u0a[b], u1a[b], mv0[b], mv1[b])
         for by in range(4):
             for bx in range(4):
                 py, px = gy + 4 * by, gx + 4 * bx
@@ -914,7 +971,7 @@ class SliceDecoder:
             for b in range(4):
                 oy, ox = 4 * (b >> 1), 4 * (b & 1)
                 cpred[oy:oy + 4, ox:ox + 4] = self._b_pred_chroma4(
-                    ch, 8 * my + oy, 8 * mx + ox, use0, use1,
+                    ch, 8 * my + oy, 8 * mx + ox, u0a[b], u1a[b],
                     mv0[b], mv1[b])
             cpreds.append(cpred)
         if read_chroma:
@@ -985,6 +1042,144 @@ class SliceDecoder:
         self.mbs.append(MBInfo(kind, m0, qp, unit_mvs=[m0]))
         return qp
 
+    # B partition geometry: unit geometry per shape (member blocks,
+    # oy4, ox4, h4, w4, mvp kind); twin of encoder/bslice.py
+    # _B_UNIT_GEOM (spec Table 7-14)
+    _B_UNIT_GEOM = {
+        1: [((0, 1), 0, 0, 2, 4, 1), ((2, 3), 2, 0, 2, 4, 1)],
+        2: [((0, 2), 0, 0, 4, 2, 2), ((1, 3), 0, 2, 4, 2, 2)],
+        3: [((0,), 0, 0, 2, 2, 3), ((1,), 0, 2, 2, 2, 3),
+            ((2,), 2, 0, 2, 2, 3), ((3,), 2, 2, 2, 2, 3)],
+    }
+
+    def _derive_b_parts_mvs(self, mx, my, mb_type, subs, mvds):
+        """MV derivation + neighbor-field commit for a B partition MB —
+        twin of the encoder's per-MB walk (bslice.py scan_b_parts):
+        spatial direct first (before any commit of this MB), then
+        all-L0-then-all-L1 unit order; within a list a later unit's MVP
+        sees this MB's earlier units (spec 8.4.1.3). mvds:
+        [2][n_units] of (x, y) or None. Returns (use0 [4], use1 [4],
+        mv0 [4,2], mv1 [4,2] per 8x8 z-order, unit_mvs)."""
+        from ..encoder.cavlc import B_CODE_USES, B_SUB_USES
+        y4, x4 = 4 * my, 4 * mx
+        du0, du1, dmv0, dmv1 = self._spatial_direct(my, mx)
+        if mb_type == 22:
+            geom = self._B_UNIT_GEOM[3]
+            uses = ([B_SUB_USES[int(s)][0] for s in subs],
+                    [B_SUB_USES[int(s)][1] for s in subs])
+            direct_units = {u for u, s in enumerate(subs) if s == 0}
+        else:
+            _n, u0t, u1t = B_CODE_USES[mb_type]
+            geom = self._B_UNIT_GEOM[1 if mb_type % 2 == 0 else 2]
+            uses = (list(u0t), list(u1t))
+            direct_units = set()
+        use_v = [np.zeros(4, np.int32), np.zeros(4, np.int32)]
+        mv_v = [np.zeros((4, 2), np.int32), np.zeros((4, 2), np.int32)]
+        unit_mvs = []
+        for li in (0, 1):
+            duse = (du0, du1)[li]
+            dmv = (dmv0, dmv1)[li]
+            mvf = self.mv4 if li == 0 else self.mv4_1
+            rff = self.ref4 if li == 0 else self.ref4_1
+            for u, (blocks, oy, ox, h4, w4, kind) in enumerate(geom):
+                if u in direct_units:
+                    ui = int(duse)
+                    for b in blocks:
+                        use_v[li][b] = ui
+                        if ui:
+                            mv_v[li][b] = dmv[b]
+                        by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
+                        mvf[by:by + 2, bx:bx + 2] = dmv[b]
+                        rff[by:by + 2, bx:bx + 2] = 0 if ui else -1
+                        self.dec4[by:by + 2, bx:bx + 2] = True
+                        if li == 0:
+                            unit_mvs.append((int(dmv[b][0]),
+                                             int(dmv[b][1])))
+                    continue
+                used = bool(uses[li][u])
+                mv = np.zeros(2, np.int32)
+                if used:
+                    mvp = self._unit_mvp(y4 + oy, x4 + ox, w4, kind, u,
+                                         ref=0, lst=li)
+                    d = mvds[li][u]
+                    mv = np.array([mvp[0] + d[0], mvp[1] + d[1]],
+                                  np.int32)
+                for b in blocks:
+                    use_v[li][b] = 1 if used else 0
+                    if used:
+                        mv_v[li][b] = mv
+                mvf[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = mv
+                rff[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = \
+                    0 if used else -1
+                self.dec4[y4 + oy:y4 + oy + h4,
+                          x4 + ox:x4 + ox + w4] = True
+                if li == 0:
+                    unit_mvs.append((int(mv[0]), int(mv[1])))
+        return use_v[0], use_v[1], mv_v[0], mv_v[1], unit_mvs
+
+    def decode_b_mb_parts(self, br: BitReader, mx: int, my: int,
+                          mb_type: int, qp: int):
+        """B partition MBs: two-partition list combos (codes 4-21) and
+        B_8x8 (22) with per-8x8 sub_mb_type direct/L0/L1/BI (spec
+        Tables 7-14/7-18; mvd order all-L0-then-all-L1 per
+        reference cavlc.c:463-560)."""
+        from ..encoder.cavlc import B_CODE_USES, B_SUB_USES
+        y4, x4 = 4 * my, 4 * mx
+        if mb_type == 22:
+            subs = [br.read_ue() for _ in range(4)]
+            assert all(s <= 3 for s in subs), \
+                f"B sub-8x8 splits unsupported: {subs}"
+            geom = self._B_UNIT_GEOM[3]
+            uses = ([B_SUB_USES[s][0] for s in subs],
+                    [B_SUB_USES[s][1] for s in subs])
+            direct_units = [i for i, s in enumerate(subs) if s == 0]
+        else:
+            n_units, u0t, u1t = B_CODE_USES[mb_type]
+            shape = 1 if mb_type in (4, 6, 8, 10, 12, 14, 16, 18, 20) \
+                else 2
+            geom = self._B_UNIT_GEOM[shape]
+            uses = (list(u0t), list(u1t))
+            direct_units = []
+            subs = None
+        # parse mvds: all L0 units then all L1 units
+        mvds = [[None] * len(geom), [None] * len(geom)]
+        for li in (0, 1):
+            for u in range(len(geom)):
+                if uses[li][u] and u not in direct_units:
+                    mvds[li][u] = (br.read_se(), br.read_se())
+        use0v, use1v, mv0, mv1, unit_mvs = self._derive_b_parts_mvs(
+            mx, my, mb_type, subs, mvds)
+        # residual (same syntax tail as the 16x16 path)
+        cbp_code = br.read_ue()
+        cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if cbp:
+            qp = qp + br.read_se()
+        qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
+                                    0, 51)])
+        from ..encoder.cavlc import LUMA_SCAN
+        blocks_r = np.zeros((4, 4, 4, 4), np.int64)
+        for blk in range(16):
+            by, bx = LUMA_SCAN[blk]
+            if cbp_luma & (1 << (blk >> 2)):
+                nc = self._nc(self.nnz_y, 4 * my + by, 4 * mx + bx)
+                lv = read_residual(br, 16, nc)
+                self.nnz_y[4 * my + by, 4 * mx + bx] = \
+                    sum(1 for x in lv if x)
+                blocks_r[by, bx] = R.dequant4x4(R.dezigzag(lv), qp)
+            else:
+                self.nnz_y[4 * my + by, 4 * mx + bx] = 0
+        self._recon_b(mx, my, use0v, use1v, mv0, mv1, blocks_r,
+                      cbp_chroma, br, qp, qpc, read_chroma=True)
+        self.decoded[my, mx] = True
+        kind = "B8x8" if mb_type == 22 else \
+            ("B16x8" if mb_type in (4, 6, 8, 10, 12, 14, 16, 18, 20)
+             else "B8x16")
+        m0 = (int(mv0[0, 0]), int(mv0[0, 1]))
+        self.mbs.append(MBInfo(kind, m0, qp,
+                               unit_mvs=unit_mvs or [m0]))
+        return qp
+
     def decode_b_slice(self, br: BitReader, qp: int):
         n_mbs = self.mbh * self.mbw
         addr = 0
@@ -998,9 +1193,12 @@ class SliceDecoder:
                 break
             my, mx = addr // self.mbw, addr % self.mbw
             mb_type = br.read_ue()
-            assert 0 <= mb_type <= 3, \
+            assert 0 <= mb_type <= 22, \
                 f"unsupported B mb_type {mb_type}"
-            qp = self.decode_b_mb(br, mx, my, mb_type, qp)
+            if mb_type <= 3:
+                qp = self.decode_b_mb(br, mx, my, mb_type, qp)
+            else:
+                qp = self.decode_b_mb_parts(br, mx, my, mb_type, qp)
             addr += 1
 
     def decode_slice(self, br: BitReader, slice_type: int, qp: int):
@@ -1123,11 +1321,12 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 cabac_model = br.read_ue()  # cabac_init_idc
             qp = pps.pic_init_qp + br.read_se()
             disable = 1
+            alpha_off = beta_off = 0
             if pps.deblocking_control_present:
                 disable = br.read_ue()
                 if disable != 1:
-                    br.read_se()
-                    br.read_se()
+                    alpha_off = 2 * br.read_se()
+                    beta_off = 2 * br.read_se()
             if nal_type == 5:
                 dpb = []   # IDR resets the DPB
                 gop += 1
@@ -1166,12 +1365,22 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                     nz8r = np.repeat(np.repeat(dec.nnz8, 2, 0), 2, 1)
                     nnz_eff = np.where(t8r, nz8r, dec.nnz_y) \
                         .astype(np.int32)
+                # per-MB QP chain for the deblocker (adaptive-quant
+                # streams: MB edges use the spec 8.7.2.2 qPav; uniform
+                # chains reduce to the scalar behaviour exactly)
+                qp_map = np.array([m.qp for m in dec.mbs],
+                                  np.int32).reshape(dec.mbh, dec.mbw)
+                qpc_map = CHROMA_QP[np.clip(
+                    qp_map + pps.chroma_qp_index_offset,
+                    0, 51)].astype(np.int32)
                 native.deblock_frame(
                     dy, du, dv, dec.mb_intra.astype(np.uint8),
                     nnz_eff, dec.mv4,
                     dec.mb_skip.astype(np.uint8), qp, qpc,
                     ref4=np.maximum(dec.ref4, 0),
-                    trans8=dec.mb_trans8.astype(np.uint8))
+                    trans8=dec.mb_trans8.astype(np.uint8),
+                    alpha_off=alpha_off, beta_off=beta_off,
+                    qp_map=qp_map, qpc_map=qpc_map)
                 dec.y, dec.u, dec.v = (dy.astype(np.int64),
                                        du.astype(np.int64),
                                        dv.astype(np.int64))
@@ -1269,7 +1478,10 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
             dec.decode_b_skip(mx, my, qp)
         else:
             btype = ps.mb_type_b(my, mx)
-            _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc)
+            if btype <= 3:
+                _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc)
+            else:
+                _recon_b_parts_cabac(dec, ps, my, mx, btype, qp, qpc)
         eos = ps.end_mb()
         assert eos == (1 if a == n - 1 else 0), f"end_of_slice at MB {a}"
 
@@ -1323,6 +1535,50 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
     kind = ("BDIRECT", "BL0", "BL1", "BBI")[btype]
     m0 = (int(mv0[0, 0]), int(mv0[0, 1]))
     dec.mbs.append(MBInfo(kind, m0, qp, unit_mvs=[m0]))
+
+
+def _recon_b_parts_cabac(dec, ps, my, mx, code, qp, qpc):
+    """B partition MB, CABAC (codes 4-22): parse via
+    parse_b_mb_parts, derive/commit MVs via the shared
+    _derive_b_parts_mvs, then the standard bipred recon."""
+    subs, mvds, cbpl, cbpc, blk_lv, cdcs, cacs = \
+        ps.parse_b_mb_parts(my, mx, code)
+    use0v, use1v, mv0, mv1, unit_mvs = dec._derive_b_parts_mvs(
+        mx, my, code, subs, mvds)
+    u0a = np.broadcast_to(np.asarray(use0v), (4,))
+    u1a = np.broadcast_to(np.asarray(use1v), (4,))
+    blocks = np.zeros((4, 4, 4, 4), np.int64)
+    for by in range(4):
+        for bx in range(4):
+            blocks[by, bx] = R.dequant4x4(_dez16(blk_lv[by, bx]), qp)
+    gy, gx = 16 * my, 16 * mx
+    pred = np.zeros((16, 16), np.int64)
+    for b in range(4):
+        oy, ox = 8 * (b >> 1), 8 * (b & 1)
+        pred[oy:oy + 8, ox:ox + 8] = dec._b_pred_luma8(
+            gy + oy, gx + ox, u0a[b], u1a[b], mv0[b], mv1[b])
+    for by in range(4):
+        for bx in range(4):
+            py, px = gy + 4 * by, gx + 4 * bx
+            dec.y[py:py + 4, px:px + 4] = R.recon_block4x4(
+                pred[4 * by:4 * by + 4, 4 * bx:4 * bx + 4],
+                blocks[by, bx])
+    cpreds = []
+    for ch in (0, 1):
+        cpred = np.zeros((8, 8), np.int64)
+        for b in range(4):
+            oy, ox = 4 * (b >> 1), 4 * (b & 1)
+            cpred[oy:oy + 4, ox:ox + 4] = dec._b_pred_chroma4(
+                ch, 8 * my + oy, 8 * mx + ox, u0a[b], u1a[b],
+                mv0[b], mv1[b])
+        cpreds.append(cpred)
+    _recon_chroma_from(dec, ps, my, mx, 0, cbpc, cdcs, cacs, qpc,
+                       False, preds=cpreds)
+    dec.decoded[my, mx] = True
+    kind = "B8x8" if code == 22 else \
+        ("B16x8" if code % 2 == 0 else "B8x16")
+    m0 = (int(mv0[0, 0]), int(mv0[0, 1]))
+    dec.mbs.append(MBInfo(kind, m0, qp, unit_mvs=unit_mvs or [m0]))
 
 
 def _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,

@@ -13,8 +13,11 @@ direct SAD pre-evaluated on device at the approximate (inter-field)
 direct MVs — decisions are approximate where neighbours changed mode,
 the committed direct MVs are always the exact decoder derivation.
 
-Scope (documented): B MBs are 16x16-granularity (DIRECT / L0 / L1 / BI
-+ B_SKIP); B partitions and intra-in-B are not analysed. B frames are
+Scope (documented): B MBs cover the 16x16 modes (DIRECT / L0 / L1 /
+BI + B_SKIP) plus the partition family (round 2): 16x8/8x16 two-
+partition list combos (spec Table 7-14 codes 4-21) and B_8x8 with
+per-8x8 direct/L0/L1/BI sub modes (Table 7-18; no sub-8x8 splits).
+Intra-in-B and weighted bipred are not analysed. B frames are
 non-references (no B-pyramid) and deblocking is disabled on B slices
 via the slice header (a legal encoder choice; B recon drift is
 impossible since nothing references it).
@@ -275,6 +278,291 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
 
 
 # ---------------------------------------------------------------------------
+# B partitions: 16x8 / 8x16 with per-partition list choice + B_8x8 with
+# per-block sub modes (direct/L0/L1/BI).
+#
+# Reference: the B partition analysis of x264_macroblock_analyse
+# (analyse.c:3110-3466: b8x8 -> b16x8/b8x16 from the cached per-8x8
+# list costs) and the mb_type/sub_mb_type coding tables
+# (encoder/cavlc.c:44-58, spec Tables 7-14/7-18). TPU redesign: the
+# per-list exhaustive all-shapes scan (partition.fullpel_search_parts)
+# runs once per list; BI unit costs are exact gathers at the per-list
+# unit winners; the shape x list-combo decision is one batched argmin
+# with ue() header-bit lambda terms; subpel refinement and the final
+# SATD-level combo re-choice reuse the 8x8 qpel-table machinery.
+# ---------------------------------------------------------------------------
+
+from .partition import (fullpel_search_parts, gather_windows8_jnp,
+                        block_table8, wht8_flat, satd_flat, subpel_parts,
+                        _mb_blocks8, _sp_to_z, _z_to_sp, BLOCK_UNIT,
+                        N_UNITS, UNIT_BLOCKS, D_16x16 as PD16,
+                        D_16x8, D_8x16, D_8x8)
+
+# ue(k) bit size
+_UE_BITS = np.array([2 * ((k + 1).bit_length() - 1) + 1
+                     for k in range(64)], np.int32)
+
+# mb_type ue codes for two-partition shapes, indexed [sel_a, sel_b]
+# with sel in {0: L0, 1: L1, 2: BI} (x264 mb_type_b_to_golomb,
+# encoder/cavlc.c:44-49; spec Table 7-14)
+B_CODE_16X8 = np.array([[4, 8, 12], [10, 6, 14], [16, 18, 20]], np.int32)
+B_CODE_8X16 = np.array([[5, 9, 13], [11, 7, 15], [17, 19, 21]], np.int32)
+# sub_mb_type ue codes: sel {0:L0,1:L1,2:BI,3:direct} -> code
+_B_SUB_CODE = np.array([1, 2, 3, 0], np.int32)
+
+
+def _gather8_fp(plane, mv8sp, mbh: int, mbw: int):
+    """Full-pel 8x8 windows at block base + mv: [N8, 8, 8] (spatial
+    row-major block order). plane: padded full-pel [Hp, Wp]."""
+    n8 = 4 * mbh * mbw
+    bys = (jnp.arange(n8) // (2 * mbw)) * 8
+    bxs = (jnp.arange(n8) % (2 * mbw)) * 8
+    mvf = mv8sp.reshape(n8, 2)
+    ys = bys + mc.PAD + mvf[:, 1]
+    xs = bxs + mc.PAD + mvf[:, 0]
+    yy = ys[:, None] + jnp.arange(8)
+    xx = xs[:, None] + jnp.arange(8)
+    return plane[yy[:, :, None], xx[:, None, :]]
+
+
+def _shape_mv_fields(st):
+    """Per-shape per-8x8 (z-order) full-pel MV fields [4, mbh, mbw, 4, 2]
+    from a fullpel_search_parts state."""
+    mbh, mbw = st["c16"].shape
+    return jnp.stack([
+        jnp.broadcast_to(st["mv16"][:, :, None, :], (mbh, mbw, 4, 2)),
+        st["mv16x8"][:, :, jnp.array([0, 0, 1, 1]), :],
+        st["mv8x16"][:, :, jnp.array([0, 1, 0, 1]), :],
+        st["mv8"],
+    ])
+
+
+def _unit_reduce(per_block, part_kind: int):
+    """[..., 4] per-block -> per-unit sums replicated back to blocks."""
+    if part_kind == PD16:
+        return jnp.broadcast_to(per_block.sum(-1, keepdims=True),
+                                per_block.shape)
+    if part_kind == D_16x8:
+        return (per_block[..., jnp.array([0, 0, 2, 2])]
+                + per_block[..., jnp.array([1, 1, 3, 3])])
+    if part_kind == D_8x16:
+        return (per_block[..., jnp.array([0, 1, 0, 1])]
+                + per_block[..., jnp.array([2, 3, 2, 3])])
+    return per_block
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw"))
+def analyse_b_parts_stage1(y, ref0_luma, ref1_luma, rng: int,
+                           mbh: int, mbw: int, lam):
+    """Per-list all-shapes full-pel scans (stage 1 of the B partition
+    analysis). Returns (st0, st1) fullpel_search_parts states; the
+    host pulls only mv16 of each to seed the approximate direct
+    fields, everything else stays device-resident for stage 2."""
+    zero = jnp.zeros((mbh, mbw, 2), jnp.int32)
+    st0 = fullpel_search_parts.__wrapped__(
+        y, ref0_luma[0], zero, rng, mbh, mbw, lam)
+    st1 = fullpel_search_parts.__wrapped__(
+        y, ref1_luma[0], zero, rng, mbh, mbw, lam)
+    return st0, st1
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "subpel"))
+def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
+                    mbh: int, mbw: int, lam, subpel: int):
+    """Fused B partition analysis (stage 2).
+
+    st0/st1: per-list all-shapes states from analyse_b_parts_stage1;
+    c_dir8: [mbh, mbw, 4] SATD of the approximate per-8x8 direct
+    prediction (bipred_satd8_device). Returns dict:
+      part   [mbh,mbw]       chosen shape (0 16x16 / 1 16x8 / 2 8x16 /
+                             3 8x8)
+      sel8   [mbh,mbw,4]     per-block list choice replicated per unit
+                             (0 L0 / 1 L1 / 2 BI / 3 direct-8x8)
+      mv0_8, mv1_8 [2mbh,2mbw,2] refined qpel MVs (valid where used)
+      c_cfg  [mbh,mbw]       SATD cost of the committed config incl.
+                             lambda * mb_type/sub/mvd bits
+    """
+    n = mbh * mbw
+    n8 = 4 * n
+    cur8 = _mb_blocks8(y, mbh, mbw)
+    wcur8 = wht8_flat(cur8)                                # [N8,64]
+    zero = jnp.zeros((mbh, mbw, 2), jnp.int32)
+
+    bits_t = jnp.asarray(mv_bits_table(4 * 512))
+    boff = 4 * 512
+
+    def mvc_of(mv):   # [.., 2] full-pel mv, zero pred -> lambda bits
+        return (bits_t[jnp.clip(4 * mv[..., 0], -boff, boff) + boff]
+                + bits_t[jnp.clip(4 * mv[..., 1], -boff, boff) + boff]) \
+            * lam
+
+    f0 = _shape_mv_fields(st0)                 # [4,mbh,mbw,4,2]
+    f1 = _shape_mv_fields(st1)
+    ue = jnp.asarray(_UE_BITS)
+
+    # exact full-pel BI SAD per shape: average the two lists' windows at
+    # the shape's unit MVs, SAD per 8x8, reduce per unit
+    bi_unit = []                               # [4][mbh,mbw,4] unit sums
+    for s in range(4):
+        w0 = _gather8_fp(ref0_luma[0], _z_to_sp(f0[s], mbh, mbw),
+                         mbh, mbw)
+        w1 = _gather8_fp(ref1_luma[0], _z_to_sp(f1[s], mbh, mbw),
+                         mbh, mbw)
+        avg = (w0 + w1 + 1) >> 1
+        sad = jnp.sum(jnp.abs(cur8 - avg), axis=(1, 2))    # [N8]
+        sadz = _sp_to_z(sad.reshape(2 * mbh, 2 * mbw), mbh, mbw)
+        bi_unit.append(_unit_reduce(sadz, s)
+                       + mvc_of(f0[s]) + mvc_of(f1[s]))
+
+    # ---- full-pel shape + combo decision (SAD level) ----
+    # 16x16: L0 / L1 / BI with their mb_type ue bits
+    c16_cands = jnp.stack([st0["c16"] + lam * ue[1],
+                           st1["c16"] + lam * ue[2],
+                           bi_unit[0][..., 0] + lam * ue[3]])
+    sel16 = jnp.argmin(c16_cands, axis=0)                  # [mbh,mbw]
+    tot16 = jnp.min(c16_cands, axis=0)
+
+    # 16x8 / 8x16: 9 list combos, mb_type bits from the code tables
+    def two_part(stk, bik, code_tab):
+        ca = jnp.stack([stk[0][..., 0], stk[1][..., 0], bik[..., 0]])
+        cb = jnp.stack([stk[0][..., 1], stk[1][..., 1], bik[..., 1]])
+        combos = (ca[:, None] + cb[None, :]
+                  + lam * ue[jnp.asarray(code_tab)][:, :, None, None])
+        combos = combos.reshape(9, mbh, mbw)
+        sel = jnp.argmin(combos, axis=0)
+        return sel, jnp.min(combos, axis=0)
+
+    sel_16x8, tot16x8 = two_part((st0["c16x8"], st1["c16x8"]),
+                                 bi_unit[1][..., jnp.array([0, 2])],
+                                 B_CODE_16X8)
+    sel_8x16, tot8x16 = two_part((st0["c8x16"], st1["c8x16"]),
+                                 bi_unit[2][..., jnp.array([0, 1])],
+                                 B_CODE_8X16)
+
+    # 8x8: per-block min over sub modes (direct8 joins at the SATD
+    # stage below; full-pel shape choice uses the inter subs only)
+    c8_cands = jnp.stack([st0["c8"] + lam * ue[1],
+                          st1["c8"] + lam * ue[2],
+                          bi_unit[3] + lam * ue[3]])
+    tot8 = jnp.min(c8_cands, axis=0).sum(-1) + lam * ue[22]
+
+    shape_tot = jnp.stack([tot16, tot16x8, tot8x16, tot8])
+    part = jnp.argmin(shape_tot, axis=0).astype(jnp.int32)
+
+    # per-8x8 full-pel MV fields of the chosen shape, per list
+    mvfp8_0z = jnp.take_along_axis(
+        f0, part[None, :, :, None, None], axis=0)[0]       # [mbh,mbw,4,2]
+    mvfp8_1z = jnp.take_along_axis(
+        f1, part[None, :, :, None, None], axis=0)[0]
+    mvfp8_0 = _z_to_sp(mvfp8_0z, mbh, mbw)
+    mvfp8_1 = _z_to_sp(mvfp8_1z, mbh, mbw)
+
+    # ---- subpel refinement per list at the chosen shape ----
+    outs = []
+    for ref_luma, mvfp8 in ((ref0_luma, mvfp8_0), (ref1_luma, mvfp8_1)):
+        win = gather_windows8_jnp(ref_luma.astype(jnp.uint8), mvfp8,
+                                  mbh, mbw)
+        blocks8 = block_table8(win)                        # [169,N8,8,8]
+        wtab = wht8_flat(blocks8).astype(jnp.int16)
+        mv8, r_idx8, _ = subpel_parts.__wrapped__(
+            y, wtab, part, mvfp8, zero, mbh, mbw, lam, subpel)
+        blk = blocks8[r_idx8, jnp.arange(n8)].astype(jnp.int32)
+        outs.append((mv8, blk))
+    (mv8_0, blk0), (mv8_1, blk1) = outs
+
+    # refined per-block SATDs
+    satd0 = satd_flat(wcur8, wht8_flat(blk0))              # [N8]
+    satd1 = satd_flat(wcur8, wht8_flat(blk1))
+    satdbi = satd_flat(wcur8, wht8_flat((blk0 + blk1 + 1) >> 1))
+    s0z = _sp_to_z(satd0.reshape(2 * mbh, 2 * mbw), mbh, mbw)
+    s1z = _sp_to_z(satd1.reshape(2 * mbh, 2 * mbw), mbh, mbw)
+    sbz = _sp_to_z(satdbi.reshape(2 * mbh, 2 * mbw), mbh, mbw)
+    mv0z = _sp_to_z(mv8_0, mbh, mbw)                       # [mbh,mbw,4,2]
+    mv1z = _sp_to_z(mv8_1, mbh, mbw)
+
+    def mvc_q(mv):    # qpel mv, zero pred
+        return (bits_t[jnp.clip(mv[..., 0], -boff, boff) + boff]
+                + bits_t[jnp.clip(mv[..., 1], -boff, boff) + boff]) * lam
+
+    # per-unit refined costs per shape (replicated to member blocks)
+    u0 = jnp.stack([_unit_reduce(s0z, s) for s in range(4)])
+    u1 = jnp.stack([_unit_reduce(s1z, s) for s in range(4)])
+    ub = jnp.stack([_unit_reduce(sbz, s) for s in range(4)])
+    take = lambda a: jnp.take_along_axis(
+        a, part[None, :, :, None], axis=0)[0]              # [mbh,mbw,4]
+    cu0 = take(u0) + mvc_q(mv0z)
+    cu1 = take(u1) + mvc_q(mv1z)
+    cub = take(ub) + mvc_q(mv0z) + mvc_q(mv1z)
+
+    # ---- final combo choice at SATD level ----
+    # 16x16 (block 0 carries the unit)
+    c16f = jnp.stack([cu0[..., 0] + lam * ue[1],
+                      cu1[..., 0] + lam * ue[2],
+                      cub[..., 0] + lam * ue[3]])
+    sel16f = jnp.argmin(c16f, axis=0)
+    tot16f = jnp.min(c16f, axis=0)
+
+    def two_part_f(ua, ub2, code_tab):
+        # ua/ub2: [3, mbh, mbw] unit costs (L0/L1/BI) for units 0/1
+        combos = (ua[:, None] + ub2[None, :]
+                  + lam * ue[jnp.asarray(code_tab)][:, :, None, None])
+        combos = combos.reshape(9, mbh, mbw)
+        return jnp.argmin(combos, axis=0), jnp.min(combos, axis=0)
+
+    top = jnp.stack([cu0[..., 0], cu1[..., 0], cub[..., 0]])
+    bot = jnp.stack([cu0[..., 2], cu1[..., 2], cub[..., 2]])
+    sel_h, tot_h = two_part_f(top, bot, B_CODE_16X8)
+    left = jnp.stack([cu0[..., 0], cu1[..., 0], cub[..., 0]])
+    right = jnp.stack([cu0[..., 1], cu1[..., 1], cub[..., 1]])
+    sel_v, tot_v = two_part_f(left, right, B_CODE_8X16)
+
+    # 8x8: per-block {L0, L1, BI, direct8}
+    c8f = jnp.stack([cu0 + lam * ue[3],          # sub code 1 -> 3 bits
+                     cu1 + lam * ue[3],
+                     cub + lam * ue[5],          # code 3 -> 5 bits
+                     c_dir8 + lam * ue[1]])      # code 0 -> 1 bit
+    sel8x8 = jnp.argmin(c8f, axis=0)                       # [mbh,mbw,4]
+    tot8f = jnp.min(c8f, axis=0).sum(-1) + lam * ue[22]
+
+    # final per-MB cost of the committed shape
+    c_cfg = jnp.choose(part, [tot16f, tot_h, tot_v, tot8f],
+                       mode="clip")
+
+    # sel8: per-block selection replicated per unit
+    sel16_8 = jnp.broadcast_to(sel16f[..., None], (mbh, mbw, 4))
+    selh_8 = jnp.stack([sel_h // 3, sel_h // 3,
+                        sel_h % 3, sel_h % 3], axis=-1)
+    selv_8 = jnp.stack([sel_v // 3, sel_v % 3,
+                        sel_v // 3, sel_v % 3], axis=-1)
+    sel8 = jnp.choose(part[..., None],
+                      [sel16_8, selh_8, selv_8, sel8x8], mode="clip") \
+              .astype(jnp.int32)
+    return dict(part=part, sel8=sel8,
+                mv0_8=mv8_0, mv1_8=mv8_1, c_cfg=c_cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
+def bipred_satd8_device(y, ref0_luma, ref1_luma, use0, use1, mv0_8,
+                        mv1_8, mbh: int, mbw: int):
+    """Per-8x8 SATD of the (approximate) direct prediction
+    [mbh, mbw, 4] (z-order) — per-8x8 granular twin of
+    bipred_satd_device for the B_8x8 direct sub-mode."""
+    n8 = 4 * mbh * mbw
+    ys8 = (jnp.arange(n8) // (2 * mbw)) * 8
+    xs8 = (jnp.arange(n8) % (2 * mbw)) * 8
+    u0 = use0.reshape(n8)[:, None, None]
+    u1 = use1.reshape(n8)[:, None, None]
+    p0 = mc.mc_luma(ref0_luma, ys8, xs8, mv0_8.reshape(n8, 2),
+                    bh=8, bw=8)
+    p1 = mc.mc_luma(ref1_luma, ys8, xs8, mv1_8.reshape(n8, 2),
+                    bh=8, bw=8)
+    p8 = jnp.where(u0 & u1, (p0 + p1 + 1) >> 1, jnp.where(u0, p0, p1))
+    cur8 = _mb_blocks8(y, mbh, mbw)
+    satd = satd_flat(wht8_flat(cur8), wht8_flat(p8))       # [N8]
+    return _sp_to_z(satd.reshape(2 * mbh, 2 * mbw), mbh, mbw)
+
+
+# ---------------------------------------------------------------------------
 # Spatial direct derivation + host raster scan (spec 8.4.1.2.2)
 # ---------------------------------------------------------------------------
 
@@ -349,6 +637,112 @@ def approx_direct_fields(mv0, mv1, col_mv4, col_ref4):
         outs.append(dmv8)
     ones = np.ones((2 * mbh, 2 * mbw), np.int32)
     return ones, ones.copy(), outs[0], outs[1]
+
+
+# unit geometry per B shape: (member blocks, oy4, ox4, h4, w4, mvp kind)
+_B_UNIT_GEOM = {
+    0: [((0, 1, 2, 3), 0, 0, 4, 4, D_16x16)],
+    1: [((0, 1), 0, 0, 2, 4, D_16x8), ((2, 3), 2, 0, 2, 4, D_16x8)],
+    2: [((0, 2), 0, 0, 4, 2, D_8x16), ((1, 3), 0, 2, 4, 2, D_8x16)],
+    3: [((0,), 0, 0, 2, 2, D_8x8), ((1,), 0, 2, 2, 2, D_8x8),
+        ((2,), 2, 0, 2, 2, D_8x8), ((3,), 2, 2, 2, 2, D_8x8)],
+}
+
+
+def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
+                 col_ref4, lam: int):
+    """Host raster commit for the B partition path: exact spatial
+    direct derivation, direct-vs-config decision, per-unit MVP/mvd for
+    both lists (all-L0-then-all-L1 syntax order; within a list the MVP
+    of a later unit sees this MB's earlier units, spec 8.4.1.3).
+
+    part/sel8/c_cfg: analyse_b_parts outputs (numpy); mv0z/mv1z
+    [mbh,mbw,4,2] z-order per-block qpel fields; c_dir [mbh,mbw]
+    16x16-direct SATD. Returns (code [mbh,mbw] spec ue mb_type value,
+    subs [mbh,mbw,4] sub_mb_type ue codes (part 3 only), use0/use1
+    [2mbh,2mbw], fmv0/fmv1 [2mbh,2mbw,2], mvd0/mvd1 [mbh,mbw,4,2]
+    per-unit in coding order)."""
+    mbh, mbw = part.shape
+    g0, g1 = _Grid(mbh, mbw), _Grid(mbh, mbw)
+    code = np.zeros((mbh, mbw), np.int32)
+    subs = np.zeros((mbh, mbw, 4), np.int32)
+    use0 = np.zeros((2 * mbh, 2 * mbw), np.int32)
+    use1 = np.zeros((2 * mbh, 2 * mbw), np.int32)
+    fmv0 = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)
+    fmv1 = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)
+    mvd0 = np.zeros((mbh, mbw, 4, 2), np.int32)
+    mvd1 = np.zeros((mbh, mbw, 4, 2), np.int32)
+    for my in range(mbh):
+        for mx in range(mbw):
+            y4, x4 = 4 * my, 4 * mx
+            du0, du1, dmv0, dmv1 = spatial_direct(
+                g0, g1, col_mv4, col_ref4, my, mx)
+            if c_dir[my, mx] + lam <= c_cfg[my, mx]:
+                # B_Direct_16x16 (code 0): commit per 8x8
+                u0i, u1i = int(du0), int(du1)
+                for b in range(4):
+                    by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
+                    sy, sx = 2 * my + (b >> 1), 2 * mx + (b & 1)
+                    use0[sy, sx] = u0i
+                    use1[sy, sx] = u1i
+                    if u0i:
+                        fmv0[sy, sx] = dmv0[b]
+                    if u1i:
+                        fmv1[sy, sx] = dmv1[b]
+                    g0.commit(by, bx, 2, 2, dmv0[b],
+                              ref=0 if u0i else -1)
+                    g1.commit(by, bx, 2, 2, dmv1[b],
+                              ref=0 if u1i else -1)
+                continue
+            p = int(part[my, mx])
+            units = _B_UNIT_GEOM[p]
+            # mb_type code from shape + per-unit selections
+            if p == 0:
+                s = int(sel8[my, mx, 0])
+                code[my, mx] = 1 + s
+            elif p == 1:
+                code[my, mx] = B_CODE_16X8[int(sel8[my, mx, 0]),
+                                           int(sel8[my, mx, 2])]
+            elif p == 2:
+                code[my, mx] = B_CODE_8X16[int(sel8[my, mx, 0]),
+                                           int(sel8[my, mx, 1])]
+            else:
+                code[my, mx] = 22
+                for b in range(4):
+                    subs[my, mx, b] = _B_SUB_CODE[int(sel8[my, mx, b])]
+            for l, (g, mvz, duse, dmv, usearr, fmvarr, mvdarr) in \
+                    enumerate(((g0, mv0z, du0, dmv0, use0, fmv0, mvd0),
+                               (g1, mv1z, du1, dmv1, use1, fmv1, mvd1))):
+                for u, (blocks, oy, ox, h4, w4, kind) in \
+                        enumerate(units):
+                    b0 = blocks[0]
+                    s = int(sel8[my, mx, b0])
+                    if s == 3:    # direct 8x8 sub-mode (part 3 only)
+                        ui = int(duse)
+                        for b in blocks:
+                            sy = 2 * my + (b >> 1)
+                            sx = 2 * mx + (b & 1)
+                            usearr[sy, sx] = ui
+                            if ui:
+                                fmvarr[sy, sx] = dmv[b]
+                            g.commit(y4 + 2 * (b >> 1), x4 + 2 * (b & 1),
+                                     2, 2, dmv[b], ref=0 if ui else -1)
+                        continue
+                    uses = (s == l) or (s == 2)
+                    mv = mvz[my, mx, b0].copy() if uses \
+                        else np.zeros(2, np.int32)
+                    if uses:
+                        mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, kind,
+                                       u, ref=0)
+                        mvdarr[my, mx, u] = mv - mvp
+                    for b in blocks:
+                        sy, sx = 2 * my + (b >> 1), 2 * mx + (b & 1)
+                        usearr[sy, sx] = 1 if uses else 0
+                        if uses:
+                            fmvarr[sy, sx] = mv
+                    g.commit(y4 + oy, x4 + ox, h4, w4, mv,
+                             ref=0 if uses else -1)
+    return code, subs, use0, use1, fmv0, fmv1, mvd0, mvd1
 
 
 def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,

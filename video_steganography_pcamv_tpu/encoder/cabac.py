@@ -138,6 +138,37 @@ class CabacEncoder:
             bw.write1(0)
 
 
+# B mb_type binarizations beyond the 16x16 subset, keyed by the spec
+# Table 7-14 ue code (reference i_mb_bits / mb_type_b_to_golomb tables,
+# encoder/cabac.c:157-181 + cavlc.c:44-49). Rows (selA*3+selB) order.
+_I_MB_BITS = (
+    ((1, 1, 0, 0, 0, 1), (1, 1, 0, 0, 1, 0)),       # L0 L0
+    ((1, 1, 0, 1, 0, 1), (1, 1, 0, 1, 1, 0)),       # L0 L1
+    ((1, 1, 1, 0, 0, 0, 0), (1, 1, 1, 0, 0, 0, 1)),  # L0 BI
+    ((1, 1, 0, 1, 1, 1), (1, 1, 1, 1, 1, 0)),       # L1 L0
+    ((1, 1, 0, 0, 1, 1), (1, 1, 0, 1, 0, 0)),       # L1 L1
+    ((1, 1, 1, 0, 0, 1, 0), (1, 1, 1, 0, 0, 1, 1)),  # L1 BI
+    ((1, 1, 1, 0, 1, 0, 0), (1, 1, 1, 0, 1, 0, 1)),  # BI L0
+    ((1, 1, 1, 0, 1, 1, 0), (1, 1, 1, 0, 1, 1, 1)),  # BI L1
+    ((1, 1, 1, 1, 0, 0, 0), (1, 1, 1, 1, 0, 0, 1)),  # BI BI
+)
+_GOLOMB_16X8 = (4, 8, 12, 10, 6, 14, 16, 18, 20)
+_GOLOMB_8X16 = (5, 9, 13, 11, 7, 15, 17, 19, 21)
+B_TYPE_BINS = {1: (1, 0, 0), 2: (1, 0, 1), 3: (1, 1, 0, 0, 0, 0),
+               22: (1, 1, 1, 1, 1, 1)}
+for _r in range(9):
+    B_TYPE_BINS[_GOLOMB_16X8[_r]] = _I_MB_BITS[_r][0]
+    B_TYPE_BINS[_GOLOMB_8X16[_r]] = _I_MB_BITS[_r][1]
+
+# unit geometry per B shape: ((oy4, ox4), h4, w4) per unit
+_B_GEOM = {
+    1: [((0, 0), 2, 4), ((2, 0), 2, 4)],
+    2: [((0, 0), 4, 2), ((0, 2), 4, 2)],
+    3: [((0, 0), 2, 2), ((0, 2), 2, 2), ((2, 0), 2, 2),
+        ((2, 2), 2, 2)],
+}
+
+
 class CabacSliceWriter:
     """Per-frame CABAC syntax writer (x264_macroblock_write_cabac)."""
 
@@ -336,6 +367,45 @@ class CabacSliceWriter:
             cb.decision(32, 0)
             cb.decision(32, 0)
             cb.decision(32, 0)
+
+    def mb_type_b_bins(self, my, mx, bins) -> None:
+        """General B mb_type binarization (reference i_mb_bits table
+        emission, encoder/cabac.c:183-190): bin0 ctx 27+nbr, bin1 ctx
+        30, bin2 ctx 32-bin1, rest ctx 32."""
+        cb = self.cb
+        ctx = 0
+        if mx > 0 and self.mb_kind[my, mx - 1] > 0 \
+                and not self.bdirect[my, mx - 1]:
+            ctx += 1
+        if my > 0 and self.mb_kind[my - 1, mx] > 0 \
+                and not self.bdirect[my - 1, mx]:
+            ctx += 1
+        cb.decision(27 + ctx, bins[0])
+        cb.decision(30, bins[1])
+        cb.decision(32 - bins[1], bins[2])
+        for b in bins[3:]:
+            cb.decision(32, b)
+
+    def sub_mb_type_b(self, code: int) -> None:
+        """B sub_mb_type bins, 8x8 subset (reference
+        x264_cabac_mb_sub_b_partition, encoder/cabac.c:332-367).
+        code: spec ue value 0 direct / 1 L0 / 2 L1 / 3 BI."""
+        cb = self.cb
+        if code == 0:
+            cb.decision(36, 0)
+            return
+        cb.decision(36, 1)
+        if code == 1:                  # D_L0_8x8: 1,0,0
+            cb.decision(37, 0)
+            cb.decision(39, 0)
+        elif code == 2:                # D_L1_8x8: 1,0,1
+            cb.decision(37, 0)
+            cb.decision(39, 1)
+        else:                          # D_BI_8x8: 1,1,0,0,0
+            cb.decision(37, 1)
+            cb.decision(38, 0)
+            cb.decision(39, 0)
+            cb.decision(39, 0)
 
     def sub_mb_type_l0_8x8(self):
         self.cb.decision(21, 1)
@@ -685,6 +755,58 @@ class CabacSliceWriter:
         self.cbp_chroma(my, mx, cbp_chroma)
         self.mb_kind[my, mx] = 1
         self.bdirect[my, mx] = btype == 0
+        self.cbp[my, mx] = cbp
+        self.cmode_map[my, mx] = 0
+        self.modes4[y4:y4 + 4, x4:x4 + 4] = 2
+        self.dc_nz_y[my, mx] = 0
+        self.dc_nz_c[:, my, mx] = 0
+        if cbp:
+            self.qp_delta_zero(True)
+            self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma,
+                                    False)
+            self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
+                                  chroma_ac, False)
+        else:
+            self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
+            self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+
+    def write_b_mb_ext(self, my, mx, code: int, subs, mvd0, mvd1,
+                       cbp_luma, cbp_chroma, luma_blocks, chroma_dc,
+                       chroma_ac):
+        """B partition MB (codes 4-22): mb_type bins, B_8x8 sub types,
+        per-unit mvds all-L0-then-all-L1 (reference encoder/cabac.c
+        B_8x8 / 'All B mode' branches :894-975). mvd0/mvd1: [4,2]
+        per-unit in coding order."""
+        from .cavlc import B_CODE_USES, B_SUB_USES
+        self.skip_flag(my, mx, False)
+        self.mb_type_b_bins(my, mx, B_TYPE_BINS[code])
+        y4, x4 = 4 * my, 4 * mx
+        if code == 22:
+            for b in range(4):
+                self.sub_mb_type_b(int(subs[b]))
+            geom = _B_GEOM[3]
+            uses = ([B_SUB_USES[int(subs[b])][0] for b in range(4)],
+                    [B_SUB_USES[int(subs[b])][1] for b in range(4)])
+            dirs = [b for b in range(4) if int(subs[b]) == 0]
+        else:
+            _, u0, u1 = B_CODE_USES[code]
+            geom = _B_GEOM[1 if code % 2 == 0 else 2]
+            uses = (list(u0), list(u1))
+            dirs = []
+        for li, mvd in ((0, mvd0), (1, mvd1)):
+            cache = self.mvd4 if li == 0 else self.mvd4_1
+            for u, ((oy, ox), h4, w4) in enumerate(geom):
+                if uses[li][u] and u not in dirs:
+                    self.mvd(y4 + oy, x4 + ox, h4, w4,
+                             int(mvd[u][0]), int(mvd[u][1]), lst=li)
+                else:
+                    cache[y4 + oy:y4 + oy + h4,
+                          x4 + ox:x4 + ox + w4] = 0
+        cbp = (cbp_chroma << 4) | cbp_luma
+        self.cbp_luma(my, mx, cbp_luma)
+        self.cbp_chroma(my, mx, cbp_chroma)
+        self.mb_kind[my, mx] = 1
+        self.bdirect[my, mx] = False
         self.cbp[my, mx] = cbp
         self.cmode_map[my, mx] = 0
         self.modes4[y4:y4 + 4, x4:x4 + 4] = 2

@@ -27,6 +27,31 @@ LUMA_SCAN = [(0, 0), (0, 1), (1, 0), (1, 1), (0, 2), (0, 3), (1, 2), (1, 3),
 CHROMA_SCAN = [(0, 0), (0, 1), (1, 0), (1, 1)]
 
 
+def _b_code_uses():
+    """B mb_type ue code -> (n_units, uses_l0 tuple, uses_l1 tuple)
+    (spec Table 7-14; x264 mb_type_b_to_golomb + x264_mb_type_list_table,
+    encoder/cavlc.c:44-49)."""
+    m = {0: (1, (0,), (0,)),      # B_Direct_16x16 (mvd-free)
+         1: (1, (1,), (0,)), 2: (1, (0,), (1,)), 3: (1, (1,), (1,))}
+    tab16x8 = [[4, 8, 12], [10, 6, 14], [16, 18, 20]]
+    tab8x16 = [[5, 9, 13], [11, 7, 15], [17, 19, 21]]
+    for tab in (tab16x8, tab8x16):
+        for a in range(3):
+            for b in range(3):
+                m[tab[a][b]] = (2,
+                                (1 if a in (0, 2) else 0,
+                                 1 if b in (0, 2) else 0),
+                                (1 if a in (1, 2) else 0,
+                                 1 if b in (1, 2) else 0))
+    m[22] = (4, None, None)       # B_8x8: per-sub usage
+    return m
+
+
+B_CODE_USES = _b_code_uses()
+# sub_mb_type ue code -> (uses_l0, uses_l1); code 0 = direct (no mvd)
+B_SUB_USES = {0: (0, 0), 1: (1, 0), 2: (0, 1), 3: (1, 1)}
+
+
 def _write_vlc(bw: BitWriter, code: str) -> None:
     assert code, "invalid VLC entry"
     bw.write(len(code), int(code, 2) if set(code) != {"0"} else 0)
@@ -402,19 +427,33 @@ class FrameCavlc:
     def write_b_mb(self, bw: BitWriter, mx: int, my: int, btype: int,
                    mvd0, mvd1, cbp_luma: int, cbp_chroma: int,
                    luma_lev: np.ndarray, chroma_dc: np.ndarray,
-                   chroma_ac: np.ndarray, qp_delta: int) -> None:
-        """B macroblock, 16x16 granularity (spec 7.4.5 B table subset:
-        B_Direct_16x16=0, B_L0_16x16=1, B_L1_16x16=2, B_Bi_16x16=3;
-        reference encoder/cavlc.c B path). mvd0/mvd1: (x, y) pairs,
-        ignored for the unused list. ref_idx absent (one active ref
-        per list)."""
+                   chroma_ac: np.ndarray, qp_delta: int,
+                   subs=None) -> None:
+        """B macroblock (spec 7.4.5 Table 7-14: the ue code is passed
+        directly — 0 direct, 1-3 16x16 L0/L1/BI, 4-21 two-partition
+        list combos, 22 B_8x8; reference encoder/cavlc.c:463-560).
+        mvd0/mvd1: per-unit (x, y) pairs in coding order — [2] for the
+        16x16 subset (back-compat) or [U, 2]; subs: [4] sub_mb_type ue
+        codes for B_8x8. Syntax order: all L0 mvds then all L1 mvds
+        (cavlc.c:515-556); direct units carry no mvd."""
         bw.write_ue(btype)
-        if btype in (1, 3):
-            bw.write_se(int(mvd0[0]))
-            bw.write_se(int(mvd0[1]))
-        if btype in (2, 3):
-            bw.write_se(int(mvd1[0]))
-            bw.write_se(int(mvd1[1]))
+        mvd0 = np.asarray(mvd0).reshape(-1, 2)
+        mvd1 = np.asarray(mvd1).reshape(-1, 2)
+        if btype == 22:
+            for b in range(4):
+                bw.write_ue(int(subs[b]))   # sub_mb_type (Table 7-18)
+            for mvd, li in ((mvd0, 0), (mvd1, 1)):
+                for b in range(4):
+                    if B_SUB_USES[int(subs[b])][li]:
+                        bw.write_se(int(mvd[b, 0]))
+                        bw.write_se(int(mvd[b, 1]))
+        else:
+            n_units, u0, u1 = B_CODE_USES[btype]
+            for mvd, uses in ((mvd0, u0), (mvd1, u1)):
+                for u in range(n_units):
+                    if uses[u]:
+                        bw.write_se(int(mvd[u, 0]))
+                        bw.write_se(int(mvd[u, 1]))
         cbp = (cbp_chroma << 4) | cbp_luma
         bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
         if cbp:

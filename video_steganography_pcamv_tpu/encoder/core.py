@@ -34,22 +34,74 @@ import functools
 import jax as _jax
 
 
+_LEAN_EXC_CAP = 4096
+
+
+@functools.partial(_jax.jit, static_argnames=("n", "has8"))
+def _pack_levels_lean(res, n: int, has8: bool):
+    """int8 level packing for the tunnel: levels clamp to int8 (~2x
+    fewer bytes at 30 MB/s) plus a fixed-capacity exception list of
+    out-of-range coefficients (|lev| > 127 is rare above QP ~20). The
+    exception (idx, val) pairs are bitcast into the same int8 buffer so
+    everything still rides ONE transfer."""
+    pieces = [res["luma_lev"].reshape(n, 256).astype(jnp.int16),
+              res["chroma_dc"].reshape(n, 8).astype(jnp.int16),
+              res["chroma_ac"].reshape(n, 128).astype(jnp.int16)]
+    if has8:
+        pieces.append(res["luma8_lev"].reshape(n, 256).astype(jnp.int16))
+        pieces.append(res["trans8"].reshape(n, 1).astype(jnp.int16))
+    flat = jnp.concatenate(pieces, axis=1).reshape(-1)
+    big = jnp.abs(flat) > 127
+    count = jnp.sum(big.astype(jnp.int32))
+    (idx,) = jnp.nonzero(big, size=_LEAN_EXC_CAP, fill_value=-1)
+    vals = jnp.where(idx >= 0, flat[jnp.clip(idx, 0)], 0)
+    lo = jnp.clip(flat, -128, 127).astype(jnp.int8)
+    meta = jnp.concatenate([
+        jnp.array([count], jnp.int32), idx.astype(jnp.int32)])
+    meta8 = _jax.lax.bitcast_convert_type(meta, jnp.int8).reshape(-1)
+    vals8 = _jax.lax.bitcast_convert_type(
+        vals.astype(jnp.int16), jnp.int8).reshape(-1)
+    return jnp.concatenate([lo, meta8, vals8])
+
+
 def _res_to_host(res, mbh, mbw, with_recon: bool = True):
     """Pull the per-frame result dict and restore the structured level
     shapes (the device emits flat trailing dims; np reshape is free).
 
     The three level tensors ride ONE device concat + ONE transfer (the
     tunnel charges per round trip); recon planes are skipped when the
-    reference stays on-device (with_recon=False)."""
+    reference stays on-device (with_recon=False). The serving path
+    (with_recon=False) additionally packs levels to int8 + exceptions."""
     n = mbh * mbw
-    pieces = [res["luma_lev"].reshape(n, 256).astype(jnp.int16),
-              res["chroma_dc"].reshape(n, 8).astype(jnp.int16),
-              res["chroma_ac"].reshape(n, 128).astype(jnp.int16)]
     has8 = "luma8_lev" in res
-    if has8:
-        pieces.append(res["luma8_lev"].reshape(n, 256).astype(jnp.int16))
-        pieces.append(res["trans8"].reshape(n, 1).astype(jnp.int16))
-    packed = np.asarray(jnp.concatenate(pieces, axis=1))
+    width = 392 + (257 if has8 else 0)
+    packed = None
+    if not with_recon:
+        flat_len = n * width
+        lev_in = {k: res[k] for k in
+                  ("luma_lev", "chroma_dc", "chroma_ac", "luma8_lev",
+                   "trans8") if k in res}
+        buf = np.asarray(_pack_levels_lean(lev_in, n, has8))
+        lo = buf[:flat_len].astype(np.int16)
+        meta = buf[flat_len:flat_len + 4 * (1 + _LEAN_EXC_CAP)] \
+            .view(np.int32)
+        count = int(meta[0])
+        if count <= _LEAN_EXC_CAP:
+            idx = meta[1:]
+            vals = buf[flat_len + 4 * (1 + _LEAN_EXC_CAP):].view(np.int16)
+            sel = idx >= 0
+            lo[idx[sel]] = vals[sel]
+            packed = lo.reshape(n, width)
+        # else: fall through to the exact int16 pull (rare: very low QP)
+    if packed is None:
+        pieces = [res["luma_lev"].reshape(n, 256).astype(jnp.int16),
+                  res["chroma_dc"].reshape(n, 8).astype(jnp.int16),
+                  res["chroma_ac"].reshape(n, 128).astype(jnp.int16)]
+        if has8:
+            pieces.append(res["luma8_lev"].reshape(n, 256)
+                          .astype(jnp.int16))
+            pieces.append(res["trans8"].reshape(n, 1).astype(jnp.int16))
+        packed = np.asarray(jnp.concatenate(pieces, axis=1))
     out = {}
     for k, v in res.items():
         if k in ("luma_lev", "chroma_dc", "chroma_ac", "luma8_lev",
@@ -68,6 +120,69 @@ def _res_to_host(res, mbh, mbw, with_recon: bool = True):
         out["luma8_lev"] = np.ascontiguousarray(packed[:, 392:648]) \
             .reshape(mbh, mbw, 2, 2, 8, 8)
         out["trans8"] = packed[:, 648].astype(bool).reshape(mbh, mbw)
+    return out
+
+
+@functools.partial(_jax.jit, static_argnames=("n", "has8"))
+def _pack_frame_lean(res, n: int, has8: bool):
+    """Everything the entropy writer needs in ONE int8 buffer: levels
+    (int8 + exception list, as _pack_levels_lean) plus the cbp columns.
+    The pipelined driver enqueues this at re-encode time and fetches it
+    one frame later (the buffer is materialized by then, so the fetch
+    does not wait behind the next frame's stage-1 in the FIFO)."""
+    pieces = [res["luma_lev"].reshape(n, 256).astype(jnp.int16),
+              res["chroma_dc"].reshape(n, 8).astype(jnp.int16),
+              res["chroma_ac"].reshape(n, 128).astype(jnp.int16),
+              res["cbp_luma"].reshape(n, 1).astype(jnp.int16),
+              res["cbp_chroma"].reshape(n, 1).astype(jnp.int16)]
+    if has8:
+        pieces.append(res["luma8_lev"].reshape(n, 256).astype(jnp.int16))
+        pieces.append(res["trans8"].reshape(n, 1).astype(jnp.int16))
+    flat = jnp.concatenate(pieces, axis=1).reshape(-1)
+    big = jnp.abs(flat) > 127
+    count = jnp.sum(big.astype(jnp.int32))
+    (idx,) = jnp.nonzero(big, size=_LEAN_EXC_CAP, fill_value=-1)
+    vals = jnp.where(idx >= 0, flat[jnp.clip(idx, 0)], 0)
+    lo = jnp.clip(flat, -128, 127).astype(jnp.int8)
+    meta = jnp.concatenate([
+        jnp.array([count], jnp.int32), idx.astype(jnp.int32)])
+    meta8 = _jax.lax.bitcast_convert_type(meta, jnp.int8).reshape(-1)
+    vals8 = _jax.lax.bitcast_convert_type(
+        vals.astype(jnp.int16), jnp.int8).reshape(-1)
+    return jnp.concatenate([lo, meta8, vals8])
+
+
+def _unpack_frame_lean(buf: np.ndarray, mbh: int, mbw: int, has8: bool):
+    """Host half of _pack_frame_lean -> res_np dict (no recon keys).
+    Returns None if the exception list overflowed (caller must fall
+    back to an exact pull — unreachable above QP ~20)."""
+    n = mbh * mbw
+    width = 394 + (257 if has8 else 0)
+    flat_len = n * width
+    lo = buf[:flat_len].astype(np.int16)
+    meta = buf[flat_len:flat_len + 4 * (1 + _LEAN_EXC_CAP)].view(np.int32)
+    count = int(meta[0])
+    if count > _LEAN_EXC_CAP:
+        return None
+    idx = meta[1:]
+    vals = buf[flat_len + 4 * (1 + _LEAN_EXC_CAP):].view(np.int16)
+    sel = idx >= 0
+    lo[idx[sel]] = vals[sel]
+    packed = lo.reshape(n, width)
+    out = {
+        "luma_lev": np.ascontiguousarray(packed[:, :256])
+        .reshape(mbh, mbw, 4, 4, 4, 4),
+        "chroma_dc": np.ascontiguousarray(packed[:, 256:264])
+        .reshape(mbh, mbw, 2, 2, 2),
+        "chroma_ac": np.ascontiguousarray(packed[:, 264:392])
+        .reshape(mbh, mbw, 2, 2, 2, 4, 4),
+        "cbp_luma": packed[:, 392].astype(np.uint8).reshape(mbh, mbw),
+        "cbp_chroma": packed[:, 393].astype(np.uint8).reshape(mbh, mbw),
+    }
+    if has8:
+        out["luma8_lev"] = np.ascontiguousarray(packed[:, 394:650]) \
+            .reshape(mbh, mbw, 2, 2, 8, 8)
+        out["trans8"] = packed[:, 650].astype(bool).reshape(mbh, mbw)
     return out
 
 
@@ -121,12 +236,41 @@ class Encoder:
         if params.transform_8x8:
             self.sps.profile = H.PROFILE_HIGH
             self.pps.transform_8x8 = True
+        # VUI + level (x264_sps_init, encoder/set.c:147-211; levels
+        # x264_validate_levels set.c:537)
+        self.sps.sps_id = params.sps_id
+        self.pps.sps_id = params.sps_id
+        self.sps.vui = H.VUI(
+            sar_width=params.sar_width, sar_height=params.sar_height,
+            overscan=params.overscan, videoformat=params.videoformat,
+            fullrange=params.fullrange, colorprim=params.colorprim,
+            transfer=params.transfer, colmatrix=params.colmatrix,
+            chromaloc=params.chromaloc,
+            fps_num=params.fps_num, fps_den=params.fps_den,
+            num_reorder_frames=1 if params.bframes else 0,
+            max_dec_frame_buffering=self.sps.num_ref_frames,
+            mv_range=params.me_range)
+        if params.level_idc:
+            self.sps.level_idc = params.level_idc
+        else:
+            self.sps.level_idc = H.pick_level(
+                params.mb_width, params.mb_height, params.fps_num,
+                params.fps_den, self.sps.num_ref_frames, params.me_range)
+        from ..utils.log import log, LOG_WARNING
+        for msg in H.validate_levels(
+                self.sps.level_idc, params.mb_width, params.mb_height,
+                params.fps_num, params.fps_den, self.sps.num_ref_frames,
+                params.me_range, params.vbv_maxrate, params.vbv_bufsize,
+                self.sps.profile >= H.PROFILE_HIGH):
+            log(LOG_WARNING, msg)
         self.dpb = []   # device ref dicts, newest first (L0 order)
         self._bbuf = []        # pending display-order frames (B pipe)
         self._disp_idx = 0     # display index of the next input frame
         self._last_idr_disp = 0
         self._col = None       # (mv4, ref4) of the newest anchor
+        self._anchor_lr = None  # lowres of the newest anchor (b-adapt 2)
         self._poc_lsb = 0      # poc of the slice being written
+        self._pending_p = None  # pipelined driver: deferred entropy
         self.keep_recon = False     # tests: record recon per display idx
         self.recon_by_disp = {}
         self._aus = None       # when a list: (disp, bytes, kind) per AU
@@ -140,6 +284,10 @@ class Encoder:
         self.ref = None         # device reference (padded + hpel planes)
         self.prev_mv = None     # temporal MV predictor field [mbh,mbw,2]
         self._headers_written = False
+        self._aq_grids = None   # (qp_grid, qpc_grid) of the current
+                                # P frame when --aq-mode is on
+        from ..ops.aq import Zones
+        self._zones = Zones(params.zones)
         self._stego = None
         if params.stego.enabled:
             from ..stego.embed import StegoEngine
@@ -208,6 +356,12 @@ class Encoder:
         if self._aus is not None and chunk:
             self._aus.append((disp, chunk, kind))
 
+    def _aud(self, slice_type: int) -> bytes:
+        """Access-unit delimiter NAL when --aud is on (x264 b_aud)."""
+        if not self.p.aud:
+            return b""
+        return nal_unit(H.NAL_AUD, 0, H.aud_payload(slice_type))
+
     # ------------------------------------------------------------------
     # B pipeline (x264 frame reordering, encoder.c:2179-2228: display
     # order in, decode order out; anchor first, then its B frames)
@@ -219,57 +373,123 @@ class Encoder:
             is_idr = True
         disp = self._disp_idx
         self._disp_idx += 1
+        # --qpfile forced slice types steer the GOP structure here too
+        # (x264 parse_qpfile, x264.c:862-868); forced QPs apply at the
+        # per-frame encodes below
+        forced = self.rc.forced(disp)
+        force_anchor = False
+        if forced is not None:
+            ftype = forced[0]
+            if ftype in ("I", "i", "K"):
+                is_idr = True
+                self.lookahead.last_keyframe = disp
+            elif ftype in ("P", "p"):
+                is_idr = False
+                force_anchor = True
+            elif ftype in ("B", "b"):
+                is_idr = False
         out = b""
         if is_idr:
             # display-before-IDR constraint: pending frames cannot be
             # coded as B against an IDR anchor; flush them as P chain
             out += self._flush_pending_as_p()
             self._last_idr_disp = disp
-            return out + self._encode_anchor(frame, y, u, v, True,
-                                             satd, disp)
-        self._bbuf.append((frame, y, u, v, satd, disp))
-        adapt_close = (self.p.b_adapt and len(self._bbuf) > 1
+            out += self._encode_anchor(frame, y, u, v, True, satd, disp)
+            self._anchor_lr = self.lookahead.prev_lr
+            return out
+        self._bbuf.append((frame, y, u, v, satd, disp,
+                           self.lookahead.prev_lr))
+        if force_anchor:
+            return out + self._flush_gop()
+        if self.p.b_adapt >= 2:
+            # B-placement trellis over the lookahead window
+            # (x264_slicetype_analyse B_ADAPT_TRELLIS, slicetype.c:476;
+            # window sizing encoder.c:713-726)
+            window = max(self.p.bframes + 1,
+                         min(self.p.rc_lookahead, 12))
+            if len(self._bbuf) < window:
+                return out
+            k = self.lookahead.decide_b_placement(
+                self._anchor_lr, [b[6] for b in self._bbuf],
+                self.p.bframes)
+            return out + self._flush_gop_k(k)
+        adapt_close = (self.p.b_adapt == 1 and len(self._bbuf) > 1
                        and self.lookahead.bad_b_candidate)
         if len(self._bbuf) <= self.p.bframes and not adapt_close:
             return out
         return out + self._flush_gop()
 
     def flush(self) -> bytes:
-        """Emit any frames still buffered for B reordering (call after
-        the last encode_frame; x264's delayed-frames drain)."""
-        if not self._bbuf:
-            return b""
-        return self._flush_gop()
+        """Emit any frames still buffered for B reordering or deferred
+        by the pipelined driver (call after the last encode_frame;
+        x264's delayed-frames drain)."""
+        out = self._drain_pending()
+        # b-adapt 2 windows can hold more than bframes+1 frames: keep
+        # running the placement DP until one GOP remains
+        while len(self._bbuf) > self.p.bframes + 1:
+            k = self.lookahead.decide_b_placement(
+                self._anchor_lr, [b[6] for b in self._bbuf],
+                self.p.bframes)
+            out += self._flush_gop_k(k)
+        if self._bbuf:
+            out += self._flush_gop()
+        return out
 
     def _flush_pending_as_p(self) -> bytes:
         out = b""
-        for (f, y, u, v, satd, disp) in self._bbuf:
+        for (f, y, u, v, satd, disp, lr) in self._bbuf:
             out += self._encode_anchor(f, y, u, v, False, satd, disp)
+            self._anchor_lr = lr
         self._bbuf = []
         return out
 
     def _flush_gop(self) -> bytes:
         """Encode the newest buffered frame as the P anchor, then the
         remaining buffered frames as B (decode order)."""
-        items, self._bbuf = self._bbuf, []
-        f, y, u, v, satd, disp = items[-1]
+        return self._flush_gop_k(len(self._bbuf) - 1)
+
+    def _flush_gop_k(self, k: int) -> bytes:
+        """Encode buffered frame k as the P anchor and frames [0, k)
+        as its B frames (decode order); frames after k stay buffered
+        (the b-adapt trellis window keeps sliding)."""
+        items = self._bbuf
+        self._bbuf = items[k + 1:]
+        f, y, u, v, satd, disp, lr = items[k]
         ref_l0 = self.ref                 # previous anchor (device)
         out = self._encode_anchor(f, y, u, v, False, satd, disp)
+        self._anchor_lr = lr
         ref_l1 = self.ref                 # the new anchor
         col = self._col
         anchor_qp = self._cur_qp
-        for (bf, by, bu, bv, bsatd, bdisp) in items[:-1]:
+        for (bf, by, bu, bv, bsatd, bdisp, _) in items[:k]:
             out += self._encode_b_frame(bf, by, bu, bv, ref_l0, ref_l1,
                                         col, anchor_qp, bsatd, bdisp)
         return out
+
+    def _zone_qp(self, qp: int, disp: int) -> int:
+        """Apply --zones to a frame QP (reference parse_zone q=/b=,
+        ratecontrol.c:602-640: q= forces the QP; b= scales qscale by
+        1/b, i.e. qp -= 6*log2(b))."""
+        zq, zb = self._zones.lookup(disp)
+        if zq is not None:
+            return zq
+        if zb is not None:
+            import math
+            return int(np.clip(round(qp - 6.0 * math.log2(zb)),
+                               self.p.qp_min, self.p.qp_max))
+        return qp
 
     def _encode_anchor(self, frame, y, u, v, is_idr: bool, satd,
                        disp: int) -> bytes:
         t0 = time.time()
         qp = self.rc.start(SLICE_I if is_idr else SLICE_P, satd)
+        forced = self.rc.forced(disp)
+        if forced is not None and forced[1] >= 0:
+            qp = forced[1]
+        qp = self._zone_qp(qp, disp)
         self._cur_qp = qp
         self._poc_lsb = 2 * (disp - self._last_idr_disp)
-        out = b""
+        out = self._aud(SLICE_I if is_idr else SLICE_P)
         if is_idr:
             self.frame_num = 0
             self.dpb = []
@@ -328,6 +548,9 @@ class Encoder:
                 and self.lookahead.prev_lr is not None
                 and self.rc.forced(self._frame_idx) is None):
             return self._encode_frame_ipp_fast(frame, y, u, v, t0)
+        # leaving the fast path (forced frame / config change): keep AU
+        # order by draining any deferred entropy first
+        out_pend = self._drain_pending()
         # slicetype decision: lookahead scenecut/keyint (slicetype.c:578)
         is_idr, satd = self.lookahead.decide(y)
         if self.ref is None:
@@ -341,8 +564,9 @@ class Encoder:
         qp = self.rc.start(SLICE_I if is_idr else SLICE_P, satd)
         if forced is not None and forced[1] >= 0:
             qp = forced[1]
+        qp = self._zone_qp(qp, self._frame_idx)
         self._cur_qp = qp
-        out = b""
+        out = self._aud(SLICE_I if is_idr else SLICE_P)
         if is_idr:
             self.frame_num = 0
             self.dpb = []   # IDR resets the DPB
@@ -365,7 +589,7 @@ class Encoder:
         self.stats.bits += 8 * len(out)
         self.rc.end(8 * len(out))
         self.stats.elapsed += time.time() - t0
-        return out
+        return out_pend + out
 
     def _encode_frame_ipp_fast(self, frame: Frame, y, u, v, t0) -> bytes:
         """Speculative-P IPPP step for the stego serving path (CQP):
@@ -373,20 +597,33 @@ class Encoder:
         so a steady-state P frame costs exactly TWO tunnel round trips
         (stage-1 packed, then levels). On the rare IDR decision
         (keyint expiry / scenecut) the speculative stage-1 work is
-        discarded and the I path runs as usual."""
+        discarded and the I path runs as usual.
+
+        Pipelined mode (p.pipeline, metrics off, device deblock): the
+        level pull + entropy of frame N are deferred to frame N+1's
+        call, where they overlap the device's stage-1 — ONE blocking
+        pull per steady-state frame. Output AUs lag one frame; flush()
+        drains the tail (same contract as the B pipe)."""
         p = self.p
+        pipelined = (p.pipeline and p.deblock and self._on_tpu()
+                     and not (p.psnr or p.ssim or self.keep_recon))
         lr2 = self.lookahead.costs_device(y)     # dispatch only
         qp = self.rc.start(SLICE_P, 1)           # CQP: satd unused
+        qp = self._zone_qp(qp, self._frame_idx)
         self._cur_qp = qp
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         d = self._fused_dispatch(y, u, v, qp, qpc, extra=lr2)
+        # previous frame's entropy runs while the device is busy with
+        # this frame's stage-1
+        out_prev = self._drain_pending()
         n = p.mb_height * p.mb_width
         packed = np.asarray(d["packed"])         # ONE pull, costs ride
         ci, cp = int(packed[24 * n]), int(packed[24 * n + 1])
         is_idr, satd = self.lookahead.decide_from_costs(ci, cp)
-        out = b""
+        out = self._aud(SLICE_I if is_idr else SLICE_P)
         if is_idr:
-            qp = self.rc.start(SLICE_I, satd)
+            qp = self._zone_qp(self.rc.start(SLICE_I, satd),
+                               self._frame_idx)
             self._cur_qp = qp
             self.frame_num = 0
             self.dpb = []
@@ -394,6 +631,19 @@ class Encoder:
             nal = self._encode_i(y, u, v, qp)
             out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
             self.stats.i_frames += 1
+        elif pipelined:
+            d["packed"] = packed
+            pend = self._fused_complete(d, pipelined=True)
+            pend.update(frame_num=self.frame_num,
+                        poc_lsb=self._poc_lsb, disp=self._frame_idx,
+                        aud=out)
+            self._pending_p = pend
+            self.stats.p_frames += 1
+            self.frame_num += 1
+            self._frame_idx += 1
+            self.stats.frames += 1
+            self.stats.elapsed += time.time() - t0
+            return out_prev
         else:
             d["packed"] = packed
             res_np, part_np, mvd, skip, final8, intra_kind = \
@@ -414,6 +664,36 @@ class Encoder:
         self.stats.bits += 8 * len(out)
         self.rc.end(8 * len(out))
         self.stats.elapsed += time.time() - t0
+        return out_prev + out
+
+    def _drain_pending(self) -> bytes:
+        """Pipelined driver: pull the deferred frame's lean entropy
+        buffer (enqueued before last frame's deblock waves — already
+        materialized, the fetch does not wait on the device queue) and
+        write its slice NAL."""
+        pd = self._pending_p
+        if pd is None:
+            return b""
+        self._pending_p = None
+        t0 = time.time()
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        res_np = _unpack_frame_lean(np.asarray(pd["buf"]), mbh, mbw,
+                                    pd["has8"])
+        if res_np is None:   # exception overflow (very low QP): exact
+            res_np = _res_to_host(pd["res"], mbh, mbw,
+                                  with_recon=False)
+        nal = self._finish_p_slice(
+            res_np, pd["qp"], pd["part"], pd["mvd"], pd["skip"],
+            np.zeros((mbh, mbw), np.int32), None, None, pd["final8"],
+            np.zeros((mbh, mbw), bool), False,
+            frame_num=pd["frame_num"], poc_lsb=pd["poc_lsb"],
+            update_state=False)
+        out = pd["aud"] + nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
+        self._emit_au(pd["disp"], out, "P")
+        self.stats.bits += 8 * len(out)
+        self.rc.end(8 * len(out))
+        self.stats.elapsed += time.time() - t0
         return out
 
     # ------------------------------------------------------------------
@@ -422,7 +702,8 @@ class Encoder:
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         res_dev = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width,
                                    p.mb_height, lam=ME.lambda_tab(qp),
-                                   i4x4=p.i4x4, i8x8=p.transform_8x8)
+                                   i4x4=p.i4x4, i8x8=p.transform_8x8,
+                                   rd=bool(p.rd))
         res = {k: np.asarray(val) for k, val in res_dev.items()}
         if p.deblock and self._on_tpu():
             mbh2, mbw2 = p.mb_height, p.mb_width
@@ -449,6 +730,8 @@ class Encoder:
                              self.frame_num, qp, idr=True,
                              idr_pic_id=self.idr_pic_id,
                              disable_deblock=0 if self.p.deblock else 1,
+                             alpha_div2=self.p.deblock_alpha,
+                             beta_div2=self.p.deblock_beta,
                              poc_lsb=self._poc_lsb)
         self.idr_pic_id = (self.idr_pic_id + 1) % 65536
         mbh, mbw = p.mb_height, p.mb_width
@@ -775,11 +1058,15 @@ class Encoder:
         return bw.get_bytes()
 
     def _on_tpu(self) -> bool:
-        import jax
+        """True when the in-loop deblocker runs on-device (bit-exact
+        wavefront twin, any backend — it is the serving config on TPU
+        and the pipelined driver's requirement; on CPU it is merely
+        slower than the host C++)."""
         return (self.p.deblock_device
                 and not self.p.transform_8x8  # device twin lacks the
                                               # 8x8 transform-edge rule
-                and jax.default_backend() == "tpu")
+                and self.p.deblock_alpha == 0  # ... and alpha/beta
+                and self.p.deblock_beta == 0)  # offsets
 
     def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev,
                         ref4=None):
@@ -830,7 +1117,8 @@ class Encoder:
                                     res["recon_v"]))
 
     def _deblock(self, res_np, intra, mv=None, skip=None, qp=None,
-                 nnz4=None, ref4=None, trans8=None):
+                 nnz4=None, ref4=None, trans8=None,
+                 qp_maps=(None, None)):
         """In-loop deblocking on the host recon (native C++; reference
         x264_fdec_filter_row -> x264_frame_deblock_row, encoder.c:1035).
         Returns (y, u, v) uint8 deblocked planes and re-derives the
@@ -857,7 +1145,10 @@ class Encoder:
         native.deblock_frame(ry, ru, rv, intra_a, nnz4.astype(np.int32),
                              mv_a, skip, qp,
                              chroma_qp(qp, p.chroma_qp_offset),
-                             ref4=ref4, trans8=trans8)
+                             ref4=ref4, trans8=trans8,
+                             alpha_off=2 * p.deblock_alpha,
+                             beta_off=2 * p.deblock_beta,
+                             qp_map=qp_maps[0], qpc_map=qp_maps[1])
         self.recon_prev = (ry, ru, rv)
         # upload as uint8 (4x fewer bytes over the tunnel); build_ref
         # casts on device
@@ -916,18 +1207,34 @@ class Encoder:
                 trellis=bool(p.trellis), nr_offset=self._nr_offset())
             self._mref_stack = (refs_luma, refs_u, refs_v)
         else:
+            qp_enc, qpc_enc = qp, qpc
+            self._aq_grids = None
+            if p.aq_mode:
+                # per-MB QP from source AC energy
+                # (x264_adaptive_quant_frame, ratecontrol.c:231)
+                from ..ops.aq import aq_offsets, assign_qp_grid
+                from ..ops.transform import CHROMA_QP_TABLE
+                offs = np.asarray(aq_offsets(
+                    y, u, v, mbh, mbw, jnp.float32(p.aq_strength)))
+                qp_grid = assign_qp_grid(qp, offs, p.qp_min, p.qp_max)
+                qpc_grid = CHROMA_QP_TABLE[np.clip(
+                    qp_grid + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+                self._aq_grids = (qp_grid, qpc_grid)
+                qp_enc = jnp.asarray(qp_grid)
+                qpc_enc = jnp.asarray(qpc_grid)
             res = P.encode_p_frame_device8(
                 y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
-                mv8, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                mv8, qp_enc, qpc_enc, mbh, mbw, decimate=p.dct_decimate,
                 trellis=bool(p.trellis), nr_offset=self._nr_offset(),
-                trans8=p.transform_8x8)
+                trans8=p.transform_8x8, rd=bool(p.rd))
 
         self._nr_update(res, 16 * mbh * mbw)
         # intra-vs-inter refinement (off while embedding — the
-        # reference disables intra in P too, analyse.c:2862-2863)
+        # reference disables intra in P too, analyse.c:2862-2863;
+        # off under AQ — the intra refine encodes at the frame QP)
         intra_res = None
         intra_kind = np.zeros((mbh, mbw), np.int32)
-        if p.intra_in_p and self._stego is None:
+        if p.intra_in_p and self._stego is None and not p.aq_mode:
             ir = I.refine_p_intra(
                 y, u, v, res["recon_y"], res["recon_u"], res["recon_v"],
                 mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4)
@@ -1020,23 +1327,34 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         lam = ME.lambda_tab(qp)
         cmv = self._cost_mv_dev(qp, lam)
+        # pass-1 materializes levels/recon whenever the pass-2
+        # re-encode can be incremental (inter_incr.py exactness scope)
+        incr_ok = (p.incremental and not p.trellis
+                   and p.noise_reduction == 0
+                   and not p.transform_8x8 and self._aq_grids is None)
         packed_dev, res, blocks8, wht8, r_idx8 = PT.p_stage1_stego(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(self.prev_mv), qp, qpc, lam, cmv,
             p.me_range, mbh, mbw, p.subpel,
             jax.default_backend() == "tpu", p.dct_decimate,
             bool(p.trellis), nr_offset=self._nr_offset(), extra=extra,
-            trans8=p.transform_8x8)
+            trans8=p.transform_8x8, rd=bool(p.rd), full_pass1=incr_ok)
         self._ptables8 = {"blocks": blocks8, "wht": wht8,
                           "r_idx": r_idx8}
         return dict(packed=packed_dev, res=res, y=y, u=u, v=v,
-                    qp=qp, qpc=qpc)
+                    qp=qp, qpc=qpc, incr_ok=incr_ok)
 
-    def _fused_complete(self, d):
+    def _fused_complete(self, d, pipelined: bool = False):
         """Pull the packed stage-1 results, run host STC + flips,
-        dispatch the re-encode, pull levels, dispatch the deblocker,
-        and update predictor/frame state. Entropy is NOT written here."""
+        dispatch the re-encode (incremental: only flip-touched MBs),
+        dispatch the deblocker, and update predictor/frame state.
+        Entropy is NOT written here. pipelined=True skips the blocking
+        level pull: the lean buffer is enqueued and returned as a
+        pending record the NEXT frame's call drains (overlapping this
+        host's entropy with the device's stage-1)."""
         from . import inter as P
+        from .inter_incr import (reencode_p_incremental, changed_mbs,
+                                 pad_subset)
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         qp, qpc, y, u, v = d["qp"], d["qpc"], d["y"], d["u"], d["v"]
@@ -1046,22 +1364,50 @@ class Encoder:
         part_np = packed[:n].astype(np.int32).reshape(mbh, mbw)
         mv8_np = packed[n:9 * n].astype(np.int32) \
             .reshape(2 * mbh, 2 * mbw, 2)
-        skip = packed[11 * n:12 * n].astype(bool).reshape(mbh, mbw)
+        skip1 = packed[11 * n:12 * n].astype(bool).reshape(mbh, mbw)
         alt_u = packed[12 * n:20 * n].astype(np.int32) \
             .reshape(mbh, mbw, 4, 2)
         rho_u = np.ascontiguousarray(packed[20 * n:24 * n]) \
             .reshape(mbh, mbw, 4).astype(np.float64)
 
         final8, skip, mvd = self._stego.apply_costs(
-            self, part_np, mv8_np, skip, rho_u, alt_u)
-        res2 = P.encode_p_frame_device8(
-            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
-            jnp.asarray(final8), qp, qpc, mbh, mbw,
-            decimate=p.dct_decimate, force_zero=jnp.asarray(skip),
-            trellis=bool(p.trellis), nr_offset=self._nr_offset(),
-            trans8=p.transform_8x8)
+            self, part_np, mv8_np, skip1, rho_u, alt_u)
+        idx, fzs = changed_mbs(mv8_np, final8, skip1, skip, mbh, mbw)
+        if d.get("incr_ok") and "luma_lev" in d["res"] \
+                and len(idx) <= n // 4:
+            idx_p, fz_p, cap = pad_subset(idx, fzs, n)
+            res2 = reencode_p_incremental(
+                d["res"], y, u, v, self.ref["luma"], self.ref["u"],
+                self.ref["v"], jnp.asarray(final8), jnp.asarray(idx_p),
+                jnp.asarray(fz_p), qp, qpc, mbh, mbw, cap,
+                decimate=p.dct_decimate)
+        else:
+            res2 = P.encode_p_frame_device8(
+                y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+                jnp.asarray(final8), qp, qpc, mbh, mbw,
+                decimate=p.dct_decimate, force_zero=jnp.asarray(skip),
+                trellis=bool(p.trellis), nr_offset=self._nr_offset(),
+                trans8=p.transform_8x8, rd=bool(p.rd))
         intra_kind = np.zeros((mbh, mbw), np.int32)
         intra_mask = intra_kind > 0
+
+        if pipelined:
+            # enqueue the lean entropy buffer BEFORE the deblock waves
+            # (FIFO device queue; the fetch happens next frame)
+            has8 = "luma8_lev" in res2
+            lev_in = {k: res2[k] for k in
+                      ("luma_lev", "chroma_dc", "chroma_ac", "cbp_luma",
+                       "cbp_chroma", "luma8_lev", "trans8") if k in res2}
+            buf_dev = _pack_frame_lean(lev_in, n, has8)
+            mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
+            self._deblock_device(res2, intra_mask, skip, mv4, qp,
+                                 _nnz4_device(res2["luma_lev"], mbh,
+                                              mbw))
+            self._p_state_update(part_np, skip, final8, intra_kind,
+                                 None, intra_mask)
+            return dict(buf=buf_dev, res=res2, has8=has8, qp=qp,
+                        part=part_np, mvd=mvd, skip=skip,
+                        final8=final8)
 
         need_recon = (self.keep_recon
                       or not (p.deblock and self._on_tpu()))
@@ -1143,6 +1489,19 @@ class Encoder:
             t8r = np.repeat(np.repeat(res_np["trans8"], 4, 0), 4, 1)
             nnz4 = np.where(t8r, nz8r, nz4).astype(np.int32)
             trans8_mask = res_np["trans8"].astype(np.uint8)
+        qp_maps = (None, None)
+        if self._aq_grids is not None:
+            # decoder-visible per-MB QP: MBs that code no qp_delta
+            # inherit the previous MB's (spec 7.4.5; the deblocker
+            # must see THIS chain, not the intended grid)
+            from ..ops.aq import effective_qp_grid
+            from ..ops.transform import CHROMA_QP_TABLE
+            coded = (((res_np["cbp_luma"] | res_np["cbp_chroma"]) != 0)
+                     & ~skip)
+            eff = effective_qp_grid(self._aq_grids[0], coded, qp)
+            eff_c = CHROMA_QP_TABLE[np.clip(
+                eff + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+            qp_maps = (eff, eff_c)
         if p.deblock and self._on_tpu():
             self._deblock_device(
                 res, intra_mask, skip, mv4, qp,
@@ -1151,7 +1510,8 @@ class Encoder:
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
-                          ref4=ref4, trans8=trans8_mask)
+                          ref4=ref4, trans8=trans8_mask,
+                          qp_maps=qp_maps)
         else:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
@@ -1181,6 +1541,8 @@ class Encoder:
                              self.frame_num if frame_num is None
                              else frame_num, qp, idr=False,
                              disable_deblock=0 if p.deblock else 1,
+                             alpha_div2=p.deblock_alpha,
+                             beta_div2=p.deblock_beta,
                              poc_lsb=self._poc_lsb if poc_lsb is None
                              else poc_lsb)
         n = mbh * mbw
@@ -1193,7 +1555,7 @@ class Encoder:
                 bw, res_np, qp, part_np, mvd, skip, ref8_np,
                 intra_kind, intra_res)
         if (self._native is not None and intra_res is None
-                and not p.transform_8x8):
+                and not p.transform_8x8 and self._aq_grids is None):
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice(
@@ -1207,6 +1569,8 @@ class Encoder:
                 chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16))
         fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
+        aqg = self._aq_grids[0] if self._aq_grids is not None else None
+        last_qp = qp
         for my in range(mbh):
             for mx in range(mbw):
                 if skip[my, mx]:
@@ -1239,13 +1603,19 @@ class Encoder:
                         intra_res["chroma_ac"][my, mx], qp_delta=0,
                         in_p_slice=True)
                     continue
+                dq = 0
+                if aqg is not None and (
+                        int(res_np["cbp_luma"][my, mx])
+                        or int(res_np["cbp_chroma"][my, mx])):
+                    dq = int(aqg[my, mx]) - last_qp
+                    last_qp = int(aqg[my, mx])
                 fc.write_p_mb(
                     bw, mx, my, int(part_np[my, mx]), mvd[my, mx],
                     int(res_np["cbp_luma"][my, mx]),
                     int(res_np["cbp_chroma"][my, mx]),
                     res_np["luma_lev"][my, mx],
                     res_np["chroma_dc"][my, mx],
-                    res_np["chroma_ac"][my, mx], qp_delta=0,
+                    res_np["chroma_ac"][my, mx], qp_delta=dq,
                     trans8=bool(p.transform_8x8
                                 and res_np["trans8"][my, mx]),
                     luma8_lev=(res_np["luma8_lev"][my, mx]
@@ -1344,6 +1714,8 @@ class Encoder:
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
                              self.frame_num, qp, idr=False,
                              disable_deblock=0 if p.deblock else 1,
+                             alpha_div2=p.deblock_alpha,
+                             beta_div2=p.deblock_beta,
                              poc_lsb=self._poc_lsb)
         if p.cabac:
             return self._write_p_slice_cabac_sub(
@@ -1408,23 +1780,54 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         qp = self.rc.start(SLICE_B, satd)
+        forced = self.rc.forced(disp)   # --qpfile in the B pipe too
+        if forced is not None and forced[1] >= 0:
+            qp = forced[1]
+        qp = self._zone_qp(qp, disp)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         lam = ME.lambda_tab(qp)
         on_tpu = jax.default_backend() == "tpu"
-        mv0, c0, mv1, c1, cbi = BS.analyse_b_frame(
-            y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
-            lam, p.subpel, on_tpu)
-        mv0_np, mv1_np = np.asarray(mv0), np.asarray(mv1)
         col_mv4, col_ref4 = col
-        au0, au1, adv0, adv1 = BS.approx_direct_fields(
-            mv0_np, mv1_np, col_mv4, col_ref4)
-        c_dir = BS.bipred_satd_device(
-            y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
-            jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
-            mbh, mbw)
-        mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = BS.scan_b_frame(
-            np.asarray(c_dir), np.asarray(c0), np.asarray(c1),
-            np.asarray(cbi), mv0_np, mv1_np, col_mv4, col_ref4, lam)
+        subs = None
+        use_parts = p.partitions
+        if use_parts:
+            # B partitions (16x8/8x16 combos + B_8x8 subs): two-stage
+            # device analysis, host commit scan (bslice.py)
+            from .partition import _sp_to_z
+            st0, st1 = BS.analyse_b_parts_stage1(
+                y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
+                lam)
+            au0, au1, adv0, adv1 = BS.approx_direct_fields(
+                4 * np.asarray(st0["mv16"]), 4 * np.asarray(st1["mv16"]),
+                col_mv4, col_ref4)
+            c_dir8 = BS.bipred_satd8_device(
+                y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
+                jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
+                mbh, mbw)
+            stres = BS.analyse_b_parts(
+                y, ref0["luma"], ref1["luma"], st0, st1, c_dir8,
+                mbh, mbw, lam, p.subpel)
+            mv0z = np.asarray(_sp_to_z(stres["mv0_8"], mbh, mbw))
+            mv1z = np.asarray(_sp_to_z(stres["mv1_8"], mbh, mbw))
+            mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
+                BS.scan_b_parts(
+                    np.asarray(stres["part"]), np.asarray(stres["sel8"]),
+                    mv0z, mv1z, np.asarray(stres["c_cfg"]),
+                    np.asarray(c_dir8).sum(-1), col_mv4, col_ref4, lam)
+        else:
+            mv0, c0, mv1, c1, cbi = BS.analyse_b_frame(
+                y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
+                lam, p.subpel, on_tpu)
+            mv0_np, mv1_np = np.asarray(mv0), np.asarray(mv1)
+            au0, au1, adv0, adv1 = BS.approx_direct_fields(
+                mv0_np, mv1_np, col_mv4, col_ref4)
+            c_dir = BS.bipred_satd_device(
+                y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
+                jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
+                mbh, mbw)
+            mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = BS.scan_b_frame(
+                np.asarray(c_dir), np.asarray(c0), np.asarray(c1),
+                np.asarray(cbi), mv0_np, mv1_np, col_mv4, col_ref4, lam)
         res = BS.encode_b_frame_device(
             y, u, v, ref0["luma"], ref0["u"], ref0["v"],
             ref1["luma"], ref1["u"], ref1["v"],
@@ -1464,11 +1867,12 @@ class Encoder:
             poc_lsb=2 * (disp - self._last_idr_disp), is_ref=False)
         if p.cabac:
             nal = self._write_b_slice_cabac(bw, res_np, qp, mode,
-                                            mvd0, mvd1)
+                                            mvd0, mvd1, subs=subs)
         else:
             nal = self._write_b_slice_cavlc(bw, res_np, qp, mode,
-                                            mvd0, mvd1)
-        out = nal_unit(NAL_SLICE, NAL_PRIORITY_DISPOSABLE, nal)
+                                            mvd0, mvd1, subs=subs)
+        out = self._aud(SLICE_B) \
+            + nal_unit(NAL_SLICE, NAL_PRIORITY_DISPOSABLE, nal)
         self.stats.b_frames += 1
         self.stats.frames += 1
         self.stats.bits += 8 * len(out)
@@ -1479,19 +1883,23 @@ class Encoder:
         return out
 
     def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,
-                             mvd1) -> bytes:
-        """CAVLC B slice: B_SKIP runs + 16x16-granularity B MBs.
+                             mvd1, subs=None) -> bytes:
+        """CAVLC B slice: B_SKIP runs + B MBs (16x16 subset rides the
+        native twin; partition codes 4-22 take the Python writer).
         Skip rule: direct mode with no residual (spec 7.4.4
         mb_skip_run in B = B_Skip, decoded as direct)."""
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
-        if self._native is not None:
+        if self._native is not None and np.all(mode <= 3):
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
+            m0 = mvd0 if mvd0.ndim == 3 else mvd0[:, :, 0]
+            m1 = mvd1 if mvd1.ndim == 3 else mvd1[:, :, 0]
             return native.write_slice_b(
                 hdr, nbits, mbw, mbh, mode=mode.reshape(n),
-                mvd0=mvd0.reshape(n, 2), mvd1=mvd1.reshape(n, 2),
+                mvd0=np.ascontiguousarray(m0).reshape(n, 2),
+                mvd1=np.ascontiguousarray(m1).reshape(n, 2),
                 cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
@@ -1513,32 +1921,39 @@ class Encoder:
                               mvd1[my, mx], cl, cc,
                               res["luma_lev"][my, mx],
                               res["chroma_dc"][my, mx],
-                              res["chroma_ac"][my, mx], qp_delta=0)
+                              res["chroma_ac"][my, mx], qp_delta=0,
+                              subs=None if subs is None
+                              else subs[my, mx])
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()
         return bw.get_bytes()
 
     def _write_b_slice_cabac(self, bw, res, qp, mode, mvd0,
-                             mvd1) -> bytes:
-        """CABAC B slice (reference encoder/cabac.c B branch,
-        D_16x16 subset)."""
+                             mvd1, subs=None) -> bytes:
+        """CABAC B slice (reference encoder/cabac.c B branch). The
+        16x16 subset rides the native twin; partition codes 4-22 take
+        the Python writer (write_b_mb_ext)."""
         from .cabac import CabacSliceWriter
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None:
+        if self._native is not None and np.all(mode <= 3):
             from .. import native
             hdr, nbits = bw.partial_bytes()
+            m0 = mvd0 if mvd0.ndim == 3 else mvd0[:, :, 0]
+            m1 = mvd1 if mvd1.ndim == 3 else mvd1[:, :, 0]
             return native.write_slice_cabac_b(
                 hdr, nbits, mbw, mbh, qp, mode=mode.reshape(n),
-                mvd0=mvd0.reshape(n, 2), mvd1=mvd1.reshape(n, 2),
+                mvd0=np.ascontiguousarray(m0).reshape(n, 2),
+                mvd1=np.ascontiguousarray(m1).reshape(n, 2),
                 cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
         while not bw.byte_aligned():
             bw.write1(1)
+        per_unit = mvd0.ndim == 4     # B-partition path: [mbh,mbw,4,2]
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,
                              slice_is_b=True)
         for a in range(n):
@@ -1548,11 +1963,20 @@ class Encoder:
             cc = int(res["cbp_chroma"][my, mx])
             if m == 0 and cl == 0 and cc == 0:
                 w.write_b_skip_mb(my, mx)
-            else:
-                w.write_b_mb(my, mx, m, mvd0[my, mx], mvd1[my, mx],
+            elif m <= 3:
+                d0 = mvd0[my, mx, 0] if per_unit else mvd0[my, mx]
+                d1 = mvd1[my, mx, 0] if per_unit else mvd1[my, mx]
+                w.write_b_mb(my, mx, m, d0, d1,
                              cl, cc, res["luma_lev"][my, mx],
                              res["chroma_dc"][my, mx],
                              res["chroma_ac"][my, mx])
+            else:
+                w.write_b_mb_ext(my, mx, m,
+                                 None if subs is None else subs[my, mx],
+                                 mvd0[my, mx], mvd1[my, mx], cl, cc,
+                                 res["luma_lev"][my, mx],
+                                 res["chroma_dc"][my, mx],
+                                 res["chroma_ac"][my, mx])
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
@@ -1605,6 +2029,8 @@ class Encoder:
         H.write_slice_header(bw, self.sps, self.pps, H.SLICE_TYPE_P,
                              self.frame_num, qp, idr=False,
                              disable_deblock=0 if self.p.deblock else 1,
+                             alpha_div2=self.p.deblock_alpha,
+                             beta_div2=self.p.deblock_beta,
                              poc_lsb=self._poc_lsb)
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw

@@ -22,6 +22,157 @@ SLICE_TYPE_B = 1
 SLICE_TYPE_I = 2
 
 
+# x264_levels[] (/root/reference/encoder/set.c:509-528, x264.h:312-326):
+# (level_idc, mbps, frame_size, dpb, bitrate, cpb, mv_range)
+LEVELS = (
+    (10,   1485,    99,   152064,     64,    175,  64),
+    (11,   3000,   396,   345600,    192,    500, 128),
+    (12,   6000,   396,   912384,    384,   1000, 128),
+    (13,  11880,   396,   912384,    768,   2000, 128),
+    (20,  11880,   396,   912384,   2000,   2000, 128),
+    (21,  19800,   792,  1824768,   4000,   4000, 256),
+    (22,  20250,  1620,  3110400,   4000,   4000, 256),
+    (30,  40500,  1620,  3110400,  10000,  10000, 256),
+    (31, 108000,  3600,  6912000,  14000,  14000, 512),
+    (32, 216000,  5120,  7864320,  20000,  20000, 512),
+    (40, 245760,  8192, 12582912,  20000,  25000, 512),
+    (41, 245760,  8192, 12582912,  50000,  62500, 512),
+    (42, 522240,  8704, 13369344,  50000,  62500, 512),
+    (50, 589824, 22080, 42393600, 135000, 135000, 512),
+    (51, 983040, 36864, 70778880, 240000, 240000, 512),
+)
+
+# aspect_ratio_idc table (spec E-1; set.c:289-295)
+_SAR_IDC = {(1, 1): 1, (12, 11): 2, (10, 11): 3, (16, 11): 4,
+            (40, 33): 5, (24, 11): 6, (20, 11): 7, (32, 11): 8,
+            (80, 33): 9, (18, 11): 10, (15, 11): 11, (64, 33): 12,
+            (160, 99): 13}
+
+
+def pick_level(mb_width: int, mb_height: int, fps_num: int, fps_den: int,
+               num_refs: int, mv_range: int) -> int:
+    """Smallest level whose frame-size / MB-rate / DPB / MV-range limits
+    hold (auto mode of x264's i_level_idc; checks mirror
+    x264_validate_levels, /root/reference/encoder/set.c:537)."""
+    mbs = mb_width * mb_height
+    dpb = mbs * 384 * num_refs
+    mbps = mbs * fps_num // max(1, fps_den)
+    for lev, l_mbps, l_fs, l_dpb, _br, _cpb, l_mv in LEVELS:
+        if (l_fs >= mbs and l_fs * 8 >= mb_width * mb_width
+                and l_fs * 8 >= mb_height * mb_height
+                and l_dpb >= dpb and l_mbps >= mbps
+                and l_mv >= mv_range):
+            return lev
+    return 51
+
+
+def validate_levels(level_idc: int, mb_width: int, mb_height: int,
+                    fps_num: int, fps_den: int, num_refs: int,
+                    mv_range: int, vbv_maxrate: int, vbv_bufsize: int,
+                    high_profile: bool) -> list:
+    """Level-limit checks (x264_validate_levels, encoder/set.c:537-573).
+    Returns a list of warning strings (empty = conformant)."""
+    lev = next((l for l in LEVELS if l[0] == level_idc), None)
+    if lev is None:
+        return [f"unknown level_idc {level_idc}"]
+    _, l_mbps, l_fs, l_dpb, l_br, l_cpb, l_mv = lev
+    mbs = mb_width * mb_height
+    errs = []
+    if (l_fs < mbs or l_fs * 8 < mb_width * mb_width
+            or l_fs * 8 < mb_height * mb_height):
+        errs.append(f"frame MB size ({mb_width}x{mb_height}) > level "
+                    f"limit ({l_fs})")
+    dpb = mbs * 384 * num_refs
+    if dpb > l_dpb:
+        errs.append(f"DPB size ({num_refs} frames, {dpb} bytes) > level "
+                    f"limit ({l_dpb})")
+    cbp_factor = 5 if high_profile else 4
+    if vbv_maxrate > l_br * cbp_factor // 4:
+        errs.append(f"VBV bitrate ({vbv_maxrate}) > level limit "
+                    f"({l_br * cbp_factor // 4})")
+    if vbv_bufsize > l_cpb * cbp_factor // 4:
+        errs.append(f"VBV buffer ({vbv_bufsize}) > level limit "
+                    f"({l_cpb * cbp_factor // 4})")
+    if mv_range > l_mv:
+        errs.append(f"MV range ({mv_range}) > level limit ({l_mv})")
+    if fps_den > 0:
+        mbps = mbs * fps_num // fps_den
+        if mbps > l_mbps:
+            errs.append(f"MB rate ({mbps}) > level limit ({l_mbps})")
+    return errs
+
+
+@dataclass
+class VUI:
+    """VUI parameters (spec Annex E; fields as x264_sps_init assembles
+    them, /root/reference/encoder/set.c:147-211)."""
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan: int = 0        # 0 undef, 1 show, 2 crop
+    videoformat: int = 5
+    fullrange: bool = False
+    colorprim: int = 2
+    transfer: int = 2
+    colmatrix: int = 2
+    chromaloc: int = 0
+    fps_num: int = 0         # timing_info (0 = absent)
+    fps_den: int = 0
+    num_reorder_frames: int = 0
+    max_dec_frame_buffering: int = 1
+    mv_range: int = 512      # drives log2_max_mv_length
+
+    def write(self, bw: BitWriter) -> None:
+        """VUI bitstream (x264_sps_write VUI section, set.c:287-361)."""
+        sar = self.sar_width > 0 and self.sar_height > 0
+        bw.write1(1 if sar else 0)
+        if sar:
+            idc = _SAR_IDC.get((self.sar_width, self.sar_height))
+            if idc is not None:
+                bw.write(8, idc)
+            else:
+                bw.write(8, 255)  # Extended_SAR
+                bw.write(16, self.sar_width)
+                bw.write(16, self.sar_height)
+        bw.write1(1 if self.overscan else 0)
+        if self.overscan:
+            bw.write1(1 if self.overscan == 2 else 0)
+        color_desc = (self.colorprim != 2 or self.transfer != 2
+                      or self.colmatrix != 2)
+        signal_type = (self.videoformat != 5 or self.fullrange
+                       or color_desc)
+        bw.write1(1 if signal_type else 0)
+        if signal_type:
+            bw.write(3, min(self.videoformat, 5))
+            bw.write1(1 if self.fullrange else 0)
+            bw.write1(1 if color_desc else 0)
+            if color_desc:
+                bw.write(8, self.colorprim)
+                bw.write(8, self.transfer)
+                bw.write(8, self.colmatrix)
+        bw.write1(1 if self.chromaloc else 0)
+        if self.chromaloc:
+            bw.write_ue(self.chromaloc)
+            bw.write_ue(self.chromaloc)
+        timing = self.fps_num > 0 and self.fps_den > 0
+        bw.write1(1 if timing else 0)
+        if timing:
+            bw.write(32, self.fps_den)       # num_units_in_tick
+            bw.write(32, self.fps_num * 2)   # time_scale
+            bw.write1(1)                     # fixed_frame_rate
+        bw.write1(0)  # nal_hrd_parameters_present
+        bw.write1(0)  # vcl_hrd_parameters_present
+        bw.write1(0)  # pic_struct_present
+        bw.write1(1)  # bitstream_restriction
+        bw.write1(1)  # motion_vectors_over_pic_boundaries
+        bw.write_ue(0)  # max_bytes_per_pic_denom
+        bw.write_ue(0)  # max_bits_per_mb_denom
+        log2_mv = max(1, (4 * self.mv_range - 1).bit_length())
+        bw.write_ue(log2_mv)  # log2_max_mv_length_horizontal
+        bw.write_ue(log2_mv)  # log2_max_mv_length_vertical
+        bw.write_ue(self.num_reorder_frames)
+        bw.write_ue(self.max_dec_frame_buffering)
+
+
 @dataclass
 class SPS:
     width: int
@@ -33,6 +184,7 @@ class SPS:
     poc_type: int = 2         # 2 for IPPP (decode==display); 0 with B
     log2_max_poc_lsb: int = 10
     profile: int = PROFILE_BASELINE
+    vui: VUI = None
 
     @property
     def mb_width(self) -> int:
@@ -79,7 +231,11 @@ class SPS:
             bw.write_ue(crop_b // 2)
         else:
             bw.write1(0)
-        bw.write1(0)  # vui_parameters_present
+        if self.vui is not None:
+            bw.write1(1)
+            self.vui.write(bw)
+        else:
+            bw.write1(0)  # vui_parameters_present
         bw.rbsp_trailing()
         return bw.get_bytes()
 
@@ -124,7 +280,8 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
                        frame_num: int, qp: int, idr: bool,
                        idr_pic_id: int = 0,
                        disable_deblock: int = 1,
-                       poc_lsb: int = 0, is_ref: bool = True) -> None:
+                       poc_lsb: int = 0, is_ref: bool = True,
+                       alpha_div2: int = 0, beta_div2: int = 0) -> None:
     """Single-slice frame header (reference: encoder/encoder.c slice
     header writer; fields per spec 7.3.3)."""
     bw.write_ue(0)  # first_mb_in_slice
@@ -163,12 +320,25 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
     # deblocking_filter_control_present == 1:
     bw.write_ue(disable_deblock)
     if disable_deblock != 1:
-        bw.write_se(0)  # alpha offset / 2
-        bw.write_se(0)  # beta offset / 2
+        bw.write_se(alpha_div2)  # slice_alpha_c0_offset_div2
+        bw.write_se(beta_div2)   # slice_beta_offset_div2
 
 
 NAL_SEI = 6
+NAL_AUD = 9
 SEI_USER_DATA_UNREGISTERED = 5
+
+# primary_pic_type by slice type present in the AU (spec Table 7-5)
+_AUD_PIC_TYPE = {SLICE_TYPE_I: 0, SLICE_TYPE_P: 1, SLICE_TYPE_B: 2}
+
+
+def aud_payload(slice_type: int) -> bytes:
+    """Access-unit delimiter RBSP (spec 7.3.2.4; x264 --aud writes one
+    per access unit, encoder/encoder.c NAL_AUD emission)."""
+    bw = BitWriter()
+    bw.write(3, _AUD_PIC_TYPE.get(slice_type, 2))
+    bw.rbsp_trailing()
+    return bw.get_bytes()
 
 # 16-byte UUID identifying this encoder's SEI (role of the x264 uuid in
 # encoder/set.c:475-483)

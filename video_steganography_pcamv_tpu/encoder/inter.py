@@ -181,15 +181,20 @@ def trellis_quant_chroma_ac(ac, qpc):
     return lev[:, izig]
 
 
-def luma_p_encode(cur, pred, qp: int, decimate: bool,
+def luma_p_encode(cur, pred, qp, decimate: bool,
                   trellis: bool = False, nr_offset=None):
     """Shared inter-luma encode: residual -> quant/trellis ->
     (decimate) -> levels + recon. cur/pred: [N,16,16]. Used by both the
     real P encode and the stego alt-MV probe (the reference's probe
     calls the full x264_macroblock_encode, so decimation behaviour must
     match). trellis follows the reference's --trellis 1 placement: the
-    final MB encode only (encoder/macroblock.c:90-91)."""
+    final MB encode only (encoder/macroblock.c:90-91). qp: traced
+    scalar, or [N] per-MB (adaptive quantization — excludes trellis,
+    see Params.validate)."""
     n = cur.shape[0]
+    qp = jnp.asarray(qp)
+    if qp.ndim == 1:       # per-MB AQ: broadcast over block coords
+        qp = qp[:, None, None]
     res = to_blocks(cur - pred, 4)                        # [N,4,4,4,4]
     coef = T.dct4x4(res)
     nrsum = None
@@ -344,15 +349,28 @@ def assemble_pred_luma(ref_luma, mv8, mbh: int, mbw: int):
                .reshape(n, 16, 16)
 
 
+# lambda2 = pow(lambda,2) * .9 * 256 (reference encoder/analyse.c
+# x264_lambda2_tab; RD cost = ssd + (lambda2 * bits + 128) >> 8,
+# rdo.c:139)
+LAMBDA2_TAB = np.array([
+    14, 18, 22, 28, 36, 45, 57, 72,
+    91, 115, 145, 182, 230, 290, 365, 460,
+    580, 731, 921, 1161, 1462, 1843, 2322, 2925,
+    3686, 4644, 5851, 7372, 9289, 11703, 14745, 18578,
+    23407, 29491, 37156, 46814, 58982, 74313, 93628, 117964,
+    148626, 187257, 235929, 297252, 374514, 471859, 594505, 749029,
+    943718, 1189010, 1498059, 1887436], np.int64)
+
+
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate",
                                              "trellis", "cbp_only",
-                                             "trans8"))
+                                             "trans8", "rd"))
 def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                            qp, qpc, mbh: int, mbw: int,
                            decimate: bool = True, force_zero=None,
                            trellis: bool = False, nr_offset=None,
                            cbp_only: bool = False,
-                           trans8: bool = False):
+                           trans8: bool = False, rd: bool = False):
     """Partitioned final P encode: mv per 8x8 block ([2mbh,2mbw,2] qpel,
     uniform within each partition unit). Same outputs as
     encode_p_frame_device (the 16x16 path is the mv8-uniform case).
@@ -360,8 +378,17 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
     cbp_only: emit just cbp_luma/cbp_chroma (+nr_sum) — the stego
     pass-1 needs only the skip/cover decisions, so the recon and level
     materialization (dequant/idct chains + the int16 HBM copies) are
-    dead code XLA prunes from the fused stage-1 program."""
+    dead code XLA prunes from the fused stage-1 program.
+
+    qp/qpc: traced scalars, or [mbh,mbw] per-MB grids (adaptive
+    quantization, x264_adaptive_quant ratecontrol.c:255; AQ excludes
+    trellis/trans8 — Params.validate)."""
     n = mbh * mbw
+    qp = jnp.asarray(qp)
+    qpc = jnp.asarray(qpc)
+    if qp.ndim >= 1:   # per-MB AQ grids
+        qp = qp.reshape(n)
+        qpc = qpc.reshape(n)[:, None, None]
     fz = (jnp.zeros(n, bool) if force_zero is None
           else force_zero.reshape(n))
 
@@ -412,6 +439,31 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
         rec8 = rec8b.transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
         cbp8_t = (keep8[:, 0, 0] * 1 + keep8[:, 0, 1] * 2
                   + keep8[:, 1, 0] * 4 + keep8[:, 1, 1] * 8)
+
+        if rd:
+            # true RD transform decision (x264_mb_analyse_transform_rd,
+            # analyse.c:2309: exact bits via the entropy size estimator
+            # + SSD, replacing the sa8d heuristic). nC approximated as
+            # 0 (same-table shift applies to both candidates; the real
+            # context depends on neighbours' own RD choices).
+            from ..ops.rdcost import cavlc_block_bits
+            lam2 = jnp.asarray(LAMBDA2_TAB)[qp]
+            zz4 = _zigzag_gather(lev)               # [n,16,BY,BX]
+            v4 = zz4.transpose(0, 3, 4, 1).reshape(n * 16, 16) \
+                if zz4.ndim == 5 else \
+                zz4.transpose(0, 2, 3, 1).reshape(n * 16, 16)
+            nc0 = jnp.zeros(n * 16, jnp.int32)
+            bits4 = cavlc_block_bits(v4, nc0).reshape(n, 16).sum(1)
+            zz8c = jnp.asarray(T8.ZIGZAG_8x8)
+            z8 = lev8[..., zz8c[:, 0], zz8c[:, 1]]  # [n,2,2,64]
+            sub = z8.reshape(n, 2, 2, 16, 4).transpose(0, 1, 2, 4, 3) \
+                .reshape(n * 16, 16)
+            bits8 = cavlc_block_bits(sub, nc0).reshape(n, 16).sum(1)
+            ssd4 = jnp.sum((rec - cur) ** 2, axis=(1, 2))
+            ssd8v = jnp.sum((rec8 - cur) ** 2, axis=(1, 2))
+            cost4 = ssd4 + ((lam2 * bits4 + 128) >> 8)
+            cost8 = ssd8v + ((lam2 * bits8 + 128) >> 8)
+            t8 = (cost8 < cost4) & ~fz
 
         lev = lev * ~t8[:, None, None, None, None]
         lev8 = lev8 * t8[:, None, None, None, None]

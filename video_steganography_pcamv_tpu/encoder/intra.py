@@ -141,6 +141,7 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
     lev_out = jnp.zeros((W, 4, 4, 4, 4), jnp.int32)
     modes_out = []
     cost = jnp.zeros(W, jnp.int32)
+    modebits = jnp.zeros(W, jnp.int32)
     needs_t = jnp.asarray(P.I4_NEEDS_TOP)
     needs_l = jnp.asarray(P.I4_NEEDS_LEFT)
 
@@ -196,6 +197,7 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
         mcost = jnp.where(valid, satd + lam * bits, jnp.int32(1 << 30))
         mode = jnp.argmin(mcost, axis=1)
         cost = cost + jnp.min(mcost, axis=1)
+        modebits = modebits + jnp.where(mode == pm, 1, 4)
         pred = jnp.take_along_axis(
             preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,4,4]
 
@@ -216,7 +218,8 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
     # CBP-zeroed blocks must not be transmitted NOR reconstructed with
     # residual? No: cbp bit 0 <=> all four blocks are zero, so recon is
     # unaffected; lev stays as computed.
-    return (jnp.stack(modes_out, axis=1), lev_out, cbp_luma, wt, cost)
+    return (jnp.stack(modes_out, axis=1), lev_out, cbp_luma, wt, cost,
+            modebits)
 
 
 def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
@@ -241,6 +244,7 @@ def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
     lev_out = jnp.zeros((W, 2, 2, 8, 8), jnp.int32)
     modes_out = []
     cost = jnp.zeros(W, jnp.int32)
+    modebits = jnp.zeros(W, jnp.int32)
     needs_t = jnp.asarray(P8.I8_NEEDS_TOP)
     needs_l = jnp.asarray(P8.I8_NEEDS_LEFT)
 
@@ -307,6 +311,7 @@ def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
         mcost = jnp.where(valid, satd + lam * bits, jnp.int32(1 << 30))
         mode = jnp.argmin(mcost, axis=1)
         cost = cost + jnp.min(mcost, axis=1)
+        modebits = modebits + jnp.where(mode == pm, 1, 4)
         pred = jnp.take_along_axis(
             preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,8,8]
 
@@ -324,7 +329,7 @@ def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
     cbp_luma = (nz8[:, 0, 0] * 1 + nz8[:, 0, 1] * 2
                 + nz8[:, 1, 0] * 4 + nz8[:, 1, 1] * 8).astype(jnp.int32)
     return (jnp.stack(modes_out, axis=1), lev_out, cbp_luma, wt, cost,
-            ctx4)
+            ctx4, modebits)
 
 
 def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
@@ -377,9 +382,10 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4",
-                                             "i8x8"))
+                                             "i8x8", "rd"))
 def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
-                   i4x4: bool = True, i8x8: bool = False):
+                   i4x4: bool = True, i8x8: bool = False,
+                   rd: bool = False):
     """Encode one I-frame. y: [16*mbh, 16*mbw] int32; u, v: half size.
     qp/qpc/lam are traced scalars (per-frame rate control re-uses one
     compiled program across QPs).
@@ -442,7 +448,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         if i4x4:
             tr4 = st["ry"][myc, mxr, 15, 0:4]
             top20 = jnp.concatenate([top, tr4], axis=1)   # [W,20]
-            m4, lev4, cbpl4, rec4, cost4 = _i4_mb(
+            m4, lev4, cbpl4, rec4, cost4, mb4bits = _i4_mb(
                 enc, top20, left, tl, at, al, atr, qp, lam,
                 nb_lm, nb_tm)
             use4 = cost4 < cost16
@@ -453,10 +459,11 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             cbpl4 = jnp.zeros((W,), jnp.int32)
             rec4 = rec16
             cost4 = jnp.full_like(cost16, 1 << 30)
+            mb4bits = jnp.zeros(W, jnp.int32)
         if i8x8:
             tr8 = st["ry"][myc, mxr, 15, 0:8]
             top24 = jnp.concatenate([top, tr8], axis=1)   # [W,24]
-            m8, lev8, cbpl8, rec8, cost8, ctx8 = _i8_mb(
+            m8, lev8, cbpl8, rec8, cost8, ctx8, mb8bits = _i8_mb(
                 enc, top24, left, tl, at, al, atr, qp, lam,
                 nb_lm, nb_tm)
             use8 = (cost8 < cost16) & (cost8 <= cost4)
@@ -468,6 +475,55 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             cbpl8 = jnp.zeros((W,), jnp.int32)
             rec8 = rec16
             ctx8 = jnp.full((W, 4, 4), 2, jnp.int32)
+            mb8bits = jnp.zeros(W, jnp.int32)
+
+        if rd:
+            # true-RD intra ranking (x264_intra_rd, analyse.c:881 /
+            # rdo.c:139): SSD + lambda2 * exact CAVLC residual bits
+            # replaces the SATD totals for the i16/i4/i8 choice. nC
+            # approximated as 0; chroma cbp term omitted (common to
+            # all three candidates).
+            from ..ops.rdcost import cavlc_block_bits, ue_len
+            from .inter import LAMBDA2_TAB, _zigzag_gather
+            from ..ops import transform8 as T8
+            lam2 = jnp.asarray(LAMBDA2_TAB)[qp]
+
+            def rdc(ssd, bits):
+                return ssd + ((lam2 * bits + 128) >> 8)
+
+            nc0 = jnp.zeros(W * 16, jnp.int32)
+            dcz = dc_lev[:, jnp.asarray(T.ZIGZAG_4x4[:, 0]),
+                         jnp.asarray(T.ZIGZAG_4x4[:, 1])]
+            bits_dc = cavlc_block_bits(dcz, jnp.zeros(W, jnp.int32))
+            acz = _zigzag_gather(ac_lev)[:, 1:]          # [W,15,4,4]
+            vac = acz.transpose(0, 2, 3, 1).reshape(W * 16, 15)
+            bits_ac = cavlc_block_bits(vac, nc0, max_coeff=15) \
+                .reshape(W, 16).sum(1)
+            b16 = (bits_dc + jnp.where(cbpl16, bits_ac, 0)
+                   + ue_len(1 + mode16 + 12 * cbpl16.astype(jnp.int32)))
+            ssd16 = jnp.sum((rec16 - enc) ** 2, axis=(1, 2))
+            c16r = rdc(ssd16, b16)
+
+            z4 = _zigzag_gather(jnp.moveaxis(lev4, (1, 2), (3, 4)))
+            v4 = z4.transpose(0, 2, 3, 1).reshape(W * 16, 16)
+            b4 = (cavlc_block_bits(v4, nc0).reshape(W, 16).sum(1)
+                  + mb4bits + 1 + 6)
+            ssd4 = jnp.sum((rec4 - enc) ** 2, axis=(1, 2))
+            c4r = jnp.where(cost4 < (1 << 29), rdc(ssd4, b4),
+                            jnp.int32(1 << 30))
+
+            zz8c = jnp.asarray(T8.ZIGZAG_8x8)
+            z8 = lev8[..., zz8c[:, 0], zz8c[:, 1]]
+            v8 = z8.reshape(W, 2, 2, 16, 4).transpose(0, 1, 2, 4, 3) \
+                .reshape(W * 16, 16)
+            b8 = (cavlc_block_bits(v8, nc0).reshape(W, 16).sum(1)
+                  + mb8bits + 2 + 6)
+            ssd8 = jnp.sum((rec8 - enc) ** 2, axis=(1, 2))
+            c8r = (rdc(ssd8, b8) if i8x8
+                   else jnp.full(W, 1 << 30, jnp.int32))
+
+            use8 = i8x8 & (c8r < c16r) & (c8r <= c4r)
+            use4 = i4x4 & (c4r < c16r) & ~use8
 
         rec = jnp.where(use4[:, None, None], rec4, rec16)
         rec = jnp.where(use8[:, None, None], rec8, rec)
@@ -607,7 +663,7 @@ def refine_p_intra(y, u, v, recon_y, recon_u, recon_v, inter_cost,
             top20 = jnp.concatenate([top, tr4], axis=1)
             nb_lm = st["modes4"][my, mxc, :, 3]
             nb_tm = st["modes4"][myc, mx, 3, :]
-            m4, lev4, cbpl4, rec4, cost4 = _i4_mb(
+            m4, lev4, cbpl4, rec4, cost4, _mb4b = _i4_mb(
                 enc, top20, left, tl, at, al, atr, qp, lam,
                 nb_lm, nb_tm)
             use4 = cost4 < cost16

@@ -1062,12 +1062,14 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "subpel", "use_pallas",
                                              "decimate", "trellis",
-                                             "trans8"))
+                                             "trans8", "rd",
+                                             "full_pass1"))
 def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
                    lam, cost_mv, rng: int, mbh: int, mbw: int,
                    subpel: int, use_pallas: bool, decimate: bool,
                    trellis: bool, nr_offset=None, extra=None,
-                   trans8: bool = False):
+                   trans8: bool = False, rd: bool = False,
+                   full_pass1: bool = False):
     """Fused P-frame stage 1 for the stego serving path: analyse ->
     pass-1 encode -> device scan (MVP/P_SKIP/skip) -> per-unit RCA
     stego costs, ONE dispatch. Everything the host STC step needs
@@ -1088,10 +1090,13 @@ def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
         analyse_p_frame_parts.__wrapped__(
             y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
             use_pallas=use_pallas)
+    # full_pass1: materialize levels/recon so the pass-2 re-encode can
+    # be incremental (inter_incr.py) — the cbp-only DCE saves little
+    # (the DCT/quant dominates, not the level/recon stores)
     res = INTER.encode_p_frame_device8.__wrapped__(
         y, u, v, ref_luma, ref_u, ref_v, mv8, qp, qpc, mbh, mbw,
-        decimate, None, trellis, nr_offset, cbp_only=True,
-        trans8=trans8)
+        decimate, None, trellis, nr_offset, cbp_only=not full_pass1,
+        trans8=trans8, rd=rd)
     cbp_l = res["cbp_luma"].astype(jnp.int32)
     cbp_c = res["cbp_chroma"].astype(jnp.int32)
     skip, _mvd, mvp_u, _ = _scan_p_device(part, mv8, cbp_l, cbp_c,

@@ -102,6 +102,87 @@ def lowres_costs(cur_lr, ref_lr, bh: int, bw: int, rng: int = 8):
     return jnp.stack([cost_i, cost_p])
 
 
+@functools.partial(jax.jit, static_argnames=("bh", "bw", "rng", "t"))
+def lowres_costs_window(stack, cur_i, fwd_i, bwd_i, has_b, bh: int,
+                        bw: int, rng: int, t: int):
+    """Batched lowres frame-cost estimates over a lookahead window.
+
+    Reference: x264_slicetype_frame_cost (slicetype.c:43-190) cached
+    per (p0, b, p1) triple by x264_slicetype_analyse. TPU redesign: the
+    b-adapt trellis needs O(window * bframes) triples — ALL of them are
+    estimated in ONE dispatch (vmapped exhaustive lowres scan over the
+    stacked window planes) and cross the tunnel as one [t] pull.
+
+    stack: [L, 8bh, 8bw] lowres planes (device). cur_i/fwd_i/bwd_i:
+    [t] indices into the stack (bwd ignored where has_b == 0).
+    Returns [t] int64 frame costs: per-8x8 min(intra, fwd, bwd, bidir)
+    — bidir as the average-of-preds analog (BI of slicetype_mb_cost)."""
+    rr = 2 * rng + 1
+
+    def one(ci, fi, bi, hb):
+        cur = stack[ci]
+        reff = jnp.pad(stack[fi], rng, mode="edge")
+        refb = jnp.pad(stack[bi], rng, mode="edge")
+        h, w = cur.shape
+
+        def step(carry, i):
+            bf, bb, bavg = carry
+            dy = i // rr - rng
+            dx = i % rr - rng
+            pen = 4 * (jnp.abs(dy) + jnp.abs(dx))
+            wf = jax.lax.dynamic_slice(reff, (rng + dy, rng + dx), (h, w))
+            wb = jax.lax.dynamic_slice(refb, (rng + dy, rng + dx), (h, w))
+            sf = jnp.sum(to_blocks(jnp.abs(cur - wf), 8),
+                         axis=(-4, -3)) + pen
+            sb = jnp.sum(to_blocks(jnp.abs(cur - wb), 8),
+                         axis=(-4, -3)) + pen
+            # bidir analog: average of the co-located fwd/bwd windows
+            # (slicetype BI probe at the merged mv; the structure
+            # RATIO is what the trellis consumes)
+            sa = jnp.sum(to_blocks(jnp.abs(cur - ((wf + wb + 1) >> 1)),
+                                   8), axis=(-4, -3)) + pen
+            return (jnp.minimum(bf, sf), jnp.minimum(bb, sb),
+                    jnp.minimum(bavg, sa)), None
+
+        init = tuple(jnp.full((bh, bw), 1 << 30, jnp.int32)
+                     for _ in range(3))
+        (bf, bb, bavg), _ = jax.lax.scan(step, init, jnp.arange(rr * rr))
+        blocks = to_blocks(cur, 8)
+        dc = jnp.sum(blocks, axis=(-4, -3), keepdims=True) // 64
+        intra = jnp.sum(jnp.abs(blocks - dc), axis=(-4, -3))
+        best = jnp.minimum(intra, bf)
+        best_b = jnp.minimum(best, jnp.minimum(bb, bavg))
+        return jnp.sum(jnp.where(hb, best_b, best).astype(jnp.int64))
+
+    return jax.vmap(one)(cur_i, fwd_i, bwd_i, has_b)
+
+
+def slicetype_path(costs, n: int, bframes: int):
+    """B-placement DP over the window (x264 x264_slicetype_path /
+    slicetype_path_search, slicetype.c:476 B_ADAPT_TRELLIS semantics):
+    choose anchor positions minimizing the summed frame-cost estimate.
+
+    costs: dict[(kind, i, a, b)] -> est cost, kind in ('P','B'); frame
+    indices are window positions with the previous anchor at -1. Paths
+    end with an anchor at the window's last frame (x264's candidate
+    strings all end in P). Returns the first anchor position k
+    (buf[:k] become B frames)."""
+    INF = float("inf")
+    # dp[j] = best cost of typing frames 0..j with an anchor at j
+    dp = [INF] * n
+    first = [0] * n
+    for j in range(n):
+        for a in range(max(-1, j - 1 - bframes), j):
+            seg = costs[("P", j, a, -2)]
+            for i in range(a + 1, j):
+                seg += costs[("B", i, a, j)]
+            prev = 0.0 if a == -1 else dp[a]
+            if prev + seg < dp[j]:
+                dp[j] = prev + seg
+                first[j] = j if a == -1 else first[a]
+    return first[n - 1]
+
+
 class Lookahead:
     """Per-frame slice-type decision + complexity estimate.
 
@@ -164,6 +245,37 @@ class Lookahead:
         ci, cp = int(both[0]), int(both[1])
         self.prev_lr = cur_lr
         return self._decide_host(idx, ci, cp)
+
+    def decide_b_placement(self, anchor_lr, buf_lrs, bframes: int):
+        """b-adapt 2 trellis over the lookahead window: batched lowres
+        cost estimates for every (p0, b, p1) triple the DP can touch
+        (ONE dispatch + ONE pull), then slicetype_path. anchor_lr: the
+        previous anchor's lowres plane; buf_lrs: lowres of the buffered
+        display-order frames. Returns the window position of the next
+        anchor (frames before it are coded as B)."""
+        p = self.p
+        n = len(buf_lrs)
+        if n == 1:
+            return 0
+        stack = jnp.stack([anchor_lr] + list(buf_lrs))
+        triples, keys = [], []
+        for j in range(n):
+            for a in range(max(-1, j - 1 - bframes), j):
+                triples.append((j + 1, a + 1, a + 1, 0))
+                keys.append(("P", j, a, -2))
+                for i in range(a + 1, j):
+                    triples.append((i + 1, a + 1, j + 1, 1))
+                    keys.append(("B", i, a, j))
+        t = len(triples)
+        tp = -(-t // 16) * 16        # pad: few distinct compiles
+        arr = np.zeros((tp, 4), np.int32)
+        arr[:t] = triples
+        vals = np.asarray(lowres_costs_window(
+            stack, jnp.asarray(arr[:, 0]), jnp.asarray(arr[:, 1]),
+            jnp.asarray(arr[:, 2]), jnp.asarray(arr[:, 3]),
+            p.mb_height, p.mb_width, p.lookahead_me_range, tp))
+        costs = {k: float(v) for k, v in zip(keys, vals[:t])}
+        return slicetype_path(costs, n, bframes)
 
     def _decide_host(self, idx: int, ci: int, cp: int):
         p = self.p

@@ -93,7 +93,8 @@ def load():
     lib.pcamv_deblock_frame.argtypes = [
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.pcamv_write_slice_cabac.restype = ctypes.c_long
     lib.pcamv_write_slice_cabac.argtypes = [
         u8p, ctypes.c_long, u8p, ctypes.c_int,
@@ -342,14 +343,17 @@ def host_scan_p_forced(mv, skip):
 
 
 def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None,
-                  trans8=None):
+                  trans8=None, alpha_off=0, beta_off=0, qp_map=None,
+                  qpc_map=None):
     """In-place H.264 deblocking of uint8 planes.
 
     y/u/v: MB-padded planes (modified in place); intra: [mbh,mbw] uint8;
     nnz4: [4mbh,4mbw] int32 luma 4x4 total_coeff; mv: [4mbh,4mbw,2]
     int32 (4x4 granularity — partition-aware bS) or [mbh,mbw,2] which
     is upsampled; skip: [mbh,mbw] uint8 or None; ref4: optional
-    [4mbh,4mbw] int32 L0 refs (different-ref bS rule, spec 8.7.2.1)."""
+    [4mbh,4mbw] int32 L0 refs (different-ref bS rule, spec 8.7.2.1);
+    qp_map/qpc_map: optional [mbh,mbw] int32 per-MB QPY/QPC (adaptive
+    quantization — MB edges use the spec 8.7.2.2 qPav average)."""
     lib = load()
     mbh, mbw = intra.shape
     mv = np.asarray(mv)
@@ -368,11 +372,19 @@ def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None,
             if trans8 is not None else None)
     t8_p = (t8_a.ctypes.data_as(ctypes.c_void_p)
             if t8_a is not None else None)
+    qpm_a = _as_i32(qp_map).reshape(-1) if qp_map is not None else None
+    qpm_p = (qpm_a.ctypes.data_as(ctypes.c_void_p)
+             if qpm_a is not None else None)
+    qpcm_a = _as_i32(qpc_map).reshape(-1) if qpc_map is not None else None
+    qpcm_p = (qpcm_a.ctypes.data_as(ctypes.c_void_p)
+              if qpcm_a is not None else None)
+    assert (qpm_p is None) == (qpcm_p is None)
     lib.pcamv_deblock_frame(
         y, u, v, mbw, mbh,
         np.ascontiguousarray(intra, np.uint8),
         _as_i32(nnz4).reshape(-1), _as_i32(mv).reshape(-1), ref_p,
-        skip_p, qp, qpc, t8_p)
+        skip_p, qp, qpc, t8_p, int(alpha_off), int(beta_off),
+        qpm_p, qpcm_p)
 
 
 def stc_embed(cover, message, rho, h=10, state=None):

@@ -101,6 +101,12 @@ struct Ctx {
   const uint8_t* skip;   // [N]
   int qp, qpc;
   const uint8_t* trans8 = nullptr;  // [N] transform_size_8x8 per MB
+  int off_a = 0, off_b = 0;  // FilterOffsetA/B (2 * slice div2 values)
+  // per-MB QP maps (adaptive quantization): when set, MB edges use
+  // QPav = (QPp + QPq + 1) >> 1 (spec 8.7.2.2 / reference
+  // common/frame.c deblock_edge qp averaging); null = slice qp
+  const int32_t* qp_map = nullptr;   // [N] luma QPY
+  const int32_t* qpc_map = nullptr;  // [N] chroma QPC
 };
 
 // bS for one 4-sample group on an edge between 4x4 blocks p(-1 side) / q
@@ -119,13 +125,16 @@ inline int bs_inter(const Ctx& c, int qx, int qy, int px, int py) {
 void deblock_mb(const Ctx& c, int mbx, int mby) {
   // 8x8-transform MBs: internal 4x4-only luma edges (e = 1, 3) are not
   // transform edges and are NOT filtered (spec 8.7 transform_size_8x8)
-  const int a_l = ALPHA_TAB[c.qp + 12], b_l = BETA_TAB[c.qp + 12];
-  const int a_c = ALPHA_TAB[c.qpc + 12], b_c = BETA_TAB[c.qpc + 12];
+  // indexA/indexB (spec 8.7.2.2): qp + FilterOffsetA/B, clipped by the
+  // table's +-12 margin (offsets are within +-12 by syntax range)
   const int mb = mby * c.mbw + mbx;
+  const int cur_qp = c.qp_map ? c.qp_map[mb] : c.qp;
+  const int cur_qpc = c.qpc_map ? c.qpc_map[mb] : c.qpc;
   const bool cur_intra = c.intra[mb];
   int edge_end = (c.skip && c.skip[mb]) ? 1 : 4;
-  if (c.qp <= 15) edge_end = 1;
-  if (!a_l || !b_l) return;
+  if (cur_qp <= 15) edge_end = 1;
+  if (!ALPHA_TAB[cur_qp + c.off_a + 12] || !BETA_TAB[cur_qp + c.off_b + 12])
+    return;
 
   uint8_t* py = c.y + 16 * mby * c.wy + 16 * mbx;
   uint8_t* pu = c.u + 8 * mby * c.wc + 8 * mbx;
@@ -135,6 +144,19 @@ void deblock_mb(const Ctx& c, int mbx, int mby) {
     const int first = dir == 0 ? (mbx == 0 ? 1 : 0) : (mby == 0 ? 1 : 0);
     for (int e = first; e < edge_end; e++) {
       const bool mb_edge = (e == 0);
+      // edge qp: MB-boundary edges average the two MBs' QP
+      // (spec 8.7.2.2 qPav; internal edges use the MB's own)
+      int eqp = cur_qp, eqpc = cur_qpc;
+      if (mb_edge && c.qp_map) {
+        const int nb = dir == 0 ? mb - 1 : mb - c.mbw;
+        eqp = (c.qp_map[nb] + cur_qp + 1) >> 1;
+        eqpc = (c.qpc_map[nb] + cur_qpc + 1) >> 1;
+      }
+      const int a_l = ALPHA_TAB[eqp + c.off_a + 12];
+      const int b_l = BETA_TAB[eqp + c.off_b + 12];
+      const int a_c = ALPHA_TAB[eqpc + c.off_a + 12];
+      const int b_c = BETA_TAB[eqpc + c.off_b + 12];
+      if (!a_l || !b_l) continue;
       const bool nb_intra =
           mb_edge && c.intra[dir == 0 ? mb - 1 : mb - c.mbw];
       const bool intra_strong = mb_edge && (cur_intra || nb_intra);
@@ -164,7 +186,8 @@ void deblock_mb(const Ctx& c, int mbx, int mby) {
           if (intra_strong) {
             filt_luma_intra(p, xs, a_l, b_l);
           } else if (bs[i] > 0) {
-            filt_luma_normal(p, xs, a_l, b_l, TC0_TAB[c.qp + 12][bs[i]]);
+            filt_luma_normal(p, xs, a_l, b_l,
+                             TC0_TAB[eqp + c.off_a + 12][bs[i]]);
           }
         }
       }
@@ -183,7 +206,8 @@ void deblock_mb(const Ctx& c, int mbx, int mby) {
                 filt_chroma_intra(p, xs, a_c, b_c);
               } else if (bs[i] > 0) {
                 filt_chroma_normal(p, xs, a_c, b_c,
-                                   TC0_TAB[c.qpc + 12][bs[i]] + 1);
+                                   TC0_TAB[eqpc + c.off_a + 12][bs[i]]
+                                   + 1);
               }
             }
           }
@@ -201,9 +225,12 @@ extern "C" void pcamv_deblock_frame(uint8_t* y, uint8_t* u, uint8_t* v,
                                     const int32_t* nnz, const int32_t* mv,
                                     const int32_t* ref,
                                     const uint8_t* skip, int qp, int qpc,
-                                    const uint8_t* trans8) {
+                                    const uint8_t* trans8,
+                                    int off_a, int off_b,
+                                    const int32_t* qp_map,
+                                    const int32_t* qpc_map) {
   Ctx c{y, u, v, mbw, mbh, 16 * mbw, 8 * mbw, intra, nnz, mv, ref, skip,
-        qp, qpc, trans8};
+        qp, qpc, trans8, off_a, off_b, qp_map, qpc_map};
   for (int mby = 0; mby < mbh; mby++)
     for (int mbx = 0; mbx < mbw; mbx++)
       deblock_mb(c, mbx, mby);

@@ -193,11 +193,12 @@ def dequant4x4(level: jnp.ndarray, qp) -> jnp.ndarray:
     qbits = qp/6 - 4."""
     qp = jnp.asarray(qp)
     dmf = jnp.asarray(DEQUANT4_MF)[qp % 6]
+    qbits = qp // 6 - 4
     if dmf.ndim == 2:
         dmf = dmf[:, :, None, None]
     else:
         dmf = jnp.moveaxis(dmf, (-2, -1), (-4, -3))
-    qbits = qp // 6 - 4
+        qbits = qbits[..., None, None]   # align with [..,4,4,BY,BX]
     # branchless both-ways shift, exact for flat CQM (dmf multiple of 16)
     shl = (level * dmf) << jnp.maximum(qbits, 0)
     f = 1 << jnp.maximum(-qbits - 1, 0)

@@ -65,7 +65,15 @@ class Params:
     lookahead_me_range: int = 8
     bframes: int = 0
     b_adapt: int = 1               # adaptive B placement (x264
-                                   # i_bframe_adaptive default on)
+                                   # i_bframe_adaptive: 0 off, 1 fast
+                                   # heuristic, 2 trellis over the
+                                   # lookahead window)
+    rc_lookahead: int = 0          # lookahead window (x264
+                                   # --rc-lookahead; frames.i_delay
+                                   # sizing encoder.c:713-726). With
+                                   # --b-adapt 2 the B-placement DP
+                                   # sees max(bframes+1, this) frames
+                                   # (clamped to 12 here)
 
     # rate control (reference: x264_param_t.rc, ratecontrol.c)
     rc_mode: int = 0               # 0 CQP / 1 CRF / 2 ABR (RC_* below)
@@ -107,6 +115,9 @@ class Params:
                                # analyse=p4x4, off by default there too)
     transform_8x8: bool = False  # High profile 8x8 transform + i8x8
                                  # intra (x264 --8x8dct)
+    rd: int = 0                # RD mode decision (x264 i_mbrd, subme>=6:
+                               # exact-bits+SSD refinement; currently the
+                               # transform decision + intra mode ranking)
 
     # entropy / tools
     psnr: bool = True          # in-loop PSNR (x264 b_psnr; off skips
@@ -118,18 +129,56 @@ class Params:
                                # quant.c:180 / macroblock.c:902)
     cabac: bool = False
     deblock: bool = True     # in-loop deblocking (reference default: on)
+    deblock_alpha: int = 0   # slice_alpha_c0_offset_div2 (x264
+                             # --deblock A:B, [-6,6])
+    deblock_beta: int = 0    # slice_beta_offset_div2
     deblock_device: bool = False  # run the deblocker on-device (bit-
                                   # exact wavefront twin; measured slower
                                   # than host C++ + transfer at 1080p —
                                   # 254 sequential waves — so off by
                                   # default, see docs/PERF.md)
 
+    # adaptive quantization (x264 --aq-mode/--aq-strength;
+    # x264_adaptive_quant_frame ratecontrol.c:231) + zones
+    # (--zones start,end,q=N or b=F; parse_zones ratecontrol.c:602)
+    aq_mode: int = 0           # 0 off, 1 variance AQ
+    aq_strength: float = 1.0
+    zones: str = ""            # "0,99,q=30/100,199,b=0.5"
+
     # stego
     stego: StegoParams = field(default_factory=StegoParams)
+
+    # metadata / VUI (reference: x264_param_t.vui, x264.h:166-183;
+    # assembled into the SPS by x264_sps_init, encoder/set.c:147-211)
+    level_idc: int = 0         # 0 = auto-pick smallest fitting level
+                               # (reference default -1 = auto too,
+                               # common.c:64)
+    sps_id: int = 0
+    sar_width: int = 0
+    sar_height: int = 0
+    overscan: int = 0          # 0 undef / 1 show / 2 crop
+    videoformat: int = 5
+    fullrange: bool = False
+    colorprim: int = 2
+    transfer: int = 2
+    colmatrix: int = 2
+    chromaloc: int = 0         # 0..5 (spec E-2)
+    aud: bool = False          # access-unit delimiters (x264 --aud)
 
     # misc
     threads: int = 1
     log_level: int = 2
+    incremental: bool = True   # stego pass-2 re-encodes only the
+                               # flip-touched MBs (inter_incr.py);
+                               # False forces the full-frame re-encode
+                               # (A/B + debugging)
+    pipeline: bool = True      # software-pipelined stego serving path:
+                               # frame N's entropy is written while the
+                               # device runs frame N+1's stage-1 (one
+                               # blocking pull per steady-state frame).
+                               # Engages only on the fast IPP path with
+                               # metrics off + device deblock; output
+                               # AUs lag one frame (flush() drains).
 
     def validate(self) -> None:
         """Clamp/check (reference: x264_validate_parameters encoder.c:342)."""
@@ -137,6 +186,8 @@ class Params:
             "dimensions must be even (4:2:0)"
         self.qp = max(self.qp_min, min(self.qp_max, self.qp))
         self.bframes = max(0, min(16, self.bframes))
+        self.b_adapt = max(0, min(2, self.b_adapt))
+        self.rc_lookahead = max(0, min(12, self.rc_lookahead))
         self.subpel = max(0, min(2, self.subpel))
         self.ref_frames = max(1, min(8, self.ref_frames))
         if self.ref_frames > 1:
@@ -152,6 +203,8 @@ class Params:
         if self.vbv_maxrate > 0:
             assert self.vbv_bufsize > 0, "VBV needs bufsize"
         self.keyint_min = min(self.keyint_min, self.keyint_max)
+        self.deblock_alpha = max(-6, min(6, self.deblock_alpha))
+        self.deblock_beta = max(-6, min(6, self.deblock_beta))
         if self.transform_8x8:
             assert not self.cabac, \
                 "8x8dct+CABAC (cat-5 residual) not implemented yet"
@@ -162,6 +215,23 @@ class Params:
             # reference likewise forces trellis off without CABAC
             # (encoder.c:506-508)
             self.trellis = 0
+        self.aq_mode = max(0, min(1, self.aq_mode))
+        self.aq_strength = max(0.0, min(3.0, self.aq_strength))
+        if self.aq_mode:
+            # v1 scope (docs/PARITY.md): per-MB QP on P frames via the
+            # partition/16x16 paths; I/B frames take the frame QP
+            assert not self.trellis, \
+                "AQ + trellis: per-row qp trellis tables not wired yet"
+            assert not self.transform_8x8, \
+                "AQ + 8x8dct not combined yet"
+            assert not self.p4x4, "AQ + sub-8x8 not combined yet"
+            assert not self.cabac, \
+                "AQ + CABAC (mb_qp_delta ctx 60-63) not wired yet"
+            assert self.ref_frames == 1, "AQ + multi-ref not wired yet"
+            assert not self.stego.enabled, \
+                "AQ + embedding not combined (reference embeds at CQP)"
+            assert not self.deblock_device, \
+                "AQ needs the per-MB-qp host deblocker"
 
     @property
     def mb_width(self) -> int:
@@ -174,6 +244,13 @@ class Params:
 
 _BOOL = {"1": True, "0": False, "true": True, "false": False,
          "yes": True, "no": False}
+
+
+def _enum(value: str, names) -> int:
+    """Name-or-index enum parse (reference: parse_enum common.c:188)."""
+    if value in names:
+        return names.index(value)
+    return int(value)
 
 
 def param_parse(p: Params, name: str, value: str) -> None:
@@ -235,6 +312,12 @@ def param_parse(p: Params, name: str, value: str) -> None:
             else not _BOOL[value.lower()]
     elif name in ("nr", "noise_reduction"):
         p.noise_reduction = int(value)
+    elif name == "aq_mode":
+        p.aq_mode = int(value)
+    elif name == "aq_strength":
+        p.aq_strength = float(value)
+    elif name == "zones":
+        p.zones = value
     elif name == "partitions":
         p.partitions = value not in ("none", "0", "false")
     elif name == "i4x4":
@@ -243,14 +326,31 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.p4x4 = _BOOL[value.lower()]
     elif name in ("8x8dct", "transform_8x8"):
         p.transform_8x8 = _BOOL[value.lower()]
+    elif name in ("rd", "mbrd"):
+        p.rd = int(value)
     elif name == "intra_in_p":
         p.intra_in_p = _BOOL[value.lower()]
     elif name == "deblock_device":
         p.deblock_device = _BOOL[value.lower()]
+    elif name == "pipeline":
+        p.pipeline = _BOOL[value.lower()]
+    elif name == "incremental":
+        p.incremental = _BOOL[value.lower()]
+    elif name in ("deblock", "filter"):
+        # x264 common.c OPT2("deblock","filter"): ints set the
+        # alpha/beta offsets (and enable the filter); a bool word
+        # toggles b_deblocking_filter
+        try:
+            parts2 = value.replace(":", ",").split(",")
+            a = int(parts2[0])
+            b = int(parts2[1]) if len(parts2) > 1 else a
+        except ValueError:
+            p.deblock = _BOOL[value.lower()]
+        else:
+            p.deblock_alpha, p.deblock_beta = a, b
+            p.deblock = True
     elif name == "cabac":
         p.cabac = _BOOL[value.lower()]
-    elif name == "deblock":
-        p.deblock = _BOOL[value.lower()]
     elif name == "dct_decimate":
         p.dct_decimate = _BOOL[value.lower()]
     elif name == "chroma_qp_offset":
@@ -259,6 +359,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.bframes = int(value)
     elif name in ("b_adapt", "b-adapt"):
         p.b_adapt = int(value)
+    elif name == "rc_lookahead":
+        p.rc_lookahead = int(value)
     elif name == "threads":
         p.threads = int(value)
     elif name == "fps":
@@ -267,6 +369,42 @@ def param_parse(p: Params, name: str, value: str) -> None:
             p.fps_num, p.fps_den = int(n), int(d)
         else:
             p.fps_num, p.fps_den = int(float(value) * 1000), 1000
+    # metadata / VUI (reference: common.c:266-300 OPT blocks)
+    elif name in ("level", "level_idc"):
+        # "3.1" -> 31; "31" -> 31 (common.c:273-278)
+        if "." in value:
+            p.level_idc = int(10 * float(value) + 0.5)
+        else:
+            p.level_idc = int(value)
+    elif name == "sps_id":
+        p.sps_id = int(value)
+    elif name == "sar":
+        w, h = value.replace(":", "x").replace("/", "x").split("x")
+        p.sar_width, p.sar_height = int(w), int(h)
+    elif name == "overscan":
+        p.overscan = _enum(value, ("undef", "show", "crop"))
+    elif name == "videoformat":
+        p.videoformat = _enum(
+            value, ("component", "pal", "ntsc", "secam", "mac", "undef"))
+    elif name == "fullrange":
+        p.fullrange = bool(_enum(value, ("off", "on")))
+    elif name == "colorprim":
+        p.colorprim = _enum(
+            value, ("", "bt709", "undef", "", "bt470m", "bt470bg",
+                    "smpte170m", "smpte240m", "film"))
+    elif name == "transfer":
+        p.transfer = _enum(
+            value, ("", "bt709", "undef", "", "bt470m", "bt470bg",
+                    "smpte170m", "smpte240m", "linear", "log100",
+                    "log316"))
+    elif name == "colormatrix":
+        p.colmatrix = _enum(
+            value, ("GBR", "bt709", "undef", "", "fcc", "bt470bg",
+                    "smpte170m", "smpte240m", "YCgCo"))
+    elif name == "chromaloc":
+        p.chromaloc = max(0, min(5, int(value)))
+    elif name == "aud":
+        p.aud = _BOOL[value.lower()]
     # stego options (reference CLI: x264.c:394-402)
     elif name == "emrate":
         p.stego.em_rate = float(value)
@@ -289,8 +427,10 @@ def param2string(p: Params) -> str:
          f"subme={p.subpel} trellis={p.trellis} "
          f"cabac={int(p.cabac)} deblock={int(p.deblock)} "
          f"decimate={int(p.dct_decimate)} nr={p.noise_reduction} "
-         f"8x8dct={int(p.transform_8x8)} parts={int(p.partitions)} "
-         f"p4x4={int(p.p4x4)}")
+         f"8x8dct={int(p.transform_8x8)} rd={p.rd} parts={int(p.partitions)} "
+         f"p4x4={int(p.p4x4)} aq={p.aq_mode}")
+    if p.aq_mode:
+        s += f":{p.aq_strength:.1f}"
     if p.rc_mode == 1:
         s += f" crf={p.crf:.1f}"
     elif p.rc_mode == 2:

@@ -35,6 +35,78 @@ def _z_of(oy4: int, ox4: int) -> int:
     return 4 * (2 * (oy4 >> 1) + (ox4 >> 1)) + 2 * (oy4 & 1) + (ox4 & 1)
 
 
+
+# ---- vectorized sub-8x8 slot machinery (VERDICT weak #5: the per-MB
+# python triple loops cost O(8160) interpreter work per 1080p frame) ----
+
+def _slot_cell_offsets():
+    """(oy, ox) of each z-slot's top-left 4x4 cell."""
+    oy = np.zeros(16, np.int64)
+    ox = np.zeros(16, np.int64)
+    for sslot in range(16):
+        b, w = sslot // 4, sslot % 4
+        oy[sslot] = 2 * (b >> 1) + (w >> 1)
+        ox[sslot] = 2 * (b & 1) + (w & 1)
+    return oy, ox
+
+
+_SLOT_OY, _SLOT_OX = _slot_cell_offsets()
+
+# unit-start slots for MB partitions 0..2 (16x16 / 16x8 / 8x16)
+_PART_START = np.zeros((3, 16), bool)
+_PART_START[0, 0] = True
+_PART_START[1, [0, 8]] = True
+_PART_START[2, [0, 4]] = True
+# unit-start pattern within an 8x8 block by sub_mb_type
+_SUB_START = np.array([[1, 0, 0, 0],    # P_L0_8x8
+                       [1, 0, 1, 0],    # 8x4: slots +0, +2
+                       [1, 1, 0, 0],    # 4x8: slots +0, +1
+                       [1, 1, 1, 1]], bool)
+# unit extent in 4x4 cells (h4, w4) by (part, sub_mb_type) at a start
+_UNIT_H4 = np.array([[4, 4, 4, 4], [2, 2, 2, 2], [4, 4, 4, 4],
+                     [0, 0, 0, 0]], np.int64)
+_UNIT_W4 = np.array([[4, 4, 4, 4], [4, 4, 4, 4], [2, 2, 2, 2],
+                     [0, 0, 0, 0]], np.int64)
+_SUB_H4 = np.array([2, 1, 2, 1], np.int64)
+_SUB_W4 = np.array([2, 2, 1, 1], np.int64)
+
+
+def unit_start_mask(part, sub_type):
+    """[mbh, mbw, 16] bool: slot starts a coding unit (ascending slot
+    order == the reference's unit coding order)."""
+    mbh, mbw = part.shape
+    U = _PART_START[np.clip(part, 0, 2)]          # [mbh,mbw,16]
+    U = U.copy()
+    is8 = part == 3
+    if is8.any():
+        stb = sub_type.astype(np.int64)           # [mbh,mbw,4]
+        pat = _SUB_START[stb]                     # [mbh,mbw,4,4]
+        U[is8] = pat.reshape(mbh, mbw, 16)[is8]
+    return U
+
+
+def unit_extents(part, sub_type):
+    """(h4, w4) per slot [mbh,mbw,16] (meaningful at unit starts)."""
+    mbh, mbw = part.shape
+    h4 = _UNIT_H4[np.clip(part, 0, 2)][..., :1].repeat(16, -1)
+    w4 = _UNIT_W4[np.clip(part, 0, 2)][..., :1].repeat(16, -1)
+    is8 = part == 3
+    if is8.any():
+        stb = sub_type.astype(np.int64)
+        sh = _SUB_H4[stb][..., None].repeat(4, -1).reshape(mbh, mbw, 16)
+        sw = _SUB_W4[stb][..., None].repeat(4, -1).reshape(mbh, mbw, 16)
+        h4[is8] = sh[is8]
+        w4[is8] = sw[is8]
+    return h4, w4
+
+
+def slot_unit_mvs(mv4, mbh, mbw):
+    """[mbh, mbw, 16, 2]: the MV at each slot's top-left 4x4 cell."""
+    ys = 4 * np.arange(mbh)[:, None, None] + _SLOT_OY[None, None, :]
+    xs = 4 * np.arange(mbw)[None, :, None] + _SLOT_OX[None, None, :]
+    return mv4[ys, xs]
+
+
 def _unit_slots(part, sub_type, mbh, mbw):
     """Per-MB unit geometry (coding order) + slot ids (= z index of the
     unit's first member 4x4)."""
@@ -233,7 +305,7 @@ class StegoEngine:
                 jnp.asarray(final8), qp, qpc, mbh, mbw,
                 decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
                 trellis=bool(p.trellis), nr_offset=enc._nr_offset(),
-                trans8=p.transform_8x8)
+                trans8=p.transform_8x8, rd=bool(p.rd))
         return final8, skip1, mvd2, res2
 
     def embed_frame_sub(self, enc, y, u, v, part: np.ndarray,
@@ -254,9 +326,8 @@ class StegoEngine:
         p, st = self.p, self.p.stego
         mbh, mbw = p.mb_height, p.mb_width
         qp = enc._cur_qp
-        units, slots = _unit_slots(part, sub_type, mbh, mbw)
-        nu = np.array([[len(units[my][mx]) for mx in range(mbw)]
-                       for my in range(mbh)], np.int32)
+        U = unit_start_mask(part, sub_type)
+        nu = U.sum(-1).astype(np.int32)
         covered = (~skip1) * nu
         n_cov = int(covered.sum())
         rate = st.em_rate
@@ -272,12 +343,14 @@ class StegoEngine:
             self.sent_messages.append(np.zeros(0, np.uint8))
             return None
 
-        # coding-order MVPs -> slot-indexed
-        mvp_s = np.zeros((mbh, mbw, 16, 2), np.int32)
-        for my in range(mbh):
-            for mx in range(mbw):
-                for ui, s in enumerate(slots[my][mx]):
-                    mvp_s[my, mx, s] = mvp16[my, mx, ui]
+        # coding-order MVPs -> slot-indexed (ascending slot order is
+        # coding order; rank = exclusive cumsum of the start mask)
+        rank = np.cumsum(U, axis=-1) - U
+        mvp_s = np.where(
+            U[..., None],
+            np.take_along_axis(mvp16, np.minimum(rank, 15)[..., None]
+                               .repeat(2, -1), axis=2),
+            0).astype(np.int32)
 
         lam = ME.lambda_tab(qp)
         t = enc._ptables4
@@ -288,7 +361,7 @@ class StegoEngine:
             decimate=p.dct_decimate)
         final4, skip1, mvd2 = self.apply_costs_sub(
             enc, part, sub_type, mv4, skip1, np.asarray(rho_s),
-            np.asarray(alt_s), units, slots)
+            np.asarray(alt_s))
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         res2 = I.encode_p_frame_device4(
             y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
@@ -298,7 +371,7 @@ class StegoEngine:
         return final4, skip1, mvd2, res2
 
     def apply_costs_sub(self, enc, part, sub_type, mv4, skip1, rho_s,
-                        alt_s, units, slots):
+                        alt_s):
         """Host half of sub-partition embedding: MVC adjustment
         (pair rule for 2-MV units incl. 8x4/4x8, quad-cycle for 8x8 and
         4x4 quads — the reference's encoder.c:1649-1819 generalized to
@@ -308,8 +381,7 @@ class StegoEngine:
         p, st = self.p, self.p.stego
         mbh, mbw = p.mb_height, p.mb_width
         rho_s = rho_s.astype(np.float64).copy()
-        nu = np.array([[len(units[my][mx]) for mx in range(mbw)]
-                       for my in range(mbh)], np.int32)
+        nu = unit_start_mask(part, sub_type).sum(-1).astype(np.int32)
         covered = (~skip1) * nu
         n_cov = int(covered.sum())
         rate = st.em_rate
@@ -328,78 +400,66 @@ class StegoEngine:
             return f4, skip1, md
 
         c1, c2 = st.mvc_c1, st.mvc_c2
-        for my in range(mbh):
-            for mx in range(mbw):
-                if skip1[my, mx]:
-                    continue
-                pt = int(part[my, mx])
-                y4, x4 = 4 * my, 4 * mx
-                sl = slots[my][mx]
-                um = {s: mv4[y4 + g[0], x4 + g[1]]
-                      for s, g in zip(sl, units[my][mx])}
-                if pt in (1, 2):
-                    a, b = sl[0], sl[1]
-                    d = np.abs(um[a] - um[b])
-                    if d[0] + d[1] < 2:
-                        rho_s[my, mx, a] *= c1
-                        rho_s[my, mx, b] *= c1
-                elif pt == 3:
-                    # 8x8-level quad cycle over the 4 block MVs
-                    m8 = [mv4[y4 + 2 * (b >> 1), x4 + 2 * (b & 1)]
-                          for b in range(4)]
-                    pairs = [(0, 1), (1, 3), (3, 2), (2, 0)]
-                    cnt = 0
-                    for a, b in pairs:
+        umv = slot_unit_mvs(mv4, mbh, mbw)        # [mbh,mbw,16,2]
+        coded = ~skip1
+        # MB partition pair rule (16x8 pair slots 0/8, 8x16 pair 0/4)
+        for pt, (a, b) in ((1, (0, 8)), (2, (0, 4))):
+            sel = coded & (part == pt)
+            d01 = np.abs(umv[:, :, a].astype(np.int64)
+                         - umv[:, :, b]).sum(-1)
+            near = sel & (d01 < 2)
+            rho_s[near, a] *= c1
+            rho_s[near, b] *= c1
+        pairs = ((0, 1), (1, 3), (3, 2), (2, 0))
+        quad = coded & (part == 3)
+        if quad.any():
+            # MB-level quad cycle over the 8x8 block MVs
+            m8 = umv[:, :, ::4].astype(np.int64)  # [mbh,mbw,4,2]
+            cnt = np.zeros((mbh, mbw), np.int64)
+            for a, b in pairs:
+                for comp in range(2):
+                    cnt += (np.abs(m8[:, :, a, comp]
+                                   - m8[:, :, b, comp]) <= 1)
+            rho_s[quad] *= (c2 * cnt[quad] + 1.0)[:, None]
+            # sub-level rules within each 8x8 block
+            for bblk in range(4):
+                base = 4 * bblk
+                stb = sub_type[:, :, bblk]
+                for st_v, sa_off in ((1, 2), (2, 1)):
+                    sel = quad & (stb == st_v)
+                    d = np.abs(umv[:, :, base].astype(np.int64)
+                               - umv[:, :, base + sa_off]).sum(-1)
+                    near = sel & (d < 2)
+                    rho_s[near, base] *= c1
+                    rho_s[near, base + sa_off] *= c1
+                sel4 = quad & (stb == 3)
+                if sel4.any():
+                    mq = umv[:, :, base:base + 4].astype(np.int64)
+                    cnt4 = np.zeros((mbh, mbw), np.int64)
+                    for a, bq in pairs:
                         for comp in range(2):
-                            if abs(int(m8[a][comp])
-                                   - int(m8[b][comp])) <= 1:
-                                cnt += 1
-                    rho_s[my, mx, :] *= (c2 * cnt + 1)
-                    # sub-level rules within each 8x8 block
-                    for b in range(4):
-                        stb = int(sub_type[my, mx, b])
-                        base = 4 * b
-                        if stb in (1, 2):
-                            sa = base + (2 if stb == 1 else 1)
-                            d = np.abs(um[base] - um[sa])
-                            if d[0] + d[1] < 2:
-                                rho_s[my, mx, base] *= c1
-                                rho_s[my, mx, sa] *= c1
-                        elif stb == 3:
-                            mq = [um[base + k] for k in range(4)]
-                            cnt = 0
-                            for a, bq in pairs:
-                                for comp in range(2):
-                                    if abs(int(mq[a][comp])
-                                           - int(mq[bq][comp])) <= 1:
-                                        cnt += 1
-                            for k in range(4):
-                                rho_s[my, mx, base + k] *= (c2 * cnt + 1)
+                            cnt4 += (np.abs(mq[:, :, a, comp]
+                                            - mq[:, :, bq, comp]) <= 1)
+                    rho_s[sel4, base:base + 4] *= \
+                        (c2 * cnt4[sel4] + 1.0)[:, None]
         rho_s *= st.alpha_loc
+        U = unit_start_mask(part, sub_type)
         if st.alpha_com != 0.0:
             from ..ops.uniward import mv_field_cost
             rho_com = np.asarray(mv_field_cost(
                 jnp.asarray(mv4[..., 0].astype(np.float32)),
                 jnp.asarray(mv4[..., 1].astype(np.float32))))
-            for my in range(mbh):
-                for mx in range(mbw):
-                    for s, g in zip(slots[my][mx], units[my][mx]):
-                        rho_s[my, mx, s] += st.alpha_com * \
-                            rho_com[4 * my + g[0], 4 * mx + g[1]]
+            ys = 4 * np.arange(mbh)[:, None, None] + _SLOT_OY
+            xs = 4 * np.arange(mbw)[None, :, None] + _SLOT_OX
+            rho_s += np.where(U, st.alpha_com * rho_com[ys, xs], 0.0)
 
-        # cover in coding order
-        cov_bits, cov_pos = [], []
-        for my in range(mbh):
-            for mx in range(mbw):
-                if skip1[my, mx]:
-                    continue
-                for s, g in zip(slots[my][mx], units[my][mx]):
-                    mv = mv4[4 * my + g[0], 4 * mx + g[1]]
-                    cov_bits.append(int(mv[0] + mv[1]) & 1)
-                    cov_pos.append((my, mx, s, g))
-        cov = np.array(cov_bits, np.uint8)
-        rho_cov = np.array([rho_s[my, mx, s]
-                            for my, mx, s, _ in cov_pos], np.float64)
+        # cover in coding order: raster MBs, ascending slot index ==
+        # reference unit coding order (np.nonzero order over the mask)
+        valid = coded[:, :, None] & U
+        cov_idx = np.nonzero(valid.reshape(-1))[0]
+        umv_f = umv.reshape(-1, 2)[cov_idx]
+        cov = ((umv_f[:, 0] + umv_f[:, 1]) & 1).astype(np.uint8)
+        rho_cov = rho_s.reshape(-1)[cov_idx].astype(np.float64)
 
         message = self._next_message(an)
         if enc._native is not None:
@@ -415,12 +475,14 @@ class StegoEngine:
         enc.stats.mv_flips += int(flips.sum())
 
         mv4_2 = mv4.copy()
-        for f, (my, mx, s, g) in zip(flips, cov_pos):
-            if not f:
-                continue
-            oy, ox, w4, h4 = g
-            mv4_2[4 * my + oy:4 * my + oy + h4,
-                  4 * mx + ox:4 * mx + ox + w4] = alt_s[my, mx, s]
+        h4u, w4u = unit_extents(part, sub_type)
+        for fi in cov_idx[flips]:
+            my, rem = divmod(int(fi), mbw * 16)
+            mx, sslot = divmod(rem, 16)
+            oy, ox = int(_SLOT_OY[sslot]), int(_SLOT_OX[sslot])
+            hh, ww = int(h4u[my, mx, sslot]), int(w4u[my, mx, sslot])
+            mv4_2[4 * my + oy:4 * my + oy + hh,
+                  4 * mx + ox:4 * mx + ox + ww] = alt_s[my, mx, sslot]
 
         final4, mvd2, _mvp2 = SCAN.scan_p_frame_sub_forced(
             part, sub_type, mv4_2, skip1)
