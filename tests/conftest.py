@@ -28,3 +28,18 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop live compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA CPU programs in one
+    process; keeping them all live has crashed LLVM mid-compile
+    (deterministic SIGSEGV ~2/3 into the suite, reproduced twice, gone
+    when the crashing test runs alone). The persistent compile cache
+    makes the recompiles cheap."""
+    yield
+    jax.clear_caches()

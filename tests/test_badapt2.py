@@ -72,4 +72,5 @@ def test_badapt2_e2e_roundtrip():
             d.y, enc.recon_by_disp[i][0][:H, :W].astype(np.uint8),
             err_msg=f"frame {i}")
     kinds = [d.slice_type for d in dec]
-    assert "B" in kinds, "trellis produced no B frames on pan content"
+    assert 1 in kinds, \
+        f"trellis produced no B slices on pan content: {kinds}"

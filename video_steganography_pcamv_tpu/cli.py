@@ -55,6 +55,9 @@ def build_argparser():
     ap.add_argument("--rc-lookahead", type=int, default=0,
                     help="slice-type lookahead window in frames "
                          "(x264 --rc-lookahead)")
+    ap.add_argument("--weightb", "-w", action="store_true",
+                    help="implicit weighted bipred in B frames "
+                         "(x264 --weightb)")
     ap.add_argument("--subme", type=int, default=2)
     ap.add_argument("--trellis", type=int, default=0,
                     help="trellis RD quantization (0 off, 1 final encode)")
@@ -179,6 +182,7 @@ def _run(args):
                bframes=args.bframes,
                b_adapt=args.b_adapt,
                rc_lookahead=args.rc_lookahead,
+               weightb=args.weightb,
                subpel=args.subme,
                trellis=args.trellis,
                ssim=args.ssim,

@@ -436,6 +436,8 @@ class CabacSliceParser:
     def parse_i16_mb(self, my, mx, mode16, cbpl_flag, cbp_chroma):
         """After mb_type: returns (cmode, dc, acs, cdcs, cacs)."""
         self.mvd4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        if self.slice_is_b:
+            self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
         cmode = self.chroma_pred_mode(my, mx)
         self.qp_delta_zero()
         dc, acs = self._luma_residual_i16(my, mx, cbpl_flag)
@@ -449,6 +451,8 @@ class CabacSliceParser:
         """After mb_type bin: returns (modes, cmode, cbp_luma,
         cbp_chroma, blocks, cdcs, cacs)."""
         self.mvd4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        if self.slice_is_b:
+            self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
         modes = self.intra4x4_modes(my, mx)
         cmode = self.chroma_pred_mode(my, mx)
         cbp_luma = self.cbp_luma(my, mx)
@@ -523,8 +527,9 @@ class CabacSliceParser:
         """Returns the spec Table 7-14 ue code: 0 direct, 1-3 16x16
         L0/L1/BI, 4-21 two-partition list combos, 22 B_8x8 (inverse of
         the writer's mb_type_b/mb_type_b_bins; reference
-        encoder/cabac.c:123-192 i_mb_bits). Asserts on intra-in-B
-        (prefix 111101, not emitted by our encoder)."""
+        encoder/cabac.c:123-192 i_mb_bits). Returns 23 on the
+        intra-in-B prefix 111101 — the caller parses the intra
+        suffix via mb_type_b_intra_suffix."""
         cd = self.cd
         ctx = 0
         if mx > 0 and self.mb_kind[my, mx - 1] > 0 \
@@ -540,10 +545,18 @@ class CabacSliceParser:
         bins = (1, b1, b2)
         inv = _b_type_inv()
         while bins not in inv:
+            if bins == (1, 1, 1, 1, 0, 1):   # intra-in-B prefix
+                return 23
             assert len(bins) < 7, \
-                f"unsupported B mb_type bins {bins} (intra-in-B?)"
+                f"unsupported B mb_type bins {bins}"
             bins = bins + (cd.decision(32),)
         return inv[bins]
+
+    def mb_type_b_intra_suffix(self):
+        """Intra suffix after the B intra prefix (inverse of the
+        writer's mb_type_b_intra): I-slice intra binarization on ctx
+        32+0/1/2/2/3/3. Returns (i4, mode16, cbpl_flag, cbp_chroma)."""
+        return self._mb_type_intra(32, 33, 34, 34, 35, 35)
 
     def sub_mb_type_b(self) -> int:
         """B sub_mb_type, 8x8 subset (inverse of the writer's

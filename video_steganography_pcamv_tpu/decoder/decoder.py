@@ -149,6 +149,7 @@ class DecSPS:
 class DecPPS:
     transform_8x8: bool = False
     cabac: bool = False
+    weighted_bipred_idc: int = 0
     pic_init_qp: int = 26
     chroma_qp_index_offset: int = 0
     num_ref_idx_l0_active: int = 1
@@ -299,7 +300,7 @@ def parse_pps(rbsp: bytes) -> DecPPS:
     pps.num_ref_idx_l0_active = br.read_ue() + 1
     br.read_ue()
     br.read1()
-    br.read(2)
+    pps.weighted_bipred_idc = br.read(2)
     pps.pic_init_qp = 26 + br.read_se()
     br.read_se()
     pps.chroma_qp_index_offset = br.read_se()
@@ -318,12 +319,20 @@ class SliceDecoder:
     """Decodes one frame (single slice)."""
 
     def __init__(self, sps: DecSPS, pps: DecPPS, ref=None, refs=None,
-                 refs_l1=None):
+                 refs_l1=None, poc=0):
         self.sps, self.pps = sps, pps
         # DPB: refs[0] = most recent reference (L0 list for P/B)
         self.refs = refs if refs is not None else ([ref] if ref else [])
         self.ref = self.refs[0] if self.refs else None
         self.refs_l1 = refs_l1 or []   # B-slice list 1 (future anchor)
+        # implicit bipred weight of the L1 pred (spec 8.4.2.3.2; same
+        # derivation as the encoder's bslice.bipred_weight)
+        self.bipred_w1 = 32
+        if (pps.weighted_bipred_idc == 2 and self.refs
+                and self.refs_l1 and "poc" in self.refs[0]):
+            from ..encoder.bslice import bipred_weight
+            self.bipred_w1 = bipred_weight(
+                poc, self.refs[0]["poc"], self.refs_l1[0]["poc"], True)
         self.mbw = (sps.width + 15) // 16
         self.mbh = (sps.height + 15) // 16
         self.y = np.zeros((self.mbh * 16, self.mbw * 16), np.int64)
@@ -930,8 +939,17 @@ class SliceDecoder:
             p1 = R.np_mc_luma(self.refs_l1[0]["luma"], gy, gx,
                               int(mv1[0]), int(mv1[1]), bh=8, bw=8)
         if use0 and use1:
-            return (p0 + p1 + 1) >> 1
+            return self._bi_avg(p0, p1)
         return p0 if use0 else p1
+
+    def _bi_avg(self, p0, p1):
+        """Bipred combine; implicit weighted when PPS signals idc 2
+        (spec 8.4.2.3.2, log2WD=5: reference mc.c
+        pixel_avg_weight_wxh). w1 == 32 is the plain average."""
+        w1 = self.bipred_w1
+        if w1 == 32:
+            return (p0 + p1 + 1) >> 1
+        return np.clip((p0 * (64 - w1) + p1 * w1 + 32) >> 6, 0, 255)
 
     def _b_pred_chroma4(self, ch, cy, cx, use0, use1, mv0, mv1):
         pl0 = self.refs[0]["u" if ch == 0 else "v"]
@@ -944,7 +962,7 @@ class SliceDecoder:
             p1 = R.np_mc_chroma(pl1, cy, cx, int(mv1[0]), int(mv1[1]),
                                 bh=4, bw=4)
         if use0 and use1:
-            return (p0 + p1 + 1) >> 1
+            return self._bi_avg(p0, p1)
         return p0 if use0 else p1
 
     def _recon_b(self, mx, my, use0, use1, mv0, mv1, blocks,
@@ -1193,12 +1211,30 @@ class SliceDecoder:
                 break
             my, mx = addr // self.mbw, addr % self.mbw
             mb_type = br.read_ue()
-            assert 0 <= mb_type <= 22, \
+            assert 0 <= mb_type <= 47, \
                 f"unsupported B mb_type {mb_type}"
             if mb_type <= 3:
                 qp = self.decode_b_mb(br, mx, my, mb_type, qp)
-            else:
+            elif mb_type <= 22:
                 qp = self.decode_b_mb_parts(br, mx, my, mb_type, qp)
+            elif mb_type == 23:
+                # intra-in-B: I_NxN (spec 7.4.5 B mb_type 23)
+                self.mb_intra[my, mx] = True
+                t8 = (self.pps.transform_8x8 and br.read1())
+                if t8:
+                    qp = self.decode_i8x8(br, mx, my, qp)
+                    kind = "I8x8"
+                else:
+                    qp = self.decode_i4x4(br, mx, my, qp)
+                    kind = "I4x4"
+                self.decoded[my, mx] = True
+                self.mbs.append(MBInfo(kind, (0, 0), qp))
+            else:
+                # intra-in-B: I_16x16 (B mb_type 24..47)
+                self.mb_intra[my, mx] = True
+                qp = self.decode_i16x16(br, mx, my, mb_type - 23, qp)
+                self.decoded[my, mx] = True
+                self.mbs.append(MBInfo("I16x16", (0, 0), qp))
             addr += 1
 
     def decode_slice(self, br: BitReader, slice_type: int, qp: int):
@@ -1338,7 +1374,8 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 l1 = sorted((e for e in dpb if e["poc"] > poc),
                             key=lambda e: e["poc"])
                 assert l0 and l1, "B slice needs refs on both sides"
-                dec = SliceDecoder(sps, pps, refs=l0, refs_l1=l1)
+                dec = SliceDecoder(sps, pps, refs=l0, refs_l1=l1,
+                                   poc=poc)
                 if pps.cabac:
                     _decode_slice_cabac_b(dec, br, qp, cabac_model)
                 else:
@@ -1480,8 +1517,18 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
             btype = ps.mb_type_b(my, mx)
             if btype <= 3:
                 _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc)
-            else:
+            elif btype <= 22:
                 _recon_b_parts_cabac(dec, ps, my, mx, btype, qp, qpc)
+            else:
+                # intra-in-B (prefix 111101 + I-slice intra suffix)
+                i4, mode16, cbpl, cbpc = ps.mb_type_b_intra_suffix()
+                dec.mb_intra[my, mx] = True
+                if i4:
+                    _recon_i4_cabac(dec, ps, my, mx, qp, qpc)
+                else:
+                    _recon_i16_cabac(dec, ps, my, mx, mode16, cbpl,
+                                     cbpc, qp, qpc)
+                dec.decoded[my, mx] = True
         eos = ps.end_mb()
         assert eos == (1 if a == n - 1 else 0), f"end_of_slice at MB {a}"
 

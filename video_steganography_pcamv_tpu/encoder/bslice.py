@@ -17,7 +17,9 @@ Scope (documented): B MBs cover the 16x16 modes (DIRECT / L0 / L1 /
 BI + B_SKIP) plus the partition family (round 2): 16x8/8x16 two-
 partition list combos (spec Table 7-14 codes 4-21) and B_8x8 with
 per-8x8 direct/L0/L1/BI sub modes (Table 7-18; no sub-8x8 splits).
-Intra-in-B and weighted bipred are not analysed. B frames are
+Intra-in-B rides the post-encode refine_p_intra wavefront (core.py
+_encode_b_frame); implicit weighted bipred (--weightb) threads the
+POC-distance weight w1 through every BI combine. B frames are
 non-references (no B-pyramid) and deblocking is disabled on B slices
 via the slice header (a legal encoder choice; B recon drift is
 impossible since nothing references it).
@@ -41,6 +43,33 @@ from .inter import (_zigzag_gather, decimate_score, _mb_tiles16)
 
 # B mb_type ue() codes for the 16x16 subset (spec 7.4.5 table)
 B_DIRECT, B_L0, B_L1, B_BI = 0, 1, 2, 3
+
+
+def _bi_avg(p0, p1, w1):
+    """Bipred combine: default average at w1 == 32, implicit weighted
+    otherwise (spec 8.4.2.3.2 with log2WD=5, o=0; reference mc.c
+    pixel_avg_weight_wxh: dst = clip((p0*(64-w1) + p1*w1 + 32) >> 6)).
+    At w1 == 32 this is bit-identical to (p0 + p1 + 1) >> 1."""
+    return jnp.clip((p0 * (64 - w1) + p1 * w1 + 32) >> 6, 0, 255)
+
+
+def bipred_weight(poc_b: int, poc0: int, poc1: int,
+                  weightb: bool) -> int:
+    """Implicit bipred weight of the L1 prediction (w0 = 64 - w1).
+    Twin of x264_macroblock_bipred_init (common/macroblock.c:
+    1420-1453); the encoder and decoder derive it identically from
+    the slice POCs."""
+    if not weightb:
+        return 32
+    td = min(127, max(-128, poc1 - poc0))
+    if td == 0:
+        return 32
+    tb = min(127, max(-128, poc_b - poc0))
+    tx = (16384 + (abs(td) >> 1)) // td
+    dsf = min(1023, max(-1024, (tb * tx + 32) >> 6)) >> 2
+    if -64 <= dsf <= 128:
+        return dsf
+    return 32
 # ue sizes of the mb_type codes (+1 bit per mvd pair is in the mv cost)
 _B_HDR_BITS = np.array([1, 3, 3, 5], np.int32)
 
@@ -84,7 +113,8 @@ def _subpel_cost(cur_y, wht169, mv_fp, prev_mv, mbh, mbw, lam, subpel):
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "subpel", "use_pallas"))
 def analyse_b_frame(y, ref0_luma, ref1_luma, rng: int, mbh: int,
-                    mbw: int, lam, subpel: int, use_pallas: bool):
+                    mbw: int, lam, subpel: int, use_pallas: bool,
+                    w1=32):
     """Fused B analysis: per-list exhaustive ME + subpel, BI cost at
     (bestL0, bestL1). Returns (mv0, c0, mv1, c1, cbi) — mvs qpel
     [mbh,mbw,2], costs [mbh,mbw] SATD + lambda*mvbits."""
@@ -111,7 +141,7 @@ def analyse_b_frame(y, ref0_luma, ref1_luma, rng: int, mbh: int,
         outs.append((mv_q, cost, blk))
     (mv0, c0, blk0), (mv1, c1, blk1) = outs
     cur = _mb_tiles16(y, mbh, mbw)
-    bi = (blk0 + blk1 + 1) >> 1
+    bi = _bi_avg(blk0, blk1, w1)
     satd_bi = QT.satd_tables(QT.wht16(cur), QT.wht16(bi))
     # BI pays both mv costs: approximate as (c0-satd0)+(c1-satd1) is
     # not recoverable here; use bits of both mvs against zero pred
@@ -127,7 +157,7 @@ def analyse_b_frame(y, ref0_luma, ref1_luma, rng: int, mbh: int,
 
 
 def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
-                     mbh: int, mbw: int):
+                     mbh: int, mbw: int, w1=32):
     """Bipred luma+chroma assembly per 8x8 block. ref0/ref1: dicts with
     'luma' [4,Hp,Wp], 'u', 'v'. use0/use1: [2mbh,2mbw] int32.
     Returns (pred_y [n,16,16], pred_u [n,8,8], pred_v [n,8,8])."""
@@ -141,7 +171,7 @@ def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
                     bh=8, bw=8)
     p1 = mc.mc_luma(ref1["luma"], ys8, xs8, mv1_8.reshape(n8, 2),
                     bh=8, bw=8)
-    p8 = jnp.where(u0 & u1, (p0 + p1 + 1) >> 1,
+    p8 = jnp.where(u0 & u1, _bi_avg(p0, p1, w1),
                    jnp.where(u0, p0, p1))
     pred = p8.reshape(2 * mbh, 2 * mbw, 8, 8).transpose(0, 2, 1, 3) \
              .reshape(16 * mbh, 16 * mbw)
@@ -156,7 +186,7 @@ def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
                           bh=4, bw=4)
         c1 = mc.mc_chroma(ref1[pl], ysc, xsc, mv1_8.reshape(n8, 2),
                           bh=4, bw=4)
-        c8 = jnp.where(u0 & u1, (c0 + c1 + 1) >> 1,
+        c8 = jnp.where(u0 & u1, _bi_avg(c0, c1, w1),
                        jnp.where(u0, c0, c1))
         pc = c8.reshape(2 * mbh, 2 * mbw, 4, 4).transpose(0, 2, 1, 3) \
                .reshape(8 * mbh, 8 * mbw)
@@ -167,7 +197,7 @@ def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
 def bipred_satd_device(y, ref0_luma, ref1_luma, use0, use1, mv0_8,
-                       mv1_8, mbh: int, mbw: int):
+                       mv1_8, mbh: int, mbw: int, w1=32):
     """SATD of the (approximate) direct prediction per MB — the batch
     stand-in for x264's serial direct cost (analyse.c B direct)."""
     n = mbh * mbw
@@ -180,7 +210,7 @@ def bipred_satd_device(y, ref0_luma, ref1_luma, use0, use1, mv0_8,
                     bh=8, bw=8)
     p1 = mc.mc_luma(ref1_luma, ys8, xs8, mv1_8.reshape(n8, 2),
                     bh=8, bw=8)
-    p8 = jnp.where(u0 & u1, (p0 + p1 + 1) >> 1, jnp.where(u0, p0, p1))
+    p8 = jnp.where(u0 & u1, _bi_avg(p0, p1, w1), jnp.where(u0, p0, p1))
     pred = p8.reshape(2 * mbh, 2 * mbw, 8, 8).transpose(0, 2, 1, 3) \
              .reshape(16 * mbh, 16 * mbw)
     pred = pred.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
@@ -196,14 +226,14 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
                           ref1_luma, ref1_u, ref1_v,
                           use0, use1, mv0_8, mv1_8, qp, qpc,
                           mbh: int, mbw: int, decimate: bool = True,
-                          trellis: bool = False):
+                          trellis: bool = False, w1=32):
     """Final B encode at per-8x8 (use, mv) fields for both lists.
     Same output dict as encode_p_frame_device8."""
     n = mbh * mbw
     ref0 = {"luma": ref0_luma, "u": ref0_u, "v": ref0_v}
     ref1 = {"luma": ref1_luma, "u": ref1_u, "v": ref1_v}
     pred_y, pred_u, pred_v = _assemble_pred_b(
-        ref0, ref1, use0, use1, mv0_8, mv1_8, mbh, mbw)
+        ref0, ref1, use0, use1, mv0_8, mv1_8, mbh, mbw, w1=w1)
 
     from .inter import luma_p_encode
     cur = _mb_tiles16(y, mbh, mbw)
@@ -368,7 +398,7 @@ def analyse_b_parts_stage1(y, ref0_luma, ref1_luma, rng: int,
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "subpel"))
 def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
-                    mbh: int, mbw: int, lam, subpel: int):
+                    mbh: int, mbw: int, lam, subpel: int, w1=32):
     """Fused B partition analysis (stage 2).
 
     st0/st1: per-list all-shapes states from analyse_b_parts_stage1;
@@ -406,9 +436,9 @@ def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
     for s in range(4):
         w0 = _gather8_fp(ref0_luma[0], _z_to_sp(f0[s], mbh, mbw),
                          mbh, mbw)
-        w1 = _gather8_fp(ref1_luma[0], _z_to_sp(f1[s], mbh, mbw),
-                         mbh, mbw)
-        avg = (w0 + w1 + 1) >> 1
+        w1b = _gather8_fp(ref1_luma[0], _z_to_sp(f1[s], mbh, mbw),
+                          mbh, mbw)
+        avg = _bi_avg(w0, w1b, w1)
         sad = jnp.sum(jnp.abs(cur8 - avg), axis=(1, 2))    # [N8]
         sadz = _sp_to_z(sad.reshape(2 * mbh, 2 * mbw), mbh, mbw)
         bi_unit.append(_unit_reduce(sadz, s)
@@ -473,7 +503,7 @@ def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
     # refined per-block SATDs
     satd0 = satd_flat(wcur8, wht8_flat(blk0))              # [N8]
     satd1 = satd_flat(wcur8, wht8_flat(blk1))
-    satdbi = satd_flat(wcur8, wht8_flat((blk0 + blk1 + 1) >> 1))
+    satdbi = satd_flat(wcur8, wht8_flat(_bi_avg(blk0, blk1, w1)))
     s0z = _sp_to_z(satd0.reshape(2 * mbh, 2 * mbw), mbh, mbw)
     s1z = _sp_to_z(satd1.reshape(2 * mbh, 2 * mbw), mbh, mbw)
     sbz = _sp_to_z(satdbi.reshape(2 * mbh, 2 * mbw), mbh, mbw)
@@ -543,7 +573,7 @@ def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
 def bipred_satd8_device(y, ref0_luma, ref1_luma, use0, use1, mv0_8,
-                        mv1_8, mbh: int, mbw: int):
+                        mv1_8, mbh: int, mbw: int, w1=32):
     """Per-8x8 SATD of the (approximate) direct prediction
     [mbh, mbw, 4] (z-order) — per-8x8 granular twin of
     bipred_satd_device for the B_8x8 direct sub-mode."""
@@ -556,7 +586,7 @@ def bipred_satd8_device(y, ref0_luma, ref1_luma, use0, use1, mv0_8,
                     bh=8, bw=8)
     p1 = mc.mc_luma(ref1_luma, ys8, xs8, mv1_8.reshape(n8, 2),
                     bh=8, bw=8)
-    p8 = jnp.where(u0 & u1, (p0 + p1 + 1) >> 1, jnp.where(u0, p0, p1))
+    p8 = jnp.where(u0 & u1, _bi_avg(p0, p1, w1), jnp.where(u0, p0, p1))
     cur8 = _mb_blocks8(y, mbh, mbw)
     satd = satd_flat(wht8_flat(cur8), wht8_flat(p8))       # [N8]
     return _sp_to_z(satd.reshape(2 * mbh, 2 * mbw), mbh, mbw)
@@ -650,7 +680,7 @@ _B_UNIT_GEOM = {
 
 
 def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
-                 col_ref4, lam: int):
+                 col_ref4, lam: int, intra=None):
     """Host raster commit for the B partition path: exact spatial
     direct derivation, direct-vs-config decision, per-unit MVP/mvd for
     both lists (all-L0-then-all-L1 syntax order; within a list the MVP
@@ -661,7 +691,9 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
     16x16-direct SATD. Returns (code [mbh,mbw] spec ue mb_type value,
     subs [mbh,mbw,4] sub_mb_type ue codes (part 3 only), use0/use1
     [2mbh,2mbw], fmv0/fmv1 [2mbh,2mbw,2], mvd0/mvd1 [mbh,mbw,4,2]
-    per-unit in coding order)."""
+    per-unit in coding order). intra: optional [mbh,mbw] mask — intra
+    MBs carry no MVs and stay uncommitted (unavailable to neighbour
+    MVP/direct derivation, matching the decoder's dec4 convention)."""
     mbh, mbw = part.shape
     g0, g1 = _Grid(mbh, mbw), _Grid(mbh, mbw)
     code = np.zeros((mbh, mbw), np.int32)
@@ -674,6 +706,8 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
     mvd1 = np.zeros((mbh, mbw, 4, 2), np.int32)
     for my in range(mbh):
         for mx in range(mbw):
+            if intra is not None and intra[my, mx]:
+                continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
             du0, du1, dmv0, dmv1 = spatial_direct(
                 g0, g1, col_mv4, col_ref4, my, mx)
@@ -746,7 +780,7 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
 
 
 def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
-                 lam: int):
+                 lam: int, intra=None):
     """Host raster scan for a B frame: per-MB mode decision + exact
     direct derivation + mvd/mvp. Returns (mode [mbh,mbw] in
     {0 direct,1 L0,2 L1,3 BI}, use0/use1 [2mbh,2mbw] int32,
@@ -763,6 +797,8 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
     hdr = _B_HDR_BITS
     for my in range(mbh):
         for mx in range(mbw):
+            if intra is not None and intra[my, mx]:
+                continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
             du0, du1, dmv0, dmv1 = spatial_direct(
                 g0, g1, col_mv4, col_ref4, my, mx)

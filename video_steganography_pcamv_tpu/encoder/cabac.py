@@ -368,6 +368,28 @@ class CabacSliceWriter:
             cb.decision(32, 0)
             cb.decision(32, 0)
 
+    def mb_type_b_intra(self, my, mx, i4, mode16, cbpl, cbpc):
+        """Intra mb_type in a B slice (reference encoder/cabac.c
+        B IS_INTRA branch :146-156): prefix bins 111101 on the B
+        mb_type contexts, then the I-slice intra binarization on ctx
+        32+0/1/2/2/3/3."""
+        cb = self.cb
+        ctx = 0
+        if mx > 0 and self.mb_kind[my, mx - 1] > 0 \
+                and not self.bdirect[my, mx - 1]:
+            ctx += 1
+        if my > 0 and self.mb_kind[my - 1, mx] > 0 \
+                and not self.bdirect[my - 1, mx]:
+            ctx += 1
+        cb.decision(27 + ctx, 1)
+        cb.decision(30, 1)
+        cb.decision(31, 1)
+        cb.decision(32, 1)
+        cb.decision(32, 0)
+        cb.decision(32, 1)
+        self._mb_type_intra(i4, mode16, cbpl, cbpc,
+                            32, 33, 34, 34, 35, 35)
+
     def mb_type_b_bins(self, my, mx, bins) -> None:
         """General B mb_type binarization (reference i_mb_bits table
         emission, encoder/cabac.c:183-190): bin0 ctx 27+nbr, bin1 ctx
@@ -621,8 +643,14 @@ class CabacSliceWriter:
 
     def write_i16_mb(self, my, mx, mode16, cmode, cbp_luma, cbp_chroma,
                      luma_dc, luma_ac, chroma_dc, chroma_ac,
-                     in_p: bool = False):
-        if in_p:
+                     in_p: bool = False, in_b: bool = False):
+        if in_b:
+            self.skip_flag(my, mx, False)
+            self.mb_type_b_intra(my, mx, False, mode16, cbp_luma,
+                                 cbp_chroma)
+            self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+            self.bdirect[my, mx] = False
+        elif in_p:
             self.skip_flag(my, mx, False)
             self.mb_type_p_intra(False, mode16, cbp_luma, cbp_chroma)
         else:
@@ -640,8 +668,13 @@ class CabacSliceWriter:
 
     def write_i4_mb(self, my, mx, modes, cmode, cbp_luma, cbp_chroma,
                     luma_blocks, chroma_dc, chroma_ac,
-                    in_p: bool = False):
-        if in_p:
+                    in_p: bool = False, in_b: bool = False):
+        if in_b:
+            self.skip_flag(my, mx, False)
+            self.mb_type_b_intra(my, mx, True, 0, cbp_luma, cbp_chroma)
+            self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+            self.bdirect[my, mx] = False
+        elif in_p:
             self.skip_flag(my, mx, False)
             self.mb_type_p_intra(True, 0, cbp_luma, cbp_chroma)
         else:

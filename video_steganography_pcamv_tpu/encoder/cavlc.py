@@ -191,7 +191,8 @@ class FrameCavlc:
                         cbp_chroma: int, luma_dc: np.ndarray,
                         luma_ac: np.ndarray, chroma_dc: np.ndarray,
                         chroma_ac: np.ndarray, qp_delta: int,
-                        in_p_slice: bool = False) -> None:
+                        in_p_slice: bool = False,
+                        in_b_slice: bool = False) -> None:
         """One I_16x16 macroblock.
 
         luma_dc: [4,4]; luma_ac: [4,4,4,4] (by,bx,r,c);
@@ -200,7 +201,9 @@ class FrameCavlc:
         cbp01 = 1 if cbp_luma else 0
         mb_type = 1 + mode + 4 * cbp_chroma + 12 * cbp01
         if in_p_slice:
-            mb_type += 5  # P-slice intra offset (spec 7.4.5)
+            mb_type += 5   # P-slice intra offset (spec 7.4.5)
+        elif in_b_slice:
+            mb_type += 23  # B-slice intra offset (spec 7.4.5)
         bw.write_ue(mb_type)
         bw.write_ue(cmode)
         bw.write_se(qp_delta)
@@ -227,14 +230,16 @@ class FrameCavlc:
                       modes: np.ndarray, cmode: int, cbp_luma: int,
                       cbp_chroma: int, luma_blocks: np.ndarray,
                       chroma_dc: np.ndarray, chroma_ac: np.ndarray,
-                      qp_delta: int, in_p_slice: bool = False) -> None:
+                      qp_delta: int, in_p_slice: bool = False,
+                      in_b_slice: bool = False) -> None:
         """One I_NxN (Intra_4x4) macroblock (spec 7.3.5.1; reference
         encoder/cavlc.c I_4x4 path).
 
         modes: [16] z-scan block modes; luma_blocks: [4,4,4,4]
         (by,bx,r,c) full 16-coeff blocks.
         """
-        bw.write_ue(5 if in_p_slice else 0)   # mb_type I_NxN
+        # mb_type I_NxN: ue 0 in I, 5 in P, 23 in B (spec 7.4.5)
+        bw.write_ue(23 if in_b_slice else (5 if in_p_slice else 0))
         if self.trans8_mode:
             bw.write1(0)                      # transform_size_8x8_flag
         for blk in range(16):

@@ -225,7 +225,8 @@ class Encoder:
         self.pps = H.PPS(pic_init_qp=params.qp,
                          chroma_qp_index_offset=params.chroma_qp_offset,
                          num_ref_idx_l0_active=params.ref_frames,
-                         cabac=params.cabac)
+                         cabac=params.cabac,
+                         weighted_bipred_idc=2 if params.weightb else 0)
         if params.bframes > 0:
             # out-of-order output needs real POCs; B slices need main
             # profile; the decoder must hold both anchors (plus the
@@ -269,6 +270,8 @@ class Encoder:
         self._last_idr_disp = 0
         self._col = None       # (mv4, ref4) of the newest anchor
         self._anchor_lr = None  # lowres of the newest anchor (b-adapt 2)
+        self._anchor_disp = 0   # display index of the newest anchor
+                                # (implicit bipred weights)
         self._poc_lsb = 0      # poc of the slice being written
         self._pending_p = None  # pipelined driver: deferred entropy
         self.keep_recon = False     # tests: record recon per display idx
@@ -452,18 +455,25 @@ class Encoder:
         """Encode buffered frame k as the P anchor and frames [0, k)
         as its B frames (decode order); frames after k stay buffered
         (the b-adapt trellis window keeps sliding)."""
+        from . import bslice as BSW
         items = self._bbuf
         self._bbuf = items[k + 1:]
         f, y, u, v, satd, disp, lr = items[k]
         ref_l0 = self.ref                 # previous anchor (device)
+        l0_disp = self._anchor_disp
         out = self._encode_anchor(f, y, u, v, False, satd, disp)
         self._anchor_lr = lr
         ref_l1 = self.ref                 # the new anchor
         col = self._col
         anchor_qp = self._cur_qp
         for (bf, by, bu, bv, bsatd, bdisp, _) in items[:k]:
+            # implicit bipred weight from the display (=POC/2)
+            # distances (x264_macroblock_bipred_init)
+            w1 = BSW.bipred_weight(2 * bdisp, 2 * l0_disp, 2 * disp,
+                                   self.p.weightb)
             out += self._encode_b_frame(bf, by, bu, bv, ref_l0, ref_l1,
-                                        col, anchor_qp, bsatd, bdisp)
+                                        col, anchor_qp, bsatd, bdisp,
+                                        w1=w1)
         return out
 
     def _zone_qp(self, qp: int, disp: int) -> int:
@@ -503,6 +513,7 @@ class Encoder:
             out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
             self.stats.p_frames += 1
         self._save_col()
+        self._anchor_disp = disp
         self._accumulate_psnr(frame)
         if self.keep_recon:
             self.recon_by_disp[disp] = tuple(
@@ -1770,7 +1781,8 @@ class Encoder:
         return bw.get_bytes()
 
     def _encode_b_frame(self, frame, y, u, v, ref0, ref1, col,
-                        anchor_qp: int, satd, disp: int) -> bytes:
+                        anchor_qp: int, satd, disp: int,
+                        w1: int = 32) -> bytes:
         """Non-reference B frame between two anchors (bslice.py:
         two-list exhaustive ME + BI at the per-list winners + spatial
         direct; reference B path analyse.c:3110-3466)."""
@@ -1790,6 +1802,11 @@ class Encoder:
         col_mv4, col_ref4 = col
         subs = None
         use_parts = p.partitions
+        # intra-in-B (analyse.c:3110+ considers intra in B MBs too);
+        # same gating as intra-in-P
+        do_intra = p.intra_in_p and self._stego is None
+        inter_cost = None
+        direct_c = None
         if use_parts:
             # B partitions (16x8/8x16 combos + B_8x8 subs): two-stage
             # device analysis, host commit scan (bslice.py)
@@ -1803,37 +1820,90 @@ class Encoder:
             c_dir8 = BS.bipred_satd8_device(
                 y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
                 jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
-                mbh, mbw)
+                mbh, mbw, w1=w1)
             stres = BS.analyse_b_parts(
                 y, ref0["luma"], ref1["luma"], st0, st1, c_dir8,
-                mbh, mbw, lam, p.subpel)
+                mbh, mbw, lam, p.subpel, w1=w1)
             mv0z = np.asarray(_sp_to_z(stres["mv0_8"], mbh, mbw))
             mv1z = np.asarray(_sp_to_z(stres["mv1_8"], mbh, mbw))
+            part_np = np.asarray(stres["part"])
+            sel8_np = np.asarray(stres["sel8"])
+            c_cfg_np = np.asarray(stres["c_cfg"])
+            c_dir_mb = np.asarray(c_dir8).sum(-1)
+            rescan_args = (part_np, sel8_np, mv0z, mv1z, c_cfg_np,
+                           c_dir_mb, col_mv4, col_ref4, lam)
             mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
-                BS.scan_b_parts(
-                    np.asarray(stres["part"]), np.asarray(stres["sel8"]),
-                    mv0z, mv1z, np.asarray(stres["c_cfg"]),
-                    np.asarray(c_dir8).sum(-1), col_mv4, col_ref4, lam)
+                BS.scan_b_parts(*rescan_args)
+            if do_intra:
+                inter_cost = np.minimum(c_dir_mb + lam, c_cfg_np)
+                direct_c = (mode == 0) | ((mode == 22)
+                                          & (subs == 0).any(-1))
         else:
             mv0, c0, mv1, c1, cbi = BS.analyse_b_frame(
                 y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
-                lam, p.subpel, on_tpu)
+                lam, p.subpel, on_tpu, w1=w1)
             mv0_np, mv1_np = np.asarray(mv0), np.asarray(mv1)
             au0, au1, adv0, adv1 = BS.approx_direct_fields(
                 mv0_np, mv1_np, col_mv4, col_ref4)
             c_dir = BS.bipred_satd_device(
                 y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
                 jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
-                mbh, mbw)
+                mbh, mbw, w1=w1)
+            rescan_args = (np.asarray(c_dir), np.asarray(c0),
+                           np.asarray(c1), np.asarray(cbi), mv0_np,
+                           mv1_np, col_mv4, col_ref4, lam)
             mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = BS.scan_b_frame(
-                np.asarray(c_dir), np.asarray(c0), np.asarray(c1),
-                np.asarray(cbi), mv0_np, mv1_np, col_mv4, col_ref4, lam)
+                *rescan_args)
+            if do_intra:
+                hdr = np.asarray(BS._B_HDR_BITS, np.int64)
+                cands = np.stack([
+                    rescan_args[0] + lam * hdr[0],
+                    rescan_args[1] + lam * hdr[1],
+                    rescan_args[2] + lam * hdr[2],
+                    rescan_args[3] + lam * hdr[3]])
+                inter_cost = cands.min(0)
+                direct_c = mode == 0
         res = BS.encode_b_frame_device(
             y, u, v, ref0["luma"], ref0["u"], ref0["v"],
             ref1["luma"], ref1["u"], ref1["v"],
             jnp.asarray(use0), jnp.asarray(use1), jnp.asarray(fmv0),
             jnp.asarray(fmv1), qp, qpc, mbh, mbw,
-            decimate=p.dct_decimate, trellis=bool(p.trellis))
+            decimate=p.dct_decimate, trellis=bool(p.trellis), w1=w1)
+        # intra-vs-inter refinement over the committed B recon. An MB
+        # may switch to intra only if no later raster MB reads it in a
+        # spatial-direct derivation (dependents: right uses it as A,
+        # below as B, below-left as C, below-right as D) — switched
+        # MBs become unavailable to neighbours (decoder convention),
+        # which would change a dependent direct MB's derived MVs and
+        # desync the recon. MVPs of non-direct dependents only affect
+        # mvd, which the rescan below re-derives.
+        intra_kind = np.zeros((mbh, mbw), np.int32)
+        intra_res = None
+        if do_intra:
+            dep = np.zeros_like(direct_c)
+            dep[:, :-1] |= direct_c[:, 1:]
+            dep[:-1, :] |= direct_c[1:, :]
+            dep[:-1, 1:] |= direct_c[1:, :-1]
+            dep[:-1, :-1] |= direct_c[1:, 1:]
+            cost_masked = np.where(dep, -1,
+                                   inter_cost).astype(np.int32)
+            ir = I.refine_p_intra(
+                y, u, v, res["recon_y"], res["recon_u"],
+                res["recon_v"], jnp.asarray(cost_masked), qp, qpc,
+                mbw, mbh, lam=lam, i4x4=p.i4x4)
+            intra_kind = np.asarray(ir["intra_kind"])
+            if intra_kind.any():
+                intra_res = {k: np.asarray(val) for k, val in ir.items()}
+                res = dict(res)
+                for k in ("recon_y", "recon_u", "recon_v"):
+                    res[k] = ir[k]
+                imask = intra_kind > 0
+                if use_parts:
+                    mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
+                        BS.scan_b_parts(*rescan_args, intra=imask)
+                else:
+                    mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
+                        BS.scan_b_frame(*rescan_args, intra=imask)
         need_recon = self.keep_recon or p.psnr or p.ssim
         res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
         # B never enters the DPB: PSNR directly against the source
@@ -1867,10 +1937,14 @@ class Encoder:
             poc_lsb=2 * (disp - self._last_idr_disp), is_ref=False)
         if p.cabac:
             nal = self._write_b_slice_cabac(bw, res_np, qp, mode,
-                                            mvd0, mvd1, subs=subs)
+                                            mvd0, mvd1, subs=subs,
+                                            intra_kind=intra_kind,
+                                            intra_res=intra_res)
         else:
             nal = self._write_b_slice_cavlc(bw, res_np, qp, mode,
-                                            mvd0, mvd1, subs=subs)
+                                            mvd0, mvd1, subs=subs,
+                                            intra_kind=intra_kind,
+                                            intra_res=intra_res)
         out = self._aud(SLICE_B) \
             + nal_unit(NAL_SLICE, NAL_PRIORITY_DISPOSABLE, nal)
         self.stats.b_frames += 1
@@ -1883,14 +1957,16 @@ class Encoder:
         return out
 
     def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,
-                             mvd1, subs=None) -> bytes:
+                             mvd1, subs=None, intra_kind=None,
+                             intra_res=None) -> bytes:
         """CAVLC B slice: B_SKIP runs + B MBs (16x16 subset rides the
-        native twin; partition codes 4-22 take the Python writer).
-        Skip rule: direct mode with no residual (spec 7.4.4
-        mb_skip_run in B = B_Skip, decoded as direct)."""
+        native twin; partition codes 4-22 and intra MBs take the
+        Python writer). Skip rule: direct mode with no residual (spec
+        7.4.4 mb_skip_run in B = B_Skip, decoded as direct)."""
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
-        if self._native is not None and np.all(mode <= 3):
+        if self._native is not None and intra_res is None \
+                and np.all(mode <= 3):
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -1908,6 +1984,33 @@ class Encoder:
         skip_run = 0
         for my in range(mbh):
             for mx in range(mbw):
+                k = (0 if intra_kind is None
+                     else int(intra_kind[my, mx]))
+                if k:
+                    bw.write_ue(skip_run)
+                    skip_run = 0
+                    if k == 2:
+                        fc.write_i4x4_mb(
+                            bw, mx, my, intra_res["i4_modes"][my, mx],
+                            int(intra_res["cmode"][my, mx]),
+                            int(intra_res["cbp_luma"][my, mx]),
+                            int(intra_res["cbp_chroma"][my, mx]),
+                            intra_res["luma_ac"][my, mx],
+                            intra_res["chroma_dc"][my, mx],
+                            intra_res["chroma_ac"][my, mx], qp_delta=0,
+                            in_b_slice=True)
+                    else:
+                        fc.write_i16x16_mb(
+                            bw, mx, my, int(intra_res["mode"][my, mx]),
+                            int(intra_res["cmode"][my, mx]),
+                            int(intra_res["cbp_luma"][my, mx]),
+                            int(intra_res["cbp_chroma"][my, mx]),
+                            intra_res["luma_dc"][my, mx],
+                            intra_res["luma_ac"][my, mx],
+                            intra_res["chroma_dc"][my, mx],
+                            intra_res["chroma_ac"][my, mx], qp_delta=0,
+                            in_b_slice=True)
+                    continue
                 m = int(mode[my, mx])
                 cl = int(res["cbp_luma"][my, mx])
                 cc = int(res["cbp_chroma"][my, mx])
@@ -1930,15 +2033,18 @@ class Encoder:
         return bw.get_bytes()
 
     def _write_b_slice_cabac(self, bw, res, qp, mode, mvd0,
-                             mvd1, subs=None) -> bytes:
+                             mvd1, subs=None, intra_kind=None,
+                             intra_res=None) -> bytes:
         """CABAC B slice (reference encoder/cabac.c B branch). The
-        16x16 subset rides the native twin; partition codes 4-22 take
-        the Python writer (write_b_mb_ext)."""
+        16x16 subset rides the native twin; partition codes 4-22 and
+        intra MBs take the Python writer (write_b_mb_ext /
+        write_i*_mb in_b)."""
         from .cabac import CabacSliceWriter
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None and np.all(mode <= 3):
+        if self._native is not None and intra_res is None \
+                and np.all(mode <= 3):
             from .. import native
             hdr, nbits = bw.partial_bytes()
             m0 = mvd0 if mvd0.ndim == 3 else mvd0[:, :, 0]
@@ -1958,10 +2064,30 @@ class Encoder:
                              slice_is_b=True)
         for a in range(n):
             my, mx = a // mbw, a % mbw
+            k = 0 if intra_kind is None else int(intra_kind[my, mx])
             m = int(mode[my, mx])
             cl = int(res["cbp_luma"][my, mx])
             cc = int(res["cbp_chroma"][my, mx])
-            if m == 0 and cl == 0 and cc == 0:
+            if k == 2:
+                w.write_i4_mb(my, mx, intra_res["i4_modes"][my, mx],
+                              int(intra_res["cmode"][my, mx]),
+                              int(intra_res["cbp_luma"][my, mx]),
+                              int(intra_res["cbp_chroma"][my, mx]),
+                              intra_res["luma_ac"][my, mx],
+                              intra_res["chroma_dc"][my, mx],
+                              intra_res["chroma_ac"][my, mx],
+                              in_b=True)
+            elif k == 1:
+                w.write_i16_mb(my, mx, int(intra_res["mode"][my, mx]),
+                               int(intra_res["cmode"][my, mx]),
+                               int(intra_res["cbp_luma"][my, mx]),
+                               int(intra_res["cbp_chroma"][my, mx]),
+                               intra_res["luma_dc"][my, mx],
+                               intra_res["luma_ac"][my, mx],
+                               intra_res["chroma_dc"][my, mx],
+                               intra_res["chroma_ac"][my, mx],
+                               in_b=True)
+            elif m == 0 and cl == 0 and cc == 0:
                 w.write_b_skip_mb(my, mx)
             elif m <= 3:
                 d0 = mvd0[my, mx, 0] if per_unit else mvd0[my, mx]

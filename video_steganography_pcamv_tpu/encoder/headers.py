@@ -249,6 +249,7 @@ class PPS:
     num_ref_idx_l0_active: int = 1
     cabac: bool = False
     transform_8x8: bool = False
+    weighted_bipred_idc: int = 0   # 2 = implicit (x264 set.c:384)
 
     def write(self) -> bytes:
         bw = BitWriter()
@@ -260,7 +261,7 @@ class PPS:
         bw.write_ue(self.num_ref_idx_l0_active - 1)
         bw.write_ue(0)  # num_ref_idx_l1_active - 1
         bw.write1(0)  # weighted_pred
-        bw.write(2, 0)  # weighted_bipred_idc
+        bw.write(2, self.weighted_bipred_idc)
         bw.write_se(self.pic_init_qp - 26)
         bw.write_se(0)  # pic_init_qs
         bw.write_se(self.chroma_qp_index_offset)

@@ -74,6 +74,10 @@ class Params:
                                    # --b-adapt 2 the B-placement DP
                                    # sees max(bframes+1, this) frames
                                    # (clamped to 12 here)
+    weightb: bool = False          # implicit weighted bipred (x264
+                                   # --weightb b_weighted_bipred;
+                                   # PPS weighted_bipred_idc=2,
+                                   # macroblock.c:1420 weight init)
 
     # rate control (reference: x264_param_t.rc, ratecontrol.c)
     rc_mode: int = 0               # 0 CQP / 1 CRF / 2 ABR (RC_* below)
@@ -359,6 +363,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.bframes = int(value)
     elif name in ("b_adapt", "b-adapt"):
         p.b_adapt = int(value)
+    elif name in ("weightb", "weighted_bipred"):
+        p.weightb = _BOOL[value.lower()]
     elif name == "rc_lookahead":
         p.rc_lookahead = int(value)
     elif name == "threads":
@@ -428,7 +434,7 @@ def param2string(p: Params) -> str:
          f"cabac={int(p.cabac)} deblock={int(p.deblock)} "
          f"decimate={int(p.dct_decimate)} nr={p.noise_reduction} "
          f"8x8dct={int(p.transform_8x8)} rd={p.rd} parts={int(p.partitions)} "
-         f"p4x4={int(p.p4x4)} aq={p.aq_mode}")
+         f"p4x4={int(p.p4x4)} aq={p.aq_mode} weightb={int(p.weightb)}")
     if p.aq_mode:
         s += f":{p.aq_strength:.1f}"
     if p.rc_mode == 1:
