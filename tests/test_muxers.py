@@ -45,6 +45,45 @@ def test_mkv_structure(tmp_path):
     assert abs(dur - 3000.0 / 25.0) < 1.0
 
 
+def test_mp4_roundtrip(tmp_path):
+    """MP4 mux -> demux -> decode must reproduce the exact recon the
+    raw Annex-B stream decodes to (reference MP4 seam muxers.c:441+)."""
+    from video_steganography_pcamv_tpu.params import Params
+    from video_steganography_pcamv_tpu.utils.yuv import synthetic_sequence
+    from video_steganography_pcamv_tpu.encoder.core import Encoder
+    from video_steganography_pcamv_tpu.utils.mp4 import (Mp4Writer,
+                                                         demux_mp4)
+    from video_steganography_pcamv_tpu.decoder import decode_annexb
+
+    frames = synthetic_sequence(64, 48, 5, seed=2)
+    p = Params(width=64, height=48, qp=30, me_range=4, bframes=1,
+               b_adapt=0, scenecut_threshold=0)
+    enc = Encoder(p)
+    path = tmp_path / "out.mp4"
+    mp = Mp4Writer(str(path), 64, 48, p.fps_num, p.fps_den)
+    raw = b""
+    for f in frames:
+        for disp, chunk, kind in enc.encode_frame_aus(f):
+            mp.add_frame(chunk, timecode_ms=disp * 40)
+            raw += chunk
+    for disp, chunk, kind in enc.flush_aus():
+        mp.add_frame(chunk, timecode_ms=disp * 40)
+        raw += chunk
+    mp.close()
+    data = path.read_bytes()
+    assert data[4:8] == b"ftyp"
+    assert b"moov" in data and b"avcC" in data
+    assert b"ctts" in data      # B reorder -> composition offsets
+    demuxed = demux_mp4(data)
+    d1 = decode_annexb(demuxed)
+    d2 = decode_annexb(raw)
+    assert len(d1) == len(d2) == 5
+    for a, b in zip(d1, d2):
+        np.testing.assert_array_equal(a.y, b.y)
+        np.testing.assert_array_equal(a.u, b.u)
+        np.testing.assert_array_equal(a.v, b.v)
+
+
 def test_avcc_private():
     sps = bytes([0x67, 66, 0, 30, 1, 2, 3])
     pps = bytes([0x68, 0xCE, 0x38, 0x80])

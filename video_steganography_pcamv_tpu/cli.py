@@ -159,6 +159,9 @@ def _run(args):
     if args.extract:
         from .stego.extract import extract_from_stream
         data = open(args.input, "rb").read()
+        if args.input.endswith(".mp4"):
+            from .utils.mp4 import demux_mp4
+            data = demux_mp4(data)
         msgs = extract_from_stream(data, em_rate=args.emrate, key=args.key)
         for i, m in enumerate(msgs):
             print(f"frame {i}: {len(m)} bits: "
@@ -233,6 +236,10 @@ def _run(args):
     if args.output.endswith(".mkv"):
         from .utils.mkv import MkvWriter
         mkv = MkvWriter(args.output, p.width, p.height,
+                        p.fps_num, p.fps_den)
+    elif args.output.endswith(".mp4"):
+        from .utils.mp4 import Mp4Writer
+        mkv = Mp4Writer(args.output, p.width, p.height,
                         p.fps_num, p.fps_den)
     if args.dump_yuv:
         # recon gathered per display index (with --bframes the encoder
