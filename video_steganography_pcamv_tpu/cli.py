@@ -58,6 +58,9 @@ def build_argparser():
     ap.add_argument("--weightb", "-w", action="store_true",
                     help="implicit weighted bipred in B frames "
                          "(x264 --weightb)")
+    ap.add_argument("--direct", default="spatial",
+                    choices=["none", "spatial", "temporal", "auto"],
+                    help="B direct MV prediction mode (x264 --direct)")
     ap.add_argument("--subme", type=int, default=2)
     ap.add_argument("--trellis", type=int, default=0,
                     help="trellis RD quantization (0 off, 1 final encode)")
@@ -186,6 +189,8 @@ def _run(args):
                b_adapt=args.b_adapt,
                rc_lookahead=args.rc_lookahead,
                weightb=args.weightb,
+               direct={"none": 0, "spatial": 1, "temporal": 2,
+                       "auto": 3}[args.direct],
                subpel=args.subme,
                trellis=args.trellis,
                ssim=args.ssim,

@@ -16,7 +16,8 @@ from ..encoder.cabac_tables import (init_states, RANGE_TAB_LPS,
 from ..encoder.cabac import (_SIG_OFF, _LAST_OFF, _ABS_OFF, _MAXC,
                              _LEVEL1_CTX, _LEVELGT1_CTX, _LEVEL_TRANS,
                              CAT_LUMA_DC, CAT_LUMA_AC, CAT_LUMA_4x4,
-                             CAT_CHROMA_DC, CAT_CHROMA_AC)
+                             CAT_CHROMA_DC, CAT_CHROMA_AC, CAT_LUMA_8x8,
+                             SIG8_CTX, LAST8_CTX)
 from ..encoder.cavlc import LUMA_SCAN, CHROMA_SCAN
 from ..ops.transform import ZIGZAG_4x4
 
@@ -96,10 +97,12 @@ class CabacSliceParser:
     encoder/cabac.py's CabacSliceWriter."""
 
     def __init__(self, br, mbw, mbh, qp, slice_is_i, model=0,
-                 num_ref=1, slice_is_b=False):
+                 num_ref=1, slice_is_b=False, trans8_mode=False):
         self.cd = CabacDecoder(br, qp, slice_is_i, model)
         self.num_ref = num_ref
         self.slice_is_b = slice_is_b
+        self.trans8_mode = trans8_mode
+        self.trans8_map = np.zeros((mbh, mbw), np.int32)
         self.mbw, self.mbh = mbw, mbh
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
@@ -152,17 +155,19 @@ class CabacSliceParser:
         cd = self.cd
         count = _MAXC[cat]
         out = [0] * count
-        if not cd.decision(self._cbf_ctx(cat, my, mx, by, bx, ch,
-                                         cur_intra)):
-            return out
+        if cat != CAT_LUMA_8x8:   # cat 5 has no coded_block_flag
+            if not cd.decision(self._cbf_ctx(cat, my, mx, by, bx, ch,
+                                             cur_intra)):
+                return out
         sig_base, last_base, lvl_base = \
             _SIG_OFF[cat], _LAST_OFF[cat], _ABS_OFF[cat]
+        is8 = cat == CAT_LUMA_8x8
         sig = []
         last_found = False
         for i in range(count - 1):
-            if cd.decision(sig_base + i):
+            if cd.decision(sig_base + (SIG8_CTX[i] if is8 else i)):
                 sig.append(i)
-                if cd.decision(last_base + i):
+                if cd.decision(last_base + (LAST8_CTX[i] if is8 else i)):
                     last_found = True
                     break
         if not last_found:
@@ -187,6 +192,20 @@ class CabacSliceParser:
             sign = cd.bypass()
             out[i] = -mag if sign else mag
         return out
+
+    def transform_size_flag(self, my, mx) -> int:
+        """transform_size_8x8_flag (inverse of the writer's; ctx 399 +
+        available-neighbour trans8 flags)."""
+        ctx = 399
+        if mx > 0 and self.mb_kind[my, mx - 1] >= 0 \
+                and self.trans8_map[my, mx - 1]:
+            ctx += 1
+        if my > 0 and self.mb_kind[my - 1, mx] >= 0 \
+                and self.trans8_map[my - 1, mx]:
+            ctx += 1
+        flag = self.cd.decision(ctx)
+        self.trans8_map[my, mx] = flag
+        return flag
 
     def skip_flag(self, my, mx):
         ctx = 24 if self.slice_is_b else 11
@@ -272,6 +291,28 @@ class CabacSliceParser:
                 m = rem + (1 if rem >= pm else 0)
             modes[blk] = m
             self.modes4[gy, gx] = m
+        return modes
+
+    _Z8 = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+    def intra8_modes(self, my, mx):
+        """4 Intra_8x8 pred modes (di=4 loop, reference cabac.c:833);
+        modes replicate into the 2x2 ctx cells."""
+        cd = self.cd
+        modes = np.zeros(4, np.int32)
+        for b, (by8, bx8) in enumerate(self._Z8):
+            gy, gx = 4 * my + 2 * by8, 4 * mx + 2 * bx8
+            pm = 2 if (gx == 0 or gy == 0) else \
+                int(min(self.modes4[gy, gx - 1], self.modes4[gy - 1, gx]))
+            if cd.decision(68):
+                m = pm
+            else:
+                rem = cd.decision(69)
+                rem |= cd.decision(69) << 1
+                rem |= cd.decision(69) << 2
+                m = rem + (1 if rem >= pm else 0)
+            modes[b] = m
+            self.modes4[gy:gy + 2, gx:gx + 2] = m
         return modes
 
     def chroma_pred_mode(self, my, mx):
@@ -401,6 +442,49 @@ class CabacSliceParser:
                 self.nnz_y[yy, xx] = 0
         return blocks
 
+    def _luma_residual_8x8(self, my, mx, cbp_luma, intra):
+        """Returns lev8 [2,2,64] zigzag8-order levels; nnz cells get
+        the 8x8's nonzero flag replicated 2x2 (STORE_8x8_NNZ)."""
+        gy, gx = 4 * my, 4 * mx
+        lev8 = np.zeros((2, 2, 64), np.int64)
+        for b, (by8, bx8) in enumerate(self._Z8):
+            ys = slice(gy + 2 * by8, gy + 2 * by8 + 2)
+            xs = slice(gx + 2 * bx8, gx + 2 * bx8 + 2)
+            if cbp_luma & (1 << b):
+                lv = self.residual(CAT_LUMA_8x8, my, mx,
+                                   cur_intra=intra)
+                lev8[by8, bx8] = lv
+                self.nnz_y[ys, xs] = 1 if any(lv) else 0
+            else:
+                self.nnz_y[ys, xs] = 0
+        return lev8
+
+    def parse_i8_mb(self, my, mx):
+        """After mb_type + transform flag 1: returns (modes8, cmode,
+        cbp_luma, cbp_chroma, lev8, cdcs, cacs)."""
+        self.mvd4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        if self.slice_is_b:
+            self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        modes8 = self.intra8_modes(my, mx)
+        cmode = self.chroma_pred_mode(my, mx)
+        cbp_luma = self.cbp_luma(my, mx)
+        cbp_chroma = self.cbp_chroma(my, mx)
+        self.mb_kind[my, mx] = 2
+        self.cbp[my, mx] = (cbp_chroma << 4) | cbp_luma
+        self.dc_nz_y[my, mx] = 0
+        self.dc_nz_c[:, my, mx] = 0
+        if cbp_luma or cbp_chroma:
+            self.qp_delta_zero()
+            lev8 = self._luma_residual_8x8(my, mx, cbp_luma, True)
+            cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma, True)
+        else:
+            lev8 = np.zeros((2, 2, 64), np.int64)
+            cdcs = np.zeros((2, 4), np.int64)
+            cacs = np.zeros((2, 2, 2, 16), np.int64)
+            self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+            self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        return modes8, cmode, cbp_luma, cbp_chroma, lev8, cdcs, cacs
+
     def _chroma_residual(self, my, mx, cbp_chroma, intra):
         gy, gx = 2 * my, 2 * mx
         dcs = np.zeros((2, 4), np.int64)
@@ -494,15 +578,24 @@ class CabacSliceParser:
             mvds.append(self.mvd(4 * my + oy, 4 * mx + ox, h4, w4))
         cbp_luma = self.cbp_luma(my, mx)
         cbp_chroma = self.cbp_chroma(my, mx)
+        trans8 = 0
+        if self.trans8_mode and cbp_luma:
+            trans8 = self.transform_size_flag(my, mx)
         self.mb_kind[my, mx] = 1
         self.cbp[my, mx] = (cbp_chroma << 4) | cbp_luma
         self.cmode_map[my, mx] = 0
         self.modes4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
         self.dc_nz_y[my, mx] = 0
         self.dc_nz_c[:, my, mx] = 0
+        lev8 = None
         if cbp_luma or cbp_chroma:
             self.qp_delta_zero()
-            blocks = self._luma_residual_4x4(my, mx, cbp_luma, False)
+            if trans8:
+                blocks = np.zeros((4, 4, 16), np.int64)
+                lev8 = self._luma_residual_8x8(my, mx, cbp_luma, False)
+            else:
+                blocks = self._luma_residual_4x4(my, mx, cbp_luma,
+                                                 False)
             cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma, False)
         else:
             blocks = np.zeros((4, 4, 16), np.int64)
@@ -510,7 +603,8 @@ class CabacSliceParser:
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
-        return (mvds, subs, refs), cbp_luma, cbp_chroma, blocks, cdcs, cacs
+        return ((mvds, subs, refs), cbp_luma, cbp_chroma, blocks, cdcs,
+                cacs, lev8)
 
     def parse_skip_mb(self, my, mx):
         self._clear_mb_ctx(my, mx)
@@ -606,6 +700,9 @@ class CabacSliceParser:
                           x4 + ox:x4 + ox + w4] = 0
         cbp_luma = self.cbp_luma(my, mx)
         cbp_chroma = self.cbp_chroma(my, mx)
+        if self.trans8_mode and cbp_luma:
+            assert self.transform_size_flag(my, mx) == 0, \
+                "8x8 transform in B MBs unsupported"
         self.mb_kind[my, mx] = 1
         self.bdirect[my, mx] = False
         self.cbp[my, mx] = (cbp_chroma << 4) | cbp_luma
@@ -652,6 +749,9 @@ class CabacSliceParser:
             self.mvd4_1[y4:y4 + 4, x4:x4 + 4] = 0
         cbp_luma = self.cbp_luma(my, mx)
         cbp_chroma = self.cbp_chroma(my, mx)
+        if self.trans8_mode and cbp_luma:
+            assert self.transform_size_flag(my, mx) == 0, \
+                "8x8 transform in B MBs unsupported"
         self.mb_kind[my, mx] = 1
         self.bdirect[my, mx] = btype == 0
         self.cbp[my, mx] = (cbp_chroma << 4) | cbp_luma

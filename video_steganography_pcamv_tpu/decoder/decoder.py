@@ -319,7 +319,7 @@ class SliceDecoder:
     """Decodes one frame (single slice)."""
 
     def __init__(self, sps: DecSPS, pps: DecPPS, ref=None, refs=None,
-                 refs_l1=None, poc=0):
+                 refs_l1=None, poc=0, direct_spatial=True):
         self.sps, self.pps = sps, pps
         # DPB: refs[0] = most recent reference (L0 list for P/B)
         self.refs = refs if refs is not None else ([ref] if ref else [])
@@ -333,6 +333,14 @@ class SliceDecoder:
             from ..encoder.bslice import bipred_weight
             self.bipred_w1 = bipred_weight(
                 poc, self.refs[0]["poc"], self.refs_l1[0]["poc"], True)
+        # temporal direct scale (spec 8.4.1.2.3), from the slice POCs
+        self.direct_spatial = direct_spatial
+        self._dsf = 256
+        if (not direct_spatial and self.refs and self.refs_l1
+                and "poc" in self.refs[0]):
+            from ..encoder.bslice import dist_scale_factor
+            self._dsf = dist_scale_factor(
+                poc, self.refs[0]["poc"], self.refs_l1[0]["poc"])
         self.mbw = (sps.width + 15) // 16
         self.mbh = (sps.height + 15) // 16
         self.y = np.zeros((self.mbh * 16, self.mbw * 16), np.int64)
@@ -878,6 +886,33 @@ class SliceDecoder:
     # ------------------------------------------------------------------
     _COL_CORNERS = ((0, 0), (0, 3), (3, 0), (3, 3))
 
+    def _direct(self, my, mx):
+        """Direct derivation per the slice's
+        direct_spatial_mv_pred_flag."""
+        if self.direct_spatial:
+            return self._spatial_direct(my, mx)
+        return self._temporal_direct(my, mx)
+
+    def _temporal_direct(self, my, mx):
+        """Temporal direct (spec 8.4.1.2.3; twin of
+        bslice.temporal_direct_fields): per-8x8 colocated corner MV
+        scaled by DistScaleFactor; colocated intra -> zeros, refs 0.
+        Returns (use0, use1, mv0 [4,2], mv1 [4,2])."""
+        y4, x4 = 4 * my, 4 * mx
+        col = self.refs_l1[0]
+        col_mv4, col_ref4 = col["mv4"], col["ref4"]
+        mv0 = np.zeros((4, 2), np.int32)
+        mv1 = np.zeros((4, 2), np.int32)
+        for b, (cy, cx) in enumerate(self._COL_CORNERS):
+            colr = int(col_ref4[y4 + cy, x4 + cx])
+            if colr < 0:
+                continue    # colocated intra: zeros, refs 0
+            colm = col_mv4[y4 + cy, x4 + cx].astype(np.int64)
+            l0 = (self._dsf * colm + 128) >> 8
+            mv0[b] = l0
+            mv1[b] = l0 - colm
+        return True, True, mv0, mv1
+
     def _spatial_direct(self, my, mx):
         """Spatial direct (use0, use1, mv0 [4,2], mv1 [4,2]) per 8x8
         z-order block. Colocated = L1[0]'s own motion field."""
@@ -1001,7 +1036,7 @@ class SliceDecoder:
                 self.nnz_c[ch, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
 
     def decode_b_skip(self, mx: int, my: int, qp: int):
-        use0, use1, mv0, mv1 = self._spatial_direct(my, mx)
+        use0, use1, mv0, mv1 = self._direct(my, mx)
         self._commit_b(my, mx, use0, use1, mv0, mv1)
         self._recon_b(mx, my, use0, use1, mv0, mv1,
                       np.zeros((4, 4, 4, 4), np.int64), 0, None, qp,
@@ -1018,7 +1053,7 @@ class SliceDecoder:
         B_Bi_16x16 (3)."""
         y4, x4 = 4 * my, 4 * mx
         if mb_type == 0:
-            use0, use1, mv0, mv1 = self._spatial_direct(my, mx)
+            use0, use1, mv0, mv1 = self._direct(my, mx)
         else:
             use0 = mb_type in (1, 3)
             use1 = mb_type in (2, 3)
@@ -1036,6 +1071,8 @@ class SliceDecoder:
         cbp_code = br.read_ue()
         cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if self.pps.transform_8x8 and cbp_luma:
+            assert br.read1() == 0, "8x8 transform in B MBs unsupported"
         if cbp:
             qp = qp + br.read_se()
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
@@ -1080,7 +1117,7 @@ class SliceDecoder:
         mv0 [4,2], mv1 [4,2] per 8x8 z-order, unit_mvs)."""
         from ..encoder.cavlc import B_CODE_USES, B_SUB_USES
         y4, x4 = 4 * my, 4 * mx
-        du0, du1, dmv0, dmv1 = self._spatial_direct(my, mx)
+        du0, du1, dmv0, dmv1 = self._direct(my, mx)
         if mb_type == 22:
             geom = self._B_UNIT_GEOM[3]
             uses = ([B_SUB_USES[int(s)][0] for s in subs],
@@ -1171,6 +1208,8 @@ class SliceDecoder:
         cbp_code = br.read_ue()
         cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        if self.pps.transform_8x8 and cbp_luma:
+            assert br.read1() == 0, "8x8 transform in B MBs unsupported"
         if cbp:
             qp = qp + br.read_se()
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
@@ -1336,9 +1375,9 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 if ref_idc != 0:
                     prev_poc_lsb, prev_poc_msb = lsb, msb
             is_b = slice_type in (1, 6)
+            direct_spatial = True
             if is_b:
-                assert br.read1() == 1, \
-                    "only spatial direct supported"
+                direct_spatial = bool(br.read1())
             if slice_type in (0, 5) or is_b:
                 if br.read1():  # num_ref_idx_override
                     br.read_ue()
@@ -1375,7 +1414,8 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                             key=lambda e: e["poc"])
                 assert l0 and l1, "B slice needs refs on both sides"
                 dec = SliceDecoder(sps, pps, refs=l0, refs_l1=l1,
-                                   poc=poc)
+                                   poc=poc,
+                                   direct_spatial=direct_spatial)
                 if pps.cabac:
                     _decode_slice_cabac_b(dec, br, qp, cabac_model)
                 else:
@@ -1459,7 +1499,8 @@ def _decode_slice_cabac(dec: SliceDecoder, br, slice_type: int, qp: int,
         assert br.read1() == 1, "cabac_alignment_one_bit must be 1"
     is_i = slice_type in (2, 7)
     ps = CabacSliceParser(br, dec.mbw, dec.mbh, qp, is_i, model,
-                          num_ref=dec.pps.num_ref_idx_l0_active)
+                          num_ref=dec.pps.num_ref_idx_l0_active,
+                          trans8_mode=dec.pps.transform_8x8)
     qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
                                 0, 51)])
     n = dec.mbh * dec.mbw
@@ -1468,7 +1509,10 @@ def _decode_slice_cabac(dec: SliceDecoder, br, slice_type: int, qp: int,
         if is_i:
             i4, mode16, cbpl, cbpc = ps.mb_type_i_slice(my, mx)
             if i4:
-                _recon_i4_cabac(dec, ps, my, mx, qp, qpc)
+                if ps.trans8_mode and ps.transform_size_flag(my, mx):
+                    _recon_i8_cabac(dec, ps, my, mx, qp, qpc)
+                else:
+                    _recon_i4_cabac(dec, ps, my, mx, qp, qpc)
             else:
                 _recon_i16_cabac(dec, ps, my, mx, mode16, cbpl, cbpc,
                                  qp, qpc)
@@ -1483,7 +1527,11 @@ def _decode_slice_cabac(dec: SliceDecoder, br, slice_type: int, qp: int,
                     i4, mode16, cbpl, cbpc = info
                     dec.mb_intra[my, mx] = True
                     if i4:
-                        _recon_i4_cabac(dec, ps, my, mx, qp, qpc)
+                        if ps.trans8_mode \
+                                and ps.transform_size_flag(my, mx):
+                            _recon_i8_cabac(dec, ps, my, mx, qp, qpc)
+                        else:
+                            _recon_i4_cabac(dec, ps, my, mx, qp, qpc)
                     else:
                         _recon_i16_cabac(dec, ps, my, mx, mode16, cbpl,
                                          cbpc, qp, qpc)
@@ -1504,7 +1552,8 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
     while br.bit_position() % 8:
         assert br.read1() == 1, "cabac_alignment_one_bit must be 1"
     ps = CabacSliceParser(br, dec.mbw, dec.mbh, qp, False, model,
-                          slice_is_b=True)
+                          slice_is_b=True,
+                          trans8_mode=dec.pps.transform_8x8)
     qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
                                 0, 51)])
     n = dec.mbh * dec.mbw
@@ -1524,7 +1573,10 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
                 i4, mode16, cbpl, cbpc = ps.mb_type_b_intra_suffix()
                 dec.mb_intra[my, mx] = True
                 if i4:
-                    _recon_i4_cabac(dec, ps, my, mx, qp, qpc)
+                    if ps.trans8_mode and ps.transform_size_flag(my, mx):
+                        _recon_i8_cabac(dec, ps, my, mx, qp, qpc)
+                    else:
+                        _recon_i4_cabac(dec, ps, my, mx, qp, qpc)
                 else:
                     _recon_i16_cabac(dec, ps, my, mx, mode16, cbpl,
                                      cbpc, qp, qpc)
@@ -1538,7 +1590,7 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
     mvd0, mvd1, cbpl, cbpc, blk_lv, cdcs, cacs = \
         ps.parse_b_mb(my, mx, btype)
     if btype == 0:
-        use0, use1, mv0, mv1 = dec._spatial_direct(my, mx)
+        use0, use1, mv0, mv1 = dec._direct(my, mx)
     else:
         use0 = btype in (1, 3)
         use1 = btype in (2, 3)
@@ -1711,10 +1763,30 @@ def _recon_i4_cabac(dec, ps, my, mx, qp, qpc):
     dec.mbs.append(MBInfo("I4x4", (0, 0), qp))
 
 
+def _recon_i8_cabac(dec, ps, my, mx, qp, qpc):
+    """I_NxN with transform flag 1 under CABAC: cat-5 residual +
+    shared 8x8 prediction/recon helpers (twin of decode_i8x8)."""
+    modes8, cmode, cbp_luma, cbp_chroma, lev8, cdcs, cacs = \
+        ps.parse_i8_mb(my, mx)
+    for b, (by8, bx8) in enumerate(dec._Z8):
+        # keep the CAVLC-path mode map in sync for later i4 MBs
+        dec.modes4[4 * my + 2 * by8:4 * my + 2 * by8 + 2,
+                   4 * mx + 2 * bx8:4 * mx + 2 * bx8 + 2] = modes8[b]
+        deq = R.dequant8x8(R.dezigzag8(lev8[by8, bx8]), qp, intra=True)
+        pred = dec._i8_pred_block(mx, my, by8, bx8, int(modes8[b]))
+        py, px = 16 * my + 8 * by8, 16 * mx + 8 * bx8
+        dec.y[py:py + 8, px:px + 8] = R.idct8x8_add(pred, deq)
+    _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,
+                       qpc, True)
+    dec.mb_intra[my, mx] = True
+    dec.mb_trans8[my, mx] = True
+    dec.mbs.append(MBInfo("I8x8", (0, 0), qp))
+
+
 def _recon_p_cabac(dec, ps, my, mx, part, qp, qpc):
     from ..encoder.scan import mb_units
-    (mvds, subs, refs), cbp_luma, cbp_chroma, blk_lv, cdcs, cacs = \
-        ps.parse_p_mb(my, mx, part)
+    ((mvds, subs, refs), cbp_luma, cbp_chroma, blk_lv, cdcs, cacs,
+     lev8) = ps.parse_p_mb(my, mx, part)
     geom = mb_units(part, subs) if part == 3 else dec._UNIT_GEOM[part]
     ref_geom = dec._UNIT_GEOM[3] if part == 3 else dec._UNIT_GEOM[part]
     y4, x4 = 4 * my, 4 * mx
@@ -1729,12 +1801,23 @@ def _recon_p_cabac(dec, ps, my, mx, part, qp, qpc):
         dec.mv4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = mv
         dec.dec4[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = True
         unit_mvs.append((int(mv[0]), int(mv[1])))
-    blocks = np.zeros((4, 4, 4, 4), np.int64)
-    for by in range(4):
-        for bx in range(4):
-            if cbp_luma & (1 << ((by // 2) * 2 + bx // 2)):
-                blocks[by, bx] = R.dequant4x4(_dez16(blk_lv[by, bx]), qp)
-    dec._recon_inter_luma(mx, my, blocks)
+    if lev8 is not None:
+        deq8 = np.stack([np.stack([
+            R.dequant8x8(R.dezigzag8(lev8[a, b2]), qp, intra=False)
+            for b2 in range(2)]) for a in range(2)])
+        dec._recon_inter_luma8(mx, my, deq8)
+        dec.mb_trans8[my, mx] = True
+        for b, (by8, bx8) in enumerate(dec._Z8):
+            dec.nnz8[2 * my + by8, 2 * mx + bx8] = int(
+                np.count_nonzero(lev8[by8, bx8]))
+    else:
+        blocks = np.zeros((4, 4, 4, 4), np.int64)
+        for by in range(4):
+            for bx in range(4):
+                if cbp_luma & (1 << ((by // 2) * 2 + bx // 2)):
+                    blocks[by, bx] = R.dequant4x4(
+                        _dez16(blk_lv[by, bx]), qp)
+        dec._recon_inter_luma(mx, my, blocks)
     _recon_chroma_from(dec, ps, my, mx, 0, cbp_chroma, cdcs, cacs, qpc,
                        False)
     dec.decoded[my, mx] = True

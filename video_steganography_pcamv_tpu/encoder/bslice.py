@@ -638,6 +638,59 @@ def spatial_direct(g0: _Grid, g1: _Grid, col_mv4, col_ref4,
     return use0, use1, mv0, mv1
 
 
+def dist_scale_factor(poc_b, poc0, poc1) -> int:
+    """DistScaleFactor for temporal direct (spec 8.4.1.2.3; reference
+    x264_macroblock_bipred_init common/macroblock.c dist_scale_factor
+    derivation). poc0 = L0[0]'s poc, poc1 = L1[0]'s."""
+    td = int(np.clip(poc1 - poc0, -128, 127))
+    tb = int(np.clip(poc_b - poc0, -128, 127))
+    if td == 0:
+        return 256
+    tx = (16384 + abs(td) // 2) // td
+    return int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
+
+
+def temporal_direct_fields(col_mv4, col_ref4, dsf: int):
+    """Temporal direct fields, whole frame (spec 8.4.1.2.3; reference
+    x264_mb_predict_mv_direct16x16_temporal, common/macroblock.c:165).
+
+    Per 8x8 (direct_8x8_inference) the colocated corner 4x4 of L1[0]'s
+    own motion field scales by POC distances: mvL0 = (DSF*mvCol+128)>>8,
+    mvL1 = mvL0 - mvCol; colocated intra -> zeros with refs 0. A
+    colocated ref > 0 has no image in our single-entry B L0 list
+    (map_col_to_list0 < 0, macroblock.c:187-207) -> the whole MB is
+    direct-unavailable. Unlike spatial, nothing depends on neighbour
+    commits, so the field is computed once per frame, vectorized.
+
+    Returns (avail [mbh,mbw] bool, mv0_8 [2mbh,2mbw,2], mv1_8)."""
+    h4, w4 = col_ref4.shape
+    mbh, mbw = h4 // 4, w4 // 4
+    iy = np.arange(2 * mbh)
+    ix = np.arange(2 * mbw)
+    cy = (iy // 2) * 4 + (iy % 2) * 3   # corner 4x4 per 8x8
+    cx = (ix // 2) * 4 + (ix % 2) * 3
+    colm = col_mv4[np.ix_(cy, cx)].astype(np.int64)   # [2mbh,2mbw,2]
+    colr = col_ref4[np.ix_(cy, cx)]                   # [2mbh,2mbw]
+    mv0 = (dsf * colm + 128) >> 8       # arithmetic shift, C twin
+    mv1 = mv0 - colm
+    intra = colr < 0
+    mv0 = np.where(intra[..., None], 0, mv0).astype(np.int32)
+    mv1 = np.where(intra[..., None], 0, mv1).astype(np.int32)
+    ok8 = intra | (colr == 0)
+    avail = ok8.reshape(mbh, 2, mbw, 2).all(axis=(1, 3))
+    return avail, mv0, mv1
+
+
+def _tdir_mb(tdir, my, mx):
+    """One MB's direct derivation from the precomputed temporal field
+    (same return shape as spatial_direct)."""
+    avail, tmv0, tmv1 = tdir
+    ok = bool(avail[my, mx])
+    dmv0 = tmv0[2 * my:2 * my + 2, 2 * mx:2 * mx + 2].reshape(4, 2)
+    dmv1 = tmv1[2 * my:2 * my + 2, 2 * mx:2 * mx + 2].reshape(4, 2)
+    return ok, ok, dmv0, dmv1
+
+
 def approx_direct_fields(mv0, mv1, col_mv4, col_ref4):
     """Approximate direct fields for the device direct-cost
     pre-evaluation: every MB is assumed committed L0@mv0 / L1@mv1
@@ -680,7 +733,7 @@ _B_UNIT_GEOM = {
 
 
 def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
-                 col_ref4, lam: int, intra=None):
+                 col_ref4, lam: int, intra=None, tdir=None):
     """Host raster commit for the B partition path: exact spatial
     direct derivation, direct-vs-config decision, per-unit MVP/mvd for
     both lists (all-L0-then-all-L1 syntax order; within a list the MVP
@@ -709,9 +762,12 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
             if intra is not None and intra[my, mx]:
                 continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
-            du0, du1, dmv0, dmv1 = spatial_direct(
-                g0, g1, col_mv4, col_ref4, my, mx)
-            if c_dir[my, mx] + lam <= c_cfg[my, mx]:
+            if tdir is None:
+                du0, du1, dmv0, dmv1 = spatial_direct(
+                    g0, g1, col_mv4, col_ref4, my, mx)
+            else:
+                du0, du1, dmv0, dmv1 = _tdir_mb(tdir, my, mx)
+            if du0 and c_dir[my, mx] + lam <= c_cfg[my, mx]:
                 # B_Direct_16x16 (code 0): commit per 8x8
                 u0i, u1i = int(du0), int(du1)
                 for b in range(4):
@@ -780,7 +836,7 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
 
 
 def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
-                 lam: int, intra=None):
+                 lam: int, intra=None, tdir=None):
     """Host raster scan for a B frame: per-MB mode decision + exact
     direct derivation + mvd/mvp. Returns (mode [mbh,mbw] in
     {0 direct,1 L0,2 L1,3 BI}, use0/use1 [2mbh,2mbw] int32,
@@ -800,10 +856,14 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
             if intra is not None and intra[my, mx]:
                 continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
-            du0, du1, dmv0, dmv1 = spatial_direct(
-                g0, g1, col_mv4, col_ref4, my, mx)
+            if tdir is None:
+                du0, du1, dmv0, dmv1 = spatial_direct(
+                    g0, g1, col_mv4, col_ref4, my, mx)
+            else:
+                du0, du1, dmv0, dmv1 = _tdir_mb(tdir, my, mx)
             cands = np.array([
-                c_dir[my, mx] + lam * hdr[0],
+                (c_dir[my, mx] if du0 or du1 else (1 << 60))
+                + lam * hdr[0],
                 c0[my, mx] + lam * hdr[1],
                 c1[my, mx] + lam * hdr[2],
                 cbi[my, mx] + lam * hdr[3]], np.int64)

@@ -26,13 +26,28 @@ from ..utils.bitstream import BitWriter
 from .cavlc import LUMA_SCAN, CHROMA_SCAN, zigzag
 from ..ops.transform import ZIGZAG_4x4
 
-# ctxBlockCat (spec Table 9-42)
-CAT_LUMA_DC, CAT_LUMA_AC, CAT_LUMA_4x4, CAT_CHROMA_DC, CAT_CHROMA_AC = \
-    range(5)
-_SIG_OFF = [105, 120, 134, 149, 152]     # significant_coeff_flag
-_LAST_OFF = [166, 181, 195, 210, 213]    # last_significant_coeff_flag
-_ABS_OFF = [227, 237, 247, 257, 266]     # coeff_abs_level_minus1
-_MAXC = [16, 15, 16, 4, 15]              # coeffs per cat
+# ctxBlockCat (spec Table 9-42; cat 5 = 8x8 luma, High profile)
+(CAT_LUMA_DC, CAT_LUMA_AC, CAT_LUMA_4x4, CAT_CHROMA_DC, CAT_CHROMA_AC,
+ CAT_LUMA_8x8) = range(6)
+_SIG_OFF = [105, 120, 134, 149, 152, 402]   # significant_coeff_flag
+_LAST_OFF = [166, 181, 195, 210, 213, 417]  # last_significant_coeff_flag
+_ABS_OFF = [227, 237, 247, 257, 266, 426]   # coeff_abs_level_minus1
+_MAXC = [16, 15, 16, 4, 15, 64]             # coeffs per cat
+
+# cat-5 significance-map context mappings, frame-coded (spec Table 9-43
+# scanning-position -> ctx increment; reference encoder/cabac.c:551-568
+# significant_coeff_flag_offset_8x8[0] / last_coeff_flag_offset_8x8).
+# Interlace is formally waived (frame_mbs_only), so only the frame rows.
+SIG8_CTX = (
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12)
+LAST8_CTX = (
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8)
 
 # node-context chains for coeff_abs_level (spec 9.3.3.1.1.9 semantics)
 _LEVEL1_CTX = [1, 2, 3, 4, 0, 0, 0, 0]
@@ -173,11 +188,14 @@ class CabacSliceWriter:
     """Per-frame CABAC syntax writer (x264_macroblock_write_cabac)."""
 
     def __init__(self, mbw: int, mbh: int, qp: int, slice_is_i: bool,
-                 model: int = 0, slice_is_b: bool = False):
+                 model: int = 0, slice_is_b: bool = False,
+                 trans8_mode: bool = False):
         self.mbw, self.mbh = mbw, mbh
         self.cb = CabacEncoder(qp, slice_is_i, model)
         self.slice_is_i = slice_is_i
         self.slice_is_b = slice_is_b
+        self.trans8_mode = trans8_mode   # PPS transform_8x8_mode_flag
+        self.trans8_map = np.zeros((mbh, mbw), np.int32)
         # context maps
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
@@ -239,20 +257,27 @@ class CabacSliceWriter:
         cb = self.cb
         count = _MAXC[cat]
         nz = [i for i, x in enumerate(levels) if x]
-        cbf_ctx = self._cbf_ctx(cat, my, mx, by, bx, ch, cur_intra)
-        if not nz:
-            cb.decision(cbf_ctx, 0)
-            return 0
-        cb.decision(cbf_ctx, 1)
+        if cat == CAT_LUMA_8x8:
+            # cat 5 carries no coded_block_flag — presence is implied
+            # by the CBP bit (spec 7.4.5.3.3 / reference cabac.c:602)
+            assert nz, "cat-5 residual requires nonzero levels"
+        else:
+            cbf_ctx = self._cbf_ctx(cat, my, mx, by, bx, ch, cur_intra)
+            if not nz:
+                cb.decision(cbf_ctx, 0)
+                return 0
+            cb.decision(cbf_ctx, 1)
         last = nz[-1]
         sig_base = _SIG_OFF[cat]
         last_base = _LAST_OFF[cat]
         lvl_base = _ABS_OFF[cat]
+        is8 = cat == CAT_LUMA_8x8
         for i in range(min(last + 1, count - 1)):
             sig = 1 if levels[i] else 0
-            cb.decision(sig_base + i, sig)
+            cb.decision(sig_base + (SIG8_CTX[i] if is8 else i), sig)
             if sig:
-                cb.decision(last_base + i, 1 if i == last else 0)
+                cb.decision(last_base + (LAST8_CTX[i] if is8 else i),
+                            1 if i == last else 0)
         node = 0
         for i in reversed(nz):
             v = int(levels[i])
@@ -276,6 +301,21 @@ class CabacSliceWriter:
         return len(nz)
 
     # ------------------------------------------------------------------
+    def transform_size_flag(self, my, mx, flag: int):
+        """transform_size_8x8_flag (reference
+        x264_cabac_mb_transform_size, encoder/cabac.c:369-373): ctx
+        399 + available-neighbour trans8 flags
+        (common/macroblock.c:1044 i_neighbour_transform_size)."""
+        ctx = 399
+        if mx > 0 and self.mb_kind[my, mx - 1] >= 0 \
+                and self.trans8_map[my, mx - 1]:
+            ctx += 1
+        if my > 0 and self.mb_kind[my - 1, mx] >= 0 \
+                and self.trans8_map[my - 1, mx]:
+            ctx += 1
+        self.cb.decision(ctx, 1 if flag else 0)
+        self.trans8_map[my, mx] = 1 if flag else 0
+
     def skip_flag(self, my, mx, b_skip):
         """mb_skip_flag (x264_cabac_mb_skip, encoder/cabac.c:300-306):
         ctx base 11 for P, 24 for B."""
@@ -609,6 +649,26 @@ class CabacSliceWriter:
             else:
                 self.nnz_y[yy, xx] = 0
 
+    _Z8 = ((0, 0), (0, 1), (1, 0), (1, 1))
+
+    def _luma_residual_8x8(self, my, mx, cbp_luma, luma8_lev, intra):
+        """8x8-transform luma residual: one cat-5 block per coded 8x8
+        (reference cabac.c:994-999). nnz cells take the 8x8's nonzero
+        flag replicated 2x2 (STORE_8x8_NNZ, encoder/macroblock.c:150)."""
+        from ..ops.transform8 import ZIGZAG_8x8
+        gy, gx = 4 * my, 4 * mx
+        for b, (by8, bx8) in enumerate(self._Z8):
+            ys = slice(gy + 2 * by8, gy + 2 * by8 + 2)
+            xs = slice(gx + 2 * bx8, gx + 2 * bx8 + 2)
+            if cbp_luma & (1 << b):
+                blk = np.asarray(luma8_lev[by8, bx8])
+                lv = blk[ZIGZAG_8x8[:, 0], ZIGZAG_8x8[:, 1]]
+                n = self.residual(CAT_LUMA_8x8, lv, my, mx,
+                                  cur_intra=intra)
+                self.nnz_y[ys, xs] = 1 if n else 0
+            else:
+                self.nnz_y[ys, xs] = 0
+
     def _chroma_residual(self, my, mx, cbp_chroma, chroma_dc, chroma_ac,
                          intra):
         gy, gx = 2 * my, 2 * mx
@@ -680,6 +740,9 @@ class CabacSliceWriter:
         else:
             self.mb_type_i_slice(my, mx, True, 0, cbp_luma, cbp_chroma)
         self.mvd4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        if self.trans8_mode:
+            # I_NxN carries the flag right after mb_type (cabac.c:827)
+            self.transform_size_flag(my, mx, 0)
         self.intra4x4_modes(my, mx, modes)
         self.chroma_pred_mode(my, mx, cmode)
         cbp = (cbp_chroma << 4) | cbp_luma
@@ -692,6 +755,61 @@ class CabacSliceWriter:
         if cbp:
             self.qp_delta_zero(True)
             self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma, True)
+            self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
+                                  chroma_ac, True)
+        else:
+            self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+            self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+
+    def write_i8_mb(self, my, mx, modes8, cmode, cbp_luma, cbp_chroma,
+                    luma8_lev, chroma_dc, chroma_ac,
+                    in_p: bool = False, in_b: bool = False):
+        """One I_NxN (Intra_8x8) macroblock: I_NxN mb_type, transform
+        flag 1 right after it, 4 pred modes on the i4 ctx pair
+        (reference cabac.c:827-838, di=4 loop), cat-5 luma residual.
+        modes8: [4] z-order 8x8 modes; luma8_lev: [2,2,8,8]."""
+        if in_b:
+            self.skip_flag(my, mx, False)
+            self.mb_type_b_intra(my, mx, True, 0, cbp_luma, cbp_chroma)
+            self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+            self.bdirect[my, mx] = False
+        elif in_p:
+            self.skip_flag(my, mx, False)
+            self.mb_type_p_intra(True, 0, cbp_luma, cbp_chroma)
+        else:
+            self.mb_type_i_slice(my, mx, True, 0, cbp_luma, cbp_chroma)
+        self.mvd4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.transform_size_flag(my, mx, 1)
+        cb = self.cb
+        for b, (by8, bx8) in enumerate(self._Z8):
+            gy, gx = 4 * my + 2 * by8, 4 * mx + 2 * bx8
+            mode = int(modes8[b])
+            if gx == 0 or gy == 0:
+                pm = 2
+            else:
+                pm = int(min(self.modes4[gy, gx - 1],
+                             self.modes4[gy - 1, gx]))
+            if mode == pm:
+                cb.decision(68, 1)
+            else:
+                cb.decision(68, 0)
+                rem = mode - (1 if mode > pm else 0)
+                cb.decision(69, rem & 1)
+                cb.decision(69, (rem >> 1) & 1)
+                cb.decision(69, (rem >> 2) & 1)
+            # i8x8 modes replicate into the 2x2 ctx cells (x264 cache)
+            self.modes4[gy:gy + 2, gx:gx + 2] = mode
+        self.chroma_pred_mode(my, mx, cmode)
+        cbp = (cbp_chroma << 4) | cbp_luma
+        self.cbp_luma(my, mx, cbp_luma)
+        self.cbp_chroma(my, mx, cbp_chroma)
+        self.mb_kind[my, mx] = 2   # I_NxN, after cbp ctx derivation
+        self.cbp[my, mx] = cbp
+        self.dc_nz_y[my, mx] = 0
+        self.dc_nz_c[:, my, mx] = 0
+        if cbp:
+            self.qp_delta_zero(True)
+            self._luma_residual_8x8(my, mx, cbp_luma, luma8_lev, True)
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, True)
         else:
@@ -715,12 +833,15 @@ class CabacSliceWriter:
 
     def write_p_mb(self, my, mx, part, mvds, cbp_luma, cbp_chroma,
                    luma_blocks, chroma_dc, chroma_ac, sub_types=None,
-                   refs=None, num_ref: int = 1):
+                   refs=None, num_ref: int = 1, trans8: bool = False,
+                   luma8_lev=None):
         """sub_types: [4] sub_mb_type per 8x8 block (None = all
         P_L0_8x8); mvds then has one row per unit in coding order.
         refs: per-ref-slot L0 refs (parts 0-2: one per unit; P_8x8:
         one per 8x8 block), coded when num_ref > 1 — refs before mvds,
-        matching the reference's order (encoder/cabac.c:846-893)."""
+        matching the reference's order (encoder/cabac.c:846-893).
+        trans8: the MB's transform_size_8x8_flag (luma8_lev [2,2,8,8]
+        replaces luma_blocks when set)."""
         from .scan import mb_units
         self.skip_flag(my, mx, False)
         self.mb_type_p_inter(part)
@@ -743,6 +864,10 @@ class CabacSliceWriter:
         cbp = (cbp_chroma << 4) | cbp_luma
         self.cbp_luma(my, mx, cbp_luma)
         self.cbp_chroma(my, mx, cbp_chroma)
+        # inter MBs carry the flag after cbp when luma residual exists
+        # (reference cabac.c:974-976; all P parts here are >= 8x8)
+        if self.trans8_mode and cbp_luma:
+            self.transform_size_flag(my, mx, 1 if trans8 else 0)
         self.mb_kind[my, mx] = 1
         self.cbp[my, mx] = cbp
         self.cmode_map[my, mx] = 0
@@ -751,7 +876,12 @@ class CabacSliceWriter:
         self.dc_nz_c[:, my, mx] = 0
         if cbp:
             self.qp_delta_zero(True)
-            self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma, False)
+            if trans8 and cbp_luma:
+                self._luma_residual_8x8(my, mx, cbp_luma, luma8_lev,
+                                        False)
+            else:
+                self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma,
+                                        False)
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, False)
         else:
@@ -786,6 +916,10 @@ class CabacSliceWriter:
         cbp = (cbp_chroma << 4) | cbp_luma
         self.cbp_luma(my, mx, cbp_luma)
         self.cbp_chroma(my, mx, cbp_chroma)
+        if self.trans8_mode and cbp_luma:
+            # B MBs never choose the 8x8 transform yet; the flag is
+            # still mandatory syntax under PPS transform mode
+            self.transform_size_flag(my, mx, 0)
         self.mb_kind[my, mx] = 1
         self.bdirect[my, mx] = btype == 0
         self.cbp[my, mx] = cbp
@@ -838,6 +972,8 @@ class CabacSliceWriter:
         cbp = (cbp_chroma << 4) | cbp_luma
         self.cbp_luma(my, mx, cbp_luma)
         self.cbp_chroma(my, mx, cbp_chroma)
+        if self.trans8_mode and cbp_luma:
+            self.transform_size_flag(my, mx, 0)
         self.mb_kind[my, mx] = 1
         self.bdirect[my, mx] = False
         self.cbp[my, mx] = cbp

@@ -344,6 +344,10 @@ class FrameCavlc:
         bw.write_se(int(mvd[1]))
         cbp = (cbp_chroma << 4) | cbp_luma
         bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
+        # mandatory flag under PPS transform mode (this path never
+        # chooses the 8x8 transform)
+        if self.trans8_mode and cbp_luma:
+            bw.write1(0)
         if cbp:
             bw.write_se(qp_delta)
         gy, gx = 4 * my, 4 * mx
@@ -461,6 +465,11 @@ class FrameCavlc:
                         bw.write_se(int(mvd[u, 1]))
         cbp = (cbp_chroma << 4) | cbp_luma
         bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
+        # transform_size_8x8_flag is mandatory syntax for coded B MBs
+        # with luma residual under PPS transform mode (spec 7.3.5;
+        # B MBs never choose the 8x8 transform yet -> flag 0)
+        if self.trans8_mode and cbp_luma:
+            bw.write1(0)
         if cbp:
             bw.write_se(qp_delta)
         gy, gx = 4 * my, 4 * mx

@@ -274,6 +274,8 @@ class Encoder:
                                 # (implicit bipred weights)
         self._poc_lsb = 0      # poc of the slice being written
         self._pending_p = None  # pipelined driver: deferred entropy
+        self._direct_score = [0, 0]  # --direct auto running score
+        #                      [0]=temporal, [1]=spatial (x264 stat)
         self.keep_recon = False     # tests: record recon per display idx
         self.recon_by_disp = {}
         self._aus = None       # when a list: (disp, bytes, kind) per AU
@@ -473,7 +475,9 @@ class Encoder:
                                    self.p.weightb)
             out += self._encode_b_frame(bf, by, bu, bv, ref_l0, ref_l1,
                                         col, anchor_qp, bsatd, bdisp,
-                                        w1=w1)
+                                        w1=w1,
+                                        pocs=(2 * bdisp, 2 * l0_disp,
+                                              2 * disp))
         return out
 
     def _zone_qp(self, qp: int, disp: int) -> int:
@@ -802,7 +806,7 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None:
+        if self._native is not None and not p.transform_8x8:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice_cabac(
@@ -819,10 +823,21 @@ class Encoder:
                           if p.i4x4 else None))
         while not bw.byte_aligned():
             bw.write1(1)  # cabac_alignment_one_bit
-        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=True)
+        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=True,
+                             trans8_mode=p.transform_8x8)
         n = mbh * mbw
         for a in range(n):
             my, mx = a // mbw, a % mbw
+            if p.transform_8x8 and res["mb_i8"][my, mx]:
+                w.write_i8_mb(my, mx, res["i8_modes"][my, mx],
+                              int(res["cmode"][my, mx]),
+                              int(res["cbp_luma"][my, mx]),
+                              int(res["cbp_chroma"][my, mx]),
+                              res["luma8_lev"][my, mx],
+                              res["chroma_dc"][my, mx],
+                              res["chroma_ac"][my, mx])
+                w.end_mb(a == n - 1)
+                continue
             if p.i4x4 and res["mb_i4"][my, mx]:
                 w.write_i4_mb(my, mx, res["i4_modes"][my, mx],
                               int(res["cmode"][my, mx]),
@@ -880,7 +895,8 @@ class Encoder:
         C++ twin when no intra MBs; Python writer otherwise)."""
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
-        if self._native is not None and intra_res is None:
+        if self._native is not None and intra_res is None \
+                and not p.transform_8x8:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -893,7 +909,7 @@ class Encoder:
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
                 refs=self._refs4(part, ref8), num_ref=p.ref_frames)
-        fc = FrameCavlc(mbw, mbh)
+        fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
         for my in range(mbh):
             for mx in range(mbw):
@@ -937,7 +953,11 @@ class Encoder:
                     res["chroma_dc"][my, mx],
                     res["chroma_ac"][my, mx], qp_delta=0,
                     refs=self._refs_of(pt, ref8, my, mx),
-                    num_ref=p.ref_frames)
+                    num_ref=p.ref_frames,
+                    trans8=bool(p.transform_8x8
+                                and res["trans8"][my, mx]),
+                    luma8_lev=(res["luma8_lev"][my, mx]
+                               if p.transform_8x8 else None))
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()
@@ -951,7 +971,8 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None and intra_res is None:
+        if self._native is not None and intra_res is None \
+                and not p.transform_8x8:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             if part is None:
@@ -973,7 +994,8 @@ class Encoder:
                 num_ref=self.p.ref_frames)
         while not bw.byte_aligned():
             bw.write1(1)
-        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
+        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,
+                             trans8_mode=p.transform_8x8)
         for a in range(n):
             my, mx = a // mbw, a % mbw
             k = 0 if intra_kind is None else int(intra_kind[my, mx])
@@ -1013,7 +1035,11 @@ class Encoder:
                              res["chroma_ac"][my, mx],
                              refs=(None if ref8 is None
                                    else self._refs_of(pt, ref8, my, mx)),
-                             num_ref=self.p.ref_frames)
+                             num_ref=self.p.ref_frames,
+                             trans8=bool(p.transform_8x8
+                                         and res["trans8"][my, mx]),
+                             luma8_lev=(res["luma8_lev"][my, mx]
+                                        if p.transform_8x8 else None))
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
@@ -1021,13 +1047,25 @@ class Encoder:
     def _write_p_slice_cabac_sub(self, bw, res, qp, part, sub_type, mvd,
                                  skip, intra_kind=None,
                                  intra_res=None) -> bytes:
-        """CABAC P slice with sub-8x8 partitions (Python writer; the
-        native twin doesn't speak sub_mb_types yet). mvd: [mbh,mbw,16,2]
+        """CABAC P slice with sub-8x8 partitions (native twin when
+        no intra MBs; Python oracle otherwise). mvd: [mbh,mbw,16,2]
         coding-order unit mvds."""
         from .cabac import CabacSliceWriter
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
+        if self._native is not None and intra_res is None:
+            from .. import native
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice_cabac(
+                hdr, nbits, H.SLICE_TYPE_P, mbw, mbh, qp,
+                skip=skip.reshape(n).astype(np.uint8),
+                part=part.reshape(n), mvd4=mvd.reshape(n, 16, 2),
+                sub_type=sub_type.reshape(n, 4),
+                cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
+                luma_blocks=res["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
@@ -1427,15 +1465,20 @@ class Encoder:
         nnz4 = None
         trans8_mask = None
         if p.transform_8x8 and "trans8" in res_np:
+            # effective trans8 = analysis decision AND cbp_luma > 0:
+            # with no luma residual the flag is never transmitted and
+            # the decoder infers 0 (spec 7.4.5) — deblock must agree
+            t8_eff = (res_np["trans8"] & (res_np["cbp_luma"] != 0)
+                      & ~intra_mask)
             nz4 = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
                 .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
             nz8 = np.count_nonzero(res_np["luma8_lev"], axis=(4, 5)) \
                 .transpose(0, 2, 1, 3).reshape(2 * mbh, 2 * mbw)
             nnz4 = np.where(
-                np.repeat(np.repeat(res_np["trans8"], 4, 0), 4, 1),
+                np.repeat(np.repeat(t8_eff, 4, 0), 4, 1),
                 np.repeat(np.repeat(nz8, 2, 0), 2, 1),
                 nz4).astype(np.int32)
-            trans8_mask = res_np["trans8"].astype(np.uint8)
+            trans8_mask = t8_eff.astype(np.uint8)
         if p.deblock and self._on_tpu():
             self._deblock_device(res2, intra_mask, skip, mv4, qp,
                                  _nnz4_device(res2["luma_lev"], mbh,
@@ -1479,27 +1522,35 @@ class Encoder:
 
         nnz4 = None
         trans8_mask = None
-        if intra_res is not None:
-            # deblock nnz: inter MBs from luma_lev, intra from luma_ac
-            nz_inter = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
-                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
-            nz_intra = np.count_nonzero(intra_res["luma_ac"],
-                                        axis=(4, 5)) \
-                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
-            m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
-            nnz4 = np.where(m4, nz_intra, nz_inter).astype(np.int32)
         if p.transform_8x8 and "trans8" in res_np:
             # trans8 MBs: every 4x4 cell carries its 8x8's coeff count
             # (bS at 8x8 edges reads any covered cell; internal edges
-            # are skipped by the deblocker's trans8 rule)
+            # are skipped by the deblocker's trans8 rule).
+            # effective trans8 = decision AND cbp_luma > 0 AND coded
+            # inter: with no luma residual (or an intra re-decision)
+            # the flag is never transmitted and the decoder infers 0
+            # (spec 7.4.5) — deblock must agree
+            t8_eff = (res_np["trans8"] & (res_np["cbp_luma"] != 0)
+                      & ~intra_mask)
             nz4 = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
                 .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
             nz8 = np.count_nonzero(res_np["luma8_lev"], axis=(4, 5)) \
                 .transpose(0, 2, 1, 3).reshape(2 * mbh, 2 * mbw)
             nz8r = np.repeat(np.repeat(nz8, 2, 0), 2, 1)
-            t8r = np.repeat(np.repeat(res_np["trans8"], 4, 0), 4, 1)
+            t8r = np.repeat(np.repeat(t8_eff, 4, 0), 4, 1)
             nnz4 = np.where(t8r, nz8r, nz4).astype(np.int32)
-            trans8_mask = res_np["trans8"].astype(np.uint8)
+            trans8_mask = t8_eff.astype(np.uint8)
+        if intra_res is not None:
+            # deblock nnz: inter MBs from luma_lev, intra from luma_ac
+            if nnz4 is None:
+                nnz4 = np.count_nonzero(res_np["luma_lev"],
+                                        axis=(4, 5)) \
+                    .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            nz_intra = np.count_nonzero(intra_res["luma_ac"],
+                                        axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
+            nnz4 = np.where(m4, nz_intra, nnz4).astype(np.int32)
         qp_maps = (None, None)
         if self._aq_grids is not None:
             # decoder-visible per-MB QP: MBs that code no qp_delta
@@ -1732,6 +1783,21 @@ class Encoder:
             return self._write_p_slice_cabac_sub(
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
                 intra_res)
+        if self._native is not None and intra_res is None:
+            from .. import native
+            n = mbh * mbw
+            hdr, nbits = bw.partial_bytes()
+            return native.write_slice(
+                hdr, nbits, H.SLICE_TYPE_P, mbw, mbh,
+                skip=skip.reshape(n).astype(np.uint8),
+                part=part_np.reshape(n),
+                mvd4=mvd.reshape(n, 16, 2),
+                sub_type=sub_np.reshape(n, 4),
+                cbp_luma=res_np["cbp_luma"],
+                cbp_chroma=res_np["cbp_chroma"],
+                luma_blocks=res_np["luma_lev"].reshape(n, 16, 16),
+                chroma_dc=res_np["chroma_dc"].reshape(n, 2, 4),
+                chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16))
         fc = FrameCavlc(mbw, mbh)
         skip_run = 0
         for my in range(mbh):
@@ -1780,9 +1846,48 @@ class Encoder:
         bw.rbsp_trailing()
         return bw.get_bytes()
 
+    def _direct_auto_score(self, y, ref0, ref1, spatial_pred,
+                           tfields, approx_mvs, col_mv4, col_ref4,
+                           c_act, c_best, lam, w1, parts: bool):
+        """--direct auto: accumulate per-mode would-direct counts
+        (analog of x264's per-MB bskip probe under both modes,
+        analyse.c:3185-3199, with the 9/10 decay encoder.c:2569-2580).
+        The active mode's direct cost is already computed; evaluate
+        the alternate mode's field with one extra device dispatch."""
+        from . import bslice as BS
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        if spatial_pred:
+            av8 = np.repeat(np.repeat(
+                tfields[0].astype(np.int32), 2, 0), 2, 1)
+            au0, au1, adv0, adv1 = av8, av8, tfields[1], tfields[2]
+            alt_avail = tfields[0]
+        else:
+            au0, au1, adv0, adv1 = BS.approx_direct_fields(
+                approx_mvs[0], approx_mvs[1], col_mv4, col_ref4)
+            alt_avail = np.ones((mbh, mbw), bool)
+        fn = BS.bipred_satd8_device if parts else BS.bipred_satd_device
+        c_alt = np.asarray(fn(
+            y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
+            jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
+            mbh, mbw, w1=w1))
+        if parts:
+            c_alt = c_alt.sum(-1)
+        act_avail = (np.ones((mbh, mbw), bool) if spatial_pred
+                     else tfields[0])
+        s_act = int(((c_act + lam <= c_best) & act_avail).sum())
+        s_alt = int(((c_alt + lam <= c_best) & alt_avail).sum())
+        sc = self._direct_score
+        if sc[0] + sc[1] > mbh * mbw:
+            sc[0] = sc[0] * 9 // 10
+            sc[1] = sc[1] * 9 // 10
+        ai = 1 if spatial_pred else 0
+        sc[ai] += s_act
+        sc[1 - ai] += s_alt
+
     def _encode_b_frame(self, frame, y, u, v, ref0, ref1, col,
                         anchor_qp: int, satd, disp: int,
-                        w1: int = 32) -> bytes:
+                        w1: int = 32, pocs=None) -> bytes:
         """Non-reference B frame between two anchors (bslice.py:
         two-list exhaustive ME + BI at the per-list winners + spatial
         direct; reference B path analyse.c:3110-3466)."""
@@ -1800,6 +1905,27 @@ class Encoder:
         lam = ME.lambda_tab(qp)
         on_tpu = jax.default_backend() == "tpu"
         col_mv4, col_ref4 = col
+        # --direct mode for this slice (x264 encoder.c:120-127; auto
+        # keeps a running would-skip score per mode, analyse.c:3188)
+        dmode = p.direct
+        if dmode == 3:
+            spatial_pred = self._direct_score[1] > self._direct_score[0]
+        else:
+            spatial_pred = dmode == 1
+        tdir = None        # active temporal field
+        tfields = None     # computed temporal field (active or alt)
+        if dmode in (2, 3) and pocs is not None:
+            dsf = BS.dist_scale_factor(*pocs)
+            tfields = BS.temporal_direct_fields(col_mv4, col_ref4, dsf)
+            if not spatial_pred:
+                tdir = tfields
+        if dmode == 0:
+            # direct disabled: every MB direct-unavailable
+            tdir = (np.zeros((p.mb_height, p.mb_width), bool),
+                    np.zeros((2 * p.mb_height, 2 * p.mb_width, 2),
+                             np.int32),
+                    np.zeros((2 * p.mb_height, 2 * p.mb_width, 2),
+                             np.int32))
         subs = None
         use_parts = p.partitions
         # intra-in-B (analyse.c:3110+ considers intra in B MBs too);
@@ -1814,13 +1940,24 @@ class Encoder:
             st0, st1 = BS.analyse_b_parts_stage1(
                 y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
                 lam)
-            au0, au1, adv0, adv1 = BS.approx_direct_fields(
-                4 * np.asarray(st0["mv16"]), 4 * np.asarray(st1["mv16"]),
-                col_mv4, col_ref4)
+            if tdir is not None:
+                av8 = np.repeat(np.repeat(
+                    tdir[0].astype(np.int32), 2, 0), 2, 1)
+                au0, au1, adv0, adv1 = av8, av8, tdir[1], tdir[2]
+            else:
+                au0, au1, adv0, adv1 = BS.approx_direct_fields(
+                    4 * np.asarray(st0["mv16"]),
+                    4 * np.asarray(st1["mv16"]),
+                    col_mv4, col_ref4)
             c_dir8 = BS.bipred_satd8_device(
                 y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
                 jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
                 mbh, mbw, w1=w1)
+            if tdir is not None:
+                # direct-unavailable MBs must never win (16x16 direct
+                # or B_8x8 direct subs)
+                c_dir8 = jnp.where(jnp.asarray(tdir[0])[:, :, None],
+                                   c_dir8, 1 << 20)
             stres = BS.analyse_b_parts(
                 y, ref0["luma"], ref1["luma"], st0, st1, c_dir8,
                 mbh, mbw, lam, p.subpel, w1=w1)
@@ -1830,10 +1967,17 @@ class Encoder:
             sel8_np = np.asarray(stres["sel8"])
             c_cfg_np = np.asarray(stres["c_cfg"])
             c_dir_mb = np.asarray(c_dir8).sum(-1)
+            if dmode == 3 and tfields is not None:
+                self._direct_auto_score(
+                    y, ref0, ref1, spatial_pred, tfields,
+                    (4 * np.asarray(st0["mv16"]),
+                     4 * np.asarray(st1["mv16"])),
+                    col_mv4, col_ref4, c_dir_mb, c_cfg_np, lam, w1,
+                    parts=True)
             rescan_args = (part_np, sel8_np, mv0z, mv1z, c_cfg_np,
                            c_dir_mb, col_mv4, col_ref4, lam)
             mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
-                BS.scan_b_parts(*rescan_args)
+                BS.scan_b_parts(*rescan_args, tdir=tdir)
             if do_intra:
                 inter_cost = np.minimum(c_dir_mb + lam, c_cfg_np)
                 direct_c = (mode == 0) | ((mode == 22)
@@ -1843,8 +1987,13 @@ class Encoder:
                 y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
                 lam, p.subpel, on_tpu, w1=w1)
             mv0_np, mv1_np = np.asarray(mv0), np.asarray(mv1)
-            au0, au1, adv0, adv1 = BS.approx_direct_fields(
-                mv0_np, mv1_np, col_mv4, col_ref4)
+            if tdir is not None:
+                av8 = np.repeat(np.repeat(
+                    tdir[0].astype(np.int32), 2, 0), 2, 1)
+                au0, au1, adv0, adv1 = av8, av8, tdir[1], tdir[2]
+            else:
+                au0, au1, adv0, adv1 = BS.approx_direct_fields(
+                    mv0_np, mv1_np, col_mv4, col_ref4)
             c_dir = BS.bipred_satd_device(
                 y, ref0["luma"], ref1["luma"], jnp.asarray(au0),
                 jnp.asarray(au1), jnp.asarray(adv0), jnp.asarray(adv1),
@@ -1852,8 +2001,19 @@ class Encoder:
             rescan_args = (np.asarray(c_dir), np.asarray(c0),
                            np.asarray(c1), np.asarray(cbi), mv0_np,
                            mv1_np, col_mv4, col_ref4, lam)
+            if dmode == 3 and tfields is not None:
+                hdrb = np.asarray(BS._B_HDR_BITS, np.int64)
+                best_cfg = np.minimum(
+                    np.minimum(rescan_args[1] + lam * hdrb[1],
+                               rescan_args[2] + lam * hdrb[2]),
+                    rescan_args[3] + lam * hdrb[3])
+                self._direct_auto_score(
+                    y, ref0, ref1, spatial_pred, tfields,
+                    (mv0_np, mv1_np), col_mv4, col_ref4,
+                    rescan_args[0] + lam * hdrb[0], best_cfg, lam, w1,
+                    parts=False)
             mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = BS.scan_b_frame(
-                *rescan_args)
+                *rescan_args, tdir=tdir)
             if do_intra:
                 hdr = np.asarray(BS._B_HDR_BITS, np.int64)
                 cands = np.stack([
@@ -1881,10 +2041,14 @@ class Encoder:
         intra_res = None
         if do_intra:
             dep = np.zeros_like(direct_c)
-            dep[:, :-1] |= direct_c[:, 1:]
-            dep[:-1, :] |= direct_c[1:, :]
-            dep[:-1, 1:] |= direct_c[1:, :-1]
-            dep[:-1, :-1] |= direct_c[1:, 1:]
+            if tdir is None:
+                # spatial direct reads neighbours A/B/C/D — an MB a
+                # later direct MB reads may not switch to intra.
+                # temporal direct has no neighbour dependence.
+                dep[:, :-1] |= direct_c[:, 1:]
+                dep[:-1, :] |= direct_c[1:, :]
+                dep[:-1, 1:] |= direct_c[1:, :-1]
+                dep[:-1, :-1] |= direct_c[1:, 1:]
             cost_masked = np.where(dep, -1,
                                    inter_cost).astype(np.int32)
             ir = I.refine_p_intra(
@@ -1900,10 +2064,12 @@ class Encoder:
                 imask = intra_kind > 0
                 if use_parts:
                     mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
-                        BS.scan_b_parts(*rescan_args, intra=imask)
+                        BS.scan_b_parts(*rescan_args, intra=imask,
+                                        tdir=tdir)
                 else:
                     mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
-                        BS.scan_b_frame(*rescan_args, intra=imask)
+                        BS.scan_b_frame(*rescan_args, intra=imask,
+                                        tdir=tdir)
         need_recon = self.keep_recon or p.psnr or p.ssim
         res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
         # B never enters the DPB: PSNR directly against the source
@@ -1934,7 +2100,8 @@ class Encoder:
         H.write_slice_header(
             bw, self.sps, self.pps, H.SLICE_TYPE_B, self.frame_num,
             qp, idr=False, disable_deblock=1,
-            poc_lsb=2 * (disp - self._last_idr_disp), is_ref=False)
+            poc_lsb=2 * (disp - self._last_idr_disp), is_ref=False,
+            direct_spatial=bool(spatial_pred))
         if p.cabac:
             nal = self._write_b_slice_cabac(bw, res_np, qp, mode,
                                             mvd0, mvd1, subs=subs,
@@ -1966,7 +2133,7 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         if self._native is not None and intra_res is None \
-                and np.all(mode <= 3):
+                and np.all(mode <= 3) and not p.transform_8x8:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -1980,7 +2147,7 @@ class Encoder:
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
-        fc = FrameCavlc(mbw, mbh)
+        fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
         for my in range(mbh):
             for mx in range(mbw):
@@ -2044,7 +2211,7 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if self._native is not None and intra_res is None \
-                and np.all(mode <= 3):
+                and np.all(mode <= 3) and not p.transform_8x8:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             m0 = mvd0 if mvd0.ndim == 3 else mvd0[:, :, 0]
@@ -2061,7 +2228,8 @@ class Encoder:
             bw.write1(1)
         per_unit = mvd0.ndim == 4     # B-partition path: [mbh,mbw,4,2]
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,
-                             slice_is_b=True)
+                             slice_is_b=True,
+                             trans8_mode=p.transform_8x8)
         for a in range(n):
             my, mx = a // mbw, a % mbw
             k = 0 if intra_kind is None else int(intra_kind[my, mx])
@@ -2174,7 +2342,8 @@ class Encoder:
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
-        fc = FrameCavlc(p.mb_width, p.mb_height)
+        fc = FrameCavlc(p.mb_width, p.mb_height,
+                        trans8_mode=p.transform_8x8)
         skip_run = 0
         for my in range(p.mb_height):
             for mx in range(p.mb_width):

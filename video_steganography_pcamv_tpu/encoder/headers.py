@@ -282,7 +282,8 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
                        idr_pic_id: int = 0,
                        disable_deblock: int = 1,
                        poc_lsb: int = 0, is_ref: bool = True,
-                       alpha_div2: int = 0, beta_div2: int = 0) -> None:
+                       alpha_div2: int = 0, beta_div2: int = 0,
+                       direct_spatial: bool = True) -> None:
     """Single-slice frame header (reference: encoder/encoder.c slice
     header writer; fields per spec 7.3.3)."""
     bw.write_ue(0)  # first_mb_in_slice
@@ -295,7 +296,7 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
         bw.write(sps.log2_max_poc_lsb,
                  poc_lsb % (1 << sps.log2_max_poc_lsb))
     if slice_type == SLICE_TYPE_B:
-        bw.write1(1)  # direct_spatial_mv_pred_flag (spatial direct)
+        bw.write1(1 if direct_spatial else 0)  # direct_spatial_mv_pred
     if slice_type in (SLICE_TYPE_P, SLICE_TYPE_B):
         if (slice_type == SLICE_TYPE_B
                 and pps.num_ref_idx_l0_active != 1):

@@ -59,7 +59,8 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int]
 
     lib.pcamv_write_slice_b.restype = ctypes.c_long
     lib.pcamv_write_slice_b.argtypes = [
@@ -103,7 +104,8 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, i32p, i32p,
         ctypes.c_void_p, i32p, i32p, i32p,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int]
     lib.pcamv_stc_embed.restype = ctypes.c_int
     lib.pcamv_stc_embed.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long,
                                     ctypes.POINTER(ctypes.c_float),
@@ -123,7 +125,7 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
                 cmode=None, cbp_luma, cbp_chroma, luma_dc=None,
                 luma_blocks, chroma_dc, chroma_ac, mb_i4=None,
                 i4_modes=None, part=None, mvd4=None, refs=None,
-                num_ref: int = 1) -> bytes:
+                num_ref: int = 1, sub_type=None) -> bytes:
     """Native whole-slice entropy coding. Shapes:
     luma_blocks [N,16,16], luma_dc [N,16], chroma_dc [N,2,4],
     chroma_ac [N,2,4,16], mvd [N,2], mb_i4 [N] u8, i4_modes [N,16]."""
@@ -150,10 +152,13 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
         i4m_a = (_as_i32(i4_modes).reshape(n * 16)
                  if i4_modes is not None else None)
         part_a = _as_i32(part).reshape(n) if part is not None else None
-        mvd4_a = (_as_i32(mvd4).reshape(n * 8)
+        stride = 16 if sub_type is not None else 4
+        mvd4_a = (_as_i32(mvd4).reshape(n * 2 * stride)
                   if mvd4 is not None else None)
         refs_a = (_as_i32(refs).reshape(n * 4)
                   if refs is not None else None)
+        sub_a = (_as_i32(sub_type).reshape(n * 4)
+                 if sub_type is not None else None)
         r = lib.pcamv_write_slice(
             out, cap, hdr, header_nbits, slice_type, mbw, mbh,
             ptr(skip_a), ptr(mvd_a), ptr(mode_a), ptr(cmode_a),
@@ -162,7 +167,7 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
             _as_i32(chroma_dc).reshape(n * 8),
             _as_i32(chroma_ac).reshape(n * 128),
             ptr(i4_a), ptr(i4m_a), ptr(part_a), ptr(mvd4_a),
-            ptr(refs_a), num_ref)
+            ptr(refs_a), num_ref, ptr(sub_a), stride)
         if r >= 0:
             return bytes(out[:r])
         cap *= 4
@@ -190,7 +195,7 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
                       mode=None, cmode=None, cbp_luma, cbp_chroma,
                       luma_dc=None, luma_blocks, chroma_dc, chroma_ac,
                       mb_i4=None, i4_modes=None, refs=None,
-                      num_ref: int = 1) -> bytes:
+                      num_ref: int = 1, sub_type=None) -> bytes:
     """Native CABAC whole-slice entropy coding (twin of
     encoder/cabac.py's CabacSliceWriter; bit-identical)."""
     lib = load()
@@ -207,8 +212,11 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
         skip_a = (np.ascontiguousarray(skip, np.uint8)
                   if skip is not None else None)
         part_a = _as_i32(part).reshape(n) if part is not None else None
-        mvd4_a = (_as_i32(mvd4).reshape(n * 8)
+        stride = 16 if sub_type is not None else 4
+        mvd4_a = (_as_i32(mvd4).reshape(n * 2 * stride)
                   if mvd4 is not None else None)
+        sub_a = (_as_i32(sub_type).reshape(n * 4)
+                 if sub_type is not None else None)
         mode_a = _as_i32(mode).reshape(n) if mode is not None else None
         cmode_a = (_as_i32(cmode).reshape(n)
                    if cmode is not None else None)
@@ -228,7 +236,8 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
             ptr(dc_a), _as_i32(luma_blocks).reshape(n * 256),
             _as_i32(chroma_dc).reshape(n * 8),
             _as_i32(chroma_ac).reshape(n * 128),
-            ptr(i4_a), ptr(i4m_a), ptr(refs_a), num_ref)
+            ptr(i4_a), ptr(i4m_a), ptr(refs_a), num_ref,
+            ptr(sub_a), stride)
         if r >= 0:
             return bytes(out[:r])
         cap *= 4

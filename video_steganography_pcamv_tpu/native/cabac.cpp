@@ -484,7 +484,8 @@ extern "C" long pcamv_write_slice_cabac(
     const int32_t* cbp_chroma, const int32_t* luma_dc,
     const int32_t* luma_blocks, const int32_t* chroma_dc,
     const int32_t* chroma_ac, const uint8_t* mb_i4,
-    const int32_t* i4_modes, const int32_t* refs, int num_ref) {
+    const int32_t* i4_modes, const int32_t* refs, int num_ref,
+    const int32_t* sub_type, int mvd_stride) {
   CabacBits bits(out, out_cap);
   for (int i = 0; i < header_nbits; i++)
     bits.bit((header[i >> 3] >> (7 - (i & 7))) & 1);
@@ -558,8 +559,22 @@ extern "C" long pcamv_write_slice_cabac(
       else if (p == 1) { S.cb.dec(14, 0); S.cb.dec(15, 1); S.cb.dec(17, 1); }
       else if (p == 2) { S.cb.dec(14, 0); S.cb.dec(15, 1); S.cb.dec(17, 0); }
       else { S.cb.dec(14, 0); S.cb.dec(15, 0); S.cb.dec(16, 1); }
-      if (p == 3)
-        for (int s = 0; s < 4; s++) S.cb.dec(21, 1);  // P_L0_8x8
+      if (p == 3) {
+        if (sub_type) {
+          // sub_mb_type bins (x264_cabac_mb_sub_p_partition,
+          // encoder/cabac.c:309-330)
+          for (int s = 0; s < 4; s++) {
+            int sv = sub_type[a * 4 + s];
+            if (sv == 0) { S.cb.dec(21, 1); }
+            else if (sv == 1) { S.cb.dec(21, 0); S.cb.dec(22, 0); }
+            else if (sv == 2) { S.cb.dec(21, 0); S.cb.dec(22, 1);
+                                S.cb.dec(23, 1); }
+            else { S.cb.dec(21, 0); S.cb.dec(22, 1); S.cb.dec(23, 0); }
+          }
+        } else {
+          for (int s = 0; s < 4; s++) S.cb.dec(21, 1);  // P_L0_8x8
+        }
+      }
       if (num_ref > 1) {  // ref_idx before mvds (encoder/cabac.c order)
         int n_refs = NUNITS_C[p];
         for (int k = 0; k < n_refs; k++) {
@@ -568,10 +583,34 @@ extern "C" long pcamv_write_slice_cabac(
                     refs ? refs[a * 4 + k] : 0);
         }
       }
-      for (int u = 0; u < NUNITS_C[p]; u++) {
-        const int* g = UGEOM_C[p][u];
-        S.mvd_one(4 * my + g[0], 4 * mx + g[1], g[3], g[2],
-                  mvd4[(a * 4 + u) * 2], mvd4[(a * 4 + u) * 2 + 1]);
+      int mst = mvd_stride > 0 ? mvd_stride : 4;
+      if (p == 3 && sub_type) {
+        // per-sub-unit geometry in coding order (scan.py SUB_GEOM)
+        static const int SG[4][4][4] = {
+            {{0, 0, 2, 2}, {0}, {0}, {0}},
+            {{0, 0, 2, 1}, {1, 0, 2, 1}, {0}, {0}},
+            {{0, 0, 1, 2}, {0, 1, 1, 2}, {0}, {0}},
+            {{0, 0, 1, 1}, {0, 1, 1, 1}, {1, 0, 1, 1}, {1, 1, 1, 1}}};
+        static const int NUS[4] = {1, 2, 2, 4};
+        int u = 0;
+        for (int b = 0; b < 4; b++) {
+          int boy = 2 * (b >> 1), box = 2 * (b & 1);
+          int sv = sub_type[a * 4 + b];
+          for (int k = 0; k < NUS[sv]; k++) {
+            const int* g = SG[sv][k];
+            S.mvd_one(4 * my + boy + g[0], 4 * mx + box + g[1],
+                      g[3], g[2], mvd4[(a * mst + u) * 2],
+                      mvd4[(a * mst + u) * 2 + 1]);
+            u++;
+          }
+        }
+      } else {
+        for (int u = 0; u < NUNITS_C[p]; u++) {
+          const int* g = UGEOM_C[p][u];
+          S.mvd_one(4 * my + g[0], 4 * mx + g[1], g[3], g[2],
+                    mvd4[(a * mst + u) * 2],
+                    mvd4[(a * mst + u) * 2 + 1]);
+        }
       }
       int cbpl = cbp_luma[a], cbpc = cbp_chroma[a];
       S.cbp_luma(my, mx, cbpl);

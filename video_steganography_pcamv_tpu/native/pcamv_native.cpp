@@ -222,7 +222,8 @@ extern "C" long pcamv_write_slice(
     const int32_t* chroma_dc, const int32_t* chroma_ac,
     const uint8_t* mb_i4, const int32_t* i4_modes,
     const int32_t* part, const int32_t* mvd4,
-    const int32_t* refs, int num_ref) {
+    const int32_t* refs, int num_ref,
+    const int32_t* sub_type, int mvd_stride) {
   BitWriter bw(out, out_cap);
   for (int i = 0; i < header_nbits; i++)
     bw.put(1, (header[i >> 3] >> (7 - (i & 7))) & 1);
@@ -248,9 +249,21 @@ extern "C" long pcamv_write_slice(
       // callers pass part=null => 16x16 with mvd[N][2]
       int p = part ? part[a] : 0;
       static const int NU[4] = {1, 2, 2, 4};
+      static const int NUS[4] = {1, 2, 2, 4};  // units per sub_mb_type
       bw.put_ue(p);
-      if (p == 3)
-        for (int s = 0; s < 4; s++) bw.put_ue(0);  // sub P_L0_8x8
+      int n_units = NU[p];
+      if (p == 3) {
+        if (sub_type) {  // sub_mb_type ue (spec Table 7-17)
+          n_units = 0;
+          for (int s = 0; s < 4; s++) {
+            int sv = sub_type[a * 4 + s];
+            bw.put_ue((uint32_t)sv);
+            n_units += NUS[sv];
+          }
+        } else {
+          for (int s = 0; s < 4; s++) bw.put_ue(0);  // sub P_L0_8x8
+        }
+      }
       if (num_ref > 1) {  // ref_idx_l0 te(v), one per ref slot
         int n_refs = p == 3 ? 4 : NU[p];
         for (int k = 0; k < n_refs; k++) {
@@ -260,9 +273,10 @@ extern "C" long pcamv_write_slice(
         }
       }
       if (part) {
-        for (int u = 0; u < NU[p]; u++) {
-          bw.put_se(mvd4[(a * 4 + u) * 2]);
-          bw.put_se(mvd4[(a * 4 + u) * 2 + 1]);
+        int st = mvd_stride > 0 ? mvd_stride : 4;
+        for (int u = 0; u < n_units; u++) {
+          bw.put_se(mvd4[(a * st + u) * 2]);
+          bw.put_se(mvd4[(a * st + u) * 2 + 1]);
         }
       } else {
         bw.put_se(mvd[a * 2]);

@@ -74,6 +74,9 @@ class Params:
                                    # --b-adapt 2 the B-placement DP
                                    # sees max(bframes+1, this) frames
                                    # (clamped to 12 here)
+    direct: int = 1                # B direct MV prediction (x264
+                                   # --direct): 0 none, 1 spatial,
+                                   # 2 temporal, 3 auto
     weightb: bool = False          # implicit weighted bipred (x264
                                    # --weightb b_weighted_bipred;
                                    # PPS weighted_bipred_idc=2,
@@ -210,8 +213,6 @@ class Params:
         self.deblock_alpha = max(-6, min(6, self.deblock_alpha))
         self.deblock_beta = max(-6, min(6, self.deblock_beta))
         if self.transform_8x8:
-            assert not self.cabac, \
-                "8x8dct+CABAC (cat-5 residual) not implemented yet"
             assert not self.p4x4, \
                 "8x8dct excludes sub-8x8 partitions (x264 rule)"
         if not self.cabac:
@@ -365,6 +366,9 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.b_adapt = int(value)
     elif name in ("weightb", "weighted_bipred"):
         p.weightb = _BOOL[value.lower()]
+    elif name == "direct":
+        p.direct = {"none": 0, "spatial": 1, "temporal": 2,
+                    "auto": 3}[value.lower()]
     elif name == "rc_lookahead":
         p.rc_lookahead = int(value)
     elif name == "threads":
