@@ -58,6 +58,9 @@ def build_argparser():
     ap.add_argument("--weightb", "-w", action="store_true",
                     help="implicit weighted bipred in B frames "
                          "(x264 --weightb)")
+    ap.add_argument("--b-pyramid", action="store_true",
+                    help="keep the middle B of each GOP as a "
+                         "reference (x264 --b-pyramid)")
     ap.add_argument("--direct", default="spatial",
                     choices=["none", "spatial", "temporal", "auto"],
                     help="B direct MV prediction mode (x264 --direct)")
@@ -189,6 +192,7 @@ def _run(args):
                b_adapt=args.b_adapt,
                rc_lookahead=args.rc_lookahead,
                weightb=args.weightb,
+               b_pyramid=args.b_pyramid,
                direct={"none": 0, "spatial": 1, "temporal": 2,
                        "auto": 3}[args.direct],
                subpel=args.subme,

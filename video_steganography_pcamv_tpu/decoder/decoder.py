@@ -1353,7 +1353,7 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
             assert first_mb == 0, "multi-slice frames unsupported"
             slice_type = br.read_ue()
             br.read_ue()  # pps id
-            br.read(sps.log2_max_frame_num)  # frame_num
+            frame_num = br.read(sps.log2_max_frame_num)
             if nal_type == 5:
                 br.read_ue()  # idr_pic_id
             poc = 0
@@ -1378,12 +1378,23 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
             direct_spatial = True
             if is_b:
                 direct_spatial = bool(br.read1())
+            reorder_l0 = None
             if slice_type in (0, 5) or is_b:
                 if br.read1():  # num_ref_idx_override
                     br.read_ue()
                     if is_b:
                         br.read_ue()
-                assert br.read1() == 0  # no reordering (l0)
+                if br.read1():  # ref_pic_list_reordering_flag_l0
+                    # short-term reordering ops (spec 7.3.3.1; emitted
+                    # after a B-pyramid GOP to lead L0 with the anchor)
+                    reorder_l0 = []
+                    while True:
+                        idc = br.read_ue()
+                        if idc == 3:
+                            break
+                        assert idc in (0, 1), \
+                            "long-term reordering unsupported"
+                        reorder_l0.append((idc, br.read_ue()))
                 if is_b:
                     assert br.read1() == 0  # no reordering (l1)
             if nal_type == 5:
@@ -1421,7 +1432,25 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 else:
                     dec.decode_b_slice(br, qp)
             else:
-                dec = SliceDecoder(sps, pps, refs=list(dpb))
+                l0p = list(dpb)   # default P order: PicNum descending
+                if reorder_l0:
+                    # apply 8.2.4.3.1: move each addressed short-term
+                    # ref to the next list position
+                    max_fn = 1 << sps.log2_max_frame_num
+                    pred = frame_num
+                    for idx, (idc, arg) in enumerate(reorder_l0):
+                        if idc == 0:
+                            pred -= arg + 1
+                            if pred < 0:
+                                pred += max_fn
+                        else:
+                            pred += arg + 1
+                            if pred >= max_fn:
+                                pred -= max_fn
+                        j = next(i for i, e in enumerate(l0p)
+                                 if e["frame_num"] % max_fn == pred)
+                        l0p.insert(idx, l0p.pop(j))
+                dec = SliceDecoder(sps, pps, refs=l0p)
                 if pps.cabac:
                     _decode_slice_cabac(dec, br, slice_type, qp,
                                         cabac_model)
@@ -1470,12 +1499,22 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
             df._gop = gop
             frames.append(df)
             if ref_idc != 0:
+                col_mv, col_ref = dec.mv4, dec.ref4
+                if is_b:
+                    # reference B (pyramid): the colocated field falls
+                    # back to L1 where L0 is unused (spec 8.4.1.2.2
+                    # refIdxL0Col < 0 branch)
+                    m0 = dec.ref4 >= 0
+                    col_mv = np.where(m0[..., None], dec.mv4,
+                                      dec.mv4_1)
+                    col_ref = np.where(m0, dec.ref4, dec.ref4_1)
                 dpb.insert(0, {"luma": R.np_hpel_planes(R.np_pad(dec.y)),
                                "u": R.np_pad(dec.u),
                                "v": R.np_pad(dec.v),
                                "poc": poc,
-                               "mv4": dec.mv4.copy(),
-                               "ref4": dec.ref4.copy()})
+                               "frame_num": frame_num,
+                               "mv4": col_mv.copy(),
+                               "ref4": col_ref.copy()})
                 del dpb[max(1, sps.num_ref_frames):]
     if sps is not None and sps.poc_type == 0:
         # display (POC) order within each GOP; decode order across GOPs

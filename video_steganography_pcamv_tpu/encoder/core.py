@@ -233,7 +233,13 @@ class Encoder:
             # full L0 window when multi-ref P is on too)
             self.sps.poc_type = 0
             self.sps.profile = H.PROFILE_MAIN
-            self.sps.num_ref_frames = max(2, params.ref_frames)
+            # pyramid needs the extra window slot so the sliding
+            # window doesn't forget the previous anchor before the
+            # next GOP's early Bs reference it (set.c:198-201: "extra
+            # slot with pyramid so that we don't have to override the
+            # order of forgetting old pictures")
+            self.sps.num_ref_frames = max(
+                4 if params.b_pyramid else 2, params.ref_frames)
         if params.transform_8x8:
             self.sps.profile = H.PROFILE_HIGH
             self.pps.transform_8x8 = True
@@ -275,6 +281,9 @@ class Encoder:
         self._poc_lsb = 0      # poc of the slice being written
         self._pending_p = None  # pipelined driver: deferred entropy
         self._direct_score = [0, 0]  # --direct auto running score
+        self._reorder_next_p = False  # emit L0 reordering on the next
+        #                               P slice (after a pyramid GOP)
+        self._last_anchor_fn = 0
         #                      [0]=temporal, [1]=spatial (x264 stat)
         self.keep_recon = False     # tests: record recon per display idx
         self.recon_by_disp = {}
@@ -468,6 +477,37 @@ class Encoder:
         ref_l1 = self.ref                 # the new anchor
         col = self._col
         anchor_qp = self._cur_qp
+        if self.p.b_pyramid and k >= 2:
+            # keep the middle B as a reference (x264 encoder.c:2207:
+            # anchor, then BREF, then the remaining Bs in display
+            # order); the outer Bs reference it through the default
+            # POC-ordered lists, and the NEXT anchor emits one L0
+            # reordering op to stay on the previous anchor
+            mid = k // 2
+            bf, by, bu, bv, bsatd, mdisp, _ = items[mid]
+            w1 = BSW.bipred_weight(2 * mdisp, 2 * l0_disp, 2 * disp,
+                                   self.p.weightb)
+            nal, bref_ref, bref_col = self._encode_b_frame(
+                bf, by, bu, bv, ref_l0, ref_l1, col, anchor_qp, bsatd,
+                mdisp, w1=w1,
+                pocs=(2 * mdisp, 2 * l0_disp, 2 * disp), is_ref=True)
+            out += nal
+            for i, (bf, by, bu, bv, bsatd, bdisp, _) in \
+                    enumerate(items[:k]):
+                if i == mid:
+                    continue
+                if bdisp < mdisp:   # L1[0] = BREF (nearest future)
+                    r0, r1, c = ref_l0, bref_ref, bref_col
+                    pocs = (2 * bdisp, 2 * l0_disp, 2 * mdisp)
+                else:               # L0[0] = BREF (nearest past)
+                    r0, r1, c = bref_ref, ref_l1, col
+                    pocs = (2 * bdisp, 2 * mdisp, 2 * disp)
+                w1 = BSW.bipred_weight(*pocs, self.p.weightb)
+                out += self._encode_b_frame(bf, by, bu, bv, r0, r1, c,
+                                            anchor_qp, bsatd, bdisp,
+                                            w1=w1, pocs=pocs)
+            self._reorder_next_p = True
+            return out
         for (bf, by, bu, bv, bsatd, bdisp, _) in items[:k]:
             # implicit bipred weight from the display (=POC/2)
             # distances (x264_macroblock_bipred_init)
@@ -493,6 +533,19 @@ class Encoder:
                                self.p.qp_min, self.p.qp_max))
         return qp
 
+    def _take_reorder_l0(self):
+        """One-shot L0 reordering ops for the next P slice. After a
+        pyramid GOP the default PicNum-descending list leads with the
+        BREF; one op puts the previous anchor first (x264
+        encoder/encoder.c:138-150 emits the same)."""
+        if not self._reorder_next_p:
+            return None
+        self._reorder_next_p = False
+        diff = self._last_anchor_fn - self.frame_num
+        if diff == 0:
+            return None
+        return [(0 if diff < 0 else 1, abs(diff) - 1)]
+
     def _encode_anchor(self, frame, y, u, v, is_idr: bool, satd,
                        disp: int) -> bytes:
         t0 = time.time()
@@ -507,6 +560,7 @@ class Encoder:
         if is_idr:
             self.frame_num = 0
             self.dpb = []
+            self._reorder_next_p = False   # IDR resets the DPB
             self.lookahead.last_keyframe = disp
             out += self.headers()
             nal = self._encode_i(y, u, v, qp)
@@ -516,6 +570,7 @@ class Encoder:
             nal = self._encode_p(y, u, v, qp)
             out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
             self.stats.p_frames += 1
+        self._last_anchor_fn = self.frame_num
         self._save_col()
         self._anchor_disp = disp
         self._accumulate_psnr(frame)
@@ -1606,7 +1661,8 @@ class Encoder:
                              alpha_div2=p.deblock_alpha,
                              beta_div2=p.deblock_beta,
                              poc_lsb=self._poc_lsb if poc_lsb is None
-                             else poc_lsb)
+                             else poc_lsb,
+                             reorder_l0=self._take_reorder_l0())
         n = mbh * mbw
         if p.cabac:
             return self._write_p_slice_cabac(bw, res_np, qp, part_np,
@@ -1778,7 +1834,8 @@ class Encoder:
                              disable_deblock=0 if p.deblock else 1,
                              alpha_div2=p.deblock_alpha,
                              beta_div2=p.deblock_beta,
-                             poc_lsb=self._poc_lsb)
+                             poc_lsb=self._poc_lsb,
+                             reorder_l0=self._take_reorder_l0())
         if p.cabac:
             return self._write_p_slice_cabac_sub(
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
@@ -1887,7 +1944,8 @@ class Encoder:
 
     def _encode_b_frame(self, frame, y, u, v, ref0, ref1, col,
                         anchor_qp: int, satd, disp: int,
-                        w1: int = 32, pocs=None) -> bytes:
+                        w1: int = 32, pocs=None,
+                        is_ref: bool = False):
         """Non-reference B frame between two anchors (bslice.py:
         two-list exhaustive ME + BI at the per-list winners + spatial
         direct; reference B path analyse.c:3110-3466)."""
@@ -2096,11 +2154,36 @@ class Encoder:
                                         res_np["recon_u"].copy(),
                                         res_np["recon_v"].copy())
 
+        bref_ref = None
+        bref_col = None
+        if is_ref:
+            # materialize the BREF as a reference picture: padded +
+            # hpel planes on device, plus the colocated motion field
+            # dependent Bs' direct derivation reads — combined
+            # L0-else-L1 per spec 8.4.1.2.2 (refIdxL0Col < 0 falls
+            # back to list 1); intra/uncommitted cells are -1. The
+            # decoder stores the identical field at its DPB insert.
+            bref_ref = mc.build_ref(res["recon_y"], res["recon_u"],
+                                    res["recon_v"])
+            u0r = np.repeat(np.repeat(
+                np.asarray(use0), 2, 0), 2, 1).astype(bool)
+            u1r = np.repeat(np.repeat(
+                np.asarray(use1), 2, 0), 2, 1).astype(bool)
+            f0r = np.repeat(np.repeat(np.asarray(fmv0), 2, 0), 2, 1)
+            f1r = np.repeat(np.repeat(np.asarray(fmv1), 2, 0), 2, 1)
+            im4 = np.repeat(np.repeat(intra_kind > 0, 4, 0), 4, 1)
+            col_mv = np.where(u0r[..., None], f0r, f1r)
+            col_mv = np.where((im4 | ~(u0r | u1r))[..., None], 0,
+                              col_mv).astype(np.int32)
+            col_ref = np.where(im4 | ~(u0r | u1r), -1, 0) \
+                .astype(np.int32)
+            bref_col = (col_mv, col_ref)
+
         bw = BitWriter()
         H.write_slice_header(
             bw, self.sps, self.pps, H.SLICE_TYPE_B, self.frame_num,
             qp, idr=False, disable_deblock=1,
-            poc_lsb=2 * (disp - self._last_idr_disp), is_ref=False,
+            poc_lsb=2 * (disp - self._last_idr_disp), is_ref=is_ref,
             direct_spatial=bool(spatial_pred))
         if p.cabac:
             nal = self._write_b_slice_cabac(bw, res_np, qp, mode,
@@ -2113,7 +2196,11 @@ class Encoder:
                                             intra_kind=intra_kind,
                                             intra_res=intra_res)
         out = self._aud(SLICE_B) \
-            + nal_unit(NAL_SLICE, NAL_PRIORITY_DISPOSABLE, nal)
+            + nal_unit(NAL_SLICE,
+                       NAL_PRIORITY_HIGH if is_ref
+                       else NAL_PRIORITY_DISPOSABLE, nal)
+        if is_ref:
+            self.frame_num += 1   # reference pictures advance frame_num
         self.stats.b_frames += 1
         self.stats.frames += 1
         self.stats.bits += 8 * len(out)
@@ -2121,6 +2208,8 @@ class Encoder:
         self.rc.end(8 * len(out))
         self.stats.elapsed += time.time() - t0
         self._emit_au(disp, out, "B")
+        if is_ref:
+            return out, bref_ref, bref_col
         return out
 
     def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,
@@ -2325,7 +2414,8 @@ class Encoder:
                              disable_deblock=0 if self.p.deblock else 1,
                              alpha_div2=self.p.deblock_alpha,
                              beta_div2=self.p.deblock_beta,
-                             poc_lsb=self._poc_lsb)
+                             poc_lsb=self._poc_lsb,
+                             reorder_l0=self._take_reorder_l0())
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if p.cabac:

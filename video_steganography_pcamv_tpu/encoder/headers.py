@@ -283,7 +283,8 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
                        disable_deblock: int = 1,
                        poc_lsb: int = 0, is_ref: bool = True,
                        alpha_div2: int = 0, beta_div2: int = 0,
-                       direct_spatial: bool = True) -> None:
+                       direct_spatial: bool = True,
+                       reorder_l0=None) -> None:
     """Single-slice frame header (reference: encoder/encoder.c slice
     header writer; fields per spec 7.3.3)."""
     bw.write_ue(0)  # first_mb_in_slice
@@ -307,7 +308,19 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
             bw.write_ue(0)   # num_ref_idx_l1_active_minus1
         else:
             bw.write1(0)  # num_ref_idx_active_override
-        bw.write1(0)  # ref_pic_list_reordering_flag_l0
+        if reorder_l0:
+            # ref_pic_list_reordering (spec 7.3.3.1): explicit L0
+            # order when the default PicNum-descending list differs
+            # from the encoder's references (B-pyramid: the next P
+            # wants the previous anchor ahead of the BREF; the
+            # reference emits the same ops, encoder/encoder.c:138-150)
+            bw.write1(1)
+            for idc, arg in reorder_l0:
+                bw.write_ue(idc)
+                bw.write_ue(arg)   # abs_diff_pic_num_minus1
+            bw.write_ue(3)         # end of reordering ops
+        else:
+            bw.write1(0)  # ref_pic_list_reordering_flag_l0
         if slice_type == SLICE_TYPE_B:
             bw.write1(0)  # ref_pic_list_reordering_flag_l1
     # dec_ref_pic_marking only for reference pictures (nal_ref_idc != 0)

@@ -74,6 +74,8 @@ class Params:
                                    # --b-adapt 2 the B-placement DP
                                    # sees max(bframes+1, this) frames
                                    # (clamped to 12 here)
+    b_pyramid: bool = False        # keep the middle B of each GOP as
+                                   # a reference (x264 --b-pyramid)
     direct: int = 1                # B direct MV prediction (x264
                                    # --direct): 0 none, 1 spatial,
                                    # 2 temporal, 3 auto
@@ -194,6 +196,15 @@ class Params:
         self.qp = max(self.qp_min, min(self.qp_max, self.qp))
         self.bframes = max(0, min(16, self.bframes))
         self.b_adapt = max(0, min(2, self.b_adapt))
+        # pyramid needs >= 2 Bs per GOP (reference encoder.c:463)
+        self.b_pyramid = self.b_pyramid and self.bframes > 1
+        if self.b_pyramid:
+            assert self.ref_frames == 1, \
+                "b-pyramid + multi-ref not combined yet"
+            assert self.direct == 1, \
+                "b-pyramid v1: spatial direct only (temporal needs " \
+                "map_col_to_list0 across the pyramid)"
+
         self.rc_lookahead = max(0, min(12, self.rc_lookahead))
         self.subpel = max(0, min(2, self.subpel))
         self.ref_frames = max(1, min(8, self.ref_frames))
@@ -366,6 +377,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.b_adapt = int(value)
     elif name in ("weightb", "weighted_bipred"):
         p.weightb = _BOOL[value.lower()]
+    elif name in ("b_pyramid", "b-pyramid"):
+        p.b_pyramid = _BOOL[value.lower()]
     elif name == "direct":
         p.direct = {"none": 0, "spatial": 1, "temporal": 2,
                     "auto": 3}[value.lower()]
