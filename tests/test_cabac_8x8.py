@@ -94,3 +94,24 @@ def test_8x8_with_bframes_flag_emitted(cabac):
     assert any(d.slice_type in (1, 6) for d in dec), \
         "expected at least one B frame"
     _assert_recon(enc, dec)
+
+
+def test_cabac_8x8_trellis_roundtrip():
+    """cat-5 trellis (--8x8dct --cabac --trellis 1): bit-exact round
+    trip, and the trellis must actually change the coded levels vs
+    plain deadzone quant while not spending more bits."""
+    frames = _smooth_frames(4, seed=12)
+    p = Params(width=W, height=H, qp=28, me_range=8,
+               transform_8x8=True, cabac=True, trellis=1)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames)
+    dec = decode_annexb(bs)
+    _assert_recon(enc, dec)
+
+    p2 = Params(width=W, height=H, qp=28, me_range=8,
+                transform_8x8=True, cabac=True, trellis=0)
+    enc2 = Encoder(p2)
+    bs2 = b"".join(enc2.encode_frame(f) for f in frames)
+    assert bs != bs2, "trellis did not engage"
+    assert len(bs) <= len(bs2) + 64, (len(bs), len(bs2))

@@ -58,6 +58,13 @@ def build_argparser():
     ap.add_argument("--weightb", "-w", action="store_true",
                     help="implicit weighted bipred in B frames "
                          "(x264 --weightb)")
+    ap.add_argument("--cqm", default="flat", choices=["flat", "jvt"],
+                    help="quantization matrix preset (x264 --cqm)")
+    ap.add_argument("--cqm4", default="",
+                    help="custom 4x4 list: 16 comma ints, raster "
+                         "order, applied to intra+inter (x264 --cqm4)")
+    ap.add_argument("--cqm8", default="",
+                    help="custom 8x8 list: 64 comma ints (x264 --cqm8)")
     ap.add_argument("--b-pyramid", action="store_true",
                     help="keep the middle B of each GOP as a "
                          "reference (x264 --b-pyramid)")
@@ -146,6 +153,14 @@ def _null_ctx():
     yield None
 
 
+def _cqmlist(text: str, n: int):
+    if not text:
+        return None
+    vals = [int(x) for x in text.replace(":", ",").split(",") if x]
+    assert len(vals) == n, f"--cqm list needs {n} values"
+    return tuple(vals)
+
+
 def main(argv=None):
     from .utils.log import (set_level, error, PcamvError, LOG_ERROR,
                             LOG_DEBUG)
@@ -193,6 +208,11 @@ def _run(args):
                rc_lookahead=args.rc_lookahead,
                weightb=args.weightb,
                b_pyramid=args.b_pyramid,
+               cqm=args.cqm,
+               cqm4i=_cqmlist(args.cqm4, 16),
+               cqm4p=_cqmlist(args.cqm4, 16),
+               cqm8i=_cqmlist(args.cqm8, 64),
+               cqm8p=_cqmlist(args.cqm8, 64),
                direct={"none": 0, "spatial": 1, "temporal": 2,
                        "auto": 3}[args.direct],
                subpel=args.subme,

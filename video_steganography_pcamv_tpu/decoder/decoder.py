@@ -143,6 +143,8 @@ class DecSPS:
     sps_id: int = 0
     # VUI (None when absent): dict with sar/fps/etc.
     vui: dict = None
+    # seq scaling lists (None = flat): (intra4, inter4, intra8, inter8)
+    scaling: tuple = None
 
 
 @dataclass
@@ -203,6 +205,56 @@ def parse_nals(data: bytes):
     return out
 
 
+def _parse_scaling_lists(br):
+    """seq scaling lists (spec 7.3.2.1.1 scaling_list() + Table 7-2
+    fall-back rule A). Returns (intra4, inter4, intra8, inter8) raster
+    lists. Absent lists 0/3/6/7 fall to the spec defaults (= the JVT
+    matrices); 1,2 / 4,5 copy the previous list (we only use list 0/3,
+    so equal-copy is asserted rather than modelled)."""
+    from ..ops import cqm as Q
+    from ..ops.transform import ZIGZAG_4x4
+    from ..ops.transform8 import ZIGZAG_8x8
+
+    def one(n, zz, default):
+        if not br.read1():       # not present
+            return None          # caller applies the fall-back
+        out = np.zeros(n, np.int64)
+        last, nxt = 8, 8
+        vals2 = np.zeros(n, np.int64)
+        for j in range(n):
+            if nxt != 0:
+                delta = br.read_se()
+                nxt = (last + delta + 256) % 256
+                if j == 0 and nxt == 0:
+                    return np.asarray(default, np.int64)  # use default
+            last = last if nxt == 0 else nxt
+            vals2[j] = last
+        out[zz[:, 0] * (4 if n == 16 else 8) + zz[:, 1]] = vals2
+        return out
+
+    zz4 = np.asarray(ZIGZAG_4x4).reshape(-1, 2)
+    zz8 = np.asarray(ZIGZAG_8x8).reshape(-1, 2)
+    i4 = one(16, zz4, Q.JVT4I)
+    for k in range(2):          # lists 1,2 (intra Cb/Cr)
+        assert one(16, zz4, i4) is None, \
+            "per-plane chroma scaling lists unsupported"
+    p4 = one(16, zz4, Q.JVT4P)
+    for k in range(2):          # lists 4,5 (inter Cb/Cr)
+        assert one(16, zz4, p4) is None, \
+            "per-plane chroma scaling lists unsupported"
+    i8 = one(64, zz8, Q.JVT8I)
+    p8 = one(64, zz8, Q.JVT8P)
+    if i4 is None:
+        i4 = np.asarray(Q.JVT4I, np.int64)
+    if p4 is None:
+        p4 = np.asarray(Q.JVT4P, np.int64)
+    if i8 is None:
+        i8 = np.asarray(Q.JVT8I, np.int64)
+    if p8 is None:
+        p8 = np.asarray(Q.JVT8P, np.int64)
+    return i4, p4, i8, p8
+
+
 def parse_sps(rbsp: bytes) -> DecSPS:
     br = BitReader(rbsp)
     profile = br.read(8)
@@ -217,7 +269,8 @@ def parse_sps(rbsp: bytes) -> DecSPS:
         assert chroma_format == 1, "only 4:2:0 supported"
         assert br.read_ue() == 0 and br.read_ue() == 0, "8-bit only"
         br.read1()  # qpprime_y_zero_transform_bypass
-        assert br.read1() == 0, "seq scaling matrices unsupported"
+        if br.read1():   # seq_scaling_matrix_present
+            sps.scaling = _parse_scaling_lists(br)
     sps.log2_max_frame_num = br.read_ue() + 4
     sps.poc_type = br.read_ue()
     assert sps.poc_type in (0, 2), \
@@ -413,7 +466,8 @@ class SliceDecoder:
                 lv = read_residual(br, 15, nc)
                 self.nnz_y[4 * my + by, 4 * mx + bx] = \
                     sum(1 for x in lv if x)
-                blocks[by, bx] = R.dequant4x4(R.dezigzag([0] + lv), qp)
+                blocks[by, bx] = R.dequant4x4(R.dezigzag([0] + lv), qp,
+                                              intra=True)
             else:
                 self.nnz_y[4 * my + by, 4 * mx + bx] = 0
         blocks[:, :, 0, 0] = dc
@@ -461,7 +515,8 @@ class SliceDecoder:
                 lv = read_residual(br, 16, nc)
                 self.nnz_y[4 * my + by, 4 * mx + bx] = \
                     sum(1 for x in lv if x)
-                blocks[by, bx] = R.dequant4x4(R.dezigzag(lv), qp)
+                blocks[by, bx] = R.dequant4x4(R.dezigzag(lv), qp,
+                                              intra=True)
             else:
                 self.nnz_y[4 * my + by, 4 * mx + bx] = 0
         for blk in range(16):
@@ -609,7 +664,8 @@ class SliceDecoder:
             if cbp_chroma:
                 lv = read_residual(br, 4, -1)  # raster scan over the 2x2
                 dc2 = np.array([[lv[0], lv[1]], [lv[2], lv[3]]], np.int64)
-                dc = R.dequant_dc_chroma(R.ihadamard2x2(dc2), qpc)
+                dc = R.dequant_dc_chroma(R.ihadamard2x2(dc2), qpc,
+                                         intra=intra)
             else:
                 dc = np.zeros((2, 2), np.int64)
             dcs.append(dc)
@@ -622,7 +678,8 @@ class SliceDecoder:
                     lv = read_residual(br, 15, nc)
                     self.nnz_c[ch, 2 * my + by, 2 * mx + bx] = \
                         sum(1 for x in lv if x)
-                    blocks[by, bx] = R.dequant4x4(R.dezigzag([0] + lv), qpc)
+                    blocks[by, bx] = R.dequant4x4(
+                        R.dezigzag([0] + lv), qpc, intra=intra)
             else:
                 self.nnz_c[ch, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
             blocks[:, :, 0, 0] = dcs[ch]
@@ -1345,6 +1402,9 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
     for nal_type, ref_idc, rbsp in parse_nals(data):
         if nal_type == 7:
             sps = parse_sps(rbsp)
+            # install the stream's scaling lists for this decode
+            R.set_scaling(*(sps.scaling if sps.scaling is not None
+                            else (None, None, None, None)))
         elif nal_type == 8:
             pps = parse_pps(rbsp)
         elif nal_type in (1, 5):
@@ -1726,14 +1786,15 @@ def _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,
     for ch, plane in ((0, dec.u), (1, dec.v)):
         dc2 = np.array([[cdcs[ch][0], cdcs[ch][1]],
                         [cdcs[ch][2], cdcs[ch][3]]], np.int64)
-        dc = (R.dequant_dc_chroma(R.ihadamard2x2(dc2), qpc)
+        dc = (R.dequant_dc_chroma(R.ihadamard2x2(dc2), qpc,
+                                  intra=intra)
               if cbp_chroma else np.zeros((2, 2), np.int64))
         blocks = np.zeros((2, 2, 4, 4), np.int64)
         if cbp_chroma == 2:
             for by in range(2):
                 for bx in range(2):
                     blocks[by, bx] = R.dequant4x4(
-                        _dez16(cacs[ch, by, bx]), qpc)
+                        _dez16(cacs[ch, by, bx]), qpc, intra=intra)
         blocks[:, :, 0, 0] = dc
         if preds is not None:
             pred = preds[ch]
@@ -1766,7 +1827,8 @@ def _recon_i16_cabac(dec, ps, my, mx, mode16, cbpl, cbpc, qp, qpc):
     for by in range(4):
         for bx in range(4):
             if cbpl:
-                blocks[by, bx] = R.dequant4x4(_dez16(acs[by, bx]), qp)
+                blocks[by, bx] = R.dequant4x4(_dez16(acs[by, bx]), qp,
+                                              intra=True)
     blocks[:, :, 0, 0] = dc
     for by in range(4):
         for bx in range(4):
@@ -1787,7 +1849,8 @@ def _recon_i4_cabac(dec, ps, my, mx, qp, qpc):
     blocks = np.zeros((4, 4, 4, 4), np.int64)
     for by in range(4):
         for bx in range(4):
-            blocks[by, bx] = R.dequant4x4(_dez16(blk_lv[by, bx]), qp)
+            blocks[by, bx] = R.dequant4x4(_dez16(blk_lv[by, bx]), qp,
+                                          intra=True)
     for blk in range(16):
         by, bx = LUMA_SCAN[blk]
         # keep the CAVLC-path mode map in sync for any later MBs

@@ -18,6 +18,27 @@ _V = np.array([
 # position class: 0 = both-even (V col 10), 1 = mixed (13), 2 = both-odd (16)
 _POS = np.array([[(r & 1) + (c & 1) for c in range(4)] for r in range(4)])
 
+# active scaling lists of the stream being decoded (spec 8.5.9
+# LevelScale = V * scaling; flat 16 unless the SPS carries a
+# seq_scaling_matrix — set by decode_annexb at SPS parse time; the
+# decoder never reads the encoder's CQM state)
+_SC4 = {True: np.full((4, 4), 16, np.int64),
+        False: np.full((4, 4), 16, np.int64)}
+_SC8 = {True: np.full((8, 8), 16, np.int64),
+        False: np.full((8, 8), 16, np.int64)}
+
+
+def set_scaling(intra4=None, inter4=None, intra8=None, inter8=None):
+    """Install the stream's scaling lists (raster, None = flat)."""
+    _SC4[True] = (np.full((4, 4), 16, np.int64) if intra4 is None
+                  else np.asarray(intra4, np.int64).reshape(4, 4))
+    _SC4[False] = (np.full((4, 4), 16, np.int64) if inter4 is None
+                   else np.asarray(inter4, np.int64).reshape(4, 4))
+    _SC8[True] = (np.full((8, 8), 16, np.int64) if intra8 is None
+                  else np.asarray(intra8, np.int64).reshape(8, 8))
+    _SC8[False] = (np.full((8, 8), 16, np.int64) if inter8 is None
+                   else np.asarray(inter8, np.int64).reshape(8, 8))
+
 ZIG4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
         (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
 
@@ -29,8 +50,9 @@ def dezigzag(levels) -> np.ndarray:
     return out
 
 
-def dequant4x4(block: np.ndarray, qp: int) -> np.ndarray:
-    v = _V[qp % 6][_POS] * 16
+def dequant4x4(block: np.ndarray, qp: int,
+               intra: bool = False) -> np.ndarray:
+    v = _V[qp % 6][_POS] * _SC4[intra]
     qbits = qp // 6 - 4
     if qbits >= 0:
         return (block * v) << qbits
@@ -67,7 +89,7 @@ def ihadamard4x4(c: np.ndarray) -> np.ndarray:
 
 
 def dequant_dc_luma(dc: np.ndarray, qp: int) -> np.ndarray:
-    dmf = int(_V[qp % 6][0]) * 16
+    dmf = int(_V[qp % 6][0]) * int(_SC4[True][0, 0])  # i16 is intra
     qbits = qp // 6 - 6
     if qbits >= 0:
         return dc * (dmf << qbits)
@@ -80,8 +102,9 @@ def ihadamard2x2(c: np.ndarray) -> np.ndarray:
     return h @ c @ h.T
 
 
-def dequant_dc_chroma(dc: np.ndarray, qp: int) -> np.ndarray:
-    dmf = int(_V[qp % 6][0]) * 16
+def dequant_dc_chroma(dc: np.ndarray, qp: int,
+                      intra: bool = False) -> np.ndarray:
+    dmf = int(_V[qp % 6][0]) * int(_SC4[intra][0, 0])
     qbits = qp // 6 - 5
     if qbits > 0:
         return dc * (dmf << qbits)
@@ -319,9 +342,9 @@ def pred_chroma(mode: int, top, left, topleft, at: bool, al: bool):
 # this decoder is the independent verification twin.
 
 def dequant8x8(block: np.ndarray, qp: int, intra: bool) -> np.ndarray:
-    from ..ops import transform8 as T8
-    li = 0 if intra else 1
-    dmf = np.asarray(T8.DEQUANT8_MF)[li, qp % 6]
+    # stream-local scaling (never the encoder's active tables)
+    from ..ops.transform8 import _DEQUANT8_SCALE, _pos_class8
+    dmf = _DEQUANT8_SCALE[qp % 6][_pos_class8()] * _SC8[intra]
     qbits = qp // 6 - 6
     v = block.astype(np.int64) * dmf
     if qbits >= 0:

@@ -240,6 +240,30 @@ class Encoder:
             # order of forgetting old pictures")
             self.sps.num_ref_frames = max(
                 4 if params.b_pyramid else 2, params.ref_frames)
+        # custom quantization matrices (x264 --cqm): swap the active
+        # quant/dequant tables (process-level encoder state; see
+        # ops/cqm.py) and signal the lists in the SPS (High profile)
+        from ..ops import cqm as CQM
+        if params.cqm == "jvt":
+            lists = [params.cqm4i if params.cqm4i is not None
+                     else CQM.JVT4I,
+                     params.cqm4p if params.cqm4p is not None
+                     else CQM.JVT4P,
+                     params.cqm8i if params.cqm8i is not None
+                     else CQM.JVT8I,
+                     params.cqm8p if params.cqm8p is not None
+                     else CQM.JVT8P]
+        else:
+            lists = [params.cqm4i, params.cqm4p, params.cqm8i,
+                     params.cqm8p]
+        CQM.set_cqm(*lists)
+        if not CQM.is_flat():
+            i4l, p4l, i8l, p8l = CQM.active_lists()
+            self.sps.scaling4_intra = i4l
+            self.sps.scaling4_inter = p4l
+            self.sps.scaling8_intra = i8l
+            self.sps.scaling8_inter = p8l
+            self.sps.profile = H.PROFILE_HIGH
         if params.transform_8x8:
             self.sps.profile = H.PROFILE_HIGH
             self.pps.transform_8x8 = True

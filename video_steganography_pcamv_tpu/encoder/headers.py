@@ -173,6 +173,47 @@ class VUI:
         bw.write_ue(self.max_dec_frame_buffering)
 
 
+def _write_one_scaling_list(bw: BitWriter, vals, zz) -> None:
+    """scaling_list() (spec 7.3.2.1.1): delta_scale chain over the
+    zigzag order of a raster-order list."""
+    last = 8
+    for (r, c) in zz:
+        cur = int(vals[r][c])
+        delta = cur - last
+        if delta > 127:
+            delta -= 256
+        elif delta < -128:
+            delta += 256
+        bw.write_se(delta)
+        last = cur
+
+
+def _write_scaling_lists(bw: BitWriter, s4i, s4p, s8i, s8p) -> None:
+    """8 seq_scaling_list_present flags + explicit lists for 0 (intra
+    4x4 Y), 3 (inter 4x4 Y), 6/7 (8x8); 1,2 and 4,5 fall back to the
+    previous list (spec Table 7-2 fall-back rule A)."""
+    from ..ops.transform import ZIGZAG_4x4
+    from ..ops.transform8 import ZIGZAG_8x8
+    import numpy as np
+    zz4 = [tuple(x) for x in np.asarray(ZIGZAG_4x4).reshape(-1, 2)]
+    zz8 = [tuple(x) for x in np.asarray(ZIGZAG_8x8).reshape(-1, 2)]
+    flat4 = [[16] * 4] * 4
+    flat8 = [[16] * 8] * 8
+    for li, vals, zz, flat in ((0, s4i, zz4, flat4),
+                               (3, s4p, zz4, flat4)):
+        bw.write1(1)
+        _write_one_scaling_list(
+            bw, flat if vals is None
+            else np.asarray(vals).reshape(4, 4), zz)
+        bw.write1(0)   # list li+1 falls back to list li
+        bw.write1(0)   # list li+2 likewise
+    for vals in (s8i, s8p):
+        bw.write1(1)
+        _write_one_scaling_list(
+            bw, flat8 if vals is None
+            else np.asarray(vals).reshape(8, 8), zz8)
+
+
 @dataclass
 class SPS:
     width: int
@@ -185,6 +226,14 @@ class SPS:
     log2_max_poc_lsb: int = 10
     profile: int = PROFILE_BASELINE
     vui: VUI = None
+    # seq scaling lists (raster order; None = no seq_scaling_matrix).
+    # Written in spec list order 0..7 with lists 1,2 / 4,5 absent
+    # (fall-back rule A copies the previous list -> chroma shares luma,
+    # matching x264 --cqm jvt / --cqm4 semantics)
+    scaling4_intra: object = None
+    scaling4_inter: object = None
+    scaling8_intra: object = None
+    scaling8_inter: object = None
 
     @property
     def mb_width(self) -> int:
@@ -210,7 +259,16 @@ class SPS:
             bw.write_ue(0)   # bit_depth_luma_minus8
             bw.write_ue(0)   # bit_depth_chroma_minus8
             bw.write1(0)     # qpprime_y_zero_transform_bypass
-            bw.write1(0)     # seq_scaling_matrix_present
+            if self.scaling4_intra is None \
+                    and self.scaling4_inter is None \
+                    and self.scaling8_intra is None \
+                    and self.scaling8_inter is None:
+                bw.write1(0)  # seq_scaling_matrix_present
+            else:
+                bw.write1(1)  # seq_scaling_matrix_present
+                _write_scaling_lists(
+                    bw, self.scaling4_intra, self.scaling4_inter,
+                    self.scaling8_intra, self.scaling8_inter)
         bw.write_ue(self.log2_max_frame_num - 4)
         bw.write_ue(self.poc_type)
         if self.poc_type == 0:

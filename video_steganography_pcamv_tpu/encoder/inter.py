@@ -424,7 +424,19 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
         blk8 = (cur - pred).reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
         pred8 = pred.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
         coef8 = T8.dct8x8(blk8)
-        lev8 = T8.quant8x8(coef8, qp, intra=False)
+        if trellis:
+            # cat-5 trellis (x264 quant_8x8_trellis, rdo.c: the same
+            # Viterbi with the 8x8 significance maps + dct8 weights)
+            from ..ops import trellis as TR
+            from ..ops.transform8 import ZIGZAG_8x8
+            zz8 = jnp.asarray(ZIGZAG_8x8)
+            vz = coef8.reshape(n * 4, 8, 8)[:, zz8[:, 0], zz8[:, 1]]
+            lv = TR.trellis_quant(vz, qp, TR.CAT_LUMA_8x8, False)
+            lev8 = jnp.zeros((n * 4, 8, 8), jnp.int32) \
+                .at[:, zz8[:, 0], zz8[:, 1]].set(lv) \
+                .reshape(n, 2, 2, 8, 8)
+        else:
+            lev8 = T8.quant8x8(coef8, qp, intra=False)
         nz8 = jnp.any(lev8 != 0, axis=(3, 4))              # [n,2,2]
         if decimate:
             sc8 = T8.decimate_score64(lev8)                # [n,2,2]

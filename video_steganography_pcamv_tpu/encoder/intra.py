@@ -108,7 +108,7 @@ def _i16_mb(enc, top, left, topleft, at, al, qp, lam):
     ac_lev = T.quant4x4(ac, qp, intra=True)
     cbp_luma = jnp.any(ac_lev != 0, axis=(1, 2, 3, 4))  # [W]
 
-    deq = T.dequant4x4(ac_lev, qp)
+    deq = T.dequant4x4(ac_lev, qp, intra=True)
     dc_rec = hadamard4x4(dc_lev[..., None, None])[..., 0, 0]
     dc_rec = T.dequant_dc_luma(dc_rec, qp)            # [W,4,4]
     deq = deq.at[:, 0, 0].set(dc_rec)
@@ -203,7 +203,7 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
 
         coef = T.dct4x4((eblk - pred)[..., None, None])      # [W,4,4,1,1]
         lev = T.quant4x4(coef, qp, intra=True)
-        deq = T.dequant4x4(lev, qp)
+        deq = T.dequant4x4(lev, qp, intra=True)
         rec = T.idct4x4_add(pred[..., None, None], deq)[..., 0, 0]
         wt = wt.at[:, 4 * by:4 * by + 4, 4 * bx:4 * bx + 4].set(rec)
         m4 = m4.at[:, by, bx].set(mode)
@@ -362,9 +362,9 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
         ac = coef.at[:, 0, 0].set(0)
         ac_lev = T.quant4x4(ac, qpc, intra=True)
         # recon
-        deq = T.dequant4x4(ac_lev, qpc)
+        deq = T.dequant4x4(ac_lev, qpc, intra=True)
         dc_rec = hadamard2x2(dc_lev[..., None, None])[..., 0, 0]  # [W,2,2]
-        dc_rec = T.dequant_dc_chroma(dc_rec, qpc)
+        dc_rec = T.dequant_dc_chroma(dc_rec, qpc, intra=True)
         deq = deq.at[:, 0, 0].set(dc_rec)
         recon = T.idct4x4_add(to_blocks(pred, 4), deq)
         recon = recon.reshape(-1, 4, 4, 2, 2).transpose(0, 3, 1, 4, 2) \

@@ -58,27 +58,51 @@ def _shift(x: np.ndarray, s: int) -> np.ndarray:
     return x << (-s)
 
 
-def _build_tables():
+def _build_tables(scaling=None, deadzone_intra: int = 21,
+                  deadzone_inter: int = 11):
+    """4x4 quant/dequant tables for one scaling list (x264_cqm_init,
+    set.c:130-151: quant_mf = DIV(def*16, scale), dequant_mf =
+    def*scale; flat scale 16 reproduces the classic tables exactly).
+    scaling: [16] raster-order list (None = flat 16)."""
     cls = _pos_class()
     def_quant = _QUANT4_SCALE[:, cls]      # [6,4,4]
     def_dequant = _DEQUANT4_SCALE[:, cls]  # [6,4,4]
+    sc = (np.full((4, 4), 16, np.int64) if scaling is None
+          else np.asarray(scaling, np.int64).reshape(4, 4))
 
     quant_mf = np.zeros((52, 4, 4), dtype=np.int64)
     bias_intra = np.zeros((52, 4, 4), dtype=np.int64)
     bias_inter = np.zeros((52, 4, 4), dtype=np.int64)
     # deadzones: intra 21/64, inter 11/64 (set.c:76 with default deadzones)
+    base = (def_quant * 16 + sc // 2) // sc          # [6,4,4] DIV
     for q in range(52):
-        mf = _shift(def_quant[q % 6], q // 6 - 1)
+        mf = _shift(base[q % 6], q // 6 - 1)
         quant_mf[q] = mf
-        for dz, out in ((21, bias_intra), (11, bias_inter)):
+        for dz, out in ((deadzone_intra, bias_intra),
+                        (deadzone_inter, bias_inter)):
             out[q] = np.minimum((dz * (1 << 10) + mf // 2) // mf,
                                 (1 << 15) // mf)
-    dequant_mf = def_dequant * 16  # [6,4,4], flat CQM (set.c:132)
+    dequant_mf = def_dequant * sc  # [6,4,4] (set.c:132)
     return (quant_mf.astype(np.int32), bias_intra.astype(np.int32),
             bias_inter.astype(np.int32), dequant_mf.astype(np.int32))
 
 
 QUANT4_MF, QUANT4_BIAS_INTRA, QUANT4_BIAS_INTER, DEQUANT4_MF = _build_tables()
+# per-class tables (CQM: intra and inter lists may differ; flat default
+# aliases the classic shared tables)
+QUANT4_MF_I, QUANT4_MF_P = QUANT4_MF, QUANT4_MF
+DEQUANT4_MF_I, DEQUANT4_MF_P = DEQUANT4_MF, DEQUANT4_MF
+
+
+def set_scaling4(intra=None, inter=None) -> None:
+    """Install active 4x4 scaling lists (raster order, None = flat).
+    Callers must clear jit caches afterwards (ops/cqm.py does)."""
+    global QUANT4_MF_I, QUANT4_MF_P, QUANT4_BIAS_INTRA
+    global QUANT4_BIAS_INTER, DEQUANT4_MF_I, DEQUANT4_MF_P
+    QUANT4_MF_I, QUANT4_BIAS_INTRA, _, DEQUANT4_MF_I = \
+        _build_tables(intra)
+    QUANT4_MF_P, _, QUANT4_BIAS_INTER, DEQUANT4_MF_P = \
+        _build_tables(inter)
 
 # chroma QP mapping (spec table 8-15)
 CHROMA_QP_TABLE = np.concatenate([
@@ -169,7 +193,7 @@ def hadamard4x4(x: jnp.ndarray, final_shift: bool = False) -> jnp.ndarray:
 
 def _qtables(qp, intra: bool):
     qp = jnp.asarray(qp)
-    mf = jnp.asarray(QUANT4_MF)[qp]            # [...,4,4]
+    mf = jnp.asarray(QUANT4_MF_I if intra else QUANT4_MF_P)[qp]
     bias = jnp.asarray(QUANT4_BIAS_INTRA if intra else QUANT4_BIAS_INTER)[qp]
     return mf, bias
 
@@ -188,11 +212,11 @@ def quant4x4(coef: jnp.ndarray, qp, intra: bool) -> jnp.ndarray:
     return jnp.sign(coef) * mag
 
 
-def dequant4x4(level: jnp.ndarray, qp) -> jnp.ndarray:
-    """Normative AC dequant (common/quant.c:82-110): flat-CQM dmf = V*16,
-    qbits = qp/6 - 4."""
+def dequant4x4(level: jnp.ndarray, qp, intra: bool = False) -> jnp.ndarray:
+    """Normative AC dequant (common/quant.c:82-110): dmf = V*scale
+    (flat: V*16), qbits = qp/6 - 4. intra selects the scaling list."""
     qp = jnp.asarray(qp)
-    dmf = jnp.asarray(DEQUANT4_MF)[qp % 6]
+    dmf = jnp.asarray(DEQUANT4_MF_I if intra else DEQUANT4_MF_P)[qp % 6]
     qbits = qp // 6 - 4
     if dmf.ndim == 2:
         dmf = dmf[:, :, None, None]
@@ -210,7 +234,8 @@ def quant_dc(coef: jnp.ndarray, qp, intra: bool) -> jnp.ndarray:
     """DC quant: mf[0]>>1, bias[0]<<1 (encoder/macroblock.c:252,340).
     qp may be a traced scalar (per-frame rate control without recompile)."""
     qp = jnp.asarray(qp)
-    mf = jnp.asarray(QUANT4_MF)[qp, 0, 0] >> 1
+    mf = jnp.asarray(QUANT4_MF_I if intra
+                     else QUANT4_MF_P)[qp, 0, 0] >> 1
     bias_t = QUANT4_BIAS_INTRA if intra else QUANT4_BIAS_INTER
     bias = jnp.asarray(bias_t)[qp, 0, 0] << 1
     mag = (bias + jnp.abs(coef)) * mf >> 16
@@ -220,9 +245,9 @@ def quant_dc(coef: jnp.ndarray, qp, intra: bool) -> jnp.ndarray:
 def dequant_dc_luma(dc: jnp.ndarray, qp) -> jnp.ndarray:
     """dequant_4x4_dc (common/quant.c:148-178): qbits = qp/6 - 6, applied
     after the inverse Hadamard. Branchless both-ways shift so qp can be
-    traced."""
+    traced. i16 DC is always intra."""
     qp = jnp.asarray(qp)
-    dmf = jnp.asarray(DEQUANT4_MF)[qp % 6, 0, 0]
+    dmf = jnp.asarray(DEQUANT4_MF_I)[qp % 6, 0, 0]
     qbits = qp // 6 - 6
     shl = (dc * dmf) << jnp.maximum(qbits, 0)
     f = 1 << jnp.maximum(-qbits - 1, 0)
@@ -244,12 +269,14 @@ def hadamard2x2(x: jnp.ndarray) -> jnp.ndarray:
                       jnp.stack([o10, o11], axis=-3)], axis=-4)
 
 
-def dequant_dc_chroma(dc: jnp.ndarray, qp) -> jnp.ndarray:
+def dequant_dc_chroma(dc: jnp.ndarray, qp,
+                      intra: bool = False) -> jnp.ndarray:
     """idct_dequant_2x2 scale part (encoder/macroblock.c:40-60):
     after the 2x2 Hadamard combine, scale by dmf with qbits = qp/6 - 5.
     Branchless so qp can be traced (no rounding term in the reference)."""
     qp = jnp.asarray(qp)
-    dmf = jnp.asarray(DEQUANT4_MF)[qp % 6, 0, 0]
+    dmf = jnp.asarray(DEQUANT4_MF_I if intra
+                      else DEQUANT4_MF_P)[qp % 6, 0, 0]
     qbits = qp // 6 - 5
     shl = (dc * dmf) << jnp.maximum(qbits, 0)
     shr = (dc * dmf) >> jnp.maximum(-qbits, 0)

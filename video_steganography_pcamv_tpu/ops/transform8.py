@@ -108,6 +108,13 @@ def build_tables8(scaling_intra=None, scaling_inter=None):
 
 QUANT8_MF, QUANT8_BIAS, DEQUANT8_MF = build_tables8()
 
+
+def set_scaling8(intra=None, inter=None) -> None:
+    """Install active 8x8 scaling lists (raster order, None = flat).
+    Callers must clear jit caches afterwards (ops/cqm.py does)."""
+    global QUANT8_MF, QUANT8_BIAS, DEQUANT8_MF
+    QUANT8_MF, QUANT8_BIAS, DEQUANT8_MF = build_tables8(intra, inter)
+
 # 8x8 frame zigzag (spec Table 8-9 / classic diagonal scan)
 
 

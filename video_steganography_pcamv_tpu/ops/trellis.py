@@ -34,12 +34,12 @@ from ..encoder.cabac_tables import TRANS_IDX_MPS, TRANS_IDX_LPS
 CABAC_SIZE_BITS = 8          # bit costs in 1/256 bit units
 LAMBDA_BITS = 4
 
-# ctxBlockCat ids matching encoder/cabac.py
-CAT_LUMA_DC, CAT_LUMA_AC, CAT_LUMA_4x4, CAT_CHROMA_DC, CAT_CHROMA_AC = \
-    range(5)
-_SIG_OFF = [105, 120, 134, 149, 152]
-_LAST_OFF = [166, 181, 195, 210, 213]
-_ABS_OFF = [227, 237, 247, 257, 266]
+# ctxBlockCat ids matching encoder/cabac.py (cat 5 = 8x8 luma)
+(CAT_LUMA_DC, CAT_LUMA_AC, CAT_LUMA_4x4, CAT_CHROMA_DC, CAT_CHROMA_AC,
+ CAT_LUMA_8x8) = range(6)
+_SIG_OFF = [105, 120, 134, 149, 152, 402]
+_LAST_OFF = [166, 181, 195, 210, 213, 417]
+_ABS_OFF = [227, 237, 247, 257, 266, 426]
 
 # abs-level node machine (spec 9.3.3.1.1.9; rdo.c coeff_abs_level_*)
 _LEVEL1_CTX = np.array([1, 2, 3, 4, 0, 0, 0, 0], np.int32)
@@ -108,21 +108,30 @@ def _ctx_state_tables():
     """Packed slice-initial CABAC states for every qp: dict of
     [52, n] arrays per ctx block we need (P/B model 0 table)."""
     from ..encoder.cabac_tables import init_states
-    sig = np.zeros((52, 16), np.int32)
-    last = np.zeros((52, 16), np.int32)
-    absl = np.zeros((52, 5, 10), np.int32)
-    sig_c = np.zeros((52, 5, 16), np.int32)
-    last_c = np.zeros((52, 5, 16), np.int32)
+    from ..encoder.cabac import SIG8_CTX, LAST8_CTX
+    # POSITION-indexed initial states per cat: sig_c[qp, cat, i] is
+    # the packed state of the sig ctx coded at scan position i (cats
+    # 0-4: identity map clipped to the ctx count; cat 5: the 8x8
+    # significance maps, cabac.c:551-568)
+    absl = np.zeros((52, 6, 10), np.int32)
+    sig_c = np.zeros((52, 6, 64), np.int32)
+    last_c = np.zeros((52, 6, 64), np.int32)
     for qp in range(52):
         st, mps = init_states(qp, False, 0)
         packed = 2 * st + mps
-        for cat in range(5):
-            n = [16, 15, 16, 4, 15][cat]
-            nctx = min(n, 15) if cat != CAT_CHROMA_DC else 3
-            sig_c[qp, cat, :nctx] = packed[_SIG_OFF[cat]:
-                                           _SIG_OFF[cat] + nctx]
-            last_c[qp, cat, :nctx] = packed[_LAST_OFF[cat]:
-                                            _LAST_OFF[cat] + nctx]
+        for cat in range(6):
+            n = [16, 15, 16, 4, 15, 64][cat]
+            if cat == CAT_LUMA_8x8:
+                for i in range(n):
+                    m = min(i, 62)
+                    sig_c[qp, cat, i] = packed[402 + SIG8_CTX[m]]
+                    last_c[qp, cat, i] = packed[417 + LAST8_CTX[m]]
+            else:
+                nctx = min(n, 15) if cat != CAT_CHROMA_DC else 3
+                for i in range(n):
+                    m = min(i, nctx - 1)
+                    sig_c[qp, cat, i] = packed[_SIG_OFF[cat] + m]
+                    last_c[qp, cat, i] = packed[_LAST_OFF[cat] + m]
             absl[qp, cat] = packed[_ABS_OFF[cat]:_ABS_OFF[cat] + 10]
     return sig_c, last_c, absl
 
@@ -146,6 +155,33 @@ def _mf_unq_zig():
     mf = QUANT4_MF[:, zz[:, 0], zz[:, 1]].astype(np.int64)   # [52,16]
     unq = np.round((1 << 24) / np.maximum(mf, 1)).astype(np.int64)
     return mf.astype(np.int32), unq.astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _mf_unq_zig8():
+    """8x8 quant MF + direct-inverse unquant, zigzag8 order, per list:
+    [2,52,64] each (unq = 2^24/mf inverts lvl = coef*mf >> 16, the
+    rdo.c unquant8_mf semantics with the q/6 shift baked in)."""
+    from .transform8 import QUANT8_MF, ZIGZAG_8x8
+    zz = ZIGZAG_8x8
+    mf = np.asarray(QUANT8_MF)[:, :, zz[:, 0], zz[:, 1]] \
+        .astype(np.int64)                                  # [2,52,64]
+    unq = np.round((1 << 24) / np.maximum(mf, 1)).astype(np.int64)
+    return mf.astype(np.int32), unq.astype(np.int32)
+
+
+def _weight2_zig8():
+    """dct8 weight2 (common/dct.h:67-83 x264_dct8_weight2_tab: FIX8 of
+    the squared inverse DCT8 basis norms, 6 classes on a 4x4-periodic
+    grid), zigzag8 order."""
+    from .transform8 import ZIGZAG_8x8
+    cls4 = np.array([[0, 3, 4, 3], [3, 1, 5, 1],
+                     [4, 5, 2, 5], [3, 1, 5, 1]])
+    vals = np.array([1.00000, 0.78487, 2.56132,
+                     0.88637, 1.60040, 1.41850], np.float64)
+    w = np.floor(vals * 256 + 0.5)[cls4[np.arange(8)[:, None] % 4,
+                                        np.arange(8)[None, :] % 4]]
+    return w[ZIGZAG_8x8[:, 0], ZIGZAG_8x8[:, 1]].astype(np.float32)
 
 
 def _weight2_zig():
@@ -173,7 +209,7 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
     qp: traced scalar. Returns [M, n] int32 signed levels.
     """
     n = {CAT_LUMA_DC: 16, CAT_LUMA_AC: 15, CAT_LUMA_4x4: 16,
-         CAT_CHROMA_DC: 4, CAT_CHROMA_AC: 15}[cat]
+         CAT_CHROMA_DC: 4, CAT_CHROMA_AC: 15, CAT_LUMA_8x8: 64}[cat]
     off = 1 if cat in (CAT_LUMA_AC, CAT_CHROMA_AC) else 0
     dc = cat in (CAT_LUMA_DC, CAT_CHROMA_DC)
     m = zz.shape[0]
@@ -190,7 +226,13 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
     utrans = jnp.asarray(utrans)
     lam2 = jnp.asarray(lam2_t)[1 if intra else 0, qp]
 
-    if dc:
+    if cat == CAT_LUMA_8x8:
+        mf8_t, unq8_t = _mf_unq_zig8()
+        li = 0 if intra else 1
+        mf = jnp.asarray(mf8_t)[li, qp]
+        unq = jnp.asarray(unq8_t)[li, qp]
+        w = jnp.asarray(_weight2_zig8())
+    elif dc:
         mf = jnp.broadcast_to(jnp.asarray(mf_t)[qp, 0] >> 1, (n,))
         unq = jnp.broadcast_to(jnp.asarray(unq_t)[qp, 0] << 1, (n,))
         w = jnp.full((n,), 256.0, jnp.float32)
@@ -198,7 +240,7 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
         mf = jax.lax.dynamic_slice(jnp.asarray(mf_t)[qp], (off,), (n,))
         unq = jax.lax.dynamic_slice(jnp.asarray(unq_t)[qp], (off,), (n,))
         w = jnp.asarray(_weight2_zig()[off:off + n])
-    sig_st = jnp.asarray(sig_t)[qp, cat]      # [16] packed states
+    sig_st = jnp.asarray(sig_t)[qp, cat]      # [64] per-POSITION states
     last_st = jnp.asarray(last_t)[qp, cat]
     abs_st0 = jnp.asarray(abs_t)[qp, cat]     # [10]
 
@@ -226,9 +268,10 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
         active = (i <= lastnz)          # [M]
         qi = q[:, i]                    # [M]
         ai = a[:, i].astype(jnp.float32)
-        # sig/last bin costs at this position (0 at the final position)
-        s_sig = sig_st[jnp.minimum(i, 14 if cat != CAT_CHROMA_DC else 2)]
-        s_last = last_st[jnp.minimum(i, 14 if cat != CAT_CHROMA_DC else 2)]
+        # sig/last bin costs at this position (0 at the final
+        # position; the tables are position-indexed per cat)
+        s_sig = sig_st[i]
+        s_last = last_st[i]
         is_final = i == n - 1
         cost_sig = jnp.where(is_final, 0, ent[s_sig])       # [2]
         cost_last = jnp.where(is_final, 0, ent[s_last])     # [2]

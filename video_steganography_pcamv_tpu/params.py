@@ -122,6 +122,12 @@ class Params:
                                # analyse=p8x8)
     p4x4: bool = False         # sub-8x8 splits 8x4/4x8/4x4 (x264
                                # analyse=p4x4, off by default there too)
+    cqm: str = "flat"            # quant matrix preset (x264 --cqm:
+                                 # flat | jvt); custom lists override
+    cqm4i: tuple = None          # custom 4x4 intra list (16, raster)
+    cqm4p: tuple = None          # custom 4x4 inter list
+    cqm8i: tuple = None          # custom 8x8 intra list (64, raster)
+    cqm8p: tuple = None          # custom 8x8 inter list
     transform_8x8: bool = False  # High profile 8x8 transform + i8x8
                                  # intra (x264 --8x8dct)
     rd: int = 0                # RD mode decision (x264 i_mbrd, subme>=6:
@@ -226,6 +232,14 @@ class Params:
         if self.transform_8x8:
             assert not self.p4x4, \
                 "8x8dct excludes sub-8x8 partitions (x264 rule)"
+        assert self.cqm in ("flat", "jvt"), f"unknown cqm {self.cqm}"
+        if self.cqm != "flat" or self.cqm4i is not None \
+                or self.cqm4p is not None or self.cqm8i is not None \
+                or self.cqm8p is not None:
+            # ops/trellis.py snapshots the flat quant tables at import;
+            # the reference supports trellis+CQM — ours doesn't yet
+            assert not self.trellis, "trellis + CQM not combined yet"
+            assert self.aq_mode == 0, "AQ + CQM not combined yet"
         if not self.cabac:
             # ops/trellis.py rates bits with a CABAC context model; the
             # reference likewise forces trellis off without CABAC
@@ -377,6 +391,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.b_adapt = int(value)
     elif name in ("weightb", "weighted_bipred"):
         p.weightb = _BOOL[value.lower()]
+    elif name == "cqm":
+        p.cqm = value.lower()
     elif name in ("b_pyramid", "b-pyramid"):
         p.b_pyramid = _BOOL[value.lower()]
     elif name == "direct":
@@ -451,6 +467,7 @@ def param2string(p: Params) -> str:
          f"cabac={int(p.cabac)} deblock={int(p.deblock)} "
          f"decimate={int(p.dct_decimate)} nr={p.noise_reduction} "
          f"8x8dct={int(p.transform_8x8)} rd={p.rd} parts={int(p.partitions)} "
+         f"cqm={p.cqm} "
          f"p4x4={int(p.p4x4)} aq={p.aq_mode} weightb={int(p.weightb)}")
     if p.aq_mode:
         s += f":{p.aq_strength:.1f}"
