@@ -19,7 +19,7 @@ W, H = 128, 96
 @pytest.fixture(autouse=True)
 def _restore_flat():
     yield
-    Q.set_cqm()   # never leak a CQM into other test modules
+    Q.set_cqm()   # never leak a CQM/deadzone into other test modules
 
 
 def _frames(n, seed=6):
@@ -88,4 +88,24 @@ def test_cqm_custom_lists_roundtrip():
     dec = decode_annexb(bs)
     for i, d in enumerate(dec):
         ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+
+
+def test_deadzone_changes_stream():
+    """--deadzone-inter/intra (x264 set.c:76 bias numerators):
+    encoder-side only — streams stay decodable, coded levels differ."""
+    frames = _frames(3, seed=3)
+    p1 = Params(width=W, height=H, qp=26, me_range=8)
+    enc1 = Encoder(p1)
+    bs1 = b"".join(enc1.encode_frame(f) for f in frames)
+    Q.set_cqm()
+    p2 = Params(width=W, height=H, qp=26, me_range=8,
+                deadzone_inter=0, deadzone_intra=0)
+    enc2 = Encoder(p2)
+    enc2.keep_recon = True
+    bs2 = b"".join(enc2.encode_frame(f) for f in frames)
+    assert bs1 != bs2
+    dec = decode_annexb(bs2)
+    for i, d in enumerate(dec):
+        ry = enc2.recon_by_disp[i][0][:H, :W].astype(np.uint8)
         np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")

@@ -58,6 +58,21 @@ def build_argparser():
     ap.add_argument("--weightb", "-w", action="store_true",
                     help="implicit weighted bipred in B frames "
                          "(x264 --weightb)")
+    ap.add_argument("--deadzone-inter", type=int, default=21,
+                    help="inter luma quantization deadzone "
+                         "(x264 --deadzone-inter; chroma follows)")
+    ap.add_argument("--deadzone-intra", type=int, default=11,
+                    help="intra luma quantization deadzone")
+    ap.add_argument("--no-fast-pskip", action="store_true",
+                    help="x264 compat: accepted; the exhaustive "
+                         "device analysis always evaluates all modes")
+    ap.add_argument("--threads", type=int, default=1,
+                    help="x264 compat: single-chip encode is one "
+                         "device pipeline; scale across chips with "
+                         "the mesh runner (parallel/mesh.py)")
+    ap.add_argument("--me", default="esa",
+                    help="x264 compat: the TPU path is always "
+                         "exhaustive (esa); dia/hex/umh map to esa")
     ap.add_argument("--cqm", default="flat", choices=["flat", "jvt"],
                     help="quantization matrix preset (x264 --cqm)")
     ap.add_argument("--cqm4", default="",
@@ -208,6 +223,9 @@ def _run(args):
                rc_lookahead=args.rc_lookahead,
                weightb=args.weightb,
                b_pyramid=args.b_pyramid,
+               deadzone_inter=args.deadzone_inter,
+               deadzone_intra=args.deadzone_intra,
+               fast_pskip=not args.no_fast_pskip,
                cqm=args.cqm,
                cqm4i=_cqmlist(args.cqm4, 16),
                cqm4p=_cqmlist(args.cqm4, 16),

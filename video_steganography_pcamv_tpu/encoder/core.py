@@ -256,7 +256,8 @@ class Encoder:
         else:
             lists = [params.cqm4i, params.cqm4p, params.cqm8i,
                      params.cqm8p]
-        CQM.set_cqm(*lists)
+        CQM.set_cqm(*lists, dz_intra=32 - params.deadzone_intra,
+                    dz_inter=32 - params.deadzone_inter)
         if not CQM.is_flat():
             i4l, p4l, i8l, p8l = CQM.active_lists()
             self.sps.scaling4_intra = i4l

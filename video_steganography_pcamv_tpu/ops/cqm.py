@@ -35,8 +35,10 @@ JVT8P = T8.JVT8P.reshape(-1)
 FLAT4 = np.full(16, 16, np.int64)
 FLAT8 = np.full(64, 16, np.int64)
 
-# active lists (raster order), flat by default
-_active = {"i4": None, "p4": None, "i8": None, "p8": None}
+# active lists (raster order), flat by default; + luma deadzone bias
+# numerators (x264 set.c:76, defaults 21 intra / 11 inter)
+_active = {"i4": None, "p4": None, "i8": None, "p8": None,
+           "dzi": 21, "dzp": 11}
 
 
 def active_lists():
@@ -45,7 +47,7 @@ def active_lists():
 
 
 def is_flat() -> bool:
-    return all(v is None for v in _active.values())
+    return all(_active[k] is None for k in ("i4", "p4", "i8", "p8"))
 
 
 def _norm(v, n):
@@ -58,11 +60,13 @@ def _norm(v, n):
     return None if np.array_equal(a, flat) else a
 
 
-def set_cqm(intra4=None, inter4=None, intra8=None, inter8=None) -> None:
-    """Install CQM lists (raster order; None = flat). No-op when the
-    active set already matches."""
+def set_cqm(intra4=None, inter4=None, intra8=None, inter8=None,
+            dz_intra: int = 21, dz_inter: int = 11) -> None:
+    """Install CQM lists (raster order; None = flat) + luma deadzone
+    bias numerators. No-op when the active set already matches."""
     new = {"i4": _norm(intra4, 16), "p4": _norm(inter4, 16),
-           "i8": _norm(intra8, 64), "p8": _norm(inter8, 64)}
+           "i8": _norm(intra8, 64), "p8": _norm(inter8, 64),
+           "dzi": int(dz_intra), "dzp": int(dz_inter)}
     same = all(
         (new[k] is None and _active[k] is None)
         or (new[k] is not None and _active[k] is not None
@@ -70,8 +74,8 @@ def set_cqm(intra4=None, inter4=None, intra8=None, inter8=None) -> None:
     if same:
         return
     _active.update(new)
-    T.set_scaling4(new["i4"], new["p4"])
-    T8.set_scaling8(new["i8"], new["p8"])
+    T.set_scaling4(new["i4"], new["p4"], new["dzi"], new["dzp"])
+    T8.set_scaling8(new["i8"], new["p8"], new["dzi"], new["dzp"])
     import jax
     jax.clear_caches()   # retrace with the new table constants
 

@@ -94,15 +94,18 @@ QUANT4_MF_I, QUANT4_MF_P = QUANT4_MF, QUANT4_MF
 DEQUANT4_MF_I, DEQUANT4_MF_P = DEQUANT4_MF, DEQUANT4_MF
 
 
-def set_scaling4(intra=None, inter=None) -> None:
-    """Install active 4x4 scaling lists (raster order, None = flat).
-    Callers must clear jit caches afterwards (ops/cqm.py does)."""
+def set_scaling4(intra=None, inter=None, dz_intra: int = 21,
+                 dz_inter: int = 11) -> None:
+    """Install active 4x4 scaling lists (raster order, None = flat)
+    and luma deadzone bias numerators (x264 set.c:76: numerator =
+    32 - i_luma_deadzone, defaults 21 intra / 11 inter). Callers must
+    clear jit caches afterwards (ops/cqm.py does)."""
     global QUANT4_MF_I, QUANT4_MF_P, QUANT4_BIAS_INTRA
     global QUANT4_BIAS_INTER, DEQUANT4_MF_I, DEQUANT4_MF_P
     QUANT4_MF_I, QUANT4_BIAS_INTRA, _, DEQUANT4_MF_I = \
-        _build_tables(intra)
+        _build_tables(intra, deadzone_intra=dz_intra)
     QUANT4_MF_P, _, QUANT4_BIAS_INTER, DEQUANT4_MF_P = \
-        _build_tables(inter)
+        _build_tables(inter, deadzone_inter=dz_inter)
 
 # chroma QP mapping (spec table 8-15)
 CHROMA_QP_TABLE = np.concatenate([

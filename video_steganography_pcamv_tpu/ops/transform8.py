@@ -75,7 +75,8 @@ def _shift(x: np.ndarray, s: int) -> np.ndarray:
     return x << (-s)
 
 
-def build_tables8(scaling_intra=None, scaling_inter=None):
+def build_tables8(scaling_intra=None, scaling_inter=None,
+                  dz_intra: int = 21, dz_inter: int = 11):
     """(quant_mf [52,8,8], bias_intra, bias_inter, dequant_mf [6,8,8]
     x2 lists) for given 8x8 scaling lists (default flat 16). Mirrors
     x264_cqm_init exactly: quant8_mf = DIV(def*16, scale) then
@@ -90,7 +91,8 @@ def build_tables8(scaling_intra=None, scaling_inter=None):
     out_q = np.zeros((2, 52, 8, 8), np.int64)
     out_bi = np.zeros((2, 52, 8, 8), np.int64)
     out_dq = np.zeros((2, 6, 8, 8), np.int64)
-    for li, (sc, dz) in enumerate(((sc_i, 21), (sc_p, 11))):
+    for li, (sc, dz) in enumerate(((sc_i, dz_intra),
+                                   (sc_p, dz_inter))):
         base_q = np.zeros((6, 8, 8), np.int64)
         for q in range(6):
             defq = _QUANT8_SCALE[q][cls]
@@ -109,11 +111,14 @@ def build_tables8(scaling_intra=None, scaling_inter=None):
 QUANT8_MF, QUANT8_BIAS, DEQUANT8_MF = build_tables8()
 
 
-def set_scaling8(intra=None, inter=None) -> None:
-    """Install active 8x8 scaling lists (raster order, None = flat).
-    Callers must clear jit caches afterwards (ops/cqm.py does)."""
+def set_scaling8(intra=None, inter=None, dz_intra: int = 21,
+                 dz_inter: int = 11) -> None:
+    """Install active 8x8 scaling lists (raster order, None = flat)
+    + deadzone bias numerators. Callers must clear jit caches
+    afterwards (ops/cqm.py does)."""
     global QUANT8_MF, QUANT8_BIAS, DEQUANT8_MF
-    QUANT8_MF, QUANT8_BIAS, DEQUANT8_MF = build_tables8(intra, inter)
+    QUANT8_MF, QUANT8_BIAS, DEQUANT8_MF = build_tables8(
+        intra, inter, dz_intra, dz_inter)
 
 # 8x8 frame zigzag (spec Table 8-9 / classic diagonal scan)
 

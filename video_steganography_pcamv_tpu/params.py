@@ -122,6 +122,13 @@ class Params:
                                # analyse=p8x8)
     p4x4: bool = False         # sub-8x8 splits 8x4/4x8/4x4 (x264
                                # analyse=p4x4, off by default there too)
+    deadzone_inter: int = 21     # inter luma quant deadzone (x264
+                                 # --deadzone-inter; bias = 32-dz
+                                 # chroma follows luma — doc'd
+                                 # divergence, x264 is luma-only)
+    deadzone_intra: int = 11     # intra luma quant deadzone
+    fast_pskip: bool = True      # accepted for x264 CLI compat; the
+                                 # exhaustive analysis subsumes it
     cqm: str = "flat"            # quant matrix preset (x264 --cqm:
                                  # flat | jvt); custom lists override
     cqm4i: tuple = None          # custom 4x4 intra list (16, raster)
@@ -232,6 +239,8 @@ class Params:
         if self.transform_8x8:
             assert not self.p4x4, \
                 "8x8dct excludes sub-8x8 partitions (x264 rule)"
+        self.deadzone_inter = max(0, min(32, self.deadzone_inter))
+        self.deadzone_intra = max(0, min(32, self.deadzone_intra))
         assert self.cqm in ("flat", "jvt"), f"unknown cqm {self.cqm}"
         if self.cqm != "flat" or self.cqm4i is not None \
                 or self.cqm4p is not None or self.cqm8i is not None \
@@ -391,6 +400,12 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.b_adapt = int(value)
     elif name in ("weightb", "weighted_bipred"):
         p.weightb = _BOOL[value.lower()]
+    elif name in ("deadzone_inter", "deadzone-inter"):
+        p.deadzone_inter = int(value)
+    elif name in ("deadzone_intra", "deadzone-intra"):
+        p.deadzone_intra = int(value)
+    elif name in ("fast_pskip", "fast-pskip"):
+        p.fast_pskip = _BOOL[value.lower()]
     elif name == "cqm":
         p.cqm = value.lower()
     elif name in ("b_pyramid", "b-pyramid"):
