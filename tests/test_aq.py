@@ -115,3 +115,28 @@ def test_zones_force_qp():
     for i, d in enumerate(dec):
         ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
         np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+
+
+def test_aq_cabac_roundtrip():
+    """AQ under CABAC: mb_qp_delta on ctx 60-63 with the prev-MB chain
+    (x264_cabac_mb_qp_delta, encoder/cabac.c:265-297) + the decoder's
+    running-QP dequant chain."""
+    frames = _mixed_energy_frames(4, seed=8)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, cabac=True)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 4
+    spread = set()
+    for d in dec[1:]:
+        spread |= {m.qp for m in d.mbs}
+    assert len(spread) >= 3, f"AQ produced no qp spread: {spread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")

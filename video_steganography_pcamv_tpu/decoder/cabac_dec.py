@@ -99,6 +99,9 @@ class CabacSliceParser:
     def __init__(self, br, mbw, mbh, qp, slice_is_i, model=0,
                  num_ref=1, slice_is_b=False, trans8_mode=False):
         self.cd = CabacDecoder(br, qp, slice_is_i, model)
+        self.qp = qp                 # running luma QP (mb_qp_delta)
+        self.last_dqp = 0
+        self.prev_coded = 0
         self.num_ref = num_ref
         self.slice_is_b = slice_is_b
         self.trans8_mode = trans8_mode
@@ -388,14 +391,22 @@ class CabacSliceParser:
         return 2 if cd.decision(77 + ctx2) else 1
 
     def qp_delta_zero(self):
-        """dqp parse under our dqp==0 encoder: single terminated unary."""
-        ctx = 0
+        return self.qp_delta()
+
+    def qp_delta(self):
+        """mb_qp_delta parse (inverse of the writer's qp_delta): unary
+        on ctx 60 + (prev coded nonzero dqp), then 62, then 63; updates
+        the running QP chain."""
+        ctx = 1 if (self.last_dqp and self.prev_coded) else 0
         val = 0
         while self.cd.decision(60 + ctx):
             val += 1
             ctx = 2 + (ctx >> 1)
-        assert val == 0, "nonzero mb_qp_delta unsupported"
-        return 0
+            assert val < 52, "mb_qp_delta unary overrun"
+        dqp = (val + 1) >> 1 if val & 1 else -(val >> 1)
+        self.last_dqp = dqp
+        self.qp = (self.qp + dqp + 52) % 52   # spec 7.4.5 QP chain
+        return dqp
 
     def end_mb(self):
         return self.cd.terminal()
@@ -478,11 +489,13 @@ class CabacSliceParser:
             lev8 = self._luma_residual_8x8(my, mx, cbp_luma, True)
             cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma, True)
         else:
+            self.last_dqp = 0
             lev8 = np.zeros((2, 2, 64), np.int64)
             cdcs = np.zeros((2, 4), np.int64)
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if (cbp_luma or cbp_chroma) else 0
         return modes8, cmode, cbp_luma, cbp_chroma, lev8, cdcs, cacs
 
     def _chroma_residual(self, my, mx, cbp_chroma, intra):
@@ -527,6 +540,7 @@ class CabacSliceParser:
         dc, acs = self._luma_residual_i16(my, mx, cbpl_flag)
         cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma, True)
         self.mb_kind[my, mx] = 3
+        self.prev_coded = 1            # I_16x16 (cabac.c:282)
         self.cbp[my, mx] = (cbp_chroma << 4) | (15 if cbpl_flag else 0)
         self.modes4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
         return cmode, dc, acs, cdcs, cacs
@@ -550,11 +564,13 @@ class CabacSliceParser:
             blocks = self._luma_residual_4x4(my, mx, cbp_luma, True)
             cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma, True)
         else:
+            self.last_dqp = 0
             blocks = np.zeros((4, 4, 16), np.int64)
             cdcs = np.zeros((2, 4), np.int64)
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if (cbp_luma or cbp_chroma) else 0
         return modes, cmode, cbp_luma, cbp_chroma, blocks, cdcs, cacs
 
     def parse_p_mb(self, my, mx, part):
@@ -598,16 +614,20 @@ class CabacSliceParser:
                                                  False)
             cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma, False)
         else:
+            self.last_dqp = 0
             blocks = np.zeros((4, 4, 16), np.int64)
             cdcs = np.zeros((2, 4), np.int64)
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if (cbp_luma or cbp_chroma) else 0
         return ((mvds, subs, refs), cbp_luma, cbp_chroma, blocks, cdcs,
                 cacs, lev8)
 
     def parse_skip_mb(self, my, mx):
         self._clear_mb_ctx(my, mx)
+        self.last_dqp = 0
+        self.prev_coded = 0
         self.mb_kind[my, mx] = 0
         self.cbp[my, mx] = 0
         self.cmode_map[my, mx] = 0
@@ -716,16 +736,20 @@ class CabacSliceParser:
             cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma,
                                                False)
         else:
+            self.last_dqp = 0
             blocks = np.zeros((4, 4, 16), np.int64)
             cdcs = np.zeros((2, 4), np.int64)
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if (cbp_luma or cbp_chroma) else 0
         return (subs, mvds, cbp_luma, cbp_chroma, blocks, cdcs,
                 cacs)
 
     def parse_b_skip_mb(self, my, mx):
         self._clear_mb_ctx(my, mx)
+        self.last_dqp = 0
+        self.prev_coded = 0
         self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
         self.mb_kind[my, mx] = 0
         self.bdirect[my, mx] = True
@@ -765,9 +789,11 @@ class CabacSliceParser:
             cdcs, cacs = self._chroma_residual(my, mx, cbp_chroma,
                                                False)
         else:
+            self.last_dqp = 0
             blocks = np.zeros((4, 4, 16), np.int64)
             cdcs = np.zeros((2, 4), np.int64)
             cacs = np.zeros((2, 2, 2, 16), np.int64)
             self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if (cbp_luma or cbp_chroma) else 0
         return mvd0, mvd1, cbp_luma, cbp_chroma, blocks, cdcs, cacs

@@ -502,7 +502,7 @@ class SliceDecoder:
         cbp = VT.CBP_INTRA_TO_GOLOMB.index(br.read_ue())
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
-            qp = qp + br.read_se()
+            qp = (qp + br.read_se() + 52) % 52
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
                                     0, 51)])
 
@@ -551,7 +551,7 @@ class SliceDecoder:
         cbp = VT.CBP_INTRA_TO_GOLOMB.index(br.read_ue())
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
         if cbp:
-            qp = qp + br.read_se()
+            qp = (qp + br.read_se() + 52) % 52
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
                                     0, 51)])
 
@@ -873,7 +873,7 @@ class SliceDecoder:
         trans8 = bool(self.pps.transform_8x8 and cbp_luma
                       and br.read1())
         if cbp:
-            qp = qp + br.read_se()
+            qp = (qp + br.read_se() + 52) % 52
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
                                     0, 51)])
         from ..encoder.cavlc import LUMA_SCAN
@@ -1131,7 +1131,7 @@ class SliceDecoder:
         if self.pps.transform_8x8 and cbp_luma:
             assert br.read1() == 0, "8x8 transform in B MBs unsupported"
         if cbp:
-            qp = qp + br.read_se()
+            qp = (qp + br.read_se() + 52) % 52
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
                                     0, 51)])
         from ..encoder.cavlc import LUMA_SCAN
@@ -1268,7 +1268,7 @@ class SliceDecoder:
         if self.pps.transform_8x8 and cbp_luma:
             assert br.read1() == 0, "8x8 transform in B MBs unsupported"
         if cbp:
-            qp = qp + br.read_se()
+            qp = (qp + br.read_se() + 52) % 52
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
                                     0, 51)])
         from ..encoder.cavlc import LUMA_SCAN
@@ -1619,7 +1619,7 @@ def _decode_slice_cabac(dec: SliceDecoder, br, slice_type: int, qp: int,
         else:
             if ps.skip_flag(my, mx):
                 ps.parse_skip_mb(my, mx)
-                dec.decode_pskip(mx, my, qp)
+                dec.decode_pskip(mx, my, ps.qp)
             else:
                 is_intra, info = ps.mb_type_p()
                 if is_intra:
@@ -1816,6 +1816,9 @@ def _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,
 def _recon_i16_cabac(dec, ps, my, mx, mode16, cbpl, cbpc, qp, qpc):
     cmode, dc_lv, acs, cdcs, cacs = ps.parse_i16_mb(
         my, mx, mode16, cbpl, cbpc)
+    qp = ps.qp
+    qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
+                                0, 51)])
     gx, gy = 16 * mx, 16 * my
     at, al = my > 0, mx > 0
     top = dec.y[gy - 1, gx:gx + 16] if at else np.zeros(16, np.int64)
@@ -1846,6 +1849,9 @@ def _recon_i4_cabac(dec, ps, my, mx, qp, qpc):
     from ..encoder.cavlc import LUMA_SCAN
     modes, cmode, cbp_luma, cbp_chroma, blk_lv, cdcs, cacs = \
         ps.parse_i4_mb(my, mx)
+    qp = ps.qp
+    qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
+                                0, 51)])
     blocks = np.zeros((4, 4, 4, 4), np.int64)
     for by in range(4):
         for bx in range(4):
@@ -1870,6 +1876,9 @@ def _recon_i8_cabac(dec, ps, my, mx, qp, qpc):
     shared 8x8 prediction/recon helpers (twin of decode_i8x8)."""
     modes8, cmode, cbp_luma, cbp_chroma, lev8, cdcs, cacs = \
         ps.parse_i8_mb(my, mx)
+    qp = ps.qp
+    qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
+                                0, 51)])
     for b, (by8, bx8) in enumerate(dec._Z8):
         # keep the CAVLC-path mode map in sync for later i4 MBs
         dec.modes4[4 * my + 2 * by8:4 * my + 2 * by8 + 2,
@@ -1889,6 +1898,9 @@ def _recon_p_cabac(dec, ps, my, mx, part, qp, qpc):
     from ..encoder.scan import mb_units
     ((mvds, subs, refs), cbp_luma, cbp_chroma, blk_lv, cdcs, cacs,
      lev8) = ps.parse_p_mb(my, mx, part)
+    qp = ps.qp
+    qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
+                                0, 51)])
     geom = mb_units(part, subs) if part == 3 else dec._UNIT_GEOM[part]
     ref_geom = dec._UNIT_GEOM[3] if part == 3 else dec._UNIT_GEOM[part]
     y4, x4 = 4 * my, 4 * mx

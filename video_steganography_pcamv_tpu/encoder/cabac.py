@@ -196,6 +196,8 @@ class CabacSliceWriter:
         self.slice_is_b = slice_is_b
         self.trans8_mode = trans8_mode   # PPS transform_8x8_mode_flag
         self.trans8_map = np.zeros((mbh, mbw), np.int32)
+        self.last_dqp = 0                # mb_qp_delta ctx chain state
+        self.prev_coded = 0              # prev MB I16-or-cbp flag
         # context maps
         self.nnz_y = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.nnz_c = np.zeros((2, 2 * mbh, 2 * mbw), np.int32)
@@ -608,10 +610,29 @@ class CabacSliceWriter:
             cb.decision(77 + ctx2, 1 if cbpc > 1 else 0)
 
     def qp_delta_zero(self, has_residual: bool):
-        """dqp == 0 (CQP frame-level rate control): single 0 bin with
-        ctx 60 (last_dqp is always 0 here)."""
-        if has_residual:
-            self.cb.decision(60, 0)
+        """dqp == 0 (CQP frame-level rate control)."""
+        self.qp_delta(0, has_residual)
+
+    def qp_delta(self, dqp: int, has_residual: bool):
+        """mb_qp_delta (x264_cabac_mb_qp_delta, encoder/cabac.c:265):
+        unary of the se-mapped value on ctx 60 + (prev MB coded a
+        nonzero dqp and had residual), then 62, then 63. Tracks the
+        last_dqp / previous-MB state the ctx derivation reads."""
+        if not has_residual:
+            self.last_dqp = 0
+            return
+        cb = self.cb
+        ctx = 1 if (self.last_dqp and self.prev_coded) else 0
+        if dqp != 0:
+            val = -2 * dqp if dqp <= 0 else 2 * dqp - 1
+            if val >= 51 and val != 52:   # dqp modulo 52 (cabac.c:288)
+                val = 103 - val
+            while val:
+                cb.decision(60 + ctx, 1)
+                ctx = 2 + (ctx >> 1)
+                val -= 1
+        cb.decision(60 + ctx, 0)
+        self.last_dqp = dqp
 
     def end_mb(self, last: bool):
         self.cb.terminal(1 if last else 0)
@@ -723,6 +744,7 @@ class CabacSliceWriter:
         self._chroma_residual(my, mx, cbp_chroma, chroma_dc, chroma_ac,
                               True)
         self.mb_kind[my, mx] = 3
+        self.prev_coded = 1            # I_16x16 (cabac.c:282)
         self.cbp[my, mx] = (cbp_chroma << 4) | (15 if cbp_luma else 0)
         self.modes4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
 
@@ -758,8 +780,10 @@ class CabacSliceWriter:
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, True)
         else:
+            self.last_dqp = 0
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if cbp else 0
 
     def write_i8_mb(self, my, mx, modes8, cmode, cbp_luma, cbp_chroma,
                     luma8_lev, chroma_dc, chroma_ac,
@@ -813,12 +837,16 @@ class CabacSliceWriter:
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, True)
         else:
+            self.last_dqp = 0
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if cbp else 0
 
     def write_skip_mb(self, my, mx):
         self.skip_flag(my, mx, True)
         self._clear_mb_ctx(my, mx)
+        self.last_dqp = 0
+        self.prev_coded = 0
         self.mb_kind[my, mx] = 0
         self.cbp[my, mx] = 0
         self.cmode_map[my, mx] = 0
@@ -834,7 +862,7 @@ class CabacSliceWriter:
     def write_p_mb(self, my, mx, part, mvds, cbp_luma, cbp_chroma,
                    luma_blocks, chroma_dc, chroma_ac, sub_types=None,
                    refs=None, num_ref: int = 1, trans8: bool = False,
-                   luma8_lev=None):
+                   luma8_lev=None, dqp: int = 0):
         """sub_types: [4] sub_mb_type per 8x8 block (None = all
         P_L0_8x8); mvds then has one row per unit in coding order.
         refs: per-ref-slot L0 refs (parts 0-2: one per unit; P_8x8:
@@ -875,7 +903,7 @@ class CabacSliceWriter:
         self.dc_nz_y[my, mx] = 0
         self.dc_nz_c[:, my, mx] = 0
         if cbp:
-            self.qp_delta_zero(True)
+            self.qp_delta(dqp, True)
             if trans8 and cbp_luma:
                 self._luma_residual_8x8(my, mx, cbp_luma, luma8_lev,
                                         False)
@@ -885,12 +913,16 @@ class CabacSliceWriter:
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, False)
         else:
+            self.last_dqp = 0
             self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if cbp else 0
 
     def write_b_skip_mb(self, my, mx):
         self.skip_flag(my, mx, True)
         self._clear_mb_ctx(my, mx)
+        self.last_dqp = 0
+        self.prev_coded = 0
         self.mvd4_1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
         self.mb_kind[my, mx] = 0
         self.bdirect[my, mx] = True
@@ -934,8 +966,10 @@ class CabacSliceWriter:
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, False)
         else:
+            self.last_dqp = 0
             self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if cbp else 0
 
     def write_b_mb_ext(self, my, mx, code: int, subs, mvd0, mvd1,
                        cbp_luma, cbp_chroma, luma_blocks, chroma_dc,
@@ -988,8 +1022,10 @@ class CabacSliceWriter:
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, False)
         else:
+            self.last_dqp = 0
             self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        self.prev_coded = 1 if cbp else 0
 
     def end_slice(self, bw: BitWriter):
         self.cb.flush_to(bw)

@@ -1052,7 +1052,7 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if self._native is not None and intra_res is None \
-                and not p.transform_8x8:
+                and not p.transform_8x8 and self._aq_grids is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             if part is None:
@@ -1076,6 +1076,8 @@ class Encoder:
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,
                              trans8_mode=p.transform_8x8)
+        aqg = self._aq_grids[0] if self._aq_grids is not None else None
+        last_qp = qp
         for a in range(n):
             my, mx = a // mbw, a % mbw
             k = 0 if intra_kind is None else int(intra_kind[my, mx])
@@ -1107,6 +1109,13 @@ class Encoder:
                 else:
                     pt = int(part[my, mx])
                     mvds = mvd[my, mx]
+                dq = 0
+                if aqg is not None and (
+                        int(res["cbp_luma"][my, mx])
+                        or int(res["cbp_chroma"][my, mx])):
+                    # spec 7.4.5 modular fold (see the CAVLC twin)
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                    last_qp = int(aqg[my, mx])
                 w.write_p_mb(my, mx, pt, mvds,
                              int(res["cbp_luma"][my, mx]),
                              int(res["cbp_chroma"][my, mx]),
@@ -1119,7 +1128,8 @@ class Encoder:
                              trans8=bool(p.transform_8x8
                                          and res["trans8"][my, mx]),
                              luma8_lev=(res["luma8_lev"][my, mx]
-                                        if p.transform_8x8 else None))
+                                        if p.transform_8x8 else None),
+                             dqp=dq)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
@@ -1750,7 +1760,9 @@ class Encoder:
                 if aqg is not None and (
                         int(res_np["cbp_luma"][my, mx])
                         or int(res_np["cbp_chroma"][my, mx])):
-                    dq = int(aqg[my, mx]) - last_qp
+                    # mb_qp_delta is specified in [-26, 25] with the QP
+                    # chain modulo 52 (spec 7.4.5) — fold large swings
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
                     last_qp = int(aqg[my, mx])
                 fc.write_p_mb(
                     bw, mx, my, int(part_np[my, mx]), mvd[my, mx],

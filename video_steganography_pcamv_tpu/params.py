@@ -264,8 +264,6 @@ class Params:
             assert not self.transform_8x8, \
                 "AQ + 8x8dct not combined yet"
             assert not self.p4x4, "AQ + sub-8x8 not combined yet"
-            assert not self.cabac, \
-                "AQ + CABAC (mb_qp_delta ctx 60-63) not wired yet"
             assert self.ref_frames == 1, "AQ + multi-ref not wired yet"
             assert not self.stego.enabled, \
                 "AQ + embedding not combined (reference embeds at CQP)"
