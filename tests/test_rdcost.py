@@ -100,3 +100,45 @@ def test_rd_mode_decision_improves_objective():
     c0 = out[0][1] + lam2 * 8 * out[0][0]
     c1 = out[1][1] + lam2 * 8 * out[1][0]
     assert c1 <= c0 * 1.002, (out, c0, c1)
+
+
+def test_rd2_skip_probe():
+    """--rd 2 (P_SKIP RD probe): near-static content must gain skips
+    and save bits vs --rd 1, and the stream stays bit-exact."""
+    import numpy as np
+    from video_steganography_pcamv_tpu.params import Params
+    from video_steganography_pcamv_tpu.utils.yuv import Frame
+    from video_steganography_pcamv_tpu.encoder.core import Encoder
+    from video_steganography_pcamv_tpu.decoder import decode_annexb
+    W, H = 128, 96
+    rng = np.random.RandomState(2)
+    base = rng.randint(30, 220, (H, W)).astype(np.uint8)
+    base = ((base.astype(np.int32) + np.roll(base, 1, 0)
+             + np.roll(base, 1, 1)) // 3).astype(np.uint8)
+    frames = []
+    for i in range(4):
+        # slow brightness ramp + a moving block: the ramp leaves a
+        # structured low-level residual (survives decimation, not
+        # auto-skip) that the RD probe should fold into skips
+        y = np.clip(base.astype(np.int32) + 4 * i, 0, 255) \
+            .astype(np.uint8)
+        y[40:56, 40:56] = np.roll(base[40:56, 40:56], i, axis=1)
+        frames.append(Frame(y, np.full((H // 2, W // 2), 100, np.uint8),
+                            np.full((H // 2, W // 2), 140, np.uint8)))
+
+    sizes, skips = [], []
+    for rd in (1, 2):
+        p = Params(width=W, height=H, qp=32, me_range=8, rd=rd)
+        enc = Encoder(p)
+        enc.keep_recon = True
+        bs = b"".join(enc.encode_frame(f) for f in frames)
+        dec = decode_annexb(bs)
+        for i, d in enumerate(dec):
+            ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+            np.testing.assert_array_equal(d.y, ry,
+                                          err_msg=f"rd={rd} frame {i}")
+        sizes.append(len(bs))
+        skips.append(sum(1 for d in dec for m in d.mbs
+                         if m.mb_type == "SKIP"))
+    assert skips[1] > skips[0], skips
+    assert sizes[1] < sizes[0], sizes

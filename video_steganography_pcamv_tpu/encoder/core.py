@@ -1418,6 +1418,13 @@ class Encoder:
                 intra=intra_mask if intra_mask.any() else None,
                 ref8=ref8_np)
         skip &= ~intra_mask
+        if (p.rd >= 2 and self._stego is None and not multiref
+                and not p.aq_mode):
+            forced = self._rd_skip_force(y, u, v, qp, qpc, part_np,
+                                         final8, skip, mvd, res,
+                                         intra_mask)
+            if forced is not None:
+                final8, skip, mvd, res = forced
 
         if self._stego is not None:
             replaced = self._stego.embed_frame_parts(
@@ -1428,6 +1435,62 @@ class Encoder:
         return self._p_finalize(res, qp, part_np, mvd, skip, intra_kind,
                                 intra_res, ref8_np, final8, intra_mask,
                                 multiref)
+
+    def _rd_skip_force(self, y, u, v, qp, qpc, part_np, final8,
+                       skip, mvd, res, intra_mask):
+        """--rd 2: P_SKIP RD probe (x264 i_mbrd skip decision analog).
+        Per coded MB, compare SSD + lambda2*bits of the coded config
+        against encoding as P_SKIP at the committed field's pskip MV;
+        force the winners, rescan (exact pskip re-derivation in the
+        new context) and re-encode with the residual dropped. Returns
+        (final8, skip, mvd, res) or None when nothing flips."""
+        from . import scan as SCAN
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        pskip = SCAN.pskip_field(part_np, final8, skip)
+        cost_c, cost_s = P.rd_skip_eval(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            jnp.asarray(pskip), res["luma_lev"], res["chroma_dc"],
+            res["chroma_ac"], res["recon_y"], res["recon_u"],
+            res["recon_v"], jnp.asarray(mvd), jnp.asarray(part_np),
+            qp, mbh, mbw)
+        force = (np.asarray(cost_s) < np.asarray(cost_c)) \
+            & ~skip & ~intra_mask
+        if intra_mask.any():
+            # an MB whose recon a committed intra MB predicts from
+            # (its A/B/C/D neighbour) may not change recon
+            dep = np.zeros_like(intra_mask)
+            dep[:, :-1] |= intra_mask[:, 1:]
+            dep[:-1, :] |= intra_mask[1:, :]
+            dep[:-1, 1:] |= intra_mask[1:, :-1]
+            dep[:-1, :-1] |= intra_mask[1:, 1:]
+            force &= ~dep
+        if not force.any():
+            return None
+        skip2 = skip | force
+        final2, mvd2, _ = SCAN.scan_p_frame_forced(part_np, final8,
+                                                   skip2)
+        res2 = P.encode_p_frame_device8(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            jnp.asarray(final2), qp, qpc, mbh, mbw,
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip2),
+            trellis=bool(p.trellis), nr_offset=self._nr_offset(),
+            trans8=p.transform_8x8, rd=bool(p.rd))
+        if intra_mask.any():
+            # re-graft the intra patches: their predicted-from
+            # neighbourhood recon is unchanged by the dep mask above
+            res2 = dict(res2)
+            m_y = jnp.asarray(
+                np.repeat(np.repeat(intra_mask, 16, 0), 16, 1))
+            res2["recon_y"] = jnp.where(m_y, res["recon_y"],
+                                        res2["recon_y"])
+            m_c = jnp.asarray(
+                np.repeat(np.repeat(intra_mask, 8, 0), 8, 1))
+            res2["recon_u"] = jnp.where(m_c, res["recon_u"],
+                                        res2["recon_u"])
+            res2["recon_v"] = jnp.where(m_c, res["recon_v"],
+                                        res2["recon_v"])
+        return final2, skip2, mvd2, res2
 
     def _p_state_update(self, part_np, skip, final8, intra_kind,
                         ref8_np, intra_mask):

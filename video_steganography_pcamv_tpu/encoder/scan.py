@@ -241,6 +241,31 @@ def scan_p_frame_sub_forced(part: np.ndarray, sub_type: np.ndarray,
     return final, mvd, mvp_out
 
 
+def pskip_field(part: np.ndarray, mv8: np.ndarray,
+                skip: np.ndarray, ref8: np.ndarray | None = None):
+    """Per-MB P_SKIP MV under the committed field: the MV each MB
+    would take if forced to skip (an approximation for the RD-skip
+    decision — the forced rescan re-derives exactly). mv8 is the FINAL
+    field (detected skips already carry their pskip MVs)."""
+    mbh, mbw = part.shape
+    g = _Grid(mbh, mbw)
+    out = np.zeros((mbh, mbw, 2), np.int32)
+    for my in range(mbh):
+        for mx in range(mbw):
+            y4, x4 = 4 * my, 4 * mx
+            out[my, mx] = _pskip_mv(g, y4, x4)
+            if skip[my, mx]:
+                g.commit(y4, x4, 4, 4, mv8[2 * my, 2 * mx], ref=0)
+                continue
+            pt = int(part[my, mx])
+            for u, (oy, ox, w4, h4) in enumerate(UNIT_GEOM[pt]):
+                r = (0 if ref8 is None
+                     else int(ref8[2 * my + oy // 2, 2 * mx + ox // 2]))
+                g.commit(y4 + oy, x4 + ox, h4, w4,
+                         mv8[2 * my + oy // 2, 2 * mx + ox // 2], ref=r)
+    return out
+
+
 def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,
                         skip: np.ndarray,
                         ref8: np.ndarray | None = None):

@@ -137,7 +137,9 @@ class Params:
     cqm8p: tuple = None          # custom 8x8 inter list
     transform_8x8: bool = False  # High profile 8x8 transform + i8x8
                                  # intra (x264 --8x8dct)
-    rd: int = 0                # RD mode decision (x264 i_mbrd, subme>=6:
+    rd: int = 0                # 2 adds the P_SKIP RD probe (forced-
+                               # skip re-encode; i_mbrd=2 analog)
+                               # RD mode decision (x264 i_mbrd, subme>=6:
                                # exact-bits+SSD refinement; currently the
                                # transform decision + intra mode ranking)
 
