@@ -115,3 +115,23 @@ def test_cabac_8x8_trellis_roundtrip():
     bs2 = b"".join(enc2.encode_frame(f) for f in frames)
     assert bs != bs2, "trellis did not engage"
     assert len(bs) <= len(bs2) + 64, (len(bs), len(bs2))
+
+
+def test_native_cabac_8x8_matches_python():
+    """The native CABAC twin must emit byte-identical streams to the
+    Python oracle for --8x8dct --cabac (cat-5 residual, flags, i8
+    modes)."""
+    from video_steganography_pcamv_tpu import native
+    if native.load() is None:
+        pytest.skip("no native lib")
+    frames = _smooth_frames(4, seed=4)
+    # deblock off: _native=None would also disable the host deblocker
+    # and diverge recon — this test isolates the entropy writers
+    p = Params(width=W, height=H, qp=26, me_range=8,
+               transform_8x8=True, cabac=True, deblock=False)
+    enc_n = Encoder(p)
+    bs_n = b"".join(enc_n.encode_frame(f) for f in frames)
+    enc_p = Encoder(p)
+    enc_p._native = None
+    bs_p = b"".join(enc_p.encode_frame(f) for f in frames)
+    assert bs_n == bs_p

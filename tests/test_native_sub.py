@@ -42,8 +42,10 @@ def _busy_frames(n, seed=3):
 @pytest.mark.parametrize("cabac", [False, True])
 def test_native_sub_writer_matches_python(cabac):
     frames = _busy_frames(4)
+    # deblock off: _native=None would also disable the host deblocker
+    # and diverge recon — this test isolates the entropy writers
     p = Params(width=W, height=H, qp=22, me_range=8, p4x4=True,
-               cabac=cabac)
+               cabac=cabac, deblock=False)
     enc_n = Encoder(p)
     bs_native = b"".join(enc_n.encode_frame(f) for f in frames)
 

@@ -886,7 +886,7 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None and not p.transform_8x8:
+        if self._native is not None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice_cabac(
@@ -900,7 +900,14 @@ class Encoder:
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
                 mb_i4=res["mb_i4"].reshape(n) if p.i4x4 else None,
                 i4_modes=(res["i4_modes"].reshape(n, 16)
-                          if p.i4x4 else None))
+                          if p.i4x4 else None),
+                mb_i8=(res["mb_i8"].reshape(n)
+                       if p.transform_8x8 else None),
+                i8_modes=(res["i8_modes"].reshape(n, 4)
+                          if p.transform_8x8 else None),
+                luma8_lev=(res["luma8_lev"].reshape(n, 256)
+                           if p.transform_8x8 else None),
+                trans8_mode=p.transform_8x8)
         while not bw.byte_aligned():
             bw.write1(1)  # cabac_alignment_one_bit
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=True,
@@ -1052,7 +1059,7 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if self._native is not None and intra_res is None \
-                and not p.transform_8x8 and self._aq_grids is None:
+                and self._aq_grids is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             if part is None:
@@ -1071,7 +1078,12 @@ class Encoder:
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
                 refs=(None if ref8 is None
                       else self._refs4(part_a, ref8)),
-                num_ref=self.p.ref_frames)
+                num_ref=self.p.ref_frames,
+                luma8_lev=(res["luma8_lev"].reshape(n, 256)
+                           if p.transform_8x8 else None),
+                trans8=(res["trans8"].astype(np.int32)
+                        if p.transform_8x8 else None),
+                trans8_mode=p.transform_8x8)
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,

@@ -105,6 +105,8 @@ def load():
         ctypes.c_void_p, ctypes.c_void_p, i32p, i32p,
         ctypes.c_void_p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int]
     lib.pcamv_stc_embed.restype = ctypes.c_int
     lib.pcamv_stc_embed.argtypes = [u8p, ctypes.c_long, u8p, ctypes.c_long,
@@ -195,7 +197,9 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
                       mode=None, cmode=None, cbp_luma, cbp_chroma,
                       luma_dc=None, luma_blocks, chroma_dc, chroma_ac,
                       mb_i4=None, i4_modes=None, refs=None,
-                      num_ref: int = 1, sub_type=None) -> bytes:
+                      num_ref: int = 1, sub_type=None, mb_i8=None,
+                      i8_modes=None, luma8_lev=None, trans8=None,
+                      trans8_mode: bool = False) -> bytes:
     """Native CABAC whole-slice entropy coding (twin of
     encoder/cabac.py's CabacSliceWriter; bit-identical)."""
     lib = load()
@@ -228,6 +232,14 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
                  if i4_modes is not None else None)
         refs_a = (_as_i32(refs).reshape(n * 4)
                   if refs is not None else None)
+        i8_a = (np.ascontiguousarray(mb_i8, np.uint8)
+                if mb_i8 is not None else None)
+        i8m_a = (_as_i32(i8_modes).reshape(n * 4)
+                 if i8_modes is not None else None)
+        l8_a = (_as_i32(luma8_lev).reshape(n * 256)
+                if luma8_lev is not None else None)
+        t8_a = (_as_i32(trans8).reshape(n)
+                if trans8 is not None else None)
         r = lib.pcamv_write_slice_cabac(
             out, cap, hdr, header_nbits, slice_type, mbw, mbh, qp,
             model, ptr(skip_a), ptr(part_a), ptr(mvd4_a), ptr(mode_a),
@@ -237,7 +249,9 @@ def write_slice_cabac(header_bytes: bytes, header_nbits: int,
             _as_i32(chroma_dc).reshape(n * 8),
             _as_i32(chroma_ac).reshape(n * 128),
             ptr(i4_a), ptr(i4m_a), ptr(refs_a), num_ref,
-            ptr(sub_a), stride)
+            ptr(sub_a), stride,
+            ptr(i8_a), ptr(i8m_a), ptr(l8_a), ptr(t8_a),
+            1 if trans8_mode else 0)
         if r >= 0:
             return bytes(out[:r])
         cap *= 4

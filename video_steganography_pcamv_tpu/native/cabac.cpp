@@ -134,10 +134,27 @@ static const int LSCAN[16] = {0, 1, 4, 5, 2, 3, 6, 7,
                               8, 9, 12, 13, 10, 11, 14, 15};
 static const int ZIG[16] = {0, 1, 4, 8, 5, 2, 3, 6,
                             9, 12, 13, 10, 7, 11, 14, 15};
-static const int CAT_MAXC[5] = {16, 15, 16, 4, 15};
-static const int SIG_OFF[5] = {105, 120, 134, 149, 152};
-static const int LAST_OFF[5] = {166, 181, 195, 210, 213};
-static const int ABS_OFF[5] = {227, 237, 247, 257, 266};
+static const int CAT_MAXC[6] = {16, 15, 16, 4, 15, 64};
+static const int SIG_OFF[6] = {105, 120, 134, 149, 152, 402};
+static const int LAST_OFF[6] = {166, 181, 195, 210, 213, 417};
+static const int ABS_OFF[6] = {227, 237, 247, 257, 266, 426};
+// cat-5 significance maps, frame-coded (encoder/cabac.c:551-568)
+static const int SIG8_CTX[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
+static const int LAST8_CTX[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
+// 8x8 frame zigzag (raster indices per scan position)
+static const int ZIG8[64] = {
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 static const int LV1_CTX[8] = {1, 2, 3, 4, 0, 0, 0, 0};
 static const int LVG_CTX[8] = {5, 5, 5, 5, 6, 7, 8, 9};
 static const int LV_TR[2][8] = {{1, 2, 3, 3, 4, 5, 6, 7},
@@ -148,9 +165,23 @@ struct CabacSlice {
   CabacCtxMaps m;
   bool is_i;
   bool is_b = false;
+  bool trans8_mode = false;
+  std::vector<int> t8map;   // per-MB transform_size flag as coded
   CabacSlice(int w, int h, int qp, bool slice_is_i, int model)
-      : m(w, h), is_i(slice_is_i) {
+      : m(w, h), is_i(slice_is_i), t8map(w * h, 0) {
     cb.init(qp, slice_is_i, model);
+  }
+
+  // transform_size_8x8_flag: ctx 399 + available-neighbour flags
+  // (x264_cabac_mb_transform_size, encoder/cabac.c:369-373)
+  void transform_size_flag(int my, int mx, int flag) {
+    int ctx = 399;
+    if (mx > 0 && m.kind(my, mx - 1) >= 0 &&
+        t8map[my * m.mbw + mx - 1]) ctx++;
+    if (my > 0 && m.kind(my - 1, mx) >= 0 &&
+        t8map[(my - 1) * m.mbw + mx]) ctx++;
+    cb.dec(ctx, flag ? 1 : 0);
+    t8map[my * m.mbw + mx] = flag ? 1 : 0;
   }
 
   int nz_nb(bool luma, int ch, int y, int x, bool cur_intra) {
@@ -192,18 +223,22 @@ struct CabacSlice {
   int residual(int cat, const int* lv, int my, int mx, int by, int bx,
                int ch, bool cur_intra) {
     int count = CAT_MAXC[cat];
-    int nz[16], total = 0, last = -1;
+    int nz[64], total = 0, last = -1;
     for (int i = 0; i < count; i++)
       if (lv[i]) { nz[total++] = i; last = i; }
-    int ctx = cbf_ctx(cat, my, mx, by, bx, ch, cur_intra);
-    if (!total) { cb.dec(ctx, 0); return 0; }
-    cb.dec(ctx, 1);
+    bool is8 = cat == 5;   // cat 5: no coded_block_flag (cbp gates)
+    if (!is8) {
+      int ctx = cbf_ctx(cat, my, mx, by, bx, ch, cur_intra);
+      if (!total) { cb.dec(ctx, 0); return 0; }
+      cb.dec(ctx, 1);
+    }
+    if (is8 && !total) return 0;   // cbp gates cat-5 calls
     int sb = SIG_OFF[cat], lb = LAST_OFF[cat], ab = ABS_OFF[cat];
     int lim = last + 1 < count - 1 ? last + 1 : count - 1;
     for (int i = 0; i < lim; i++) {
       int sig = lv[i] ? 1 : 0;
-      cb.dec(sb + i, sig);
-      if (sig) cb.dec(lb + i, i == last ? 1 : 0);
+      cb.dec(sb + (is8 ? SIG8_CTX[i] : i), sig);
+      if (sig) cb.dec(lb + (is8 ? LAST8_CTX[i] : i), i == last ? 1 : 0);
     }
     int node = 0;
     for (int k = total - 1; k >= 0; k--) {
@@ -374,6 +409,30 @@ struct CabacSlice {
     }
   }
 
+  void intra8_modes(int my, int mx, const int32_t* modes8) {
+    // 4 Intra_8x8 modes on the i4 ctx pair, 2x2-replicated cache
+    // cells (encoder/cabac.c:827-838 di=4 loop)
+    static const int Z8[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+    for (int b = 0; b < 4; b++) {
+      int gy = 4 * my + 2 * Z8[b][0], gx = 4 * mx + 2 * Z8[b][1];
+      int mode = modes8[b];
+      int pm = (gx == 0 || gy == 0)
+                   ? 2
+                   : std::min(m.m4(gy, gx - 1), m.m4(gy - 1, gx));
+      if (mode == pm) {
+        cb.dec(68, 1);
+      } else {
+        cb.dec(68, 0);
+        int rem = mode - (mode > pm ? 1 : 0);
+        cb.dec(69, rem & 1);
+        cb.dec(69, (rem >> 1) & 1);
+        cb.dec(69, (rem >> 2) & 1);
+      }
+      for (int y = 0; y < 2; y++)
+        for (int x = 0; x < 2; x++) m.m4(gy + y, gx + x) = mode;
+    }
+  }
+
   void fill_m4(int my, int mx, int v) {
     for (int y = 0; y < 4; y++)
       for (int x = 0; x < 4; x++) m.m4(4 * my + y, 4 * mx + x) = v;
@@ -445,6 +504,27 @@ void luma_res_4x4(CabacSlice& S, int my, int mx, const int32_t* blocks,
   }
 }
 
+void luma_res_8x8(CabacSlice& S, int my, int mx,
+                  const int32_t* lev8 /* [4][64] raster z-order */,
+                  int cbpl, bool intra) {
+  // one cat-5 block per coded 8x8 (cabac.c:994-999); nnz cells take
+  // the 8x8's nonzero flag replicated 2x2 (STORE_8x8_NNZ)
+  static const int Z8[4][2] = {{0, 0}, {0, 1}, {1, 0}, {1, 1}};
+  for (int b = 0; b < 4; b++) {
+    int cy = 4 * my + 2 * Z8[b][0], cx = 4 * mx + 2 * Z8[b][1];
+    if (cbpl & (1 << b)) {
+      int zz[64];
+      for (int i = 0; i < 64; i++) zz[i] = lev8[b * 64 + ZIG8[i]];
+      int n = S.residual(5, zz, my, mx, 0, 0, 0, intra);
+      for (int y = 0; y < 2; y++)
+        for (int x = 0; x < 2; x++) S.m.ny(cy + y, cx + x) = n ? 1 : 0;
+    } else {
+      for (int y = 0; y < 2; y++)
+        for (int x = 0; x < 2; x++) S.m.ny(cy + y, cx + x) = 0;
+    }
+  }
+}
+
 void chroma_res(CabacSlice& S, int my, int mx, int cbpc,
                 const int32_t* cdc, const int32_t* cac, bool intra) {
   for (int ch = 0; ch < 2; ch++) {
@@ -485,7 +565,10 @@ extern "C" long pcamv_write_slice_cabac(
     const int32_t* luma_blocks, const int32_t* chroma_dc,
     const int32_t* chroma_ac, const uint8_t* mb_i4,
     const int32_t* i4_modes, const int32_t* refs, int num_ref,
-    const int32_t* sub_type, int mvd_stride) {
+    const int32_t* sub_type, int mvd_stride,
+    const uint8_t* mb_i8, const int32_t* i8_modes,
+    const int32_t* luma8_lev, const int32_t* trans8,
+    int trans8_mode) {
   CabacBits bits(out, out_cap);
   for (int i = 0; i < header_nbits; i++)
     bits.bit((header[i >> 3] >> (7 - (i & 7))) & 1);
@@ -493,6 +576,7 @@ extern "C" long pcamv_write_slice_cabac(
 
   bool is_i = slice_type != 0;
   CabacSlice S(mbw, mbh, qp, is_i, model);
+  S.trans8_mode = trans8_mode != 0;
   S.cb.out = &bits;
   int n = mbw * mbh;
   for (int a = 0; a < n; a++) {
@@ -511,7 +595,8 @@ extern "C" long pcamv_write_slice_cabac(
       S.cb.terminal(a == n - 1);
       continue;
     }
-    bool i4 = mb_i4 && mb_i4[a];
+    bool i8 = mb_i8 && mb_i8[a];
+    bool i4 = (mb_i4 && mb_i4[a]) || i8;   // I_NxN covers both
     if (is_i) {
       // mb_type ctx from neighbours
       int ctx = 0;
@@ -523,6 +608,31 @@ extern "C" long pcamv_write_slice_cabac(
       S.mb_type_intra(i4, mode ? mode[a] : 0, cbpl, cbpc, 3 + ctx, 6, 7,
                       8, 9, 10);
       S.clear_mvd(my, mx);
+      if (i8) {
+        // I_NxN with transform flag 1: i8 modes + cat-5 residual
+        S.transform_size_flag(my, mx, 1);
+        S.intra8_modes(my, mx, &i8_modes[a * 4]);
+        S.chroma_pred_mode(my, mx, cmode[a]);
+        S.cbp_luma(my, mx, cbpl);
+        S.cbp_chroma(my, mx, cbpc);
+        S.m.mb_kind[a] = 2;
+        S.m.cbp[a] = (cbpc << 4) | cbpl;
+        S.m.dc_nz_y[a] = 0;
+        S.m.dc_nz_c[my * mbw + mx] = 0;
+        S.m.dc_nz_c[(mbh + my) * mbw + mx] = 0;
+        if (cbpl || cbpc) {
+          S.cb.dec(60, 0);  // mb_qp_delta == 0
+          luma_res_8x8(S, my, mx, &luma8_lev[a * 256], cbpl, true);
+          chroma_res(S, my, mx, cbpc, &chroma_dc[a * 8],
+                     &chroma_ac[a * 128], true);
+        } else {
+          S.clear_nnz(my, mx, true);
+        }
+        S.cb.terminal(a == n - 1);
+        continue;
+      }
+      if (i4 && trans8_mode)
+        S.transform_size_flag(my, mx, 0);
       if (i4) {
         S.intra4x4_modes(my, mx, &i4_modes[a * 16]);
         S.chroma_pred_mode(my, mx, cmode[a]);
@@ -615,6 +725,9 @@ extern "C" long pcamv_write_slice_cabac(
       int cbpl = cbp_luma[a], cbpc = cbp_chroma[a];
       S.cbp_luma(my, mx, cbpl);
       S.cbp_chroma(my, mx, cbpc);
+      int t8 = trans8 ? trans8[a] : 0;
+      if (trans8_mode && cbpl)
+        S.transform_size_flag(my, mx, t8);
       S.m.mb_kind[a] = 1;
       S.m.cbp[a] = (cbpc << 4) | cbpl;
       S.m.cmode_map[a] = 0;
@@ -624,7 +737,10 @@ extern "C" long pcamv_write_slice_cabac(
       S.m.dc_nz_c[(mbh + my) * mbw + mx] = 0;
       if (cbpl || cbpc) {
         S.cb.dec(60, 0);  // mb_qp_delta == 0
-        luma_res_4x4(S, my, mx, &luma_blocks[a * 256], cbpl, false);
+        if (t8 && cbpl)
+          luma_res_8x8(S, my, mx, &luma8_lev[a * 256], cbpl, false);
+        else
+          luma_res_4x4(S, my, mx, &luma_blocks[a * 256], cbpl, false);
         chroma_res(S, my, mx, cbpc, &chroma_dc[a * 8],
                    &chroma_ac[a * 128], false);
       } else {
