@@ -140,3 +140,24 @@ def test_aq_cabac_roundtrip():
         np.testing.assert_array_equal(
             d.u, ru[:H // 2, :W // 2].astype(np.uint8),
             err_msg=f"frame {i} U")
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_aq_with_8x8dct(cabac):
+    """AQ + --8x8dct: per-MB QP through the 8x8 quant/dequant pair and
+    the trans8 deblock rule, both entropy modes."""
+    frames = _mixed_energy_frames(4, seed=11)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, transform_8x8=True, cabac=cabac)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 4
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")

@@ -206,6 +206,9 @@ def quant8x8(coef: jnp.ndarray, qp, intra: bool,
     qp = jnp.asarray(qp)
     mf = jnp.asarray(q_mf)[li, qp]
     bias = jnp.asarray(q_bias)[li, qp]
+    if qp.ndim == 1:   # per-MB AQ: [N,8,8] -> [N,1,1,8,8]
+        mf = mf[:, None, None]
+        bias = bias[:, None, None]
     mag = ((bias + jnp.abs(coef.astype(jnp.int32)))
            * mf.astype(jnp.int32)) >> 16
     return (jnp.sign(coef) * mag).astype(jnp.int32)
@@ -221,6 +224,9 @@ def dequant8x8(level: jnp.ndarray, qp, intra: bool = False,
     qp = jnp.asarray(qp)
     dmf = jnp.asarray(dq_mf)[li, qp % 6]
     qbits = qp // 6 - 6
+    if qp.ndim == 1:   # per-MB AQ
+        dmf = dmf[:, None, None]
+        qbits = qbits[:, None, None, None, None]
     lvl = level.astype(jnp.int32) * dmf.astype(jnp.int32)
     shl = lvl << jnp.maximum(qbits, 0)
     f = 1 << jnp.maximum(-qbits - 1, 0)

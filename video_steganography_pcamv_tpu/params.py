@@ -263,8 +263,6 @@ class Params:
             # partition/16x16 paths; I/B frames take the frame QP
             assert not self.trellis, \
                 "AQ + trellis: per-row qp trellis tables not wired yet"
-            assert not self.transform_8x8, \
-                "AQ + 8x8dct not combined yet"
             assert not self.p4x4, "AQ + sub-8x8 not combined yet"
             assert self.ref_frames == 1, "AQ + multi-ref not wired yet"
             assert not self.stego.enabled, \
