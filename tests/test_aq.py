@@ -161,3 +161,21 @@ def test_aq_with_8x8dct(cabac):
         np.testing.assert_array_equal(
             d.u, ru[:H // 2, :W // 2].astype(np.uint8),
             err_msg=f"frame {i} U")
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_aq_with_multiref(cabac):
+    """AQ + --ref 3: per-MB QP with ref_idx syntax in both entropy
+    modes (the mref encode threads the same AQ grids)."""
+    frames = _mixed_energy_frames(5, seed=13)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, ref_frames=3, cabac=cabac)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 5
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")

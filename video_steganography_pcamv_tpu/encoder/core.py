@@ -983,7 +983,7 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         if self._native is not None and intra_res is None \
-                and not p.transform_8x8:
+                and not p.transform_8x8 and self._aq_grids is None:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -998,6 +998,8 @@ class Encoder:
                 refs=self._refs4(part, ref8), num_ref=p.ref_frames)
         fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
+        aqg = self._aq_grids[0] if self._aq_grids is not None else None
+        last_qp = qp
         for my in range(mbh):
             for mx in range(mbw):
                 if skip[my, mx]:
@@ -1032,13 +1034,20 @@ class Encoder:
                         in_p_slice=True)
                     continue
                 pt = int(part[my, mx])
+                dq = 0
+                if aqg is not None and (
+                        int(res["cbp_luma"][my, mx])
+                        or int(res["cbp_chroma"][my, mx])):
+                    # spec 7.4.5 modular fold (see the single-ref twin)
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                    last_qp = int(aqg[my, mx])
                 fc.write_p_mb(
                     bw, mx, my, pt, mvd[my, mx],
                     int(res["cbp_luma"][my, mx]),
                     int(res["cbp_chroma"][my, mx]),
                     res["luma_lev"][my, mx],
                     res["chroma_dc"][my, mx],
-                    res["chroma_ac"][my, mx], qp_delta=0,
+                    res["chroma_ac"][my, mx], qp_delta=dq,
                     refs=self._refs_of(pt, ref8, my, mx),
                     num_ref=p.ref_frames,
                     trans8=bool(p.transform_8x8
@@ -1351,28 +1360,28 @@ class Encoder:
                     use_pallas=jax.default_backend() == "tpu")
             ref8 = None
         self._ptables8 = {"blocks": blocks8, "wht": wht8, "r_idx": r_idx8}
+        qp_enc, qpc_enc = qp, qpc
+        self._aq_grids = None
+        if p.aq_mode:
+            # per-MB QP from source AC energy
+            # (x264_adaptive_quant_frame, ratecontrol.c:231)
+            from ..ops.aq import aq_offsets, assign_qp_grid
+            from ..ops.transform import CHROMA_QP_TABLE
+            offs = np.asarray(aq_offsets(
+                y, u, v, mbh, mbw, jnp.float32(p.aq_strength)))
+            qp_grid = assign_qp_grid(qp, offs, p.qp_min, p.qp_max)
+            qpc_grid = CHROMA_QP_TABLE[np.clip(
+                qp_grid + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+            self._aq_grids = (qp_grid, qpc_grid)
+            qp_enc = jnp.asarray(qp_grid)
+            qpc_enc = jnp.asarray(qpc_grid)
         if multiref:
             res = P.encode_p_frame_device8_mref(
                 y, u, v, refs_luma, refs_u, refs_v, mv8, ref8,
-                qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                qp_enc, qpc_enc, mbh, mbw, decimate=p.dct_decimate,
                 trellis=bool(p.trellis), nr_offset=self._nr_offset())
             self._mref_stack = (refs_luma, refs_u, refs_v)
         else:
-            qp_enc, qpc_enc = qp, qpc
-            self._aq_grids = None
-            if p.aq_mode:
-                # per-MB QP from source AC energy
-                # (x264_adaptive_quant_frame, ratecontrol.c:231)
-                from ..ops.aq import aq_offsets, assign_qp_grid
-                from ..ops.transform import CHROMA_QP_TABLE
-                offs = np.asarray(aq_offsets(
-                    y, u, v, mbh, mbw, jnp.float32(p.aq_strength)))
-                qp_grid = assign_qp_grid(qp, offs, p.qp_min, p.qp_max)
-                qpc_grid = CHROMA_QP_TABLE[np.clip(
-                    qp_grid + p.chroma_qp_offset, 0, 51)].astype(np.int32)
-                self._aq_grids = (qp_grid, qpc_grid)
-                qp_enc = jnp.asarray(qp_grid)
-                qpc_enc = jnp.asarray(qpc_grid)
             res = P.encode_p_frame_device8(
                 y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
                 mv8, qp_enc, qpc_enc, mbh, mbw, decimate=p.dct_decimate,

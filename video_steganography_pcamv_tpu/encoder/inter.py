@@ -582,6 +582,11 @@ def encode_p_frame_device8_mref(y, u, v, refs_luma, refs_u, refs_v,
     ([R,4,Hp,Wp] luma, [R,Hp,Wp] chroma); ref8: [2mbh,2mbw] per-8x8
     L0 index. Same outputs as encode_p_frame_device8."""
     n = mbh * mbw
+    qp = jnp.asarray(qp)
+    qpc = jnp.asarray(qpc)
+    if qp.ndim >= 1:   # per-MB AQ grids
+        qp = qp.reshape(n)
+        qpc = qpc.reshape(n)[:, None, None]
     fz = (jnp.zeros(n, bool) if force_zero is None
           else force_zero.reshape(n))
 

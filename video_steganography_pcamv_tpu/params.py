@@ -264,7 +264,6 @@ class Params:
             assert not self.trellis, \
                 "AQ + trellis: per-row qp trellis tables not wired yet"
             assert not self.p4x4, "AQ + sub-8x8 not combined yet"
-            assert self.ref_frames == 1, "AQ + multi-ref not wired yet"
             assert not self.stego.enabled, \
                 "AQ + embedding not combined (reference embeds at CQP)"
             assert not self.deblock_device, \
