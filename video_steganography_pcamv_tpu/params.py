@@ -480,7 +480,10 @@ def param2string(p: Params) -> str:
          f"decimate={int(p.dct_decimate)} nr={p.noise_reduction} "
          f"8x8dct={int(p.transform_8x8)} rd={p.rd} parts={int(p.partitions)} "
          f"cqm={p.cqm} "
-         f"p4x4={int(p.p4x4)} aq={p.aq_mode} weightb={int(p.weightb)}")
+         f"p4x4={int(p.p4x4)} aq={p.aq_mode} weightb={int(p.weightb)} "
+         f"direct={('none', 'spatial', 'temporal', 'auto')[p.direct]} "
+         f"b-pyramid={int(p.b_pyramid)} b-adapt={p.b_adapt} "
+         f"deadzone={p.deadzone_inter},{p.deadzone_intra}")
     if p.aq_mode:
         s += f":{p.aq_strength:.1f}"
     if p.rc_mode == 1:
