@@ -65,3 +65,46 @@ def test_native_sub_writer_matches_python(cabac):
     for i, d in enumerate(dec):
         ry = enc_chk.recon_by_disp[i][0][:H, :W].astype(np.uint8)
         np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+
+
+@pytest.mark.skipif(native.load() is None, reason="no native lib")
+@pytest.mark.parametrize("cabac", [False, True])
+def test_mref_p4x4_roundtrip(cabac):
+    """Mixed multi-ref + sub-8x8 (--ref 3 --p4x4): per-8x8 refs with
+    sub splits inside (the analyse.c:1291 mixed-ref rule generalized),
+    ref-aware MVP scan, te(v)/ctx-54 syntax, native == Python."""
+    frames = _busy_frames(6, seed=5)
+    p = Params(width=W, height=H, qp=24, me_range=8, p4x4=True,
+               ref_frames=3, cabac=cabac, deblock=False)
+    enc_n = Encoder(p)
+    enc_n.keep_recon = True
+    bs_n = b"".join(enc_n.encode_frame(f) for f in frames)
+    dec = decode_annexb(bs_n)
+    assert len(dec) == 6
+    for i, d in enumerate(dec):
+        ry = enc_n.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+        ru = enc_n.recon_by_disp[i][1][:H // 2, :W // 2] \
+            .astype(np.uint8)
+        np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} u")
+    kinds = {m.mb_type for d in dec for m in d.mbs}
+    assert "P8x8" in kinds, kinds
+
+    enc_p = Encoder(p)
+    enc_p._native = None
+    bs_p = b"".join(enc_p.encode_frame(f) for f in frames)
+    assert bs_n == bs_p
+
+
+def test_mref_p4x4_with_deblock():
+    """Same combo with the in-loop deblocker (ref-aware bS)."""
+    frames = _busy_frames(5, seed=7)
+    p = Params(width=W, height=H, qp=24, me_range=8, p4x4=True,
+               ref_frames=2)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames)
+    dec = decode_annexb(bs)
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")

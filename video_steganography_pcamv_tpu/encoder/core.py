@@ -1157,7 +1157,7 @@ class Encoder:
 
     def _write_p_slice_cabac_sub(self, bw, res, qp, part, sub_type, mvd,
                                  skip, intra_kind=None,
-                                 intra_res=None) -> bytes:
+                                 intra_res=None, ref8=None) -> bytes:
         """CABAC P slice with sub-8x8 partitions (native twin when
         no intra MBs; Python oracle otherwise). mvd: [mbh,mbw,16,2]
         coding-order unit mvds."""
@@ -1176,7 +1176,10 @@ class Encoder:
                 cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
-                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
+                refs=(None if ref8 is None
+                      else self._refs4(part, ref8)),
+                num_ref=p.ref_frames)
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
@@ -1212,7 +1215,11 @@ class Encoder:
                              res["chroma_dc"][my, mx],
                              res["chroma_ac"][my, mx],
                              sub_types=(sub_type[my, mx]
-                                        if pt == 3 else None))
+                                        if pt == 3 else None),
+                             refs=(None if ref8 is None
+                                   else self._refs_of(pt, ref8, my,
+                                                      mx)),
+                             num_ref=p.ref_frames)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
@@ -1874,18 +1881,40 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         lam = ME.lambda_tab(qp)
-        part, sub_type, mv4, r_idx4, blocks4, wht4, mb_cost = \
-            PT.analyse_p_frame_sub(
-                y, self.ref["luma"], jnp.asarray(self.prev_mv),
-                p.me_range, mbh, mbw, lam, p.subpel)
+        multiref = p.ref_frames > 1
+        ref8_np = None
+        if multiref:
+            # mixed-ref sub-8x8 (analyse.c:1291-1370 generalized):
+            # each 8x8's ref is its own masked argmin; sub splits
+            # evaluate that ref's per-4x4 costs
+            refs_luma, refs_u, refs_v, n_valid = self._dpb_stacked()
+            part, sub_type, mv4, ref8, r_idx4, blocks4, wht4, \
+                mb_cost = PT.analyse_p_frame_sub_mref(
+                    y, refs_luma, jnp.asarray(n_valid),
+                    jnp.asarray(self.prev_mv), p.me_range, mbh, mbw,
+                    lam, p.subpel, p.ref_frames)
+            ref8_np = np.asarray(ref8)
+        else:
+            part, sub_type, mv4, r_idx4, blocks4, wht4, mb_cost = \
+                PT.analyse_p_frame_sub(
+                    y, self.ref["luma"], jnp.asarray(self.prev_mv),
+                    p.me_range, mbh, mbw, lam, p.subpel)
         self._ptables4 = {"blocks": blocks4, "wht": wht4, "r_idx": r_idx4}
         part_np = np.asarray(part)
         sub_np = np.asarray(sub_type)
         mv4_np = np.asarray(mv4)
-        res = P.encode_p_frame_device4(
-            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
-            mv4, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
-            trellis=bool(p.trellis), nr_offset=self._nr_offset())
+        if multiref:
+            ref4_dev = jnp.repeat(jnp.repeat(jnp.asarray(ref8_np),
+                                             2, 0), 2, 1)
+            res = P.encode_p_frame_device4_mref(
+                y, u, v, refs_luma, refs_u, refs_v, mv4, ref4_dev,
+                qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                trellis=bool(p.trellis), nr_offset=self._nr_offset())
+        else:
+            res = P.encode_p_frame_device4(
+                y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+                mv4, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                trellis=bool(p.trellis), nr_offset=self._nr_offset())
 
         intra_res = None
         intra_kind = np.zeros((mbh, mbw), np.int32)
@@ -1905,7 +1934,8 @@ class Encoder:
         intra_mask = intra_kind > 0
         skip, mvd, mvp, final4 = SCAN.scan_p_frame_sub(
             part_np, sub_np, mv4_np, cbp_l, cbp_c,
-            intra=intra_mask if intra_mask.any() else None)
+            intra=intra_mask if intra_mask.any() else None,
+            ref8=ref8_np)
         skip &= ~intra_mask
 
         if self._stego is not None:
@@ -1933,7 +1963,10 @@ class Encoder:
                 _nnz4_device(res["luma_lev"], mbh, mbw))
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=final4,
-                          skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4)
+                          skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
+                          ref4=(np.repeat(np.repeat(ref8_np, 2, 0),
+                                          2, 1)
+                                if ref8_np is not None else None))
         else:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
@@ -1946,7 +1979,8 @@ class Encoder:
         self.last_frame_info = {"kind": kind, "part": part_np,
                                 "mv8": np.ascontiguousarray(
                                     final4[::2, ::2]),
-                                "mv4": np.ascontiguousarray(final4)}
+                                "mv4": np.ascontiguousarray(final4),
+                                "ref8": ref8_np}
         self._last_sub_types = sub_np
 
         bw = BitWriter()
@@ -1960,7 +1994,7 @@ class Encoder:
         if p.cabac:
             return self._write_p_slice_cabac_sub(
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
-                intra_res)
+                intra_res, ref8=ref8_np)
         if self._native is not None and intra_res is None:
             from .. import native
             n = mbh * mbw
@@ -1975,7 +2009,10 @@ class Encoder:
                 cbp_chroma=res_np["cbp_chroma"],
                 luma_blocks=res_np["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res_np["chroma_dc"].reshape(n, 2, 4),
-                chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16))
+                chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16),
+                refs=(None if ref8_np is None
+                      else self._refs4(part_np, ref8_np)),
+                num_ref=p.ref_frames)
         fc = FrameCavlc(mbw, mbh)
         skip_run = 0
         for my in range(mbh):
@@ -2010,15 +2047,18 @@ class Encoder:
                         intra_res["chroma_ac"][my, mx], qp_delta=0,
                         in_p_slice=True)
                     continue
+                ptk = int(part_np[my, mx])
                 fc.write_p_mb(
-                    bw, mx, my, int(part_np[my, mx]), mvd[my, mx],
+                    bw, mx, my, ptk, mvd[my, mx],
                     int(res_np["cbp_luma"][my, mx]),
                     int(res_np["cbp_chroma"][my, mx]),
                     res_np["luma_lev"][my, mx],
                     res_np["chroma_dc"][my, mx],
                     res_np["chroma_ac"][my, mx], qp_delta=0,
-                    sub_types=(sub_np[my, mx]
-                               if part_np[my, mx] == 3 else None))
+                    sub_types=(sub_np[my, mx] if ptk == 3 else None),
+                    refs=(None if ref8_np is None
+                          else self._refs_of(ptk, ref8_np, my, mx)),
+                    num_ref=p.ref_frames)
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()

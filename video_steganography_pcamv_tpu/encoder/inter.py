@@ -702,6 +702,135 @@ def assemble_pred_luma4(ref_luma, mv4, mbh: int, mbw: int):
                .reshape(n, 16, 16)
 
 
+def _finish_p4(chroma_out, lev, rec, cbp_luma, qpc, nrsum,
+               mbh: int, mbw: int):
+    """Shared tail of the sub-partitioned P encodes: chroma cbp +
+    recon + packed output dict."""
+    n = mbh * mbw
+    ac_nz = jnp.stack([jnp.any(c[1] != 0, axis=(1, 2, 3, 4))
+                       for c in chroma_out]).any(axis=0)
+    dc_nz = jnp.stack([jnp.any(c[0] != 0, axis=(1, 2))
+                       for c in chroma_out]).any(axis=0)
+    cbp_chroma = jnp.where(ac_nz, 2, jnp.where(dc_nz, 1, 0))
+
+    recs_c = []
+    levs_c = []
+    for dc_lev, ac_lev, predc, curc in chroma_out:
+        deqc = T.dequant4x4(ac_lev, qpc)
+        dc_rec = T.dequant_dc_chroma(
+            T.hadamard2x2(dc_lev[..., None, None])[..., 0, 0], qpc)
+        deqc = deqc.at[:, 0, 0].set(dc_rec)
+        rc = T.idct4x4_add(to_blocks(predc, 4), deqc)
+        rc = rc.reshape(n, 4, 4, 2, 2).transpose(0, 3, 1, 4, 2) \
+               .reshape(n, 8, 8)
+        recs_c.append(rc)
+        levs_c.append((dc_lev, ac_lev))
+
+    def untile(t, b):
+        return t.reshape(mbh, mbw, b, b).transpose(0, 2, 1, 3) \
+                .reshape(mbh * b, mbw * b)
+
+    return {
+        "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
+            mbh, mbw, 256).astype(jnp.int16),
+        "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
+        "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
+        "chroma_dc": jnp.stack(
+            [levs_c[0][0], levs_c[1][0]],
+            axis=1).reshape(mbh, mbw, 8).astype(jnp.int16),
+        "chroma_ac": jnp.stack(
+            [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
+             jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
+            axis=1).reshape(mbh, mbw, 128).astype(jnp.int16),
+        "recon_y": untile(rec, 16).astype(jnp.uint8),
+        "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
+        "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
+        **({"nr_sum": nrsum} if nrsum is not None else {}),
+    }
+
+
+def assemble_pred_luma4_mref(refs_luma, mv4, ref4, mbh: int, mbw: int):
+    """Multi-ref twin of assemble_pred_luma4: per-4x4 MC from the
+    block's DPB entry (ref4 [4mbh,4mbw])."""
+    n4 = 16 * mbh * mbw
+    ys4 = (jnp.arange(n4) // (4 * mbw)) * 4
+    xs4 = (jnp.arange(n4) % (4 * mbw)) * 4
+    p4 = mc.mc_luma_multi(refs_luma, ref4.reshape(n4), ys4, xs4,
+                          mv4.reshape(n4, 2), bh=4, bw=4)
+    pred = p4.reshape(4 * mbh, 4 * mbw, 4, 4).transpose(0, 2, 1, 3) \
+             .reshape(16 * mbh, 16 * mbw)
+    n = mbh * mbw
+    return pred.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+               .reshape(n, 16, 16)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate",
+                                             "trellis"))
+def encode_p_frame_device4_mref(y, u, v, refs_luma, refs_u, refs_v,
+                                mv4, ref4, qp, qpc, mbh: int, mbw: int,
+                                decimate: bool = True, force_zero=None,
+                                trellis: bool = False, nr_offset=None):
+    """Multi-reference sub-partitioned final P encode: per-4x4 luma MC
+    and 2x2 chroma MC from each block's DPB entry (ref4 [4mbh,4mbw] is
+    the per-8x8 ref repeated). Same outputs as encode_p_frame_device4."""
+    n = mbh * mbw
+    fz = (jnp.zeros(n, bool) if force_zero is None
+          else force_zero.reshape(n))
+
+    cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+           .reshape(n, 16, 16)
+    pred = assemble_pred_luma4_mref(refs_luma, mv4, ref4, mbh, mbw)
+    if nr_offset is not None:
+        lev, rec, nrsum = luma_p_encode(cur, pred, qp, decimate,
+                                        trellis, nr_offset)
+    else:
+        lev, rec = luma_p_encode(cur, pred, qp, decimate, trellis)
+        nrsum = None
+    lev = lev * ~fz[:, None, None, None, None]
+    rec = jnp.where(fz[:, None, None], pred, rec)
+    nz_blk = jnp.any(lev != 0, axis=(1, 2))
+    cbp8 = jnp.any(nz_blk.reshape(n, 2, 2, 2, 2), axis=(2, 4))
+    cbp_luma = (cbp8[:, 0, 0] * 1 + cbp8[:, 0, 1] * 2
+                + cbp8[:, 1, 0] * 4 + cbp8[:, 1, 1] * 8)
+
+    n4 = 16 * mbh * mbw
+    ysc = (jnp.arange(n4) // (4 * mbw)) * 2
+    xsc = (jnp.arange(n4) % (4 * mbw)) * 2
+    mvf4 = mv4.reshape(n4, 2)
+    reff4 = ref4.reshape(n4)
+    chroma_out = []
+    for plane, refp in ((u, refs_u), (v, refs_v)):
+        curc = plane.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                    .reshape(n, 8, 8)
+        pc2 = mc.mc_chroma_multi(refp, reff4, ysc, xsc, mvf4,
+                                 bh=2, bw=2)
+        predc = pc2.reshape(4 * mbh, 4 * mbw, 2, 2) \
+                   .transpose(0, 2, 1, 3).reshape(8 * mbh, 8 * mbw)
+        predc = predc.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                     .reshape(n, 8, 8)
+        resc = to_blocks(curc - predc, 4)
+        coef = T.dct4x4(resc)
+        dc = coef[:, 0, 0][..., None, None]
+        dch = T.hadamard2x2(dc)[..., 0, 0]
+        ac = coef.at[:, 0, 0].set(0)
+        if trellis:
+            dc_lev = trellis_quant_chroma_dc(dch, qpc)
+            ac_lev = trellis_quant_chroma_ac(ac, qpc)
+        else:
+            dc_lev = T.quant_dc(dch, qpc, intra=False)
+            ac_lev = T.quant4x4(ac, qpc, intra=False)
+        if decimate:
+            zzc = _zigzag_gather(ac_lev)
+            scc = jnp.sum(decimate_score(zzc), axis=(1, 2))
+            keep_c = scc >= 7
+            ac_lev = ac_lev * keep_c[:, None, None, None, None]
+        dc_lev = dc_lev * ~fz[:, None, None]
+        ac_lev = ac_lev * ~fz[:, None, None, None, None]
+        chroma_out.append((dc_lev, ac_lev, predc, curc))
+    return _finish_p4(chroma_out, lev, rec, cbp_luma, qpc, nrsum,
+                      mbh, mbw)
+
+
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate", "trellis"))
 def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
                            qp, qpc, mbh: int, mbw: int,
@@ -765,46 +894,8 @@ def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
         ac_lev = ac_lev * ~fz[:, None, None, None, None]
         chroma_out.append((dc_lev, ac_lev, predc, curc))
 
-    ac_nz = jnp.stack([jnp.any(c[1] != 0, axis=(1, 2, 3, 4))
-                       for c in chroma_out]).any(axis=0)
-    dc_nz = jnp.stack([jnp.any(c[0] != 0, axis=(1, 2))
-                       for c in chroma_out]).any(axis=0)
-    cbp_chroma = jnp.where(ac_nz, 2, jnp.where(dc_nz, 1, 0))
-
-    recs_c = []
-    levs_c = []
-    for dc_lev, ac_lev, predc, curc in chroma_out:
-        deqc = T.dequant4x4(ac_lev, qpc)
-        dc_rec = T.dequant_dc_chroma(
-            T.hadamard2x2(dc_lev[..., None, None])[..., 0, 0], qpc)
-        deqc = deqc.at[:, 0, 0].set(dc_rec)
-        rc = T.idct4x4_add(to_blocks(predc, 4), deqc)
-        rc = rc.reshape(n, 4, 4, 2, 2).transpose(0, 3, 1, 4, 2) \
-               .reshape(n, 8, 8)
-        recs_c.append(rc)
-        levs_c.append((dc_lev, ac_lev))
-
-    def untile(t, b):
-        return t.reshape(mbh, mbw, b, b).transpose(0, 2, 1, 3) \
-                .reshape(mbh * b, mbw * b)
-
-    return {
-        "luma_lev": jnp.moveaxis(lev, (1, 2), (3, 4)).reshape(
-            mbh, mbw, 256).astype(jnp.int16),
-        "cbp_luma": cbp_luma.reshape(mbh, mbw).astype(jnp.uint8),
-        "cbp_chroma": cbp_chroma.reshape(mbh, mbw).astype(jnp.uint8),
-        "chroma_dc": jnp.stack(
-            [levs_c[0][0], levs_c[1][0]],
-            axis=1).reshape(mbh, mbw, 8).astype(jnp.int16),
-        "chroma_ac": jnp.stack(
-            [jnp.moveaxis(levs_c[0][1], (1, 2), (3, 4)),
-             jnp.moveaxis(levs_c[1][1], (1, 2), (3, 4))],
-            axis=1).reshape(mbh, mbw, 128).astype(jnp.int16),
-        "recon_y": untile(rec, 16).astype(jnp.uint8),
-        "recon_u": untile(recs_c[0], 8).astype(jnp.uint8),
-        "recon_v": untile(recs_c[1], 8).astype(jnp.uint8),
-        **({"nr_sum": nrsum} if nrsum is not None else {}),
-    }
+    return _finish_p4(chroma_out, lev, rec, cbp_luma, qpc, nrsum,
+                      mbh, mbw)
 
 
 # ---------------------------------------------------------------------------

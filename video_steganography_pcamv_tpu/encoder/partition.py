@@ -998,6 +998,68 @@ def stego_costs_sub(cur_y, blocks4, wht4, r_idx4, part, sub_type, mv4,
     return rho, alt, valid
 
 
+def gather_windows4_mref(planes_r, mv4fp, ref4, mbh: int, mbw: int):
+    """Multi-ref twin of gather_windows4_jnp: planes_r [R,4,Hp,Wp],
+    ref4 [4mbh,4mbw] per-4x4 DPB index (block's 8x8 ref repeated)."""
+    n4 = 16 * mbh * mbw
+    bys = (jnp.arange(n4) // (4 * mbw)) * 4
+    bxs = (jnp.arange(n4) % (4 * mbw)) * 4
+    mvf = mv4fp.reshape(n4, 2)
+    ys = bys + mc.PAD - QT.MARGIN + mvf[:, 1]
+    xs = bxs + mc.PAD - QT.MARGIN + mvf[:, 0]
+    W4 = 12
+    r = ref4.reshape(n4)[:, None, None, None]
+    pp = jnp.arange(4)[None, :, None, None]
+    yy = (ys[:, None] + jnp.arange(W4))[:, None, :, None]
+    xx = (xs[:, None] + jnp.arange(W4))[:, None, None, :]
+    return planes_r[r, pp, yy, xx]                 # [n4,4,12,12]
+
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "subpel", "num_ref",
+                                             "allow_parts"))
+def analyse_p_frame_sub_mref(y, refs_luma, n_valid, prev_mv, rng: int,
+                             mbh: int, mbw: int, lam, subpel: int,
+                             num_ref: int, allow_parts: bool = True):
+    """Multi-reference sub-8x8-aware P analysis (the mixed-ref p8x8
+    rule, analyse.c:1291-1370 generalized to sub shapes): the MB-level
+    shapes merge per unit across the DPB like the parts path; each
+    8x8's reference is its own masked argmin, and the sub-split
+    decision inside that block evaluates THAT reference's per-4x4
+    costs (H.264 codes one ref per sub-MB, so sub units cannot mix
+    refs within an 8x8). Returns (part, sub_type, mv4 qpel, ref8,
+    r_idx4, blocks4, wht4, mb_cost)."""
+    ref_bits = te_ref_bits(num_ref)
+    sts = [fullpel_search_sub.__wrapped__(
+        y, refs_luma[r, 0], prev_mv >> 2, rng, mbh, mbw, lam)
+        for r in range(num_ref)]
+    stm = merge_ref_states(sts, lam, ref_bits, n_valid)
+    r8blk_z = stm["r8"]                             # [mbh,mbw,4] z
+    # gather the block-ref's sub costs/mvs + the block's te bits so
+    # the split decision competes on equal ref-cost footing with c8
+    rb = jnp.asarray(ref_bits)[r8blk_z] * lam       # [mbh,mbw,4]
+    for ck, nsub in (("c84", 2), ("c48", 2), ("c44", 4)):
+        mk = "mv" + ck[1:]
+        cs = jnp.stack([st[ck] for st in sts])      # [R,mbh,mbw,4,S]
+        ms = jnp.stack([st[mk] for st in sts])
+        sel = r8blk_z[None, :, :, :, None]
+        stm[ck] = jnp.take_along_axis(cs, sel, axis=0)[0] \
+            + rb[..., None]
+        stm[mk] = jnp.take_along_axis(
+            ms, sel[..., None], axis=0)[0]
+    part, sub_type, mv4fp = decide_partition_sub.__wrapped__(
+        stm, mbh, mbw, lam, allow_parts)
+    ref8 = ref8_from_partition(stm, part, mbh, mbw)  # [2mbh,2mbw]
+    ref4 = jnp.repeat(jnp.repeat(ref8, 2, 0), 2, 1)  # [4mbh,4mbw]
+    windows = gather_windows4_mref(
+        refs_luma.astype(jnp.uint8), mv4fp, ref4, mbh, mbw)
+    blocks4 = block_table4(windows)
+    wht4 = wht4_flat(blocks4).astype(jnp.int16)
+    mv4, r_idx4, mb_cost = subpel_sub.__wrapped__(
+        y, wht4, part, sub_type, mv4fp, prev_mv, mbh, mbw, lam, subpel)
+    return part, sub_type, mv4, ref8, r_idx4, blocks4, wht4, mb_cost
+
+
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
                                              "subpel", "allow_parts"))
 def analyse_p_frame_sub(y, ref_luma, prev_mv, rng: int, mbh: int,

@@ -175,7 +175,8 @@ def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
 def scan_p_frame_sub(part: np.ndarray, sub_type: np.ndarray,
                      mv4: np.ndarray, cbp_luma: np.ndarray,
                      cbp_chroma: np.ndarray,
-                     intra: np.ndarray | None = None):
+                     intra: np.ndarray | None = None,
+                     ref8: np.ndarray | None = None):
     """Raster scan over a P frame with sub-8x8 partitions.
 
     part: [mbh,mbw] in {0..3}; sub_type: [mbh,mbw,4] sub_mb_type per
@@ -198,18 +199,22 @@ def scan_p_frame_sub(part: np.ndarray, sub_type: np.ndarray,
             y4, x4 = 4 * my, 4 * mx
             p = int(part[my, mx])
             if p == D_16x16:
+                r0 = (0 if ref8 is None else int(ref8[2 * my, 2 * mx]))
                 ps = _pskip_mv(g, y4, x4)
                 here = mv4[y4, x4]
                 if (cbp_luma[my, mx] == 0 and cbp_chroma[my, mx] == 0
+                        and r0 == 0
                         and here[0] == ps[0] and here[1] == ps[1]):
                     skip[my, mx] = True
             for u, (oy, ox, w4, h4) in enumerate(
                     mb_units(p, sub_type[my, mx])):
-                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                r = (0 if ref8 is None
+                     else int(ref8[2 * my + oy // 2, 2 * mx + ox // 2]))
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u, ref=r)
                 mv = mv4[y4 + oy, x4 + ox].copy()
                 mvd[my, mx, u] = mv - mvp
                 mvp_out[my, mx, u] = mvp
-                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv, ref=r)
     return skip, mvd, mvp_out, final
 
 

@@ -225,8 +225,10 @@ class Params:
         self.ref_frames = max(1, min(8, self.ref_frames))
         if self.ref_frames > 1:
             assert self.partitions, "multi-ref needs the partition path"
-            assert not self.p4x4, \
-                "multi-ref + sub-8x8 not combined yet (documented gap)"
+            if self.p4x4:
+                assert not self.stego.enabled, \
+                    "multi-ref + sub-8x8 + embedding not combined " \
+                    "(the sub stego probe is single-ref)"
         if self.crf > 0 and self.rc_mode == 0:
             self.rc_mode = 1
         if self.bitrate > 0 and self.rc_mode == 0:
