@@ -179,3 +179,27 @@ def test_aq_with_multiref(cabac):
         ry, ru, rv = enc.recon_by_disp[i]
         np.testing.assert_array_equal(
             d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_aq_on_i_frames(cabac):
+    """AQ applies to I frames too (x264 adaptive_quant on all types):
+    per-MB QP through the intra wavefront, mb_qp_delta chain on I16
+    (always coded) and I_NxN (with residual), per-MB-QP deblock."""
+    frames = _mixed_energy_frames(3, seed=17)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, cabac=cabac, keyint_max=2)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 3
+    spread = {m.qp for m in dec[0].mbs}   # the IDR must carry AQ
+    assert len(spread) >= 3, f"no I-frame qp spread: {spread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")

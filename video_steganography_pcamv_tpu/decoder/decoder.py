@@ -440,7 +440,7 @@ class SliceDecoder:
         cbp_luma = 15 if (mb_type - 1) >= 12 else 0
         cmode = br.read_ue()
         qp_delta = br.read_se()
-        qp = qp + qp_delta
+        qp = (qp + qp_delta + 52) % 52   # spec 7.4.5 QP chain
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,
                                     0, 51)])
 

@@ -724,7 +724,8 @@ class CabacSliceWriter:
 
     def write_i16_mb(self, my, mx, mode16, cmode, cbp_luma, cbp_chroma,
                      luma_dc, luma_ac, chroma_dc, chroma_ac,
-                     in_p: bool = False, in_b: bool = False):
+                     in_p: bool = False, in_b: bool = False,
+                     dqp: int = 0):
         if in_b:
             self.skip_flag(my, mx, False)
             self.mb_type_b_intra(my, mx, False, mode16, cbp_luma,
@@ -739,7 +740,7 @@ class CabacSliceWriter:
                                  cbp_chroma)
         self.mvd4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
         self.chroma_pred_mode(my, mx, cmode)
-        self.qp_delta_zero(True)  # I16 always carries mb_qp_delta
+        self.qp_delta(dqp, True)  # I16 always carries mb_qp_delta
         self._luma_residual_i16(my, mx, luma_dc, luma_ac, cbp_luma)
         self._chroma_residual(my, mx, cbp_chroma, chroma_dc, chroma_ac,
                               True)
@@ -750,7 +751,8 @@ class CabacSliceWriter:
 
     def write_i4_mb(self, my, mx, modes, cmode, cbp_luma, cbp_chroma,
                     luma_blocks, chroma_dc, chroma_ac,
-                    in_p: bool = False, in_b: bool = False):
+                    in_p: bool = False, in_b: bool = False,
+                    dqp: int = 0):
         if in_b:
             self.skip_flag(my, mx, False)
             self.mb_type_b_intra(my, mx, True, 0, cbp_luma, cbp_chroma)
@@ -775,7 +777,7 @@ class CabacSliceWriter:
         self.dc_nz_y[my, mx] = 0
         self.dc_nz_c[:, my, mx] = 0
         if cbp:
-            self.qp_delta_zero(True)
+            self.qp_delta(dqp, True)
             self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma, True)
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, True)
@@ -787,7 +789,8 @@ class CabacSliceWriter:
 
     def write_i8_mb(self, my, mx, modes8, cmode, cbp_luma, cbp_chroma,
                     luma8_lev, chroma_dc, chroma_ac,
-                    in_p: bool = False, in_b: bool = False):
+                    in_p: bool = False, in_b: bool = False,
+                    dqp: int = 0):
         """One I_NxN (Intra_8x8) macroblock: I_NxN mb_type, transform
         flag 1 right after it, 4 pred modes on the i4 ctx pair
         (reference cabac.c:827-838, di=4 loop), cat-5 luma residual.
@@ -832,7 +835,7 @@ class CabacSliceWriter:
         self.dc_nz_y[my, mx] = 0
         self.dc_nz_c[:, my, mx] = 0
         if cbp:
-            self.qp_delta_zero(True)
+            self.qp_delta(dqp, True)
             self._luma_residual_8x8(my, mx, cbp_luma, luma8_lev, True)
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
                                   chroma_ac, True)

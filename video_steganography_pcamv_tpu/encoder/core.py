@@ -795,11 +795,40 @@ class Encoder:
     def _encode_i(self, y, u, v, qp: int) -> bytes:
         p = self.p
         qpc = chroma_qp(qp, p.chroma_qp_offset)
-        res_dev = I.encode_i_frame(y, u, v, qp, qpc, p.mb_width,
+        qp_enc, qpc_enc = qp, qpc
+        self._aq_grids = None
+        if p.aq_mode:
+            # per-MB QP on I frames too (x264 applies AQ to all types)
+            from ..ops.aq import aq_offsets, assign_qp_grid
+            from ..ops.transform import CHROMA_QP_TABLE
+            offs = np.asarray(aq_offsets(
+                y, u, v, p.mb_height, p.mb_width,
+                jnp.float32(p.aq_strength)))
+            qp_grid = assign_qp_grid(qp, offs, p.qp_min, p.qp_max)
+            qpc_grid = CHROMA_QP_TABLE[np.clip(
+                qp_grid + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+            self._aq_grids = (qp_grid, qpc_grid)
+            qp_enc = jnp.asarray(qp_grid)
+            qpc_enc = jnp.asarray(qpc_grid)
+        res_dev = I.encode_i_frame(y, u, v, qp_enc, qpc_enc, p.mb_width,
                                    p.mb_height, lam=ME.lambda_tab(qp),
                                    i4x4=p.i4x4, i8x8=p.transform_8x8,
                                    rd=bool(p.rd))
         res = {k: np.asarray(val) for k, val in res_dev.items()}
+        qp_maps = (None, None)
+        if self._aq_grids is not None:
+            # decoder-visible chain: I16 always codes mb_qp_delta;
+            # I_NxN only with residual (spec 7.4.5)
+            from ..ops.aq import effective_qp_grid
+            from ..ops.transform import CHROMA_QP_TABLE
+            i16 = ~res["mb_i4"].astype(bool)
+            if p.transform_8x8:
+                i16 &= ~res["mb_i8"].astype(bool)
+            coded = i16 | ((res["cbp_luma"] | res["cbp_chroma"]) != 0)
+            eff = effective_qp_grid(self._aq_grids[0], coded, qp)
+            eff_c = CHROMA_QP_TABLE[np.clip(
+                eff + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+            qp_maps = (eff, eff_c)
         if p.deblock and self._on_tpu():
             mbh2, mbw2 = p.mb_height, p.mb_width
             self._deblock_device(
@@ -810,7 +839,8 @@ class Encoder:
         elif p.deblock and self._native is not None:
             self._deblock(res, intra=True, qp=qp,
                           trans8=(res["mb_i8"].astype(np.uint8)
-                                  if p.transform_8x8 else None))
+                                  if p.transform_8x8 else None),
+                          qp_maps=qp_maps)
         else:
             self._update_ref(res_dev)
             self.recon_prev = (res["recon_y"], res["recon_u"],
@@ -833,7 +863,8 @@ class Encoder:
         n = mbh * mbw
         if p.cabac:
             return self._write_i_slice_cabac(bw, res, qp)
-        if self._native is not None and not p.transform_8x8:
+        if self._native is not None and not p.transform_8x8 \
+                and self._aq_grids is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice(
@@ -847,8 +878,20 @@ class Encoder:
                 mb_i4=res["mb_i4"].reshape(n) if p.i4x4 else None,
                 i4_modes=res["i4_modes"].reshape(n, 16) if p.i4x4 else None)
         fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
+        aqg = self._aq_grids[0] if self._aq_grids is not None else None
+        last_qp = qp
         for my in range(mbh):
             for mx in range(mbw):
+                dq = 0
+                has_cbp = (int(res["cbp_luma"][my, mx])
+                           or int(res["cbp_chroma"][my, mx]))
+                is_i16 = not ((p.i4x4 and res["mb_i4"][my, mx])
+                              or (p.transform_8x8
+                                  and res["mb_i8"][my, mx]))
+                if aqg is not None and (has_cbp or is_i16):
+                    # spec 7.4.5 modular fold (see the P twin)
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                    last_qp = int(aqg[my, mx])
                 if p.transform_8x8 and res["mb_i8"][my, mx]:
                     fc.write_i8x8_mb(
                         bw, mx, my, res["i8_modes"][my, mx],
@@ -857,7 +900,7 @@ class Encoder:
                         int(res["cbp_chroma"][my, mx]),
                         res["luma8_lev"][my, mx],
                         res["chroma_dc"][my, mx],
-                        res["chroma_ac"][my, mx], qp_delta=0)
+                        res["chroma_ac"][my, mx], qp_delta=dq)
                     continue
                 if p.i4x4 and res["mb_i4"][my, mx]:
                     fc.write_i4x4_mb(
@@ -867,7 +910,7 @@ class Encoder:
                         int(res["cbp_chroma"][my, mx]),
                         res["luma_ac"][my, mx],
                         res["chroma_dc"][my, mx],
-                        res["chroma_ac"][my, mx], qp_delta=0)
+                        res["chroma_ac"][my, mx], qp_delta=dq)
                     continue
                 fc.write_i16x16_mb(
                     bw, mx, my,
@@ -876,7 +919,7 @@ class Encoder:
                     int(res["cbp_chroma"][my, mx]),
                     res["luma_dc"][my, mx], res["luma_ac"][my, mx],
                     res["chroma_dc"][my, mx], res["chroma_ac"][my, mx],
-                    qp_delta=0)
+                    qp_delta=dq)
         bw.rbsp_trailing()
         return bw.get_bytes()
 
@@ -886,7 +929,7 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None:
+        if self._native is not None and self._aq_grids is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice_cabac(
@@ -912,9 +955,20 @@ class Encoder:
             bw.write1(1)  # cabac_alignment_one_bit
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=True,
                              trans8_mode=p.transform_8x8)
+        aqg = self._aq_grids[0] if self._aq_grids is not None else None
+        last_qp = qp
         n = mbh * mbw
         for a in range(n):
             my, mx = a // mbw, a % mbw
+            dq = 0
+            has_cbp = (int(res["cbp_luma"][my, mx])
+                       or int(res["cbp_chroma"][my, mx]))
+            is_i16 = not ((p.i4x4 and res["mb_i4"][my, mx])
+                          or (p.transform_8x8
+                              and res["mb_i8"][my, mx]))
+            if aqg is not None and (has_cbp or is_i16):
+                dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                last_qp = int(aqg[my, mx])
             if p.transform_8x8 and res["mb_i8"][my, mx]:
                 w.write_i8_mb(my, mx, res["i8_modes"][my, mx],
                               int(res["cmode"][my, mx]),
@@ -922,7 +976,7 @@ class Encoder:
                               int(res["cbp_chroma"][my, mx]),
                               res["luma8_lev"][my, mx],
                               res["chroma_dc"][my, mx],
-                              res["chroma_ac"][my, mx])
+                              res["chroma_ac"][my, mx], dqp=dq)
                 w.end_mb(a == n - 1)
                 continue
             if p.i4x4 and res["mb_i4"][my, mx]:
@@ -932,7 +986,7 @@ class Encoder:
                               int(res["cbp_chroma"][my, mx]),
                               res["luma_ac"][my, mx],
                               res["chroma_dc"][my, mx],
-                              res["chroma_ac"][my, mx])
+                              res["chroma_ac"][my, mx], dqp=dq)
             else:
                 w.write_i16_mb(my, mx, int(res["mode"][my, mx]),
                                int(res["cmode"][my, mx]),
@@ -941,7 +995,7 @@ class Encoder:
                                res["luma_dc"][my, mx],
                                res["luma_ac"][my, mx],
                                res["chroma_dc"][my, mx],
-                               res["chroma_ac"][my, mx])
+                               res["chroma_ac"][my, mx], dqp=dq)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()

@@ -103,14 +103,15 @@ def _i16_mb(enc, top, left, topleft, at, al, qp, lam):
     coef = T.dct4x4(res)
     dc = coef[:, 0, 0, :, :]                          # [W,4,4]
     dc_t = hadamard4x4(dc[..., None, None], final_shift=True)[..., 0, 0]
-    dc_lev = T.quant_dc(dc_t, qp, intra=True)         # [W,4,4]
+    qpb = qp if jnp.ndim(qp) == 0 else qp[:, None, None]  # per-MB AQ
+    dc_lev = T.quant_dc(dc_t, qpb, intra=True)        # [W,4,4]
     ac = coef.at[:, 0, 0].set(0)
-    ac_lev = T.quant4x4(ac, qp, intra=True)
+    ac_lev = T.quant4x4(ac, qpb, intra=True)
     cbp_luma = jnp.any(ac_lev != 0, axis=(1, 2, 3, 4))  # [W]
 
-    deq = T.dequant4x4(ac_lev, qp, intra=True)
+    deq = T.dequant4x4(ac_lev, qpb, intra=True)
     dc_rec = hadamard4x4(dc_lev[..., None, None])[..., 0, 0]
-    dc_rec = T.dequant_dc_luma(dc_rec, qp)            # [W,4,4]
+    dc_rec = T.dequant_dc_luma(dc_rec, qpb)           # [W,4,4]
     deq = deq.at[:, 0, 0].set(dc_rec)
     recon = T.idct4x4_add(to_blocks(pred, 4), deq)
     recon = recon.reshape(-1, 4, 4, 4, 4).transpose(0, 3, 1, 4, 2) \
@@ -202,8 +203,9 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
             preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,4,4]
 
         coef = T.dct4x4((eblk - pred)[..., None, None])      # [W,4,4,1,1]
-        lev = T.quant4x4(coef, qp, intra=True)
-        deq = T.dequant4x4(lev, qp, intra=True)
+        qpb = qp if jnp.ndim(qp) == 0 else qp[:, None, None]
+        lev = T.quant4x4(coef, qpb, intra=True)
+        deq = T.dequant4x4(lev, qpb, intra=True)
         rec = T.idct4x4_add(pred[..., None, None], deq)[..., 0, 0]
         wt = wt.at[:, 4 * by:4 * by + 4, 4 * bx:4 * bx + 4].set(rec)
         m4 = m4.at[:, by, bx].set(mode)
@@ -351,6 +353,8 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
     cost = jnp.where(valid, satd, jnp.int32(1 << 30))
     mode = jnp.argmin(cost, axis=1)
 
+    qpcb = qpc if jnp.ndim(qpc) == 0 else qpc[:, None, None]
+
     def encode_plane(enc, preds):
         pred = jnp.take_along_axis(
             preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,8,8]
@@ -358,13 +362,13 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
         coef = T.dct4x4(res)
         dc = coef[:, 0, 0][..., None, None]           # [W,2(by),2(bx),1,1]
         dc_t = hadamard2x2(dc)
-        dc_lev = T.quant_dc(dc_t[..., 0, 0], qpc, intra=True)  # [W,2,2]
+        dc_lev = T.quant_dc(dc_t[..., 0, 0], qpcb, intra=True)  # [W,2,2]
         ac = coef.at[:, 0, 0].set(0)
-        ac_lev = T.quant4x4(ac, qpc, intra=True)
+        ac_lev = T.quant4x4(ac, qpcb, intra=True)
         # recon
-        deq = T.dequant4x4(ac_lev, qpc, intra=True)
+        deq = T.dequant4x4(ac_lev, qpcb, intra=True)
         dc_rec = hadamard2x2(dc_lev[..., None, None])[..., 0, 0]  # [W,2,2]
-        dc_rec = T.dequant_dc_chroma(dc_rec, qpc, intra=True)
+        dc_rec = T.dequant_dc_chroma(dc_rec, qpcb, intra=True)
         deq = deq.at[:, 0, 0].set(dc_rec)
         recon = T.idct4x4_add(to_blocks(pred, 4), deq)
         recon = recon.reshape(-1, 4, 4, 2, 2).transpose(0, 3, 1, 4, 2) \
@@ -440,8 +444,11 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         top = st["ry"][myc, mx, 15, :]
         left = st["ry"][my, mxc, :, 15]
         tl = st["ry"][myc, mxc, 15, 15]
+        # per-MB AQ: qp/qpc may be [mbh,mbw] grids
+        qpw = qp if jnp.ndim(qp) == 0 else qp[my, mx]
+        qpcw = qpc if jnp.ndim(qpc) == 0 else qpc[my, mx]
         mode16, dc_lev, ac_lev, cbpl16, rec16, cost16 = _i16_mb(
-            enc, top, left, tl, at, al, qp, lam)
+            enc, top, left, tl, at, al, qpw, lam)
 
         nb_lm = st["modes4"][my, mxc, :, 3]               # [W,4]
         nb_tm = st["modes4"][myc, mx, 3, :]
@@ -449,7 +456,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             tr4 = st["ry"][myc, mxr, 15, 0:4]
             top20 = jnp.concatenate([top, tr4], axis=1)   # [W,20]
             m4, lev4, cbpl4, rec4, cost4, mb4bits = _i4_mb(
-                enc, top20, left, tl, at, al, atr, qp, lam,
+                enc, top20, left, tl, at, al, atr, qpw, lam,
                 nb_lm, nb_tm)
             use4 = cost4 < cost16
         else:
@@ -464,7 +471,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             tr8 = st["ry"][myc, mxr, 15, 0:8]
             top24 = jnp.concatenate([top, tr8], axis=1)   # [W,24]
             m8, lev8, cbpl8, rec8, cost8, ctx8, mb8bits = _i8_mb(
-                enc, top24, left, tl, at, al, atr, qp, lam,
+                enc, top24, left, tl, at, al, atr, qpw, lam,
                 nb_lm, nb_tm)
             use8 = (cost8 < cost16) & (cost8 <= cost4)
             use4 = use4 & ~use8
@@ -486,7 +493,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             from ..ops.rdcost import cavlc_block_bits, ue_len
             from .inter import LAMBDA2_TAB, _zigzag_gather
             from ..ops import transform8 as T8
-            lam2 = jnp.asarray(LAMBDA2_TAB)[qp]
+            lam2 = jnp.asarray(LAMBDA2_TAB)[qpw]
 
             def rdc(ssd, bits):
                 return ssd + ((lam2 * bits + 128) >> 8)
@@ -549,7 +556,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         tlv = st["rv"][myc, mxc, 7, 7]
         cmode, cdc, cac, cbpc, ruu, rvv = _chroma_mb(
             cu, cvv, (top_u, top_v), (left_u, left_v), tlu, tlv, at, al,
-            qpc, lam)
+            qpcw, lam)
 
         # inactive lanes scatter out of bounds -> dropped
         sy = jnp.where(act, my, mbh)

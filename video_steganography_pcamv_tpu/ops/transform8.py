@@ -206,9 +206,11 @@ def quant8x8(coef: jnp.ndarray, qp, intra: bool,
     qp = jnp.asarray(qp)
     mf = jnp.asarray(q_mf)[li, qp]
     bias = jnp.asarray(q_bias)[li, qp]
-    if qp.ndim == 1:   # per-MB AQ: [N,8,8] -> [N,1,1,8,8]
+    if qp.ndim == 1 and coef.ndim == 5:
+        # per-MB AQ, inter layout [N,2,2,8,8]: [N,8,8] -> [N,1,1,8,8]
         mf = mf[:, None, None]
         bias = bias[:, None, None]
+    # per-MB AQ with [W,8,8] blocks (intra wavefront) broadcasts as-is
     mag = ((bias + jnp.abs(coef.astype(jnp.int32)))
            * mf.astype(jnp.int32)) >> 16
     return (jnp.sign(coef) * mag).astype(jnp.int32)
@@ -224,9 +226,11 @@ def dequant8x8(level: jnp.ndarray, qp, intra: bool = False,
     qp = jnp.asarray(qp)
     dmf = jnp.asarray(dq_mf)[li, qp % 6]
     qbits = qp // 6 - 6
-    if qp.ndim == 1:   # per-MB AQ
+    if qp.ndim == 1 and level.ndim == 5:   # per-MB AQ, inter layout
         dmf = dmf[:, None, None]
         qbits = qbits[:, None, None, None, None]
+    elif qp.ndim == 1:                     # [W,8,8] intra wavefront
+        qbits = qbits[:, None, None]
     lvl = level.astype(jnp.int32) * dmf.astype(jnp.int32)
     shl = lvl << jnp.maximum(qbits, 0)
     f = 1 << jnp.maximum(-qbits - 1, 0)
