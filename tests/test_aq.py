@@ -203,3 +203,30 @@ def test_aq_on_i_frames(cabac):
         np.testing.assert_array_equal(
             d.u, ru[:H // 2, :W // 2].astype(np.uint8),
             err_msg=f"frame {i} U")
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_aq_on_b_frames(cabac):
+    """AQ on B frames (+pyramid): per-MB QP through the bipred encode
+    and the B mb_qp_delta chain in both entropy modes."""
+    frames = _mixed_energy_frames(7, seed=19)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, bframes=2, b_adapt=0, b_pyramid=True,
+               cabac=cabac)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 7
+    bspread = set()
+    for d in dec:
+        if d.slice_type in (1, 6):
+            bspread |= {m.qp for m in d.mbs}
+    assert len(bspread) >= 3, f"no B-frame qp spread: {bspread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} luma")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")

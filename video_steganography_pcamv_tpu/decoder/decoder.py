@@ -1660,7 +1660,7 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
         my, mx = a // dec.mbw, a % dec.mbw
         if ps.skip_flag(my, mx):
             ps.parse_b_skip_mb(my, mx)
-            dec.decode_b_skip(mx, my, qp)
+            dec.decode_b_skip(mx, my, ps.qp)
         else:
             btype = ps.mb_type_b(my, mx)
             if btype <= 3:
@@ -1688,6 +1688,9 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
     y4, x4 = 4 * my, 4 * mx
     mvd0, mvd1, cbpl, cbpc, blk_lv, cdcs, cacs = \
         ps.parse_b_mb(my, mx, btype)
+    qp = ps.qp
+    qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
+                                0, 51)])
     if btype == 0:
         use0, use1, mv0, mv1 = dec._direct(my, mx)
     else:
@@ -1741,6 +1744,9 @@ def _recon_b_parts_cabac(dec, ps, my, mx, code, qp, qpc):
     _derive_b_parts_mvs, then the standard bipred recon."""
     subs, mvds, cbpl, cbpc, blk_lv, cdcs, cacs = \
         ps.parse_b_mb_parts(my, mx, code)
+    qp = ps.qp
+    qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
+                                0, 51)])
     use0v, use1v, mv0, mv1, unit_mvs = dec._derive_b_parts_mvs(
         mx, my, code, subs, mvds)
     u0a = np.broadcast_to(np.asarray(use0v), (4,))

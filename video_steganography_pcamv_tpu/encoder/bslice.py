@@ -230,6 +230,11 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
     """Final B encode at per-8x8 (use, mv) fields for both lists.
     Same output dict as encode_p_frame_device8."""
     n = mbh * mbw
+    qp = jnp.asarray(qp)
+    qpc = jnp.asarray(qpc)
+    if qp.ndim >= 1:   # per-MB AQ grids
+        qp = qp.reshape(n)
+        qpc = qpc.reshape(n)[:, None, None]
     ref0 = {"luma": ref0_luma, "u": ref0_u, "v": ref0_v}
     ref1 = {"luma": ref1_luma, "u": ref1_u, "v": ref1_v}
     pred_y, pred_u, pred_v = _assemble_pred_b(

@@ -934,7 +934,8 @@ class CabacSliceWriter:
         self.modes4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
 
     def write_b_mb(self, my, mx, btype, mvd0, mvd1, cbp_luma,
-                   cbp_chroma, luma_blocks, chroma_dc, chroma_ac):
+                   cbp_chroma, luma_blocks, chroma_dc, chroma_ac,
+                   dqp: int = 0):
         """Coded B MB, 16x16 subset (direct/L0/L1/BI). mvd order:
         all mvd_l0 then all mvd_l1 (spec 7.3.5.1)."""
         self.skip_flag(my, mx, False)
@@ -963,7 +964,7 @@ class CabacSliceWriter:
         self.dc_nz_y[my, mx] = 0
         self.dc_nz_c[:, my, mx] = 0
         if cbp:
-            self.qp_delta_zero(True)
+            self.qp_delta(dqp, True)
             self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma,
                                     False)
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,
@@ -976,7 +977,7 @@ class CabacSliceWriter:
 
     def write_b_mb_ext(self, my, mx, code: int, subs, mvd0, mvd1,
                        cbp_luma, cbp_chroma, luma_blocks, chroma_dc,
-                       chroma_ac):
+                       chroma_ac, dqp: int = 0):
         """B partition MB (codes 4-22): mb_type bins, B_8x8 sub types,
         per-unit mvds all-L0-then-all-L1 (reference encoder/cabac.c
         B_8x8 / 'All B mode' branches :894-975). mvd0/mvd1: [4,2]
@@ -1019,7 +1020,7 @@ class CabacSliceWriter:
         self.dc_nz_y[my, mx] = 0
         self.dc_nz_c[:, my, mx] = 0
         if cbp:
-            self.qp_delta_zero(True)
+            self.qp_delta(dqp, True)
             self._luma_residual_4x4(my, mx, luma_blocks, cbp_luma,
                                     False)
             self._chroma_residual(my, mx, cbp_chroma, chroma_dc,

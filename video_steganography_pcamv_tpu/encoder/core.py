@@ -2176,6 +2176,20 @@ class Encoder:
         qp = self._zone_qp(qp, disp)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         lam = ME.lambda_tab(qp)
+        qp_enc, qpc_enc = qp, qpc
+        aqg = None
+        if p.aq_mode:
+            # per-MB QP on B frames too (x264 adaptive_quant all types)
+            from ..ops.aq import aq_offsets, assign_qp_grid
+            from ..ops.transform import CHROMA_QP_TABLE
+            offs = np.asarray(aq_offsets(
+                y, u, v, p.mb_height, p.mb_width,
+                jnp.float32(p.aq_strength)))
+            aqg = assign_qp_grid(qp, offs, p.qp_min, p.qp_max)
+            qpc_grid = CHROMA_QP_TABLE[np.clip(
+                aqg + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+            qp_enc = jnp.asarray(aqg)
+            qpc_enc = jnp.asarray(qpc_grid)
         on_tpu = jax.default_backend() == "tpu"
         col_mv4, col_ref4 = col
         # --direct mode for this slice (x264 encoder.c:120-127; auto
@@ -2203,7 +2217,8 @@ class Encoder:
         use_parts = p.partitions
         # intra-in-B (analyse.c:3110+ considers intra in B MBs too);
         # same gating as intra-in-P
-        do_intra = p.intra_in_p and self._stego is None
+        do_intra = (p.intra_in_p and self._stego is None
+                    and not p.aq_mode)
         inter_cost = None
         direct_c = None
         if use_parts:
@@ -2300,7 +2315,7 @@ class Encoder:
             y, u, v, ref0["luma"], ref0["u"], ref0["v"],
             ref1["luma"], ref1["u"], ref1["v"],
             jnp.asarray(use0), jnp.asarray(use1), jnp.asarray(fmv0),
-            jnp.asarray(fmv1), qp, qpc, mbh, mbw,
+            jnp.asarray(fmv1), qp_enc, qpc_enc, mbh, mbw,
             decimate=p.dct_decimate, trellis=bool(p.trellis), w1=w1)
         # intra-vs-inter refinement over the committed B recon. An MB
         # may switch to intra only if no later raster MB reads it in a
@@ -2404,12 +2419,14 @@ class Encoder:
             nal = self._write_b_slice_cabac(bw, res_np, qp, mode,
                                             mvd0, mvd1, subs=subs,
                                             intra_kind=intra_kind,
-                                            intra_res=intra_res)
+                                            intra_res=intra_res,
+                                            aqg=aqg)
         else:
             nal = self._write_b_slice_cavlc(bw, res_np, qp, mode,
                                             mvd0, mvd1, subs=subs,
                                             intra_kind=intra_kind,
-                                            intra_res=intra_res)
+                                            intra_res=intra_res,
+                                            aqg=aqg)
         out = self._aud(SLICE_B) \
             + nal_unit(NAL_SLICE,
                        NAL_PRIORITY_HIGH if is_ref
@@ -2429,7 +2446,7 @@ class Encoder:
 
     def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,
                              mvd1, subs=None, intra_kind=None,
-                             intra_res=None) -> bytes:
+                             intra_res=None, aqg=None) -> bytes:
         """CAVLC B slice: B_SKIP runs + B MBs (16x16 subset rides the
         native twin; partition codes 4-22 and intra MBs take the
         Python writer). Skip rule: direct mode with no residual (spec
@@ -2437,7 +2454,8 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         if self._native is not None and intra_res is None \
-                and np.all(mode <= 3) and not p.transform_8x8:
+                and np.all(mode <= 3) and not p.transform_8x8 \
+                and aqg is None:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -2453,6 +2471,7 @@ class Encoder:
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
         fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
+        last_qp = qp
         for my in range(mbh):
             for mx in range(mbw):
                 k = (0 if intra_kind is None
@@ -2491,11 +2510,16 @@ class Encoder:
                     continue
                 bw.write_ue(skip_run)
                 skip_run = 0
+                dq = 0
+                if aqg is not None and (cl or cc):
+                    # spec 7.4.5 modular fold (see the P twin)
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                    last_qp = int(aqg[my, mx])
                 fc.write_b_mb(bw, mx, my, m, mvd0[my, mx],
                               mvd1[my, mx], cl, cc,
                               res["luma_lev"][my, mx],
                               res["chroma_dc"][my, mx],
-                              res["chroma_ac"][my, mx], qp_delta=0,
+                              res["chroma_ac"][my, mx], qp_delta=dq,
                               subs=None if subs is None
                               else subs[my, mx])
         if skip_run:
@@ -2505,7 +2529,7 @@ class Encoder:
 
     def _write_b_slice_cabac(self, bw, res, qp, mode, mvd0,
                              mvd1, subs=None, intra_kind=None,
-                             intra_res=None) -> bytes:
+                             intra_res=None, aqg=None) -> bytes:
         """CABAC B slice (reference encoder/cabac.c B branch). The
         16x16 subset rides the native twin; partition codes 4-22 and
         intra MBs take the Python writer (write_b_mb_ext /
@@ -2515,7 +2539,8 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if self._native is not None and intra_res is None \
-                and np.all(mode <= 3) and not p.transform_8x8:
+                and np.all(mode <= 3) and not p.transform_8x8 \
+                and aqg is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             m0 = mvd0 if mvd0.ndim == 3 else mvd0[:, :, 0]
@@ -2534,6 +2559,7 @@ class Encoder:
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,
                              slice_is_b=True,
                              trans8_mode=p.transform_8x8)
+        last_qp = qp
         for a in range(n):
             my, mx = a // mbw, a % mbw
             k = 0 if intra_kind is None else int(intra_kind[my, mx])
@@ -2561,20 +2587,27 @@ class Encoder:
                                in_b=True)
             elif m == 0 and cl == 0 and cc == 0:
                 w.write_b_skip_mb(my, mx)
-            elif m <= 3:
-                d0 = mvd0[my, mx, 0] if per_unit else mvd0[my, mx]
-                d1 = mvd1[my, mx, 0] if per_unit else mvd1[my, mx]
-                w.write_b_mb(my, mx, m, d0, d1,
-                             cl, cc, res["luma_lev"][my, mx],
-                             res["chroma_dc"][my, mx],
-                             res["chroma_ac"][my, mx])
             else:
-                w.write_b_mb_ext(my, mx, m,
-                                 None if subs is None else subs[my, mx],
-                                 mvd0[my, mx], mvd1[my, mx], cl, cc,
-                                 res["luma_lev"][my, mx],
+                dq = 0
+                if aqg is not None and (cl or cc):
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                    last_qp = int(aqg[my, mx])
+                if m <= 3:
+                    d0 = mvd0[my, mx, 0] if per_unit else mvd0[my, mx]
+                    d1 = mvd1[my, mx, 0] if per_unit else mvd1[my, mx]
+                    w.write_b_mb(my, mx, m, d0, d1,
+                                 cl, cc, res["luma_lev"][my, mx],
                                  res["chroma_dc"][my, mx],
-                                 res["chroma_ac"][my, mx])
+                                 res["chroma_ac"][my, mx], dqp=dq)
+                else:
+                    w.write_b_mb_ext(my, mx, m,
+                                     None if subs is None
+                                     else subs[my, mx],
+                                     mvd0[my, mx], mvd1[my, mx], cl, cc,
+                                     res["luma_lev"][my, mx],
+                                     res["chroma_dc"][my, mx],
+                                     res["chroma_ac"][my, mx],
+                                     dqp=dq)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
