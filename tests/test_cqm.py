@@ -91,6 +91,68 @@ def test_cqm_custom_lists_roundtrip():
         np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
 
 
+def test_trellis_tables_track_cqm():
+    """ops/trellis.py must rate against the live CQM-scaled quantizer
+    (rdo.c uses h->quant4_mf/unquant4_mf, which are CQM-scaled)."""
+    from video_steganography_pcamv_tpu.ops.trellis import (
+        _mf_unq_zig, _mf_unq_zig8)
+    flat4, _ = _mf_unq_zig(Q.version())
+    flat8, _ = _mf_unq_zig8(Q.version())
+    Q.set_preset("jvt")
+    mf4, unq4 = _mf_unq_zig(Q.version())
+    mf8, _ = _mf_unq_zig8(Q.version())
+    assert not np.array_equal(mf4, flat4)
+    assert not np.array_equal(mf8, flat8)
+    # intra and inter lists differ under jvt
+    assert not np.array_equal(mf4[0], mf4[1])
+    # unq inverts mf on representative levels: lvl=coef*mf>>16 with
+    # coef=(lvl*unq+128)>>8 must reproduce lvl
+    for qp in (20, 30):
+        for lvl in (1, 3, 7):
+            coef = (lvl * unq4[1, qp].astype(np.int64) + 128) >> 8
+            back = (coef * mf4[1, qp].astype(np.int64) + (1 << 15)) >> 16
+            np.testing.assert_array_equal(back, lvl)
+
+
+def test_cqm_trellis_roundtrip():
+    """--cqm jvt --trellis 1 --cabac --8x8dct: the full High-profile RD
+    stack over scaled matrices decodes bit-exactly and beats/equals the
+    non-trellis encode size at equal settings."""
+    frames = _frames(5, seed=11)
+    p = Params(width=W, height=H, qp=27, me_range=8, cqm="jvt",
+               cabac=True, trellis=1, transform_8x8=True)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 5
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+        ru = enc.recon_by_disp[i][1][:H // 2, :W // 2].astype(np.uint8)
+        np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} u")
+
+    enc0 = Encoder(Params(width=W, height=H, qp=27, me_range=8,
+                          cqm="jvt", cabac=True, trellis=0,
+                          transform_8x8=True))
+    bs0 = b"".join(enc0.encode_frame(f) for f in frames)
+    assert len(bs) <= len(bs0), (len(bs), len(bs0))
+
+
+def test_cqm_aq_roundtrip():
+    """--cqm jvt + AQ: per-MB QP indexes the scaled per-qp tables."""
+    frames = _frames(4, seed=13)
+    p = Params(width=W, height=H, qp=27, me_range=8, cqm="jvt",
+               aq_mode=1, cabac=True)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames)
+    dec = decode_annexb(bs)
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+
+
 def test_deadzone_changes_stream():
     """--deadzone-inter/intra (x264 set.c:76 bias numerators):
     encoder-side only — streams stay decodable, coded levels differ."""

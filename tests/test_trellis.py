@@ -24,11 +24,12 @@ def oracle_trellis(zz, qp, cat, intra):
     ucost, utrans = _unary_tables()
     sig_t, last_t, abs_t = _ctx_state_tables()
     mf_t, unq_t = _mf_unq_zig()
+    li = 0 if intra else 1
     lam2 = _lambda2_tab()[1 if intra else 0, qp]
     n = len(zz)
     off = 1 if cat in (1, 4) else 0
-    mf = mf_t[qp][off:off + n].astype(np.int64)
-    unq = unq_t[qp][off:off + n].astype(np.int64)
+    mf = mf_t[li, qp][off:off + n].astype(np.int64)
+    unq = unq_t[li, qp][off:off + n].astype(np.int64)
     w = _weight2_zig()[off:off + n]
     sig_st = sig_t[qp, cat]
     last_st = last_t[qp, cat]
@@ -175,3 +176,21 @@ def test_trellis_e2e_rd():
     # trellis trades a bounded distortion increase for fewer bits
     assert bits1 < bits0, out
     assert mse1 < mse0 * 1.35, out
+
+
+def test_trellis_per_block_qp_matches_scalar():
+    """Per-block qp [M] must reproduce per-row scalar-qp calls exactly
+    (the AQ path gathers lambda2/quantizer/ctx tables per row)."""
+    rng = np.random.RandomState(11)
+    m, n = 12, 16
+    zz = (rng.randn(m, n) * 40).astype(np.int32)
+    qps = rng.randint(18, 40, m).astype(np.int32)
+    batched = np.asarray(trellis_quant(jnp.asarray(zz),
+                                       jnp.asarray(qps),
+                                       CAT_LUMA_4x4, False))
+    for i in range(m):
+        one = np.asarray(trellis_quant(jnp.asarray(zz[i:i + 1]),
+                                       jnp.asarray(int(qps[i])),
+                                       CAT_LUMA_4x4, False))
+        np.testing.assert_array_equal(batched[i], one[0],
+                                      err_msg=f"row {i} qp {qps[i]}")

@@ -143,12 +143,15 @@ def luma_p_encode_fast(cur, pred, qp, decimate: bool):
 
 def trellis_quant4x4_planes(coef, qp, intra: bool):
     """Trellis-quantize [N,4,4,BY,BX] coefficient planes (luma 4x4
-    cat); returns levels in the same plane layout."""
+    cat); returns levels in the same plane layout. qp: scalar or
+    per-MB [N] (any trailing singleton dims tolerated)."""
     from ..ops import trellis as TR
     n = coef.shape[0]
     zz = _zigzag_gather(coef)                     # [N,16,BY,BX]
     v = zz.transpose(0, 2, 3, 1).reshape(n * 16, 16)
-    lev = TR.trellis_quant(v, qp, TR.CAT_LUMA_4x4, intra)
+    qp_b = qp if jnp.ndim(qp) == 0 \
+        else jnp.repeat(jnp.reshape(qp, (n,)), 16)
+    lev = TR.trellis_quant(v, qp_b, TR.CAT_LUMA_4x4, intra)
     lev = lev.reshape(n, 4, 4, 16).transpose(0, 3, 1, 2)  # [N,16,BY,BX]
     izig = np.zeros((4, 4), np.int64)
     izig[T.ZIGZAG_4x4[:, 0], T.ZIGZAG_4x4[:, 1]] = np.arange(16)
@@ -160,7 +163,8 @@ def trellis_quant_chroma_dc(dch, qpc):
     x264_quant_dc_trellis DCT_CHROMA_DC). dch: [N,2,2]."""
     from ..ops import trellis as TR
     n = dch.shape[0]
-    lev = TR.trellis_quant(dch.reshape(n, 4), qpc, TR.CAT_CHROMA_DC,
+    qpc_b = qpc if jnp.ndim(qpc) == 0 else jnp.reshape(qpc, (n,))
+    lev = TR.trellis_quant(dch.reshape(n, 4), qpc_b, TR.CAT_CHROMA_DC,
                            False)
     return lev.reshape(n, 2, 2)
 
@@ -172,7 +176,9 @@ def trellis_quant_chroma_ac(ac, qpc):
     n, _, _, by, bx = ac.shape
     zz = _zigzag_gather(ac)[:, 1:]                # [N,15,BY,BX]
     v = zz.transpose(0, 2, 3, 1).reshape(n * by * bx, 15)
-    lev = TR.trellis_quant(v, qpc, TR.CAT_CHROMA_AC, False)
+    qpc_b = qpc if jnp.ndim(qpc) == 0 \
+        else jnp.repeat(jnp.reshape(qpc, (n,)), by * bx)
+    lev = TR.trellis_quant(v, qpc_b, TR.CAT_CHROMA_AC, False)
     lev = jnp.concatenate(
         [jnp.zeros((n * by * bx, 1), lev.dtype), lev], axis=1)
     lev = lev.reshape(n, by, bx, 16).transpose(0, 3, 1, 2)
@@ -189,8 +195,8 @@ def luma_p_encode(cur, pred, qp, decimate: bool,
     calls the full x264_macroblock_encode, so decimation behaviour must
     match). trellis follows the reference's --trellis 1 placement: the
     final MB encode only (encoder/macroblock.c:90-91). qp: traced
-    scalar, or [N] per-MB (adaptive quantization — excludes trellis,
-    see Params.validate)."""
+    scalar, or [N] per-MB (adaptive quantization; the trellis DP
+    gathers its tables per row)."""
     n = cur.shape[0]
     qp = jnp.asarray(qp)
     if qp.ndim == 1:       # per-MB AQ: broadcast over block coords
@@ -381,8 +387,7 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
     dead code XLA prunes from the fused stage-1 program.
 
     qp/qpc: traced scalars, or [mbh,mbw] per-MB grids (adaptive
-    quantization, x264_adaptive_quant ratecontrol.c:255; AQ excludes
-    trellis/trans8 — Params.validate)."""
+    quantization, x264_adaptive_quant ratecontrol.c:255)."""
     n = mbh * mbw
     qp = jnp.asarray(qp)
     qpc = jnp.asarray(qpc)
@@ -431,7 +436,9 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
             from ..ops.transform8 import ZIGZAG_8x8
             zz8 = jnp.asarray(ZIGZAG_8x8)
             vz = coef8.reshape(n * 4, 8, 8)[:, zz8[:, 0], zz8[:, 1]]
-            lv = TR.trellis_quant(vz, qp, TR.CAT_LUMA_8x8, False)
+            qp8b = qp if jnp.ndim(qp) == 0 \
+                else jnp.repeat(jnp.reshape(qp, (n,)), 4)
+            lv = TR.trellis_quant(vz, qp8b, TR.CAT_LUMA_8x8, False)
             lev8 = jnp.zeros((n * 4, 8, 8), jnp.int32) \
                 .at[:, zz8[:, 0], zz8[:, 1]].set(lv) \
                 .reshape(n, 2, 2, 8, 8)
@@ -774,6 +781,11 @@ def encode_p_frame_device4_mref(y, u, v, refs_luma, refs_u, refs_v,
     and 2x2 chroma MC from each block's DPB entry (ref4 [4mbh,4mbw] is
     the per-8x8 ref repeated). Same outputs as encode_p_frame_device4."""
     n = mbh * mbw
+    qp = jnp.asarray(qp)
+    qpc = jnp.asarray(qpc)
+    if qp.ndim >= 1:   # per-MB AQ grids
+        qp = qp.reshape(n)
+        qpc = qpc.reshape(n)[:, None, None]
     fz = (jnp.zeros(n, bool) if force_zero is None
           else force_zero.reshape(n))
 
@@ -842,6 +854,11 @@ def encode_p_frame_device4(y, u, v, ref_luma, ref_u, ref_v, mv4,
     coarser paths wherever the MV field is uniform). Same outputs as
     encode_p_frame_device8."""
     n = mbh * mbw
+    qp = jnp.asarray(qp)
+    qpc = jnp.asarray(qpc)
+    if qp.ndim >= 1:   # per-MB AQ grids
+        qp = qp.reshape(n)
+        qpc = qpc.reshape(n)[:, None, None]
     fz = (jnp.zeros(n, bool) if force_zero is None
           else force_zero.reshape(n))
 

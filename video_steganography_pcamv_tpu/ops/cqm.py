@@ -39,6 +39,13 @@ FLAT8 = np.full(64, 16, np.int64)
 # numerators (x264 set.c:76, defaults 21 intra / 11 inter)
 _active = {"i4": None, "p4": None, "i8": None, "p8": None,
            "dzi": 21, "dzp": 11}
+_version = 0
+
+
+def version() -> int:
+    """Monotonic counter bumped on every effective set_cqm; cache key
+    for host-side derived tables (ops/trellis.py)."""
+    return _version
 
 
 def active_lists():
@@ -73,6 +80,8 @@ def set_cqm(intra4=None, inter4=None, intra8=None, inter8=None,
             and np.array_equal(new[k], _active[k])) for k in new)
     if same:
         return
+    global _version
+    _version += 1
     _active.update(new)
     T.set_scaling4(new["i4"], new["p4"], new["dzi"], new["dzp"])
     T8.set_scaling8(new["i8"], new["p8"], new["dzi"], new["dzp"])

@@ -28,7 +28,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .transform import QUANT4_MF, ZIGZAG_4x4
+from . import transform as _T
+from .transform import ZIGZAG_4x4
 from ..encoder.cabac_tables import TRANS_IDX_MPS, TRANS_IDX_LPS
 
 CABAC_SIZE_BITS = 8          # bit costs in 1/256 bit units
@@ -146,25 +147,29 @@ def _lambda2_tab():
     return np.stack([inter, intra]).astype(np.float32)
 
 
-@functools.lru_cache(maxsize=None)
-def _mf_unq_zig():
-    """Per-qp quant MF and direct-inverse unquant in zigzag order:
-    [52,16] each. unq = round(2^24 / mf) so (lvl*unq + 128) >> 8
-    inverts lvl = coef*mf >> 16 (rdo.c:405-410 semantics)."""
+@functools.lru_cache(maxsize=4)
+def _mf_unq_zig(cqm_version: int = 0):
+    """Per-list per-qp quant MF and direct-inverse unquant in zigzag
+    order: [2,52,16] each (list 0 = intra, 1 = inter — reading the live
+    CQM-scaled tables, so trellis rates against the same quantizer the
+    encode path uses). unq = round(2^24 / mf) so (lvl*unq + 128) >> 8
+    inverts lvl = coef*mf >> 16 (rdo.c:405-410 semantics). Keyed on the
+    CQM version so set_cqm invalidates."""
     zz = ZIGZAG_4x4
-    mf = QUANT4_MF[:, zz[:, 0], zz[:, 1]].astype(np.int64)   # [52,16]
+    mf = np.stack([np.asarray(_T.QUANT4_MF_I), np.asarray(_T.QUANT4_MF_P)]) \
+        [:, :, zz[:, 0], zz[:, 1]].astype(np.int64)         # [2,52,16]
     unq = np.round((1 << 24) / np.maximum(mf, 1)).astype(np.int64)
     return mf.astype(np.int32), unq.astype(np.int32)
 
 
-@functools.lru_cache(maxsize=None)
-def _mf_unq_zig8():
+@functools.lru_cache(maxsize=4)
+def _mf_unq_zig8(cqm_version: int = 0):
     """8x8 quant MF + direct-inverse unquant, zigzag8 order, per list:
     [2,52,64] each (unq = 2^24/mf inverts lvl = coef*mf >> 16, the
     rdo.c unquant8_mf semantics with the q/6 shift baked in)."""
-    from .transform8 import QUANT8_MF, ZIGZAG_8x8
-    zz = ZIGZAG_8x8
-    mf = np.asarray(QUANT8_MF)[:, :, zz[:, 0], zz[:, 1]] \
+    from . import transform8 as _T8
+    zz = _T8.ZIGZAG_8x8
+    mf = np.asarray(_T8.QUANT8_MF)[:, :, zz[:, 0], zz[:, 1]] \
         .astype(np.int64)                                  # [2,52,64]
     unq = np.round((1 << 24) / np.maximum(mf, 1)).astype(np.int64)
     return mf.astype(np.int32), unq.astype(np.int32)
@@ -206,7 +211,9 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
     zz: [M, n] int32 transform coefficients in scan order (n = 16 for
     LUMA_DC/LUMA_4x4, 15 for *_AC, 4 for CHROMA_DC; AC vectors are the
     scan positions 1..15 — the gathered tables account for the offset).
-    qp: traced scalar. Returns [M, n] int32 signed levels.
+    qp: traced scalar, or [M] per-BLOCK qp (adaptive quantization: the
+    lambda2, quantizer, and context-init tables are gathered per row).
+    Returns [M, n] int32 signed levels.
     """
     n = {CAT_LUMA_DC: 16, CAT_LUMA_AC: 15, CAT_LUMA_4x4: 16,
          CAT_CHROMA_DC: 4, CAT_CHROMA_AC: 15, CAT_LUMA_8x8: 64}[cat]
@@ -217,37 +224,44 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
     ent, trans = _entropy_tables()
     ucost, utrans = _unary_tables()
     sig_t, last_t, abs_t = _ctx_state_tables()
-    mf_t, unq_t = _mf_unq_zig()
+    from . import cqm as _CQM
+    mf_t, unq_t = _mf_unq_zig(_CQM.version())
     lam2_t = _lambda2_tab()
 
     ent = jnp.asarray(ent)
     trans = jnp.asarray(trans)
     ucost = jnp.asarray(ucost)
     utrans = jnp.asarray(utrans)
-    lam2 = jnp.asarray(lam2_t)[1 if intra else 0, qp]
+    # scalar qp broadcasts to one row per block; [M] gathers per row
+    qp_b = jnp.broadcast_to(jnp.reshape(jnp.asarray(qp), (-1,)), (m,))
+    lam2 = jnp.asarray(lam2_t)[1 if intra else 0, qp_b]   # [M]
 
+    li = 0 if intra else 1
     if cat == CAT_LUMA_8x8:
-        mf8_t, unq8_t = _mf_unq_zig8()
-        li = 0 if intra else 1
-        mf = jnp.asarray(mf8_t)[li, qp]
-        unq = jnp.asarray(unq8_t)[li, qp]
+        mf8_t, unq8_t = _mf_unq_zig8(_CQM.version())
+        mf = jnp.asarray(mf8_t)[li, qp_b]                 # [M,64]
+        unq = jnp.asarray(unq8_t)[li, qp_b]
         w = jnp.asarray(_weight2_zig8())
     elif dc:
-        mf = jnp.broadcast_to(jnp.asarray(mf_t)[qp, 0] >> 1, (n,))
-        unq = jnp.broadcast_to(jnp.asarray(unq_t)[qp, 0] << 1, (n,))
+        mf = jnp.broadcast_to(
+            (jnp.asarray(mf_t)[li, qp_b, 0] >> 1)[:, None], (m, n))
+        unq = jnp.broadcast_to(
+            (jnp.asarray(unq_t)[li, qp_b, 0] << 1)[:, None], (m, n))
         w = jnp.full((n,), 256.0, jnp.float32)
     else:
-        mf = jax.lax.dynamic_slice(jnp.asarray(mf_t)[qp], (off,), (n,))
-        unq = jax.lax.dynamic_slice(jnp.asarray(unq_t)[qp], (off,), (n,))
+        mf = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(mf_t)[li, qp_b], off, n, axis=1)
+        unq = jax.lax.dynamic_slice_in_dim(
+            jnp.asarray(unq_t)[li, qp_b], off, n, axis=1)
         w = jnp.asarray(_weight2_zig()[off:off + n])
-    sig_st = jnp.asarray(sig_t)[qp, cat]      # [64] per-POSITION states
-    last_st = jnp.asarray(last_t)[qp, cat]
-    abs_st0 = jnp.asarray(abs_t)[qp, cat]     # [10]
+    sig_st = jnp.asarray(sig_t)[qp_b, cat]    # [M,64] per-POS states
+    last_st = jnp.asarray(last_t)[qp_b, cat]
+    abs_st0 = jnp.asarray(abs_t)[qp_b, cat]   # [M,10]
 
     a = jnp.abs(zz)                                       # [M,n]
     sgn = jnp.sign(zz)
     f = 1 << 15
-    q = (a * mf[None, :].astype(jnp.int64) + f).astype(jnp.int64) >> 16
+    q = (a * mf.astype(jnp.int64) + f).astype(jnp.int64) >> 16
     q = q.astype(jnp.int32)
     nz = q > 0
     idxs = jnp.arange(n)
@@ -269,22 +283,24 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
         qi = q[:, i]                    # [M]
         ai = a[:, i].astype(jnp.float32)
         # sig/last bin costs at this position (0 at the final
-        # position; the tables are position-indexed per cat)
-        s_sig = sig_st[i]
-        s_last = last_st[i]
+        # position; the tables are position-indexed per cat, gathered
+        # per row under per-block qp)
+        s_sig = sig_st[:, i]                                # [M]
+        s_last = last_st[:, i]
         is_final = i == n - 1
-        cost_sig = jnp.where(is_final, 0, ent[s_sig])       # [2]
-        cost_last = jnp.where(is_final, 0, ent[s_last])     # [2]
+        cost_sig = jnp.where(is_final, 0, ent[s_sig])       # [M,2]
+        cost_last = jnp.where(is_final, 0, ent[s_last])     # [M,2]
 
         # ---- q == 0 path: every node keeps ctx, j>0 pay sig(0) ----
         zero_scores = scores + jnp.where(
             jnp.arange(8)[None, :] > 0,
-            cost_sig[0].astype(jnp.float32) * lam2 / 16.0, 0.0)
+            (cost_sig[:, 0].astype(jnp.float32) * lam2
+             / 16.0)[:, None], 0.0)
 
         # ---- q > 0 path: candidates {q, q-1} x prev nodes ----
         cands = jnp.stack([qi, jnp.maximum(qi - 1, 0)], axis=1)  # [M,2]
-        unq_lvl = ((cands.astype(jnp.int64) * unq[i] + 128) >> 8) \
-            .astype(jnp.float32)                                  # [M,2]
+        unq_lvl = ((cands.astype(jnp.int64) * unq[:, i][:, None]
+                    + 128) >> 8).astype(jnp.float32)              # [M,2]
         d = ai[:, None] - unq_lvl
         ssd = d * d * w[i]                                        # [M,2]
 
@@ -313,17 +329,18 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
         nonzero = (cands > 0)[:, :, None]                         # [M,2,1]
         bits = jnp.where(
             nonzero,
-            cost_sig[1].astype(jnp.int32)
-            + jnp.where(j8[None, None, :] == 0, cost_last[1],
-                        cost_last[0]).astype(jnp.int32)
+            cost_sig[:, 1, None, None].astype(jnp.int32)
+            + jnp.where(j8[None, None, :] == 0,
+                        cost_last[:, 1, None, None],
+                        cost_last[:, 0, None, None]).astype(jnp.int32)
             + lvl_bits + big[:, :, None],
             jnp.where(j8[None, None, :] == 0, 0,
-                      cost_sig[0]).astype(jnp.int32))             # [M,2,8]
+                      cost_sig[:, 0, None, None]).astype(jnp.int32))
         # reference quirk: last flag bit value is (node_ctx == 0) —
         # cost_last[j==0 -> 1] already selected above.
 
         cand_scores = scores[:, None, :] + ssd[:, :, None] \
-            + bits.astype(jnp.float32) * lam2 / 16.0              # [M,2,8]
+            + bits.astype(jnp.float32) * lam2[:, None, None] / 16.0
         next_ctx = jnp.where(
             nonzero,
             lvl_trans[(cands > 1).astype(jnp.int32)[:, :, None],
@@ -372,7 +389,7 @@ def trellis_quant(zz, qp, cat: int, intra: bool):
 
     init_scores = jnp.full((m, 8), _INF, jnp.float32) \
         .at[:, 0].set(0.0)
-    init_states_ = jnp.broadcast_to(abs_st0[None, None, :],
+    init_states_ = jnp.broadcast_to(abs_st0[:, None, :],
                                     (m, 8, 10)).astype(jnp.int32)
     (scores, _), (E_lev, E_prev) = jax.lax.scan(
         step, (init_scores, init_states_),
