@@ -402,7 +402,9 @@ class CabacSliceParser:
         while self.cd.decision(60 + ctx):
             val += 1
             ctx = 2 + (ctx >> 1)
-            assert val < 52, "mb_qp_delta unary overrun"
+            # legal max is 52: dqp = -26 (spec 7.4.5 range [-26,25])
+            # is the one value the writer's 103-fold exempts
+            assert val <= 52, "mb_qp_delta unary overrun"
         dqp = (val + 1) >> 1 if val & 1 else -(val >> 1)
         self.last_dqp = dqp
         self.qp = (self.qp + dqp + 52) % 52   # spec 7.4.5 QP chain
