@@ -230,3 +230,151 @@ def test_aq_on_b_frames(cabac):
         np.testing.assert_array_equal(
             d.u, ru[:H // 2, :W // 2].astype(np.uint8),
             err_msg=f"frame {i} U")
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_aq_with_stego(cabac):
+    """AQ + embedding (--aq-mode 1 --emrate): the flip re-encode
+    quantizes at the pass-1 per-MB grid; payload blind-extracts and
+    the stream stays conformant. Extends the reference, which embeds
+    at CQP only (encoder.c embedding assumes the frame QP)."""
+    from video_steganography_pcamv_tpu.params import StegoParams
+    from video_steganography_pcamv_tpu.stego.extract import (
+        extract_from_stream)
+    frames = _mixed_energy_frames(5, seed=23)
+    em_rate, key = 0.5, 41
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, cabac=cabac,
+               stego=StegoParams(em_rate=em_rate, key=key))
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 5
+    spread = set()
+    for d in dec[1:]:
+        spread |= {m.qp for m in d.mbs}
+    assert len(spread) >= 3, f"AQ produced no qp spread: {spread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i}")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+    got = extract_from_stream(bs, em_rate=em_rate, key=key)
+    sent = enc._stego.sent_messages
+    assert len(got) == len(sent) == 4
+    payload = 0
+    for i, (g, s) in enumerate(zip(got, sent)):
+        np.testing.assert_array_equal(g, s, err_msg=f"frame {i}")
+        payload += len(s)
+    assert payload > 0, "no bits embedded"
+
+
+@pytest.mark.parametrize("with8", [False, True])
+def test_aq_with_trellis(with8):
+    """AQ + trellis (--aq-mode 1 --trellis 1 [--8x8dct]): the DP
+    gathers lambda2/quantizer/context tables per row at the per-MB
+    QP; streams stay bit-exact through the decoder."""
+    frames = _mixed_energy_frames(4, seed=29)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, trellis=1, cabac=True,
+               transform_8x8=with8)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 4
+    spread = set()
+    for d in dec[1:]:
+        spread |= {m.qp for m in d.mbs}
+    assert len(spread) >= 3, f"AQ produced no qp spread: {spread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i}")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_aq_with_p4x4(cabac):
+    """AQ + sub-8x8 partitions (--aq-mode 1 --p4x4): per-MB QP through
+    the 4x4-granularity encode + the mb_qp_delta chain in both entropy
+    modes (the native writers don't speak AQ — Python oracle path)."""
+    frames = _mixed_energy_frames(4, seed=31)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, p4x4=True, cabac=cabac)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 4
+    spread = set()
+    for d in dec[1:]:
+        spread |= {m.qp for m in d.mbs}
+    assert len(spread) >= 3, f"AQ produced no qp spread: {spread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i}")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+
+
+def test_aq_with_device_deblock():
+    """AQ + the device wavefront deblocker (the TPU serving config):
+    per-MB effective-QP maps through deblock_frame_device; decoder
+    (host C++ deblock from the parsed per-MB QPs) must agree
+    bit-exactly."""
+    frames = _mixed_energy_frames(4, seed=37)
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, deblock_device=True)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 4
+    spread = set()
+    for d in dec[1:]:
+        spread |= {m.qp for m in d.mbs}
+    assert len(spread) >= 3, f"AQ produced no qp spread: {spread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, np.asarray(ry)[:H, :W].astype(np.uint8),
+            err_msg=f"frame {i}")
+        np.testing.assert_array_equal(
+            d.u, np.asarray(ru)[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+
+
+def test_aq_dqp_minus26_boundary():
+    """dqp = -26 is the one legal value whose unary binarization is 52
+    bins (the writer's 103-fold exempts val=52, cabac.c:288); the
+    parser's overrun guard must accept it (regression: it asserted
+    val < 52 and rejected conformant AQ streams)."""
+    from video_steganography_pcamv_tpu.encoder.cabac import (
+        CabacSliceWriter)
+    from video_steganography_pcamv_tpu.decoder.cabac_dec import (
+        CabacSliceParser)
+    from video_steganography_pcamv_tpu.utils.bitstream import (
+        BitWriter, BitReader)
+
+    w = CabacSliceWriter(1, 1, 36, slice_is_i=False)
+    w.prev_coded, w.last_dqp = 1, 3     # ctx-1 entry like a real chain
+    w.qp_delta(-26, True)
+    w.qp_delta(25, True)
+    w.end_mb(True)
+    bw = BitWriter()
+    w.end_slice(bw)
+
+    ps = CabacSliceParser(BitReader(bw.get_bytes()), 1, 1, 36,
+                          slice_is_i=False)
+    ps.prev_coded, ps.last_dqp = 1, 3
+    assert ps.qp_delta() == -26
+    assert ps.qp_delta() == 25
+    assert ps.qp == (36 - 26 + 25 + 52) % 52

@@ -59,3 +59,49 @@ def test_device_deblock_matches_native(qp):
                                       err_msg=f"U qp{qp} t{trial}")
         np.testing.assert_array_equal(np.asarray(dv), rv,
                                       err_msg=f"V qp{qp} t{trial}")
+
+
+@pytest.mark.skipif(native.load() is None, reason="native lib missing")
+def test_device_deblock_per_mb_qp_matches_native():
+    """Per-MB QP maps (adaptive quantization): the device twin must
+    reproduce the C++ qp_map path bit-exactly — qPav on MB edges
+    (spec 8.7.2.2), per-MB internal tables, per-MB low-qp/alpha
+    gates."""
+    rng = np.random.RandomState(77)
+    from video_steganography_pcamv_tpu.ops.transform import (
+        CHROMA_QP_TABLE)
+    for trial in range(4):
+        mbh, mbw = rng.randint(2, 6), rng.randint(2, 8)
+        H, W = 16 * mbh, 16 * mbw
+        y = rng.randint(0, 256, (H, W)).astype(np.uint8)
+        y = ((y.astype(np.int32) // 8) + 110).astype(np.uint8)
+        gy, gx = np.mgrid[0:H // 2, 0:W // 2]
+        u = (128 + (gx % 16) // 3 + (gy % 16) // 4).astype(np.uint8)
+        v = np.roll(u, 3, axis=1).copy()
+        intra = (rng.rand(mbh, mbw) < 0.3).astype(np.uint8)
+        skip = ((rng.rand(mbh, mbw) < 0.3) & (intra == 0)) \
+            .astype(np.uint8)
+        nnz4 = (rng.rand(4 * mbh, 4 * mbw) < 0.4).astype(np.int32) \
+            * rng.randint(1, 5, (4 * mbh, 4 * mbw))
+        mv4 = rng.randint(-10, 11, (4 * mbh, 4 * mbw, 2)) \
+            .astype(np.int32)
+        # qp map spanning the low-qp gate boundary (some MBs <= 15)
+        qp_map = rng.randint(10, 45, (mbh, mbw)).astype(np.int32)
+        qpc_map = CHROMA_QP_TABLE[qp_map].astype(np.int32)
+        qp = int(qp_map[0, 0])
+
+        ry, ru, rv = y.copy(), u.copy(), v.copy()
+        native.deblock_frame(ry, ru, rv, intra, nnz4, mv4, skip,
+                             qp, chroma_qp(qp),
+                             qp_map=qp_map, qpc_map=qpc_map)
+        dy, du, dv = deblock_frame_device(
+            jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+            jnp.asarray(v, jnp.int32), jnp.asarray(intra),
+            jnp.asarray(skip), jnp.asarray(nnz4), jnp.asarray(mv4),
+            jnp.asarray(qp_map), jnp.asarray(qpc_map), mbh, mbw)
+        np.testing.assert_array_equal(np.asarray(dy), ry,
+                                      err_msg=f"luma t{trial}")
+        np.testing.assert_array_equal(np.asarray(du), ru,
+                                      err_msg=f"U t{trial}")
+        np.testing.assert_array_equal(np.asarray(dv), rv,
+                                      err_msg=f"V t{trial}")

@@ -152,6 +152,9 @@ def build_argparser():
     ap.add_argument("--colormatrix", default="undef")
     ap.add_argument("--chromaloc", type=int, default=0,
                     help="chroma sample location (0-5)")
+    ap.add_argument("--device", default="",
+                    help="JAX platform to run on (cpu/tpu/axon; "
+                         "default: the environment's)")
     ap.add_argument("--log-level", type=int, default=2,
                     help="-1 none, 0 error, 1 warning, 2 info, 3 debug "
                          "(x264 --log-level)")
@@ -180,6 +183,12 @@ def main(argv=None):
     from .utils.log import (set_level, error, PcamvError, LOG_ERROR,
                             LOG_DEBUG)
     args = build_argparser().parse_args(argv)
+    if args.device:
+        # must land before the first backend touch: some images pin a
+        # default platform via env that a plain JAX_PLATFORMS=...
+        # prefix cannot override (the config call wins)
+        import jax
+        jax.config.update("jax_platforms", args.device)
     set_level(LOG_ERROR if args.quiet
               else LOG_DEBUG if args.verbose else args.log_level)
     try:

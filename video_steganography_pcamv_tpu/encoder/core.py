@@ -639,6 +639,7 @@ class Encoder:
         p = self.p
         if (self._stego is not None and p.partitions and not p.p4x4
                 and p.ref_frames == 1 and p.rc_mode == 0
+                and not p.aq_mode          # AQ rides the non-fused path
                 and self.ref is not None
                 and self.lookahead.prev_lr is not None
                 and self.rc.forced(self._frame_idx) is None):
@@ -835,7 +836,8 @@ class Encoder:
                 res_dev, np.ones((mbh2, mbw2), np.int32),
                 np.zeros((mbh2, mbw2), np.int32),
                 np.zeros((4 * mbh2, 4 * mbw2, 2), np.int32), qp,
-                _nnz4_device(res_dev["luma_ac"], mbh2, mbw2))
+                _nnz4_device(res_dev["luma_ac"], mbh2, mbw2),
+                qp_maps=qp_maps)
         elif p.deblock and self._native is not None:
             self._deblock(res, intra=True, qp=qp,
                           trans8=(res["mb_i8"].astype(np.uint8)
@@ -1219,7 +1221,8 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
-        if self._native is not None and intra_res is None:
+        if self._native is not None and intra_res is None \
+                and self._aq_grids is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice_cabac(
@@ -1237,6 +1240,8 @@ class Encoder:
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
+        aqg = self._aq_grids[0] if self._aq_grids is not None else None
+        last_qp = qp
         for a in range(n):
             my, mx = a // mbw, a % mbw
             k = 0 if intra_kind is None else int(intra_kind[my, mx])
@@ -1262,6 +1267,13 @@ class Encoder:
                                in_p=True)
             else:
                 pt = int(part[my, mx])
+                dq = 0
+                if aqg is not None and (
+                        int(res["cbp_luma"][my, mx])
+                        or int(res["cbp_chroma"][my, mx])):
+                    # spec 7.4.5 modular fold (see the 16x16 twin)
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                    last_qp = int(aqg[my, mx])
                 w.write_p_mb(my, mx, pt, mvd[my, mx],
                              int(res["cbp_luma"][my, mx]),
                              int(res["cbp_chroma"][my, mx]),
@@ -1273,7 +1285,8 @@ class Encoder:
                              refs=(None if ref8 is None
                                    else self._refs_of(pt, ref8, my,
                                                       mx)),
-                             num_ref=p.ref_frames)
+                             num_ref=p.ref_frames,
+                             dqp=dq)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
@@ -1290,20 +1303,25 @@ class Encoder:
                 and self.p.deblock_beta == 0)  # offsets
 
     def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev,
-                        ref4=None):
+                        ref4=None, qp_maps=(None, None)):
         """Device wavefront deblock (bit-exact C++ twin): the filtered
         reference never leaves the chip; recon is downloaded once for
-        PSNR/dump only."""
+        PSNR/dump only. qp_maps: effective per-MB (qp, qpc) grids
+        under AQ (the decoder-visible chain)."""
         from ..ops.deblock_jax import deblock_frame_device
         p = self.p
+        qp_arg = qp
+        qpc_arg = chroma_qp(qp, p.chroma_qp_offset)
+        if qp_maps[0] is not None:
+            qp_arg = jnp.asarray(qp_maps[0])
+            qpc_arg = jnp.asarray(qp_maps[1])
         dy, du, dv = deblock_frame_device(
             res["recon_y"].astype(jnp.int32),
             res["recon_u"].astype(jnp.int32),
             res["recon_v"].astype(jnp.int32),
             jnp.asarray(intra.astype(np.int32)),
             jnp.asarray(skip.astype(np.int32)),
-            nnz4_dev, jnp.asarray(mv4), qp,
-            chroma_qp(qp, p.chroma_qp_offset),
+            nnz4_dev, jnp.asarray(mv4), qp_arg, qpc_arg,
             p.mb_height, p.mb_width,
             ref4=(jnp.asarray(ref4) if ref4 is not None else None))
         self._push_ref(mc.build_ref(dy, du, dv))
@@ -1403,7 +1421,7 @@ class Encoder:
         import jax
         lam = ME.lambda_tab(qp)
         multiref = p.ref_frames > 1
-        if self._stego is not None and not multiref:
+        if self._stego is not None and not multiref and not p.aq_mode:
             return self._encode_p_parts_fused(y, u, v, qp, qpc)
         if multiref:
             refs_luma, refs_u, refs_v, n_valid = self._dpb_stacked()
@@ -1803,7 +1821,8 @@ class Encoder:
             self._deblock_device(
                 res, intra_mask, skip, mv4, qp,
                 jnp.asarray(nnz4) if nnz4 is not None else
-                _nnz4_device(res["luma_lev"], mbh, mbw), ref4=ref4)
+                _nnz4_device(res["luma_lev"], mbh, mbw), ref4=ref4,
+                qp_maps=qp_maps)
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
@@ -1957,22 +1976,37 @@ class Encoder:
         part_np = np.asarray(part)
         sub_np = np.asarray(sub_type)
         mv4_np = np.asarray(mv4)
+        qp_enc, qpc_enc = qp, qpc
+        self._aq_grids = None
+        if p.aq_mode:
+            # per-MB QP on the sub-partitioned path too
+            # (x264_adaptive_quant_frame, ratecontrol.c:231)
+            from ..ops.aq import aq_offsets, assign_qp_grid
+            from ..ops.transform import CHROMA_QP_TABLE
+            offs = np.asarray(aq_offsets(
+                y, u, v, mbh, mbw, jnp.float32(p.aq_strength)))
+            qp_grid = assign_qp_grid(qp, offs, p.qp_min, p.qp_max)
+            qpc_grid = CHROMA_QP_TABLE[np.clip(
+                qp_grid + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+            self._aq_grids = (qp_grid, qpc_grid)
+            qp_enc = jnp.asarray(qp_grid)
+            qpc_enc = jnp.asarray(qpc_grid)
         if multiref:
             ref4_dev = jnp.repeat(jnp.repeat(jnp.asarray(ref8_np),
                                              2, 0), 2, 1)
             res = P.encode_p_frame_device4_mref(
                 y, u, v, refs_luma, refs_u, refs_v, mv4, ref4_dev,
-                qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                qp_enc, qpc_enc, mbh, mbw, decimate=p.dct_decimate,
                 trellis=bool(p.trellis), nr_offset=self._nr_offset())
         else:
             res = P.encode_p_frame_device4(
                 y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
-                mv4, qp, qpc, mbh, mbw, decimate=p.dct_decimate,
+                mv4, qp_enc, qpc_enc, mbh, mbw, decimate=p.dct_decimate,
                 trellis=bool(p.trellis), nr_offset=self._nr_offset())
 
         intra_res = None
         intra_kind = np.zeros((mbh, mbw), np.int32)
-        if p.intra_in_p and self._stego is None:
+        if p.intra_in_p and self._stego is None and not p.aq_mode:
             ir = I.refine_p_intra(
                 y, u, v, res["recon_y"], res["recon_u"], res["recon_v"],
                 mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4)
@@ -2010,17 +2044,30 @@ class Encoder:
                 .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
             m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
             nnz4 = np.where(m4, nz_intra, nz_inter).astype(np.int32)
+        qp_maps = (None, None)
+        if self._aq_grids is not None:
+            # decoder-visible per-MB QP chain (see _p_finalize)
+            from ..ops.aq import effective_qp_grid
+            from ..ops.transform import CHROMA_QP_TABLE
+            coded = (((res_np["cbp_luma"] | res_np["cbp_chroma"]) != 0)
+                     & ~skip)
+            eff = effective_qp_grid(self._aq_grids[0], coded, qp)
+            eff_c = CHROMA_QP_TABLE[np.clip(
+                eff + p.chroma_qp_offset, 0, 51)].astype(np.int32)
+            qp_maps = (eff, eff_c)
         if p.deblock and self._on_tpu():
             self._deblock_device(
                 res, intra_mask, skip, final4, qp,
                 jnp.asarray(nnz4) if nnz4 is not None else
-                _nnz4_device(res["luma_lev"], mbh, mbw))
+                _nnz4_device(res["luma_lev"], mbh, mbw),
+                qp_maps=qp_maps)
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=final4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
                           ref4=(np.repeat(np.repeat(ref8_np, 2, 0),
                                           2, 1)
-                                if ref8_np is not None else None))
+                                if ref8_np is not None else None),
+                          qp_maps=qp_maps)
         else:
             self._update_ref(res)
             self.recon_prev = (res_np["recon_y"], res_np["recon_u"],
@@ -2049,7 +2096,8 @@ class Encoder:
             return self._write_p_slice_cabac_sub(
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
                 intra_res, ref8=ref8_np)
-        if self._native is not None and intra_res is None:
+        if self._native is not None and intra_res is None \
+                and self._aq_grids is None:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -2069,6 +2117,8 @@ class Encoder:
                 num_ref=p.ref_frames)
         fc = FrameCavlc(mbw, mbh)
         skip_run = 0
+        aqg = self._aq_grids[0] if self._aq_grids is not None else None
+        last_qp = qp
         for my in range(mbh):
             for mx in range(mbw):
                 if skip[my, mx]:
@@ -2102,13 +2152,20 @@ class Encoder:
                         in_p_slice=True)
                     continue
                 ptk = int(part_np[my, mx])
+                dq = 0
+                if aqg is not None and (
+                        int(res_np["cbp_luma"][my, mx])
+                        or int(res_np["cbp_chroma"][my, mx])):
+                    # spec 7.4.5 modular fold (see _write_p_slice_cabac)
+                    dq = ((int(aqg[my, mx]) - last_qp + 26) % 52) - 26
+                    last_qp = int(aqg[my, mx])
                 fc.write_p_mb(
                     bw, mx, my, ptk, mvd[my, mx],
                     int(res_np["cbp_luma"][my, mx]),
                     int(res_np["cbp_chroma"][my, mx]),
                     res_np["luma_lev"][my, mx],
                     res_np["chroma_dc"][my, mx],
-                    res_np["chroma_ac"][my, mx], qp_delta=0,
+                    res_np["chroma_ac"][my, mx], qp_delta=dq,
                     sub_types=(sub_np[my, mx] if ptk == 3 else None),
                     refs=(None if ref8_np is None
                           else self._refs_of(ptk, ref8_np, my, mx)),

@@ -129,16 +129,24 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
                          mbh: int, mbw: int, ref4=None):
     """Deblock one frame on device. y/u/v: int32 planes (MB-padded);
     intra/skip: [mbh,mbw]; nnz4: [4mbh,4mbw]; mv4: [4mbh,4mbw,2];
-    qp/qpc traced; ref4: optional [4mbh,4mbw] L0 refs (different-ref
-    bS rule, spec 8.7.2.1). Returns filtered (y, u, v) uint8."""
+    qp/qpc traced — scalar, or per-MB [mbh,mbw] maps (adaptive
+    quantization: MB edges use qPav = (QPp + QPq + 1) >> 1 per spec
+    8.7.2.2, the deblock.cpp qp_map twin); ref4: optional [4mbh,4mbw]
+    L0 refs (different-ref bS rule, spec 8.7.2.1). Returns filtered
+    (y, u, v) uint8."""
     if ref4 is None:
         ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
-    a_l = jnp.asarray(ALPHA_TAB)[qp + 12]
-    b_l = jnp.asarray(BETA_TAB)[qp + 12]
-    a_c = jnp.asarray(ALPHA_TAB)[qpc + 12]
-    b_c = jnp.asarray(BETA_TAB)[qpc + 12]
-    tc0_l = jnp.asarray(TC0_TAB)[qp + 12]                  # [4]
-    tc0_c = jnp.asarray(TC0_TAB)[qpc + 12]
+    ALPHA = jnp.asarray(ALPHA_TAB)
+    BETA = jnp.asarray(BETA_TAB)
+    TC0 = jnp.asarray(TC0_TAB)
+    # scalar qp is the uniform special case of the per-MB grid
+    # (qPav of equal QPs is the QP itself)
+    qp_g = jnp.broadcast_to(jnp.asarray(qp), (mbh, mbw)) \
+        .astype(jnp.int32)
+    qpc_g = jnp.broadcast_to(jnp.asarray(qpc), (mbh, mbw)) \
+        .astype(jnp.int32)
+    qp_pm = jnp.pad(qp_g, 1)
+    qpc_pm = jnp.pad(qpc_g, 1)
 
     PAD = 4
     yp = jnp.pad(y, PAD)
@@ -148,10 +156,6 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
     mvp = jnp.pad(mv4, ((1, 1), (1, 1), (0, 0)))
     rfp = jnp.pad(ref4, 1)
     intra_p = jnp.pad(intra.astype(jnp.int32), 1)
-    # "no alpha/beta" (qp too low) disables everything via the base
-    # conditions automatically; the C++'s edge_end=1 for qp<=15 only
-    # skips INTERNAL edges (mb edges still checked) — replicate:
-    lowqp = qp <= 15
 
     mx_t, my_t, act_t = wave_tables(mbw, mbh)
     n_waves, W = mx_t.shape
@@ -184,6 +188,18 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         left_i = intra_p[my + 1, mx] > 0
         top_i = intra_p[my, mx + 1] > 0
         cur_skip = skip[my, mx] > 0
+        # per-MB QP context (deblock.cpp deblock_mb): internal edges
+        # use the MB's own QP; e==0 MB edges average with the
+        # neighbour's (qPav). Whole-MB alpha gate + the qp<=15
+        # internal shortcut follow the C++ exactly.
+        qp_w = qp_pm[my + 1, mx + 1]                        # [W]
+        qpc_w = qpc_pm[my + 1, mx + 1]
+        eqp_v = (qp_pm[my + 1, mx] + qp_w + 1) >> 1
+        eqp_h = (qp_pm[my, mx + 1] + qp_w + 1) >> 1
+        eqpc_v = (qpc_pm[my + 1, mx] + qpc_w + 1) >> 1
+        eqpc_h = (qpc_pm[my, mx + 1] + qpc_w + 1) >> 1
+        lowqp = qp_w <= 15
+        mb_ok = (ALPHA[qp_w + 12] > 0) & (BETA[qp_w + 12] > 0)
         # nnz/mv neighbourhood [W,5,5] at (4my-1, 4mx-1)
         n5r = (4 * my)[:, None] + jnp.arange(5)
         n5c = (4 * mx)[:, None] + jnp.arange(5)
@@ -191,7 +207,7 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         mv5 = mvp[n5r[:, :, None], n5c[:, None, :]]
         rf5 = rfp[n5r[:, :, None], n5c[:, None, :]]
 
-        internal_on = act & ~cur_skip & ~lowqp
+        internal_on = act & ~cur_skip & ~lowqp & mb_ok
 
         def bs_groups(e, dir0: bool):
             """[W,4] bS for edge e's four 4-sample groups (bs_inter +
@@ -222,8 +238,14 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         def edge_active(e, dir0: bool):
             if e == 0:
                 border = (mx > 0) if dir0 else (my > 0)
-                return act & border
+                return act & border & mb_ok
             return internal_on
+
+        def edge_qp(e, dir0: bool):
+            """(luma qp, chroma qp) for edge e: qPav on MB edges."""
+            if e == 0:
+                return (eqp_v, eqpc_v) if dir0 else (eqp_h, eqpc_h)
+            return qp_w, qpc_w
 
         def strong_mask(e, dir0: bool):
             if e != 0:
@@ -237,12 +259,13 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             s = [tile[:, 4:20, col + k] for k in range(-4, 4)]
             bs4 = bs_groups(e, True)
             strong = strong_mask(e, True)
-            activ = edge_active(e, True)
-            tcrow = tc0_l[jnp.clip(jnp.repeat(bs4, 4, 1), 0, 3)]
+            eq, _ = edge_qp(e, True)
+            a_e, b_e = ALPHA[eq + 12], BETA[eq + 12]
+            activ = edge_active(e, True) & (a_e > 0) & (b_e > 0)
+            tcrow = TC0[(eq + 12)[:, None],
+                        jnp.clip(jnp.repeat(bs4, 4, 1), 0, 3)]
             p2o, p1o, p0o, q0o, q1o, q2o = _luma_edge(
-                tuple(s), bs4, jnp.broadcast_to(a_l, strong.shape),
-                jnp.broadcast_to(b_l, strong.shape), tcrow, strong,
-                activ)
+                tuple(s), bs4, a_e, b_e, tcrow, strong, activ)
             tile = tile.at[:, 4:20, col - 3].set(p2o)
             tile = tile.at[:, 4:20, col - 2].set(p1o)
             tile = tile.at[:, 4:20, col - 1].set(p0o)
@@ -255,12 +278,13 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             s = [tile[:, row + k, 4:20] for k in range(-4, 4)]
             bs4 = bs_groups(e, False)
             strong = strong_mask(e, False)
-            activ = edge_active(e, False)
-            tcrow = tc0_l[jnp.clip(jnp.repeat(bs4, 4, 1), 0, 3)]
+            eq, _ = edge_qp(e, False)
+            a_e, b_e = ALPHA[eq + 12], BETA[eq + 12]
+            activ = edge_active(e, False) & (a_e > 0) & (b_e > 0)
+            tcrow = TC0[(eq + 12)[:, None],
+                        jnp.clip(jnp.repeat(bs4, 4, 1), 0, 3)]
             p2o, p1o, p0o, q0o, q1o, q2o = _luma_edge(
-                tuple(s), bs4, jnp.broadcast_to(a_l, strong.shape),
-                jnp.broadcast_to(b_l, strong.shape), tcrow, strong,
-                activ)
+                tuple(s), bs4, a_e, b_e, tcrow, strong, activ)
             tile = tile.at[:, row - 3, 4:20].set(p2o)
             tile = tile.at[:, row - 2, 4:20].set(p1o)
             tile = tile.at[:, row - 1, 4:20].set(p0o)
@@ -269,22 +293,25 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             tile = tile.at[:, row + 2, 4:20].set(q2o)
         # ---- chroma (even edges only; ALL vertical edges before any
         # horizontal one — the C++ runs chroma inside the per-direction
-        # edge loop, so V(e0), V(e2), then H(e0), H(e2)) ----
-        ab_ok = (a_c > 0) & (b_c > 0)
+        # edge loop, so V(e0), V(e2), then H(e0), H(e2)). The C++ gates
+        # each edge's chroma on the LUMA edge alpha/beta ("if (!a_l ||
+        # !b_l) continue"); the chroma alpha self-disables via the
+        # filter's base conditions when zero. ----
         for e in (0, 2):
             bs4v = bs_groups(e, True)
             strongv = strong_mask(e, True)
-            activv = edge_active(e, True) & ab_ok
+            eq, eqc = edge_qp(e, True)
+            a_le, b_le = ALPHA[eq + 12], BETA[eq + 12]
+            a_ce, b_ce = ALPHA[eqc + 12], BETA[eqc + 12]
+            activv = edge_active(e, True) & (a_le > 0) & (b_le > 0)
             bs8 = jnp.repeat(bs4v, 2, 1)
-            tcv = tc0_c[jnp.clip(bs8, 0, 3)]
+            tcv = TC0[(eqc + 12)[:, None], jnp.clip(bs8, 0, 3)]
             col = 4 + 2 * e
             for plane_i in range(2):
                 t = tu if plane_i == 0 else tv
                 s = [t[:, 4:12, col + k] for k in range(-2, 2)]
                 p0o, q0o = _chroma_edge(
-                    tuple(s), bs8, jnp.broadcast_to(a_c, strongv.shape),
-                    jnp.broadcast_to(b_c, strongv.shape), tcv, strongv,
-                    activv)
+                    tuple(s), bs8, a_ce, b_ce, tcv, strongv, activv)
                 t = t.at[:, 4:12, col - 1].set(p0o)
                 t = t.at[:, 4:12, col + 0].set(q0o)
                 if plane_i == 0:
@@ -294,17 +321,18 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         for e in (0, 2):
             bs4h = bs_groups(e, False)
             strongh = strong_mask(e, False)
-            activh = edge_active(e, False) & ab_ok
+            eq, eqc = edge_qp(e, False)
+            a_le, b_le = ALPHA[eq + 12], BETA[eq + 12]
+            a_ce, b_ce = ALPHA[eqc + 12], BETA[eqc + 12]
+            activh = edge_active(e, False) & (a_le > 0) & (b_le > 0)
             bs8h = jnp.repeat(bs4h, 2, 1)
-            tch = tc0_c[jnp.clip(bs8h, 0, 3)]
+            tch = TC0[(eqc + 12)[:, None], jnp.clip(bs8h, 0, 3)]
             row = 4 + 2 * e
             for plane_i in range(2):
                 t = tu if plane_i == 0 else tv
                 s = [t[:, row + k, 4:12] for k in range(-2, 2)]
                 p0o, q0o = _chroma_edge(
-                    tuple(s), bs8h, jnp.broadcast_to(a_c, strongh.shape),
-                    jnp.broadcast_to(b_c, strongh.shape), tch, strongh,
-                    activh)
+                    tuple(s), bs8h, a_ce, b_ce, tch, strongh, activh)
                 t = t.at[:, row - 1, 4:12].set(p0o)
                 t = t.at[:, row + 0, 4:12].set(q0o)
                 if plane_i == 0:

@@ -246,13 +246,6 @@ class Params:
         self.deadzone_inter = max(0, min(32, self.deadzone_inter))
         self.deadzone_intra = max(0, min(32, self.deadzone_intra))
         assert self.cqm in ("flat", "jvt"), f"unknown cqm {self.cqm}"
-        if self.cqm != "flat" or self.cqm4i is not None \
-                or self.cqm4p is not None or self.cqm8i is not None \
-                or self.cqm8p is not None:
-            # ops/trellis.py snapshots the flat quant tables at import;
-            # the reference supports trellis+CQM — ours doesn't yet
-            assert not self.trellis, "trellis + CQM not combined yet"
-            assert self.aq_mode == 0, "AQ + CQM not combined yet"
         if not self.cabac:
             # ops/trellis.py rates bits with a CABAC context model; the
             # reference likewise forces trellis off without CABAC
@@ -261,15 +254,15 @@ class Params:
         self.aq_mode = max(0, min(1, self.aq_mode))
         self.aq_strength = max(0.0, min(3.0, self.aq_strength))
         if self.aq_mode:
-            # v1 scope (docs/PARITY.md): per-MB QP on P frames via the
-            # partition/16x16 paths; I/B frames take the frame QP
-            assert not self.trellis, \
-                "AQ + trellis: per-row qp trellis tables not wired yet"
-            assert not self.p4x4, "AQ + sub-8x8 not combined yet"
-            assert not self.stego.enabled, \
-                "AQ + embedding not combined (reference embeds at CQP)"
-            assert not self.deblock_device, \
-                "AQ needs the per-MB-qp host deblocker"
+            # per-MB QP covers I/P/B via the partition paths (docs/
+            # PARITY.md); embedding rides the non-fused P path (rho at
+            # frame-QP lambda — flip ordering only, extraction is blind)
+            if self.stego.enabled:
+                assert self.partitions, \
+                    "AQ + embedding needs the partition path"
+                assert not self.p4x4, \
+                    "AQ + sub-8x8 + embedding not combined (the sub " \
+                    "stego re-encode runs at the frame QP)"
 
     @property
     def mb_width(self) -> int:

@@ -291,18 +291,25 @@ class StegoEngine:
         final8, skip1, mvd2 = self.apply_costs(
             enc, part, mv8, skip1, rho_np, alt_np, ref8=ref8)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
+        # AQ: the flip re-encode quantizes at the same per-MB grid the
+        # pass-1 encode used (rho stays at frame-QP lambda — it only
+        # orders flip costs; blind extraction never sees it)
+        qp_enc, qpc_enc = qp, qpc
+        if getattr(enc, "_aq_grids", None) is not None:
+            qp_enc = jnp.asarray(enc._aq_grids[0])
+            qpc_enc = jnp.asarray(enc._aq_grids[1])
         if ref8 is not None:
             refs_luma, refs_u, refs_v = enc._mref_stack
             res2 = I.encode_p_frame_device8_mref(
                 y, u, v, refs_luma, refs_u, refs_v,
-                jnp.asarray(final8), jnp.asarray(ref8), qp, qpc,
-                mbh, mbw, decimate=p.dct_decimate,
+                jnp.asarray(final8), jnp.asarray(ref8), qp_enc,
+                qpc_enc, mbh, mbw, decimate=p.dct_decimate,
                 force_zero=jnp.asarray(skip1),
                 trellis=bool(p.trellis), nr_offset=enc._nr_offset())
         else:
             res2 = I.encode_p_frame_device8(
                 y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
-                jnp.asarray(final8), qp, qpc, mbh, mbw,
+                jnp.asarray(final8), qp_enc, qpc_enc, mbh, mbw,
                 decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
                 trellis=bool(p.trellis), nr_offset=enc._nr_offset(),
                 trans8=p.transform_8x8, rd=bool(p.rd))
