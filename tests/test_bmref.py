@@ -1,0 +1,124 @@
+"""Multi-ref B lists (x264 --ref N with --bframes).
+
+Reference model: x264_mb_analyse_inter_b16x16 (analyse.c:1983+,
+"16x16 Search on all ref frame"): per-MB L0 ME over every DPB entry
+with REF_COST = lambda * te(ref) bits; the winning (ref, mv) is reused
+by the 16x16 L0/BI modes. Syntax: ref_idx_l0 te(v) / CABAC ctx 54
+before the mvds (spec 7.3.5.1), slice-header num_ref_idx override with
+the EFFECTIVE past-ref count, one extra SPS DPB slot so the future
+anchor doesn't evict a still-referenced past anchor (the set.c
+pyramid-slot trick). Spatial direct is ref-aware on both sides
+(min-positive over neighbour refs, spec 8.4.1.2.2).
+
+Scope delta (documented): B partitions are single-ref; under multi-ref
+the B path codes the 16x16 family only.
+"""
+
+import numpy as np
+import pytest
+
+from video_steganography_pcamv_tpu.params import Params
+from video_steganography_pcamv_tpu.utils.yuv import Frame
+from video_steganography_pcamv_tpu.encoder.core import Encoder
+from video_steganography_pcamv_tpu.decoder import decode_annexb
+
+W, H = 128, 96
+
+
+def _anchor_flicker(n, seed=9):
+    """Panning detail; every other ANCHOR (display 3, 9, ...) carries
+    an inverted band, so B MBs in the band match L0 ref 1 (the 2-GOP-
+    old anchor) far better than ref 0."""
+    rng = np.random.RandomState(seed)
+    pad = 48
+    base = rng.randint(0, 256, (H + 2 * pad, W + 2 * pad)) \
+        .astype(np.uint8)
+    base = ((base.astype(np.int32) + np.roll(base, 1, 0)
+             + np.roll(base, 1, 1)) // 3).astype(np.uint8)
+    out = []
+    for i in range(n):
+        y = base[pad + i:pad + i + H, pad + 2 * i:pad + 2 * i + W] \
+            .copy()
+        if i % 6 == 3:     # anchors at 0,3,6,... -> flash 3, 9, ...
+            y[24:56, :] = 255 - y[24:56, :]
+        u = np.full((H // 2, W // 2), 100, np.uint8)
+        out.append(Frame(y, u, np.full((H // 2, W // 2), 140,
+                                       np.uint8)))
+    return out
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_bmref_roundtrip_bitexact(cabac):
+    frames = _anchor_flicker(9)
+    p = Params(width=W, height=H, qp=26, me_range=8, ref_frames=3,
+               bframes=2, b_adapt=0, cabac=cabac)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+    dec = decode_annexb(bs)
+    assert len(dec) == 9
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+        ru = enc.recon_by_disp[i][1][:H // 2, :W // 2] \
+            .astype(np.uint8)
+        np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} U")
+    # B frames must actually appear
+    assert any(d.slice_type in (1, 6) for d in dec)
+
+
+def test_bmref_picks_older_ref():
+    """In the flashed band, B L0 MBs must choose ref > 0 (the clean
+    2-GOP-old anchor) — the point of the ref sweep."""
+    frames = _anchor_flicker(11, seed=13)
+    p = Params(width=W, height=H, qp=26, me_range=8, ref_frames=3,
+               bframes=2, b_adapt=0)
+    enc = Encoder(p)
+    fracs = []
+    for i, f in enumerate(frames):
+        enc.encode_frame(f)
+        r = getattr(enc, "_last_b_ref0", None)
+        if r is not None and i >= 6:
+            fracs.append(float((r > 0).mean()))
+            enc._last_b_ref0 = None
+    assert fracs, "no multi-ref B frames encoded"
+    assert max(fracs) > 0.05, f"no B MB ever chose ref > 0: {fracs}"
+
+
+def test_bmref_beats_singleref_b():
+    """Multi-ref B must win RD on anchor-flicker content."""
+    frames = _anchor_flicker(9, seed=21)
+    outs = {}
+    for r in (1, 3):
+        p = Params(width=W, height=H, qp=28, me_range=8, ref_frames=r,
+                   bframes=2, b_adapt=0, psnr=True)
+        enc = Encoder(p)
+        enc.keep_recon = True
+        nbits = sum(len(enc.encode_frame(f)) for f in frames)
+        nbits += len(enc.flush())
+        sse = 0
+        for i, f in enumerate(frames):
+            ry = enc.recon_by_disp[i][0][:H, :W].astype(np.int64)
+            sse += int(np.sum((ry - f.y.astype(np.int64)) ** 2))
+        outs[r] = (nbits, sse)
+    bits1, sse1 = outs[1]
+    bits3, sse3 = outs[3]
+    # accept either axis winning while the other doesn't regress much
+    assert (bits3 < bits1 and sse3 < sse1 * 1.05) \
+        or (sse3 < sse1 and bits3 < bits1 * 1.05), outs
+
+
+def test_bmref_with_aq():
+    """Multi-ref B + AQ: per-MB QP through the mref bipred encode."""
+    frames = _anchor_flicker(6, seed=17)
+    p = Params(width=W, height=H, qp=29, me_range=8, ref_frames=2,
+               bframes=1, b_adapt=0, aq_mode=1, aq_strength=1.5,
+               cabac=True)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+    dec = decode_annexb(bs)
+    assert len(dec) == 6
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")

@@ -761,10 +761,21 @@ class CabacSliceParser:
 
     def parse_b_mb(self, my, mx, btype):
         """After mb_type: returns (mvd0, mvd1, cbp_luma, cbp_chroma,
-        blocks, cdcs, cacs)."""
+        blocks, cdcs, cacs, ref0). ref_idx_l0 parsed before the mvds
+        when the slice's L0 list has >1 entry (multi-ref B lists);
+        the ref ctx cache stays 0 for direct/L1-only MBs (spec
+        9.3.3.1.1.6)."""
         y4, x4 = 4 * my, 4 * mx
         mvd0 = [0, 0]
         mvd1 = [0, 0]
+        ref0 = 0
+        if btype in (1, 3):
+            if self.num_ref > 1:
+                ref0 = self.ref_idx(y4, x4, 4, 4)
+            else:
+                self.ref4[y4:y4 + 4, x4:x4 + 4] = 0
+        else:
+            self.ref4[y4:y4 + 4, x4:x4 + 4] = 0
         if btype in (1, 3):
             mvd0 = self.mvd(y4, x4, 4, 4, lst=0)
         else:
@@ -798,4 +809,5 @@ class CabacSliceParser:
             self.nnz_y[y4:y4 + 4, x4:x4 + 4] = 0
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
         self.prev_coded = 1 if (cbp_luma or cbp_chroma) else 0
-        return mvd0, mvd1, cbp_luma, cbp_chroma, blocks, cdcs, cacs
+        return (mvd0, mvd1, cbp_luma, cbp_chroma, blocks, cdcs, cacs,
+                ref0)

@@ -388,6 +388,7 @@ class SliceDecoder:
                 poc, self.refs[0]["poc"], self.refs_l1[0]["poc"], True)
         # temporal direct scale (spec 8.4.1.2.3), from the slice POCs
         self.direct_spatial = direct_spatial
+        self.b_l0_active = 1   # effective L0 size; decode_annexb sets
         self._dsf = 256
         if (not direct_spatial and self.refs and self.refs_l1
                 and "poc" in self.refs[0]):
@@ -945,10 +946,13 @@ class SliceDecoder:
 
     def _direct(self, my, mx):
         """Direct derivation per the slice's
-        direct_spatial_mv_pred_flag."""
+        direct_spatial_mv_pred_flag. Returns (use0, use1, mv0 [4,2],
+        mv1 [4,2], refIdxL0, refIdxL1) — the derived refs (spatial
+        direct min-positive rule; 0 under temporal / zero-pred)."""
         if self.direct_spatial:
             return self._spatial_direct(my, mx)
-        return self._temporal_direct(my, mx)
+        u0, u1, mv0, mv1 = self._temporal_direct(my, mx)
+        return u0, u1, mv0, mv1, 0, 0
 
     def _temporal_direct(self, my, mx):
         """Temporal direct (spec 8.4.1.2.3; twin of
@@ -994,7 +998,7 @@ class SliceDecoder:
         mv0 = np.zeros((4, 2), np.int32)
         mv1 = np.zeros((4, 2), np.int32)
         if refs[0] < 0 and refs[1] < 0:
-            return True, True, mv0, mv1
+            return True, True, mv0, mv1, 0, 0
         use0, use1 = refs[0] >= 0, refs[1] >= 0
         for b, (cy, cx) in enumerate(self._COL_CORNERS):
             colr = int(col_ref4[y4 + cy, x4 + cx])
@@ -1005,27 +1009,29 @@ class SliceDecoder:
                                        (use1, refs[1], mvps[1], mv1)):
                 if use:
                     out[b] = 0 if (ref == 0 and col_zero) else mvp
-        return use0, use1, mv0, mv1
+        return (use0, use1, mv0, mv1, max(refs[0], 0),
+                max(refs[1], 0))
 
-    def _commit_b(self, my, mx, use0, use1, mv0, mv1):
+    def _commit_b(self, my, mx, use0, use1, mv0, mv1, r0=0, r1=0):
         """Write per-8x8 (mv, ref) of both lists into the neighbor
         fields. mv0/mv1: [4,2] per 8x8 z-order; use0/use1: bool (whole
-        MB) or [4] per-8x8 arrays (B partitions / mixed subs)."""
+        MB) or [4] per-8x8 arrays (B partitions / mixed subs); r0:
+        the MB's L0 ref (multi-ref B lists / derived direct ref)."""
         y4, x4 = 4 * my, 4 * mx
         u0 = np.broadcast_to(np.asarray(use0), (4,))
         u1 = np.broadcast_to(np.asarray(use1), (4,))
         for b in range(4):
             by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
             self.mv4[by:by + 2, bx:bx + 2] = mv0[b] if u0[b] else 0
-            self.ref4[by:by + 2, bx:bx + 2] = 0 if u0[b] else -1
+            self.ref4[by:by + 2, bx:bx + 2] = r0 if u0[b] else -1
             self.mv4_1[by:by + 2, bx:bx + 2] = mv1[b] if u1[b] else 0
             self.ref4_1[by:by + 2, bx:bx + 2] = 0 if u1[b] else -1
         self.dec4[y4:y4 + 4, x4:x4 + 4] = True
 
-    def _b_pred_luma8(self, gy, gx, use0, use1, mv0, mv1):
+    def _b_pred_luma8(self, gy, gx, use0, use1, mv0, mv1, r0=0):
         p0 = p1 = None
         if use0:
-            p0 = R.np_mc_luma(self.refs[0]["luma"], gy, gx,
+            p0 = R.np_mc_luma(self.refs[r0]["luma"], gy, gx,
                               int(mv0[0]), int(mv0[1]), bh=8, bw=8)
         if use1:
             p1 = R.np_mc_luma(self.refs_l1[0]["luma"], gy, gx,
@@ -1043,8 +1049,9 @@ class SliceDecoder:
             return (p0 + p1 + 1) >> 1
         return np.clip((p0 * (64 - w1) + p1 * w1 + 32) >> 6, 0, 255)
 
-    def _b_pred_chroma4(self, ch, cy, cx, use0, use1, mv0, mv1):
-        pl0 = self.refs[0]["u" if ch == 0 else "v"]
+    def _b_pred_chroma4(self, ch, cy, cx, use0, use1, mv0, mv1,
+                        r0=0):
+        pl0 = self.refs[r0]["u" if ch == 0 else "v"]
         pl1 = self.refs_l1[0]["u" if ch == 0 else "v"]
         p0 = p1 = None
         if use0:
@@ -1058,9 +1065,10 @@ class SliceDecoder:
         return p0 if use0 else p1
 
     def _recon_b(self, mx, my, use0, use1, mv0, mv1, blocks,
-                 cbp_chroma, br, qp, qpc, read_chroma):
+                 cbp_chroma, br, qp, qpc, read_chroma, r0=0):
         """Bipred recon at per-8x8 (mv0, mv1) [4,2] + residual add.
-        use0/use1: bool (whole MB) or [4] per-8x8 arrays."""
+        use0/use1: bool (whole MB) or [4] per-8x8 arrays; r0: the
+        MB's L0 ref index into the slice's L0 list."""
         u0a = np.broadcast_to(np.asarray(use0), (4,))
         u1a = np.broadcast_to(np.asarray(use1), (4,))
         gy, gx = 16 * my, 16 * mx
@@ -1068,7 +1076,8 @@ class SliceDecoder:
         for b in range(4):
             oy, ox = 8 * (b >> 1), 8 * (b & 1)
             pred[oy:oy + 8, ox:ox + 8] = self._b_pred_luma8(
-                gy + oy, gx + ox, u0a[b], u1a[b], mv0[b], mv1[b])
+                gy + oy, gx + ox, u0a[b], u1a[b], mv0[b], mv1[b],
+                r0=r0)
         for by in range(4):
             for bx in range(4):
                 py, px = gy + 4 * by, gx + 4 * bx
@@ -1082,7 +1091,7 @@ class SliceDecoder:
                 oy, ox = 4 * (b >> 1), 4 * (b & 1)
                 cpred[oy:oy + 4, ox:ox + 4] = self._b_pred_chroma4(
                     ch, 8 * my + oy, 8 * mx + ox, u0a[b], u1a[b],
-                    mv0[b], mv1[b])
+                    mv0[b], mv1[b], r0=r0)
             cpreds.append(cpred)
         if read_chroma:
             self._decode_chroma(br, mx, my, 0, cbp_chroma, qpc,
@@ -1093,11 +1102,11 @@ class SliceDecoder:
                 self.nnz_c[ch, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
 
     def decode_b_skip(self, mx: int, my: int, qp: int):
-        use0, use1, mv0, mv1 = self._direct(my, mx)
-        self._commit_b(my, mx, use0, use1, mv0, mv1)
+        use0, use1, mv0, mv1, r0, r1 = self._direct(my, mx)
+        self._commit_b(my, mx, use0, use1, mv0, mv1, r0=r0, r1=r1)
         self._recon_b(mx, my, use0, use1, mv0, mv1,
                       np.zeros((4, 4, 4, 4), np.int64), 0, None, qp,
-                      0, read_chroma=False)
+                      0, read_chroma=False, r0=r0)
         self.nnz_y[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
         self.decoded[my, mx] = True
         self.mb_skip[my, mx] = True
@@ -1109,22 +1118,27 @@ class SliceDecoder:
         """B_Direct_16x16 (0) / B_L0_16x16 (1) / B_L1_16x16 (2) /
         B_Bi_16x16 (3)."""
         y4, x4 = 4 * my, 4 * mx
+        r0 = 0
         if mb_type == 0:
-            use0, use1, mv0, mv1 = self._direct(my, mx)
+            use0, use1, mv0, mv1, r0, _r1 = self._direct(my, mx)
         else:
             use0 = mb_type in (1, 3)
             use1 = mb_type in (2, 3)
             mv0 = np.zeros((4, 2), np.int32)
             mv1 = np.zeros((4, 2), np.int32)
+            if use0 and self.b_l0_active > 1:
+                # ref_idx_l0 precedes the mvds (spec 7.3.5.1) —
+                # multi-ref B lists
+                r0 = br.read_te(self.b_l0_active - 1)
             if use0:
                 mvd = (br.read_se(), br.read_se())
-                mvp = self._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=0)
+                mvp = self._unit_mvp(y4, x4, 4, 0, 0, ref=r0, lst=0)
                 mv0[:] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             if use1:
                 mvd = (br.read_se(), br.read_se())
                 mvp = self._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=1)
                 mv1[:] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
-        self._commit_b(my, mx, use0, use1, mv0, mv1)
+        self._commit_b(my, mx, use0, use1, mv0, mv1, r0=r0)
         cbp_code = br.read_ue()
         cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
@@ -1147,7 +1161,8 @@ class SliceDecoder:
             else:
                 self.nnz_y[4 * my + by, 4 * mx + bx] = 0
         self._recon_b(mx, my, use0, use1, mv0, mv1, blocks,
-                      cbp_chroma, br, qp, qpc, read_chroma=True)
+                      cbp_chroma, br, qp, qpc, read_chroma=True,
+                      r0=r0)
         self.decoded[my, mx] = True
         kind = ("BDIRECT", "BL0", "BL1", "BBI")[mb_type]
         m0 = (int(mv0[0, 0]), int(mv0[0, 1]))
@@ -1174,7 +1189,10 @@ class SliceDecoder:
         mv0 [4,2], mv1 [4,2] per 8x8 z-order, unit_mvs)."""
         from ..encoder.cavlc import B_CODE_USES, B_SUB_USES
         y4, x4 = 4 * my, 4 * mx
-        du0, du1, dmv0, dmv1 = self._direct(my, mx)
+        assert self.b_l0_active == 1, \
+            "B partitions + multi-ref L0 not supported (encoder " \
+            "never combines them)"
+        du0, du1, dmv0, dmv1, _dr0, _dr1 = self._direct(my, mx)
         if mb_type == 22:
             geom = self._B_UNIT_GEOM[3]
             uses = ([B_SUB_USES[int(s)][0] for s in subs],
@@ -1439,11 +1457,12 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
             if is_b:
                 direct_spatial = bool(br.read1())
             reorder_l0 = None
+            l0_override = None
             if slice_type in (0, 5) or is_b:
                 if br.read1():  # num_ref_idx_override
-                    br.read_ue()
+                    l0_override = br.read_ue() + 1
                     if is_b:
-                        br.read_ue()
+                        br.read_ue()   # l1 (always 1 here)
                 if br.read1():  # ref_pic_list_reordering_flag_l0
                     # short-term reordering ops (spec 7.3.3.1; emitted
                     # after a B-pyramid GOP to lead L0 with the anchor)
@@ -1487,6 +1506,14 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 dec = SliceDecoder(sps, pps, refs=l0, refs_l1=l1,
                                    poc=poc,
                                    direct_spatial=direct_spatial)
+                # effective L0 list size for this slice (spec 7.4.3):
+                # the override wins; else the PPS default. The
+                # SIGNALED size governs te(v) parsing — never cap it
+                n_l0 = (l0_override if l0_override is not None
+                        else pps.num_ref_idx_l0_active)
+                assert n_l0 <= len(l0), \
+                    f"B slice signals {n_l0} L0 refs, DPB has {len(l0)}"
+                dec.b_l0_active = n_l0
                 if pps.cabac:
                     _decode_slice_cabac_b(dec, br, qp, cabac_model)
                 else:
@@ -1651,7 +1678,7 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
     while br.bit_position() % 8:
         assert br.read1() == 1, "cabac_alignment_one_bit must be 1"
     ps = CabacSliceParser(br, dec.mbw, dec.mbh, qp, False, model,
-                          slice_is_b=True,
+                          slice_is_b=True, num_ref=dec.b_l0_active,
                           trans8_mode=dec.pps.transform_8x8)
     qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
                                 0, 51)])
@@ -1686,25 +1713,25 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
 
 def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
     y4, x4 = 4 * my, 4 * mx
-    mvd0, mvd1, cbpl, cbpc, blk_lv, cdcs, cacs = \
+    mvd0, mvd1, cbpl, cbpc, blk_lv, cdcs, cacs, r0 = \
         ps.parse_b_mb(my, mx, btype)
     qp = ps.qp
     qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
                                 0, 51)])
     if btype == 0:
-        use0, use1, mv0, mv1 = dec._direct(my, mx)
+        use0, use1, mv0, mv1, r0, _r1 = dec._direct(my, mx)
     else:
         use0 = btype in (1, 3)
         use1 = btype in (2, 3)
         mv0 = np.zeros((4, 2), np.int32)
         mv1 = np.zeros((4, 2), np.int32)
         if use0:
-            mvp = dec._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=0)
+            mvp = dec._unit_mvp(y4, x4, 4, 0, 0, ref=r0, lst=0)
             mv0[:] = (mvp[0] + mvd0[0], mvp[1] + mvd0[1])
         if use1:
             mvp = dec._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=1)
             mv1[:] = (mvp[0] + mvd1[0], mvp[1] + mvd1[1])
-    dec._commit_b(my, mx, use0, use1, mv0, mv1)
+    dec._commit_b(my, mx, use0, use1, mv0, mv1, r0=r0)
     blocks = np.zeros((4, 4, 4, 4), np.int64)
     for by in range(4):
         for bx in range(4):
@@ -1714,7 +1741,7 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
     for b in range(4):
         oy, ox = 8 * (b >> 1), 8 * (b & 1)
         pred[oy:oy + 8, ox:ox + 8] = dec._b_pred_luma8(
-            gy + oy, gx + ox, use0, use1, mv0[b], mv1[b])
+            gy + oy, gx + ox, use0, use1, mv0[b], mv1[b], r0=r0)
     for by in range(4):
         for bx in range(4):
             py, px = gy + 4 * by, gx + 4 * bx
@@ -1728,7 +1755,7 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
             oy, ox = 4 * (b >> 1), 4 * (b & 1)
             cpred[oy:oy + 4, ox:ox + 4] = dec._b_pred_chroma4(
                 ch, 8 * my + oy, 8 * mx + ox, use0, use1,
-                mv0[b], mv1[b])
+                mv0[b], mv1[b], r0=r0)
         cpreds.append(cpred)
     _recon_chroma_from(dec, ps, my, mx, 0, cbpc, cdcs, cacs, qpc,
                        False, preds=cpreds)

@@ -156,10 +156,99 @@ def analyse_b_frame(y, ref0_luma, ref1_luma, rng: int, mbh: int,
     return mv0, c0, mv1, c1, cbi
 
 
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "subpel", "use_pallas",
+                                             "nrefs"))
+def analyse_b_frame_mref(y, refs0_luma, n_valid, ref1_luma, rng: int,
+                         mbh: int, mbw: int, lam, subpel: int,
+                         use_pallas: bool, nrefs: int, w1=32):
+    """Multi-ref-L0 twin of analyse_b_frame (reference
+    x264_mb_analyse_inter_b16x16, analyse.c "16x16 Search on all ref
+    frame": per-MB exhaustive ME against every L0 DPB entry with
+    REF_COST = lambda * te(ref) bits, argmin kept; L1 searches its
+    single entry; BI evaluated at the per-list winners).
+
+    refs0_luma: [R] stacked padded L0 planes (newest first, the
+    decode-order L0 list); n_valid masks DPB padding. Returns
+    (mv0, c0, ref0, mv1, c1, cbi) — ref0 [mbh,mbw] int32."""
+    from . import me as ME
+    from .partition import te_ref_bits
+    n = mbh * mbw
+    ref_bits = jnp.asarray(te_ref_bits(nrefs))
+    cs, mvs, blks = [], [], []
+    for r in range(nrefs):
+        ref_luma = refs0_luma[r]
+        if use_pallas:
+            from ..ops.pallas_kernels import fullpel_search_pallas
+            mv_fp, _ = fullpel_search_pallas.__wrapped__(
+                y, ref_luma[0], rng, mbh, mbw, lam)
+        else:
+            zero_pred = jnp.zeros((mbh, mbw, 2), jnp.int32)
+            mv_fp, _ = ME.fullpel_search.__wrapped__(
+                y, ref_luma[0], zero_pred, rng, mbh, mbw, lam)
+        windows = QT.gather_windows_jnp(
+            ref_luma.astype(jnp.uint8), mv_fp, mbh,
+            mbw).astype(jnp.int32)
+        blocks = QT.block_table(windows)
+        wht = QT.wht16(blocks)
+        zero = jnp.zeros((mbh, mbw, 2), jnp.int32)
+        mv_q, r_idx, cost = _subpel_cost(y, wht, mv_fp, zero,
+                                         mbh, mbw, lam, subpel)
+        cost = cost + lam * ref_bits[r]
+        cost = jnp.where(r < n_valid, cost, jnp.int32(1 << 28))
+        cs.append(cost)
+        mvs.append(mv_q)
+        blks.append(QT.select_rows(blocks, r_idx))
+    c_st = jnp.stack(cs)                                  # [R,mbh,mbw]
+    ref0 = jnp.argmin(c_st, axis=0).astype(jnp.int32)
+    c0 = jnp.min(c_st, axis=0)
+    mv0 = jnp.take_along_axis(
+        jnp.stack(mvs), ref0[None, :, :, None], axis=0)[0]
+    blk0 = jnp.take_along_axis(
+        jnp.stack(blks).reshape(nrefs, n, 16, 16),
+        ref0.reshape(n)[None, :, None, None], axis=0)[0]
+
+    # ---- L1 (single entry) + BI at the winners ----
+    if use_pallas:
+        from ..ops.pallas_kernels import fullpel_search_pallas
+        mv_fp, _ = fullpel_search_pallas.__wrapped__(
+            y, ref1_luma[0], rng, mbh, mbw, lam)
+    else:
+        zero_pred = jnp.zeros((mbh, mbw, 2), jnp.int32)
+        mv_fp, _ = ME.fullpel_search.__wrapped__(
+            y, ref1_luma[0], zero_pred, rng, mbh, mbw, lam)
+    windows = QT.gather_windows_jnp(
+        ref1_luma.astype(jnp.uint8), mv_fp, mbh, mbw).astype(jnp.int32)
+    blocks = QT.block_table(windows)
+    wht = QT.wht16(blocks)
+    zero = jnp.zeros((mbh, mbw, 2), jnp.int32)
+    mv1, r_idx1, c1 = _subpel_cost(y, wht, mv_fp, zero,
+                                   mbh, mbw, lam, subpel)
+    blk1 = QT.select_rows(blocks, r_idx1)
+
+    cur = _mb_tiles16(y, mbh, mbw)
+    bi = _bi_avg(blk0, blk1, w1)
+    satd_bi = QT.satd_tables(QT.wht16(cur), QT.wht16(bi))
+    bits_t = jnp.asarray(mv_bits_table(4 * 512))
+    off = 4 * 512
+    mvc = jnp.zeros(n, jnp.int32)
+    for mv in (mv0, mv1):
+        f = mv.reshape(n, 2)
+        mvc = mvc + (bits_t[jnp.clip(f[:, 0], -off, off) + off]
+                     + bits_t[jnp.clip(f[:, 1], -off, off) + off]) * lam
+    # BI pays the L0 ref cost too (REF_COST rides c0; fold it here
+    # the same way analyse.c adds it into i_part_cost_bi)
+    cbi = (satd_bi.reshape(mbh, mbw) + mvc.reshape(mbh, mbw)
+           + lam * ref_bits[ref0])
+    return mv0, c0, ref0, mv1, c1, cbi
+
+
 def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
-                     mbh: int, mbw: int, w1=32):
+                     mbh: int, mbw: int, w1=32, ref8_0=None):
     """Bipred luma+chroma assembly per 8x8 block. ref0/ref1: dicts with
     'luma' [4,Hp,Wp], 'u', 'v'. use0/use1: [2mbh,2mbw] int32.
+    ref8_0: optional [2mbh,2mbw] per-8x8 L0 ref index — then ref0's
+    planes are STACKED [R,...] DPB arrays (multi-ref B lists).
     Returns (pred_y [n,16,16], pred_u [n,8,8], pred_v [n,8,8])."""
     n = mbh * mbw
     n8 = 4 * n
@@ -167,8 +256,14 @@ def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
     xs8 = (jnp.arange(n8) % (2 * mbw)) * 8
     u0 = use0.reshape(n8)[:, None, None]
     u1 = use1.reshape(n8)[:, None, None]
-    p0 = mc.mc_luma(ref0["luma"], ys8, xs8, mv0_8.reshape(n8, 2),
-                    bh=8, bw=8)
+    r8 = None
+    if ref8_0 is not None:
+        r8 = jnp.maximum(ref8_0.reshape(n8), 0)
+        p0 = mc.mc_luma_multi(ref0["luma"], r8, ys8, xs8,
+                              mv0_8.reshape(n8, 2), bh=8, bw=8)
+    else:
+        p0 = mc.mc_luma(ref0["luma"], ys8, xs8, mv0_8.reshape(n8, 2),
+                        bh=8, bw=8)
     p1 = mc.mc_luma(ref1["luma"], ys8, xs8, mv1_8.reshape(n8, 2),
                     bh=8, bw=8)
     p8 = jnp.where(u0 & u1, _bi_avg(p0, p1, w1),
@@ -182,8 +277,12 @@ def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
     xsc = (jnp.arange(n8) % (2 * mbw)) * 4
     preds_c = []
     for pl in ("u", "v"):
-        c0 = mc.mc_chroma(ref0[pl], ysc, xsc, mv0_8.reshape(n8, 2),
-                          bh=4, bw=4)
+        if r8 is not None:
+            c0 = mc.mc_chroma_multi(ref0[pl], r8, ysc, xsc,
+                                    mv0_8.reshape(n8, 2), bh=4, bw=4)
+        else:
+            c0 = mc.mc_chroma(ref0[pl], ysc, xsc,
+                              mv0_8.reshape(n8, 2), bh=4, bw=4)
         c1 = mc.mc_chroma(ref1[pl], ysc, xsc, mv1_8.reshape(n8, 2),
                           bh=4, bw=4)
         c8 = jnp.where(u0 & u1, _bi_avg(c0, c1, w1),
@@ -226,9 +325,11 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
                           ref1_luma, ref1_u, ref1_v,
                           use0, use1, mv0_8, mv1_8, qp, qpc,
                           mbh: int, mbw: int, decimate: bool = True,
-                          trellis: bool = False, w1=32):
+                          trellis: bool = False, w1=32, ref8_0=None):
     """Final B encode at per-8x8 (use, mv) fields for both lists.
-    Same output dict as encode_p_frame_device8."""
+    ref8_0: optional per-8x8 L0 ref [2mbh,2mbw] — multi-ref B lists,
+    with ref0_* passed as STACKED [R,...] DPB arrays. Same output
+    dict as encode_p_frame_device8."""
     n = mbh * mbw
     qp = jnp.asarray(qp)
     qpc = jnp.asarray(qpc)
@@ -238,7 +339,8 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
     ref0 = {"luma": ref0_luma, "u": ref0_u, "v": ref0_v}
     ref1 = {"luma": ref1_luma, "u": ref1_u, "v": ref1_v}
     pred_y, pred_u, pred_v = _assemble_pred_b(
-        ref0, ref1, use0, use1, mv0_8, mv1_8, mbh, mbw, w1=w1)
+        ref0, ref1, use0, use1, mv0_8, mv1_8, mbh, mbw, w1=w1,
+        ref8_0=ref8_0)
 
     from .inter import luma_p_encode
     cur = _mb_tiles16(y, mbh, mbw)
@@ -606,10 +708,13 @@ _COL_CORNERS = [(0, 0), (0, 3), (3, 0), (3, 3)]
 
 
 def spatial_direct(g0: _Grid, g1: _Grid, col_mv4, col_ref4,
-                   my: int, mx: int):
-    """Spatial direct MVs for one MB (spec 8.4.1.2.2, single ref per
-    list). col_mv4/col_ref4: the L1[0] anchor's own motion field.
-    Returns (use0, use1, mv0 [4,2] per 8x8 z-order, mv1 [4,2])."""
+                   my: int, mx: int, with_refs: bool = False):
+    """Spatial direct MVs for one MB (spec 8.4.1.2.2: refIdxLX =
+    MinPositive over the A/B/C neighbours, ref-matched median MVP).
+    col_mv4/col_ref4: the L1[0] anchor's own motion field.
+    Returns (use0, use1, mv0 [4,2] per 8x8 z-order, mv1 [4,2]);
+    with_refs appends (refIdxL0, refIdxL1) — the derived refs, 0 when
+    directZeroPrediction."""
     y4, x4 = 4 * my, 4 * mx
     refs, mvps = [], []
     for g in (g0, g1):
@@ -629,6 +734,8 @@ def spatial_direct(g0: _Grid, g1: _Grid, col_mv4, col_ref4,
     mv1 = np.zeros((4, 2), np.int32)
     if refs[0] < 0 and refs[1] < 0:
         # directZeroPredictionFlag: both lists, zero MVs, refs 0
+        if with_refs:
+            return True, True, mv0, mv1, 0, 0
         return True, True, mv0, mv1
     use0, use1 = refs[0] >= 0, refs[1] >= 0
     for b, (cy, cx) in enumerate(_COL_CORNERS):
@@ -640,6 +747,8 @@ def spatial_direct(g0: _Grid, g1: _Grid, col_mv4, col_ref4,
                                    (use1, refs[1], mvps[1], mv1)):
             if use:
                 out[b] = 0 if (ref == 0 and col_zero) else mvp
+    if with_refs:
+        return use0, use1, mv0, mv1, max(refs[0], 0), max(refs[1], 0)
     return use0, use1, mv0, mv1
 
 
@@ -841,11 +950,14 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
 
 
 def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
-                 lam: int, intra=None, tdir=None):
+                 lam: int, intra=None, tdir=None, ref0=None):
     """Host raster scan for a B frame: per-MB mode decision + exact
-    direct derivation + mvd/mvp. Returns (mode [mbh,mbw] in
+    direct derivation + mvd/mvp. ref0: optional [mbh,mbw] per-MB L0
+    ref (multi-ref B lists; None = all 0 — the L0 MVP is ref-matched
+    per 8.4.1.3.1 either way). Returns (mode [mbh,mbw] in
     {0 direct,1 L0,2 L1,3 BI}, use0/use1 [2mbh,2mbw] int32,
-    fmv0/fmv1 [2mbh,2mbw,2], mvd0/mvd1 [mbh,mbw,2])."""
+    fmv0/fmv1 [2mbh,2mbw,2], mvd0/mvd1 [mbh,mbw,2], ref8_0
+    [2mbh,2mbw] per-8x8 L0 ref, -1 where L0 unused)."""
     mbh, mbw = c0.shape
     g0, g1 = _Grid(mbh, mbw), _Grid(mbh, mbw)
     mode = np.zeros((mbh, mbw), np.int32)
@@ -855,15 +967,17 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
     fmv1 = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)
     mvd0 = np.zeros((mbh, mbw, 2), np.int32)
     mvd1 = np.zeros((mbh, mbw, 2), np.int32)
+    ref8_0 = np.full((2 * mbh, 2 * mbw), -1, np.int32)
     hdr = _B_HDR_BITS
     for my in range(mbh):
         for mx in range(mbw):
             if intra is not None and intra[my, mx]:
                 continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
+            dr0 = dr1 = 0
             if tdir is None:
-                du0, du1, dmv0, dmv1 = spatial_direct(
-                    g0, g1, col_mv4, col_ref4, my, mx)
+                du0, du1, dmv0, dmv1, dr0, dr1 = spatial_direct(
+                    g0, g1, col_mv4, col_ref4, my, mx, with_refs=True)
             else:
                 du0, du1, dmv0, dmv1 = _tdir_mb(tdir, my, mx)
             cands = np.array([
@@ -881,16 +995,18 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
                 use1[sy, sx] = u1i
                 fmv0[sy, sx] = dmv0.reshape(2, 2, 2)
                 fmv1[sy, sx] = dmv1.reshape(2, 2, 2)
+                ref8_0[sy, sx] = dr0 if u0i else -1
                 # commit per 8x8 (direct MVs can differ per block)
                 for b in range(4):
                     by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
                     g0.commit(by, bx, 2, 2, dmv0[b],
-                              ref=0 if u0i else -1)
+                              ref=dr0 if u0i else -1)
                     g1.commit(by, bx, 2, 2, dmv1[b],
-                              ref=0 if u1i else -1)
+                              ref=dr1 if u1i else -1)
                 continue
+            r0 = int(ref0[my, mx]) if ref0 is not None else 0
             if m in (B_L0, B_BI):
-                mvp = unit_mvp(g0, y4, x4, 4, D_16x16, 0, ref=0)
+                mvp = unit_mvp(g0, y4, x4, 4, D_16x16, 0, ref=r0)
                 mvd0[my, mx] = mv0[my, mx] - mvp
             if m in (B_L1, B_BI):
                 mvp = unit_mvp(g1, y4, x4, 4, D_16x16, 0, ref=0)
@@ -901,12 +1017,13 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
             use1[sy, sx] = u1i
             if u0i:
                 fmv0[sy, sx] = mv0[my, mx]
+                ref8_0[sy, sx] = r0
             if u1i:
                 fmv1[sy, sx] = mv1[my, mx]
             g0.commit(y4, x4, 4, 4,
                       mv0[my, mx] if u0i else np.zeros(2, np.int32),
-                      ref=0 if u0i else -1)
+                      ref=r0 if u0i else -1)
             g1.commit(y4, x4, 4, 4,
                       mv1[my, mx] if u1i else np.zeros(2, np.int32),
                       ref=0 if u1i else -1)
-    return mode, use0, use1, fmv0, fmv1, mvd0, mvd1
+    return mode, use0, use1, fmv0, fmv1, mvd0, mvd1, ref8_0

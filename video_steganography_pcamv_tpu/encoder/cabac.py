@@ -935,12 +935,22 @@ class CabacSliceWriter:
 
     def write_b_mb(self, my, mx, btype, mvd0, mvd1, cbp_luma,
                    cbp_chroma, luma_blocks, chroma_dc, chroma_ac,
-                   dqp: int = 0):
-        """Coded B MB, 16x16 subset (direct/L0/L1/BI). mvd order:
-        all mvd_l0 then all mvd_l1 (spec 7.3.5.1)."""
+                   dqp: int = 0, ref0: int = 0, num_ref: int = 1):
+        """Coded B MB, 16x16 subset (direct/L0/L1/BI). Syntax order:
+        ref_idx_l0 (multi-ref B lists, L0/BI when num_ref > 1), then
+        all mvd_l0 then all mvd_l1 (spec 7.3.5.1). The ref ctx cache
+        stays 0 for direct/L1-only MBs (spec 9.3.3.1.1.6 condTermFlag
+        is 0 for direct/skip/not-predicted-from-L0 neighbours)."""
         self.skip_flag(my, mx, False)
         self.mb_type_b(my, mx, btype)
         y4, x4 = 4 * my, 4 * mx
+        if btype in (1, 3):
+            if num_ref > 1:
+                self.ref_idx(y4, x4, 4, 4, int(ref0))
+            else:
+                self.ref4[y4:y4 + 4, x4:x4 + 4] = 0
+        else:
+            self.ref4[y4:y4 + 4, x4:x4 + 4] = 0
         if btype in (1, 3):
             self.mvd(y4, x4, 4, 4, int(mvd0[0]), int(mvd0[1]), lst=0)
         else:

@@ -437,17 +437,21 @@ class FrameCavlc:
                    mvd0, mvd1, cbp_luma: int, cbp_chroma: int,
                    luma_lev: np.ndarray, chroma_dc: np.ndarray,
                    chroma_ac: np.ndarray, qp_delta: int,
-                   subs=None) -> None:
+                   subs=None, ref0: int = 0,
+                   num_ref: int = 1) -> None:
         """B macroblock (spec 7.4.5 Table 7-14: the ue code is passed
         directly — 0 direct, 1-3 16x16 L0/L1/BI, 4-21 two-partition
         list combos, 22 B_8x8; reference encoder/cavlc.c:463-560).
         mvd0/mvd1: per-unit (x, y) pairs in coding order — [2] for the
         16x16 subset (back-compat) or [U, 2]; subs: [4] sub_mb_type ue
-        codes for B_8x8. Syntax order: all L0 mvds then all L1 mvds
-        (cavlc.c:515-556); direct units carry no mvd."""
+        codes for B_8x8. Syntax order: ref_idx_l0 (multi-ref B lists,
+        16x16 L0/BI only, num_ref > 1), then all L0 mvds, then all L1
+        mvds (cavlc.c:515-556); direct units carry no mvd."""
         bw.write_ue(btype)
         mvd0 = np.asarray(mvd0).reshape(-1, 2)
         mvd1 = np.asarray(mvd1).reshape(-1, 2)
+        if num_ref > 1 and btype in (1, 3):
+            bw.write_te(num_ref - 1, int(ref0))
         if btype == 22:
             for b in range(4):
                 bw.write_ue(int(subs[b]))   # sub_mb_type (Table 7-18)

@@ -240,6 +240,12 @@ class Encoder:
             # order of forgetting old pictures")
             self.sps.num_ref_frames = max(
                 4 if params.b_pyramid else 2, params.ref_frames)
+            if params.ref_frames > 1:
+                # multi-ref B lists: the future anchor occupies a DPB
+                # slot while the Bs still reference ALL ref_frames
+                # past anchors — same extra-slot trick as the pyramid
+                self.sps.num_ref_frames = max(
+                    self.sps.num_ref_frames, params.ref_frames + 1)
         # custom quantization matrices (x264 --cqm): swap the active
         # quant/dequant tables (process-level encoder state; see
         # ops/cqm.py) and signal the lists in the SPS (High profile)
@@ -497,6 +503,9 @@ class Encoder:
         f, y, u, v, satd, disp, lr = items[k]
         ref_l0 = self.ref                 # previous anchor (device)
         l0_disp = self._anchor_disp
+        self._b_l0_stack = (self._dpb_stacked()
+                            if self.p.ref_frames > 1
+                            and not self.p.b_pyramid else None)
         out = self._encode_anchor(f, y, u, v, False, satd, disp)
         self._anchor_lr = lr
         ref_l1 = self.ref                 # the new anchor
@@ -533,6 +542,10 @@ class Encoder:
                                             w1=w1, pocs=pocs)
             self._reorder_next_p = True
             return out
+        # multi-ref B lists: the L0 list is the past-anchor DPB as it
+        # stood BEFORE this GOP's anchor entered (newest first — the
+        # default B L0 order, POC descending past; spec 8.2.4.2.3)
+        l0_stack = self._b_l0_stack
         for (bf, by, bu, bv, bsatd, bdisp, _) in items[:k]:
             # implicit bipred weight from the display (=POC/2)
             # distances (x264_macroblock_bipred_init)
@@ -542,7 +555,8 @@ class Encoder:
                                         col, anchor_qp, bsatd, bdisp,
                                         w1=w1,
                                         pocs=(2 * bdisp, 2 * l0_disp,
-                                              2 * disp))
+                                              2 * disp),
+                                        l0_stack=l0_stack)
         return out
 
     def _zone_qp(self, qp: int, disp: int) -> int:
@@ -2217,10 +2231,14 @@ class Encoder:
     def _encode_b_frame(self, frame, y, u, v, ref0, ref1, col,
                         anchor_qp: int, satd, disp: int,
                         w1: int = 32, pocs=None,
-                        is_ref: bool = False):
+                        is_ref: bool = False, l0_stack=None):
         """Non-reference B frame between two anchors (bslice.py:
         two-list exhaustive ME + BI at the per-list winners + spatial
-        direct; reference B path analyse.c:3110-3466)."""
+        direct; reference B path analyse.c:3110-3466). l0_stack:
+        stacked past-anchor DPB (luma, u, v, n_valid) — multi-ref B
+        lists: per-MB best L0 ref at 16x16 with REF_COST like
+        x264_mb_analyse_inter_b16x16 (B partitions are single-ref and
+        disabled under mref — documented analysis-scope delta)."""
         from . import bslice as BS
         import jax
         t0 = time.time()
@@ -2271,7 +2289,8 @@ class Encoder:
                     np.zeros((2 * p.mb_height, 2 * p.mb_width, 2),
                              np.int32))
         subs = None
-        use_parts = p.partitions
+        b_mref = l0_stack is not None
+        use_parts = p.partitions and not b_mref
         # intra-in-B (analyse.c:3110+ considers intra in B MBs too);
         # same gating as intra-in-P
         do_intra = (p.intra_in_p and self._stego is None
@@ -2321,6 +2340,7 @@ class Encoder:
                     parts=True)
             rescan_args = (part_np, sel8_np, mv0z, mv1z, c_cfg_np,
                            c_dir_mb, col_mv4, col_ref4, lam)
+            ref0_16, ref8_0 = None, None
             mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
                 BS.scan_b_parts(*rescan_args, tdir=tdir)
             if do_intra:
@@ -2328,9 +2348,22 @@ class Encoder:
                 direct_c = (mode == 0) | ((mode == 22)
                                           & (subs == 0).any(-1))
         else:
-            mv0, c0, mv1, c1, cbi = BS.analyse_b_frame(
-                y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
-                lam, p.subpel, on_tpu, w1=w1)
+            ref0_16 = None
+            if b_mref:
+                refs0_l, refs0_u, refs0_v, n_valid = l0_stack
+                # the slice may only signal as many L0 entries as the
+                # DPB actually holds (first GOPs after an IDR)
+                b_l0_eff = max(1, min(int(n_valid), p.ref_frames))
+                mv0, c0, ref0_d, mv1, c1, cbi = \
+                    BS.analyse_b_frame_mref(
+                        y, refs0_l, jnp.asarray(n_valid),
+                        ref1["luma"], p.me_range, mbh, mbw, lam,
+                        p.subpel, on_tpu, p.ref_frames, w1=w1)
+                ref0_16 = np.asarray(ref0_d)
+            else:
+                mv0, c0, mv1, c1, cbi = BS.analyse_b_frame(
+                    y, ref0["luma"], ref1["luma"], p.me_range, mbh,
+                    mbw, lam, p.subpel, on_tpu, w1=w1)
             mv0_np, mv1_np = np.asarray(mv0), np.asarray(mv1)
             if tdir is not None:
                 av8 = np.repeat(np.repeat(
@@ -2357,8 +2390,10 @@ class Encoder:
                     (mv0_np, mv1_np), col_mv4, col_ref4,
                     rescan_args[0] + lam * hdrb[0], best_cfg, lam, w1,
                     parts=False)
-            mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = BS.scan_b_frame(
-                *rescan_args, tdir=tdir)
+            (mode, use0, use1, fmv0, fmv1, mvd0, mvd1,
+             ref8_0) = BS.scan_b_frame(*rescan_args, tdir=tdir,
+                                       ref0=ref0_16)
+            self._last_b_ref0 = ref0_16   # introspection (tests/CLI)
             if do_intra:
                 hdr = np.asarray(BS._B_HDR_BITS, np.int64)
                 cands = np.stack([
@@ -2368,12 +2403,23 @@ class Encoder:
                     rescan_args[3] + lam * hdr[3]])
                 inter_cost = cands.min(0)
                 direct_c = mode == 0
-        res = BS.encode_b_frame_device(
-            y, u, v, ref0["luma"], ref0["u"], ref0["v"],
-            ref1["luma"], ref1["u"], ref1["v"],
-            jnp.asarray(use0), jnp.asarray(use1), jnp.asarray(fmv0),
-            jnp.asarray(fmv1), qp_enc, qpc_enc, mbh, mbw,
-            decimate=p.dct_decimate, trellis=bool(p.trellis), w1=w1)
+        if b_mref:
+            res = BS.encode_b_frame_device(
+                y, u, v, refs0_l, refs0_u, refs0_v,
+                ref1["luma"], ref1["u"], ref1["v"],
+                jnp.asarray(use0), jnp.asarray(use1),
+                jnp.asarray(fmv0), jnp.asarray(fmv1), qp_enc, qpc_enc,
+                mbh, mbw, decimate=p.dct_decimate,
+                trellis=bool(p.trellis), w1=w1,
+                ref8_0=jnp.asarray(ref8_0))
+        else:
+            res = BS.encode_b_frame_device(
+                y, u, v, ref0["luma"], ref0["u"], ref0["v"],
+                ref1["luma"], ref1["u"], ref1["v"],
+                jnp.asarray(use0), jnp.asarray(use1),
+                jnp.asarray(fmv0), jnp.asarray(fmv1), qp_enc, qpc_enc,
+                mbh, mbw, decimate=p.dct_decimate,
+                trellis=bool(p.trellis), w1=w1)
         # intra-vs-inter refinement over the committed B recon. An MB
         # may switch to intra only if no later raster MB reads it in a
         # spatial-direct derivation (dependents: right uses it as A,
@@ -2412,9 +2458,10 @@ class Encoder:
                         BS.scan_b_parts(*rescan_args, intra=imask,
                                         tdir=tdir)
                 else:
-                    mode, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
-                        BS.scan_b_frame(*rescan_args, intra=imask,
-                                        tdir=tdir)
+                    (mode, use0, use1, fmv0, fmv1, mvd0, mvd1,
+                     ref8_0) = BS.scan_b_frame(
+                        *rescan_args, intra=imask, tdir=tdir,
+                        ref0=ref0_16)
         need_recon = self.keep_recon or p.psnr or p.ssim
         res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
         # B never enters the DPB: PSNR directly against the source
@@ -2471,19 +2518,24 @@ class Encoder:
             bw, self.sps, self.pps, H.SLICE_TYPE_B, self.frame_num,
             qp, idr=False, disable_deblock=1,
             poc_lsb=2 * (disp - self._last_idr_disp), is_ref=is_ref,
-            direct_spatial=bool(spatial_pred))
+            direct_spatial=bool(spatial_pred),
+            b_l0_active=b_l0_eff if b_mref else 1)
         if p.cabac:
             nal = self._write_b_slice_cabac(bw, res_np, qp, mode,
                                             mvd0, mvd1, subs=subs,
                                             intra_kind=intra_kind,
                                             intra_res=intra_res,
-                                            aqg=aqg)
+                                            aqg=aqg, ref0=ref0_16,
+                                            num_ref=b_l0_eff
+                                            if b_mref else 1)
         else:
             nal = self._write_b_slice_cavlc(bw, res_np, qp, mode,
                                             mvd0, mvd1, subs=subs,
                                             intra_kind=intra_kind,
                                             intra_res=intra_res,
-                                            aqg=aqg)
+                                            aqg=aqg, ref0=ref0_16,
+                                            num_ref=b_l0_eff
+                                            if b_mref else 1)
         out = self._aud(SLICE_B) \
             + nal_unit(NAL_SLICE,
                        NAL_PRIORITY_HIGH if is_ref
@@ -2503,7 +2555,8 @@ class Encoder:
 
     def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,
                              mvd1, subs=None, intra_kind=None,
-                             intra_res=None, aqg=None) -> bytes:
+                             intra_res=None, aqg=None, ref0=None,
+                             num_ref: int = 1) -> bytes:
         """CAVLC B slice: B_SKIP runs + B MBs (16x16 subset rides the
         native twin; partition codes 4-22 and intra MBs take the
         Python writer). Skip rule: direct mode with no residual (spec
@@ -2512,7 +2565,7 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         if self._native is not None and intra_res is None \
                 and np.all(mode <= 3) and not p.transform_8x8 \
-                and aqg is None:
+                and aqg is None and ref0 is None:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -2578,7 +2631,10 @@ class Encoder:
                               res["chroma_dc"][my, mx],
                               res["chroma_ac"][my, mx], qp_delta=dq,
                               subs=None if subs is None
-                              else subs[my, mx])
+                              else subs[my, mx],
+                              ref0=0 if ref0 is None
+                              else int(ref0[my, mx]),
+                              num_ref=num_ref)
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()
@@ -2586,7 +2642,8 @@ class Encoder:
 
     def _write_b_slice_cabac(self, bw, res, qp, mode, mvd0,
                              mvd1, subs=None, intra_kind=None,
-                             intra_res=None, aqg=None) -> bytes:
+                             intra_res=None, aqg=None, ref0=None,
+                             num_ref: int = 1) -> bytes:
         """CABAC B slice (reference encoder/cabac.c B branch). The
         16x16 subset rides the native twin; partition codes 4-22 and
         intra MBs take the Python writer (write_b_mb_ext /
@@ -2597,7 +2654,7 @@ class Encoder:
         n = mbh * mbw
         if self._native is not None and intra_res is None \
                 and np.all(mode <= 3) and not p.transform_8x8 \
-                and aqg is None:
+                and aqg is None and ref0 is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             m0 = mvd0 if mvd0.ndim == 3 else mvd0[:, :, 0]
@@ -2655,7 +2712,10 @@ class Encoder:
                     w.write_b_mb(my, mx, m, d0, d1,
                                  cl, cc, res["luma_lev"][my, mx],
                                  res["chroma_dc"][my, mx],
-                                 res["chroma_ac"][my, mx], dqp=dq)
+                                 res["chroma_ac"][my, mx], dqp=dq,
+                                 ref0=0 if ref0 is None
+                                 else int(ref0[my, mx]),
+                                 num_ref=num_ref)
                 else:
                     w.write_b_mb_ext(my, mx, m,
                                      None if subs is None

@@ -342,7 +342,8 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
                        poc_lsb: int = 0, is_ref: bool = True,
                        alpha_div2: int = 0, beta_div2: int = 0,
                        direct_spatial: bool = True,
-                       reorder_l0=None) -> None:
+                       reorder_l0=None,
+                       b_l0_active: int = 1) -> None:
     """Single-slice frame header (reference: encoder/encoder.c slice
     header writer; fields per spec 7.3.3)."""
     bw.write_ue(0)  # first_mb_in_slice
@@ -358,11 +359,12 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
         bw.write1(1 if direct_spatial else 0)  # direct_spatial_mv_pred
     if slice_type in (SLICE_TYPE_P, SLICE_TYPE_B):
         if (slice_type == SLICE_TYPE_B
-                and pps.num_ref_idx_l0_active != 1):
-            # B MBs here use one ref per list; override the PPS's
-            # multi-ref P default (spec 7.4.3 num_ref_idx_active)
+                and pps.num_ref_idx_l0_active != b_l0_active):
+            # override the PPS default (spec 7.4.3): b_l0_active L0
+            # refs (1 = single-ref B under a multi-ref-P PPS; >1 =
+            # multi-ref B lists), always one L1 ref
             bw.write1(1)
-            bw.write_ue(0)   # num_ref_idx_l0_active_minus1
+            bw.write_ue(b_l0_active - 1)  # num_ref_idx_l0_active_minus1
             bw.write_ue(0)   # num_ref_idx_l1_active_minus1
         else:
             bw.write1(0)  # num_ref_idx_active_override
