@@ -122,3 +122,26 @@ def test_bmref_with_aq():
     for i, d in enumerate(dec):
         ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
         np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_bmref_with_weightb(cabac):
+    """Multi-ref B + implicit weighted bipred: the weight follows the
+    L0 ref each MB actually uses (x264
+    h->mb.bipred_weight[i_ref0][i_ref1]; spec 8.4.2.3.2 POC-distance
+    derivation per ACTUAL ref)."""
+    frames = _anchor_flicker(9, seed=27)
+    p = Params(width=W, height=H, qp=26, me_range=8, ref_frames=3,
+               bframes=2, b_adapt=0, weightb=True, cabac=cabac)
+    p.validate()
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+    dec = decode_annexb(bs)
+    assert len(dec) == 9
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+        ru = enc.recon_by_disp[i][1][:H // 2, :W // 2] \
+            .astype(np.uint8)
+        np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} U")

@@ -381,11 +381,17 @@ class SliceDecoder:
         # implicit bipred weight of the L1 pred (spec 8.4.2.3.2; same
         # derivation as the encoder's bslice.bipred_weight)
         self.bipred_w1 = 32
+        self.bipred_w1_tab = [32] * max(1, len(self.refs or []))
         if (pps.weighted_bipred_idc == 2 and self.refs
                 and self.refs_l1 and "poc" in self.refs[0]):
             from ..encoder.bslice import bipred_weight
-            self.bipred_w1 = bipred_weight(
-                poc, self.refs[0]["poc"], self.refs_l1[0]["poc"], True)
+            # per-L0-ref implicit weights (spec 8.4.2.3.2 derives from
+            # the POC distances of the ACTUAL refs; x264
+            # h->mb.bipred_weight[i_ref0][i_ref1])
+            self.bipred_w1_tab = [
+                bipred_weight(poc, e["poc"], self.refs_l1[0]["poc"],
+                              True) for e in self.refs]
+            self.bipred_w1 = self.bipred_w1_tab[0]
         # temporal direct scale (spec 8.4.1.2.3), from the slice POCs
         self.direct_spatial = direct_spatial
         self.b_l0_active = 1   # effective L0 size; decode_annexb sets
@@ -1037,14 +1043,15 @@ class SliceDecoder:
             p1 = R.np_mc_luma(self.refs_l1[0]["luma"], gy, gx,
                               int(mv1[0]), int(mv1[1]), bh=8, bw=8)
         if use0 and use1:
-            return self._bi_avg(p0, p1)
+            return self._bi_avg(p0, p1, r0)
         return p0 if use0 else p1
 
-    def _bi_avg(self, p0, p1):
+    def _bi_avg(self, p0, p1, r0=0):
         """Bipred combine; implicit weighted when PPS signals idc 2
         (spec 8.4.2.3.2, log2WD=5: reference mc.c
-        pixel_avg_weight_wxh). w1 == 32 is the plain average."""
-        w1 = self.bipred_w1
+        pixel_avg_weight_wxh). The weight follows the L0 ref actually
+        used (multi-ref B lists). w1 == 32 is the plain average."""
+        w1 = self.bipred_w1_tab[min(r0, len(self.bipred_w1_tab) - 1)]
         if w1 == 32:
             return (p0 + p1 + 1) >> 1
         return np.clip((p0 * (64 - w1) + p1 * w1 + 32) >> 6, 0, 255)
@@ -1061,7 +1068,7 @@ class SliceDecoder:
             p1 = R.np_mc_chroma(pl1, cy, cx, int(mv1[0]), int(mv1[1]),
                                 bh=4, bw=4)
         if use0 and use1:
-            return self._bi_avg(p0, p1)
+            return self._bi_avg(p0, p1, r0)
         return p0 if use0 else p1
 
     def _recon_b(self, mx, my, use0, use1, mv0, mv1, blocks,

@@ -227,7 +227,12 @@ def analyse_b_frame_mref(y, refs0_luma, n_valid, ref1_luma, rng: int,
     blk1 = QT.select_rows(blocks, r_idx1)
 
     cur = _mb_tiles16(y, mbh, mbw)
-    bi = _bi_avg(blk0, blk1, w1)
+    # w1 scalar, or [R] per-L0-ref implicit weights (--weightb under
+    # multi-ref: x264 h->mb.bipred_weight[i_ref0][i_ref1])
+    w1v = jnp.asarray(w1)
+    if w1v.ndim == 1:
+        w1v = w1v[ref0.reshape(n)][:, None, None]
+    bi = _bi_avg(blk0, blk1, w1v)
     satd_bi = QT.satd_tables(QT.wht16(cur), QT.wht16(bi))
     bits_t = jnp.asarray(mv_bits_table(4 * 512))
     off = 4 * 512
@@ -249,9 +254,14 @@ def _assemble_pred_b(ref0, ref1, use0, use1, mv0_8, mv1_8,
     'luma' [4,Hp,Wp], 'u', 'v'. use0/use1: [2mbh,2mbw] int32.
     ref8_0: optional [2mbh,2mbw] per-8x8 L0 ref index — then ref0's
     planes are STACKED [R,...] DPB arrays (multi-ref B lists).
+    w1: scalar, or [2mbh,2mbw] per-8x8 implicit weights (--weightb
+    under multi-ref).
     Returns (pred_y [n,16,16], pred_u [n,8,8], pred_v [n,8,8])."""
     n = mbh * mbw
     n8 = 4 * n
+    w1 = jnp.asarray(w1)
+    if w1.ndim >= 1:
+        w1 = w1.reshape(n8)[:, None, None]
     ys8 = (jnp.arange(n8) // (2 * mbw)) * 8
     xs8 = (jnp.arange(n8) % (2 * mbw)) * 8
     u0 = use0.reshape(n8)[:, None, None]

@@ -308,6 +308,8 @@ class Encoder:
         self._col = None       # (mv4, ref4) of the newest anchor
         self._anchor_lr = None  # lowres of the newest anchor (b-adapt 2)
         self._anchor_disp = 0   # display index of the newest anchor
+        self._dpb_disps = []    # display index per DPB entry (newest
+                                # first, aligned with self.dpb)
                                 # (implicit bipred weights)
         self._poc_lsb = 0      # poc of the slice being written
         self._pending_p = None  # pipelined driver: deferred entropy
@@ -504,6 +506,7 @@ class Encoder:
         ref_l0 = self.ref                 # previous anchor (device)
         l0_disp = self._anchor_disp
         self._b_l0_stack = (self._dpb_stacked()
+                            + (list(self._dpb_disps),)
                             if self.p.ref_frames > 1
                             and not self.p.b_pyramid else None)
         out = self._encode_anchor(f, y, u, v, False, satd, disp)
@@ -599,6 +602,7 @@ class Encoder:
         if is_idr:
             self.frame_num = 0
             self.dpb = []
+            self._dpb_disps = []
             self._reorder_next_p = False   # IDR resets the DPB
             self.lookahead.last_keyframe = disp
             out += self.headers()
@@ -612,6 +616,8 @@ class Encoder:
         self._last_anchor_fn = self.frame_num
         self._save_col()
         self._anchor_disp = disp
+        self._dpb_disps.insert(0, disp)
+        del self._dpb_disps[self.p.ref_frames:]
         self._accumulate_psnr(frame)
         if self.keep_recon:
             self.recon_by_disp[disp] = tuple(
@@ -2350,15 +2356,26 @@ class Encoder:
         else:
             ref0_16 = None
             if b_mref:
-                refs0_l, refs0_u, refs0_v, n_valid = l0_stack
+                refs0_l, refs0_u, refs0_v, n_valid, l0_disps = l0_stack
                 # the slice may only signal as many L0 entries as the
                 # DPB actually holds (first GOPs after an IDR)
                 b_l0_eff = max(1, min(int(n_valid), p.ref_frames))
+                # implicit bipred weight PER L0 REF (x264
+                # h->mb.bipred_weight[i_ref0][i_ref1]); scalar 32 when
+                # --weightb is off
+                w_tab = np.array([
+                    BS.bipred_weight(
+                        2 * disp,
+                        2 * l0_disps[min(r, len(l0_disps) - 1)],
+                        pocs[2] if pocs is not None else 2 * disp + 2,
+                        p.weightb)
+                    for r in range(p.ref_frames)], np.int32)
                 mv0, c0, ref0_d, mv1, c1, cbi = \
                     BS.analyse_b_frame_mref(
                         y, refs0_l, jnp.asarray(n_valid),
                         ref1["luma"], p.me_range, mbh, mbw, lam,
-                        p.subpel, on_tpu, p.ref_frames, w1=w1)
+                        p.subpel, on_tpu, p.ref_frames,
+                        w1=jnp.asarray(w_tab))
                 ref0_16 = np.asarray(ref0_d)
             else:
                 mv0, c0, mv1, c1, cbi = BS.analyse_b_frame(
@@ -2404,13 +2421,15 @@ class Encoder:
                 inter_cost = cands.min(0)
                 direct_c = mode == 0
         if b_mref:
+            w8 = w_tab[np.maximum(ref8_0, 0)]     # per-8x8 weight
             res = BS.encode_b_frame_device(
                 y, u, v, refs0_l, refs0_u, refs0_v,
                 ref1["luma"], ref1["u"], ref1["v"],
                 jnp.asarray(use0), jnp.asarray(use1),
                 jnp.asarray(fmv0), jnp.asarray(fmv1), qp_enc, qpc_enc,
                 mbh, mbw, decimate=p.dct_decimate,
-                trellis=bool(p.trellis), w1=w1,
+                trellis=bool(p.trellis),
+                w1=(jnp.asarray(w8) if p.weightb else w1),
                 ref8_0=jnp.asarray(ref8_0))
         else:
             res = BS.encode_b_frame_device(

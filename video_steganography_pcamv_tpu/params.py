@@ -226,15 +226,12 @@ class Params:
         if self.ref_frames > 1:
             assert self.partitions, "multi-ref needs the partition path"
             if self.bframes > 0:
-                # multi-ref B lists v1 (b16x16 REF_COST ref sweep):
+                # multi-ref B lists (b16x16 REF_COST ref sweep):
                 # spatial direct only (temporal needs
-                # map_col_to_list0 across refs) and unweighted bipred
-                # (implicit weights are per-L0-ref POC distances)
+                # map_col_to_list0 across refs); --weightb rides
+                # per-L0-ref implicit weight tables
                 assert self.direct in (0, 1), \
                     "multi-ref B lists: --direct spatial/none only"
-                assert not self.weightb, \
-                    "multi-ref B lists exclude --weightb (per-ref " \
-                    "implicit weights not wired)"
             if self.p4x4:
                 assert not self.stego.enabled, \
                     "multi-ref + sub-8x8 + embedding not combined " \
