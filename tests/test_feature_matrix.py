@@ -40,12 +40,20 @@ CONFIGS = [
          scenecut_threshold=0),
     # CRF rate control + B frames + CABAC
     dict(bframes=1, crf=30.0, cabac=True),
+    # multi-ref B lists + weightb + trellis + CABAC + short keyint
+    # (IDR resets the DPB mid-run with B frames in flight)
+    dict(ref_frames=3, bframes=2, b_adapt=0, weightb=True, trellis=1,
+         cabac=True, keyint_max=6, keyint_min=1, scenecut_threshold=0),
+    # multi-ref B + AQ + CQM
+    dict(ref_frames=2, bframes=1, b_adapt=0, aq_mode=1,
+         aq_strength=1.2, cqm="jvt", cabac=True),
 ]
 
 
 @pytest.mark.parametrize("cfg", CONFIGS,
                          ids=["b+trellis+cabac+nr", "mref+trellis+idr",
-                              "crf+b+cabac"])
+                              "crf+b+cabac", "bmref+weightb+trellis",
+                              "bmref+aq+cqm"])
 def test_feature_combo_roundtrip(cfg):
     n = 8
     frames = _frames(n, seed=sum(map(ord, str(sorted(cfg.items())))))
