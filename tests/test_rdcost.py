@@ -142,3 +142,56 @@ def test_rd2_skip_probe():
                          if m.mb_type == "SKIP"))
     assert skips[1] > skips[0], skips
     assert sizes[1] < sizes[0], sizes
+
+
+
+def test_rd2_qpel_refine():
+    """--rd 2 qpel RD refine (x264_me_refine_qpel_rd analog): the
+    SATD subpel decision is LUMA-only; with strong moving chroma the
+    exact-RD probe (luma+chroma SSD + real bits) must move MVs, and
+    the stream stays bit-exact (the rescan re-derives mvds + P_SKIP
+    MVs in the changed neighbour context)."""
+    import numpy as np
+    from video_steganography_pcamv_tpu.params import Params
+    from video_steganography_pcamv_tpu.utils.yuv import Frame
+    from video_steganography_pcamv_tpu.encoder.core import Encoder
+    from video_steganography_pcamv_tpu.decoder import decode_annexb
+    W, H = 128, 96
+    rng = np.random.RandomState(5)
+    pad = 32
+    gy, gx = np.mgrid[0:H + 2 * pad, 0:W + 2 * pad]
+    luma_big = (120 + 8 * np.sin(gx / 7.0) + 8 * np.cos(gy / 9.0)) \
+        .astype(np.uint8)
+    cg_y, cg_x = np.mgrid[0:(H + 2 * pad) // 2, 0:(W + 2 * pad) // 2]
+    chroma_big = (128 + 60 * np.sign(np.sin(cg_x / 2.5)
+                                     * np.sin(cg_y / 3.0))) \
+        .clip(0, 255).astype(np.uint8)
+    frames = []
+    for i in range(4):
+        y = luma_big[pad + i:pad + i + H,
+                     pad + 2 * i:pad + 2 * i + W].copy()
+        y = np.clip(y.astype(np.int32)
+                    + (rng.randn(H, W) * 2).astype(np.int32),
+                    0, 255).astype(np.uint8)
+        cu = chroma_big[(pad + i) // 2:(pad + i) // 2 + H // 2,
+                        (pad + 2 * i) // 2:
+                        (pad + 2 * i) // 2 + W // 2].copy()
+        frames.append(Frame(y, cu, 255 - cu))
+
+    p = Params(width=W, height=H, qp=30, me_range=8, rd=2)
+    enc = Encoder(p)
+    enc.keep_recon = True
+    changed = 0
+    bs = b""
+    for f in frames:
+        bs += enc.encode_frame(f)
+        changed += getattr(enc, "_last_qpel_changed", 0)
+        enc._last_qpel_changed = 0
+    dec = decode_annexb(bs)
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+        ru = enc.recon_by_disp[i][1][:H // 2, :W // 2] \
+            .astype(np.uint8)
+        np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} U")
+    assert changed > 0, "qpel RD refine never moved an MV"

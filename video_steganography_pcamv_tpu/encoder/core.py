@@ -1545,6 +1545,11 @@ class Encoder:
                                          intra_mask)
             if forced is not None:
                 final8, skip, mvd, res = forced
+            refined = self._rd_qpel_refine(y, u, v, qp, qpc, part_np,
+                                           final8, skip, mvd, res,
+                                           intra_mask)
+            if refined is not None:
+                final8, skip, mvd, res = refined
 
         if self._stego is not None:
             replaced = self._stego.embed_frame_parts(
@@ -1555,6 +1560,90 @@ class Encoder:
         return self._p_finalize(res, qp, part_np, mvd, skip, intra_kind,
                                 intra_res, ref8_np, final8, intra_mask,
                                 multiref)
+
+    def _rd_qpel_refine(self, y, u, v, qp, qpc, part_np, final8,
+                        skip, mvd, res, intra_mask):
+        """--rd 2: qpel RD refine (the x264 subme>=7
+        x264_me_refine_qpel_rd analog, one cross iteration): for each
+        coded 16x16 MB, the frame re-encodes at the four +-1-qpel
+        neighbours of the committed MV — per-MB costs from a uniformly
+        shifted field ARE the per-MB individual-shift costs, since a P
+        MB's residual depends only on its own MV — and the exact-RD
+        winner (SSD + lambda2*(residual + header bits)) is kept.
+        Winners commit, the rescan re-derives every mvd and P_SKIP MV
+        in the new neighbour context, and the frame re-encodes once.
+        Returns (final8, skip, mvd, res) or None."""
+        from . import scan as SCAN
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        base = np.asarray(P.rd_coded_cost(
+            y, u, v, res["luma_lev"], res["chroma_dc"],
+            res["chroma_ac"], res["recon_y"], res["recon_u"],
+            res["recon_v"], jnp.asarray(mvd), jnp.asarray(part_np),
+            qp, mbh, mbw))
+        elig = (part_np == 0) & ~skip & ~intra_mask
+        if intra_mask.any():
+            # an MB a committed intra MB predicts from may not change
+            # its recon (same dep rule as the P_SKIP probe)
+            dep = np.zeros_like(intra_mask)
+            dep[:, :-1] |= intra_mask[:, 1:]
+            dep[:-1, :] |= intra_mask[1:, :]
+            dep[:-1, 1:] |= intra_mask[1:, :-1]
+            dep[:-1, :-1] |= intra_mask[1:, 1:]
+            elig &= ~dep
+        if not elig.any():
+            return None
+        best = base.copy()
+        best_off = np.zeros((mbh, mbw, 2), np.int32)
+        for d in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            off = np.array(d, np.int32)
+            mv8_d = final8 + off
+            res_d = P.encode_p_frame_device8(
+                y, u, v, self.ref["luma"], self.ref["u"],
+                self.ref["v"], jnp.asarray(mv8_d), qp, qpc, mbh, mbw,
+                decimate=p.dct_decimate, force_zero=jnp.asarray(skip),
+                trellis=bool(p.trellis), nr_offset=self._nr_offset(),
+                trans8=p.transform_8x8, rd=bool(p.rd))
+            # mvd bits approximated at the pre-rescan predictors (the
+            # rescan re-derives exactly; neighbours' recon is
+            # untouched by an mvd-only change)
+            cost_d = np.asarray(P.rd_coded_cost(
+                y, u, v, res_d["luma_lev"], res_d["chroma_dc"],
+                res_d["chroma_ac"], res_d["recon_y"],
+                res_d["recon_u"], res_d["recon_v"],
+                jnp.asarray(mvd + off), jnp.asarray(part_np),
+                qp, mbh, mbw))
+            upd = (cost_d < best) & elig
+            best_off = np.where(upd[..., None], off, best_off)
+            best = np.where(upd, cost_d, best)
+        if not (best_off != 0).any():
+            self._last_qpel_changed = 0
+            return None
+        self._last_qpel_changed = int((best_off != 0).any(-1).sum())
+        off8 = np.repeat(np.repeat(best_off, 2, 0), 2, 1)
+        final_new = (final8 + off8).astype(np.int32)
+        final2, mvd2, _ = SCAN.scan_p_frame_forced(
+            part_np, final_new, skip,
+            intra=intra_mask if intra_mask.any() else None)
+        res2 = P.encode_p_frame_device8(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            jnp.asarray(final2), qp, qpc, mbh, mbw,
+            decimate=p.dct_decimate, force_zero=jnp.asarray(skip),
+            trellis=bool(p.trellis), nr_offset=self._nr_offset(),
+            trans8=p.transform_8x8, rd=bool(p.rd))
+        if intra_mask.any():
+            res2 = dict(res2)
+            m_y = jnp.asarray(
+                np.repeat(np.repeat(intra_mask, 16, 0), 16, 1))
+            res2["recon_y"] = jnp.where(m_y, res["recon_y"],
+                                        res2["recon_y"])
+            m_c = jnp.asarray(
+                np.repeat(np.repeat(intra_mask, 8, 0), 8, 1))
+            res2["recon_u"] = jnp.where(m_c, res["recon_u"],
+                                        res2["recon_u"])
+            res2["recon_v"] = jnp.where(m_c, res["recon_v"],
+                                        res2["recon_v"])
+        return final2, skip, mvd2, res2
 
     def _rd_skip_force(self, y, u, v, qp, qpc, part_np, final8,
                        skip, mvd, res, intra_mask):
@@ -1588,8 +1677,9 @@ class Encoder:
         if not force.any():
             return None
         skip2 = skip | force
-        final2, mvd2, _ = SCAN.scan_p_frame_forced(part_np, final8,
-                                                   skip2)
+        final2, mvd2, _ = SCAN.scan_p_frame_forced(
+            part_np, final8, skip2,
+            intra=intra_mask if intra_mask.any() else None)
         res2 = P.encode_p_frame_device8(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(final2), qp, qpc, mbh, mbw,

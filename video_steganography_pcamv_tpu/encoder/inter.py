@@ -1020,19 +1020,13 @@ def host_scan_p(mv: np.ndarray, cbp_luma: np.ndarray,
     return skip, mvd, mvp_out
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
-def rd_skip_eval(y, u, v, ref_luma, ref_u, ref_v, pskip_mv,
-                 luma_lev, chroma_dc, chroma_ac,
-                 recon_y, recon_u, recon_v, mvd, part, qp,
-                 mbh: int, mbw: int):
-    """P_SKIP RD probe (--rd 2; the x264 i_mbrd skip-decision analog,
-    rdo.c x264_rd_cost_mb with the P_SKIP candidate): per MB, cost of
-    the coded configuration (SSD + lambda2 * exact CAVLC residual bits
-    + mvd/mode header bits, nC approximated 0 like the rd-1 transform
-    decision) vs encoding as P_SKIP at the committed field's pskip MV
-    (SSD + a 1-bit skip-run amortization). The winners are forced and
-    re-derived exactly by the forced rescan. Returns
-    (cost_coded, cost_skip) [mbh, mbw] int64."""
+def _rd_coded_cost(y, u, v, luma_lev, chroma_dc, chroma_ac,
+                   recon_y, recon_u, recon_v, mvd, part, qp,
+                   mbh: int, mbw: int):
+    """RD cost of a coded P configuration, per MB [mbh,mbw] int64:
+    SSD(recon, source) + lambda2 * (exact CAVLC residual bits + mb_type
+    ue + per-unit mvd se bits), nC approximated 0 (see rd_skip_eval).
+    Shared by the --rd 2 P_SKIP probe and the qpel RD refine."""
     from ..ops.rdcost import cavlc_block_bits, se_len, ue_len
     from ..ops.transform import ZIGZAG_4x4
     n = mbh * mbw
@@ -1044,25 +1038,10 @@ def rd_skip_eval(y, u, v, ref_luma, ref_u, ref_v, pskip_mv,
         return pl.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
                  .reshape(n, 8, 8).astype(jnp.int64)
 
-    ssd_coded = (jnp.sum((rec - cur) ** 2, axis=(1, 2))
-                 + jnp.sum((tiles8(recon_u) - tiles8(u)) ** 2, (1, 2))
-                 + jnp.sum((tiles8(recon_v) - tiles8(v)) ** 2, (1, 2)))
-
-    ys = (jnp.arange(n) // mbw) * 16
-    xs = (jnp.arange(n) % mbw) * 16
-    mvf = pskip_mv.reshape(n, 2)
-    sp = mc.mc_luma(ref_luma, ys, xs, mvf, bh=16, bw=16) \
-        .astype(jnp.int64)
-    ssd_skip = jnp.sum((sp - cur) ** 2, axis=(1, 2))
-    for pl, refp in ((u, ref_u), (v, ref_v)):
-        pc = mc.mc_chroma(refp, ys // 2, xs // 2, mvf, bh=8, bw=8) \
-            .astype(jnp.int64)
-        ssd_skip = ssd_skip + jnp.sum((pc - tiles8(pl)) ** 2, (1, 2))
-
-    # residual bits: luma 4x4s + chroma DC/AC (exact CAVLC sizes)
+    ssd = (jnp.sum((rec - cur) ** 2, axis=(1, 2))
+           + jnp.sum((tiles8(recon_u) - tiles8(u)) ** 2, (1, 2))
+           + jnp.sum((tiles8(recon_v) - tiles8(v)) ** 2, (1, 2)))
     zz = jnp.asarray(ZIGZAG_4x4)
-    # device luma_lev is packed [mbh,mbw,256] in (by,bx,r,c) order
-    # (the host unpack indexes it [by,bx] — see _res_to_host)
     blk = luma_lev.reshape(n * 16, 4, 4).astype(jnp.int32)
     bz = blk[:, zz[:, 0], zz[:, 1]]
     nc0 = jnp.zeros(n * 16, jnp.int32)
@@ -1077,15 +1056,60 @@ def rd_skip_eval(y, u, v, ref_luma, ref_u, ref_v, pskip_mv,
     bits = bits + cavlc_block_bits(
         caz, jnp.zeros(n * 8, jnp.int32), max_coeff=15) \
         .reshape(n, 8).sum(1).astype(jnp.int64)
-
-    # header: mb_type ue + per-unit mvd se bits
     pt = part.reshape(n)
-    nu = jnp.asarray(np.array([1, 2, 2, 4], np.int32))[pt]     # [n]
-    um = (jnp.arange(4)[None, :] < nu[:, None])                # [n,4]
+    nu = jnp.asarray(np.array([1, 2, 2, 4], np.int32))[pt]
+    um = (jnp.arange(4)[None, :] < nu[:, None])
     md = mvd.reshape(n, 4, 2)
     mvd_bits = jnp.sum(jnp.where(
         um, se_len(md[:, :, 0]) + se_len(md[:, :, 1]), 0), axis=1)
     hdr = ue_len(pt) + mvd_bits
-    cost_coded = ssd_coded + ((lam2 * (bits + hdr) + 128) >> 8)
+    cost = ssd + ((lam2 * (bits + hdr) + 128) >> 8)
+    return cost.reshape(mbh, mbw)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
+def rd_coded_cost(y, u, v, luma_lev, chroma_dc, chroma_ac,
+                  recon_y, recon_u, recon_v, mvd, part, qp,
+                  mbh: int, mbw: int):
+    return _rd_coded_cost(y, u, v, luma_lev, chroma_dc, chroma_ac,
+                          recon_y, recon_u, recon_v, mvd, part, qp,
+                          mbh, mbw)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
+def rd_skip_eval(y, u, v, ref_luma, ref_u, ref_v, pskip_mv,
+                 luma_lev, chroma_dc, chroma_ac,
+                 recon_y, recon_u, recon_v, mvd, part, qp,
+                 mbh: int, mbw: int):
+    """P_SKIP RD probe (--rd 2; the x264 i_mbrd skip-decision analog,
+    rdo.c x264_rd_cost_mb with the P_SKIP candidate): per MB, cost of
+    the coded configuration (SSD + lambda2 * exact CAVLC residual bits
+    + mvd/mode header bits, nC approximated 0 like the rd-1 transform
+    decision) vs encoding as P_SKIP at the committed field's pskip MV
+    (SSD + a 1-bit skip-run amortization). The winners are forced and
+    re-derived exactly by the forced rescan. Returns
+    (cost_coded, cost_skip) [mbh, mbw] int64."""
+    n = mbh * mbw
+    lam2 = jnp.asarray(LAMBDA2_TAB)[qp].astype(jnp.int64)
+    cur = _mb_tiles16(y, mbh, mbw).astype(jnp.int64)
+
+    def tiles8(pl):
+        return pl.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
+                 .reshape(n, 8, 8).astype(jnp.int64)
+
+    cost_coded = _rd_coded_cost(y, u, v, luma_lev, chroma_dc,
+                                chroma_ac, recon_y, recon_u, recon_v,
+                                mvd, part, qp, mbh, mbw)
+
+    ys = (jnp.arange(n) // mbw) * 16
+    xs = (jnp.arange(n) % mbw) * 16
+    mvf = pskip_mv.reshape(n, 2)
+    sp = mc.mc_luma(ref_luma, ys, xs, mvf, bh=16, bw=16) \
+        .astype(jnp.int64)
+    ssd_skip = jnp.sum((sp - cur) ** 2, axis=(1, 2))
+    for pl, refp in ((u, ref_u), (v, ref_v)):
+        pc = mc.mc_chroma(refp, ys // 2, xs // 2, mvf, bh=8, bw=8) \
+            .astype(jnp.int64)
+        ssd_skip = ssd_skip + jnp.sum((pc - tiles8(pl)) ** 2, (1, 2))
     cost_skip = ssd_skip + ((lam2 * 1 + 128) >> 8)
-    return (cost_coded.reshape(mbh, mbw), cost_skip.reshape(mbh, mbw))
+    return cost_coded, cost_skip.reshape(mbh, mbw)

@@ -273,10 +273,14 @@ def pskip_field(part: np.ndarray, mv8: np.ndarray,
 
 def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,
                         skip: np.ndarray,
-                        ref8: np.ndarray | None = None):
+                        ref8: np.ndarray | None = None,
+                        intra: np.ndarray | None = None):
     """Stego pass-2 scan: skip flags FORCED to pass-1 (analyse.c:2658
     forcing); skipped MBs take the pskip MV in the NEW context; coded
-    units keep their (possibly flipped) MVs. Returns (final_mv8, mvd,
+    units keep their (possibly flipped) MVs. intra: optional mask —
+    intra MBs carry no MVs and stay uncommitted (same neighbour
+    convention as scan_p_frame; omitting it desyncs the mvds of MBs
+    whose A/B/C neighbours are intra). Returns (final_mv8, mvd,
     mvp)."""
     mbh, mbw = part.shape
     g = _Grid(mbh, mbw)
@@ -285,6 +289,8 @@ def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,
     final = mv8.copy()
     for my in range(mbh):
         for mx in range(mbw):
+            if intra is not None and intra[my, mx]:
+                continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
             p = int(part[my, mx])
             if skip[my, mx]:
