@@ -378,3 +378,39 @@ def test_aq_dqp_minus26_boundary():
     assert ps.qp_delta() == -26
     assert ps.qp_delta() == 25
     assert ps.qp == (36 - 26 + 25 + 52) % 52
+
+
+def test_aq_p4x4_stego():
+    """AQ + sub-8x8 partitions + embedding — the final AQ combination:
+    the sub stego re-encode quantizes at the pass-1 per-MB grid;
+    payload blind-extracts; stream bit-exact."""
+    from video_steganography_pcamv_tpu.params import StegoParams
+    from video_steganography_pcamv_tpu.stego.extract import (
+        extract_from_stream)
+    frames = _mixed_energy_frames(5, seed=43)
+    em_rate, key = 0.4, 17
+    p = Params(width=W, height=H, qp=30, me_range=4, aq_mode=1,
+               aq_strength=1.5, p4x4=True,
+               stego=StegoParams(em_rate=em_rate, key=key))
+    p.validate()
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = _encode_all(enc, frames)
+    dec = decode_annexb(bs)
+    assert len(dec) == 5
+    spread = set()
+    for d in dec[1:]:
+        spread |= {m.qp for m in d.mbs}
+    assert len(spread) >= 3, f"AQ produced no qp spread: {spread}"
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i}")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+    got = extract_from_stream(bs, em_rate=em_rate, key=key)
+    sent = enc._stego.sent_messages
+    assert len(got) == len(sent) == 4
+    for i, (g, s) in enumerate(zip(got, sent)):
+        np.testing.assert_array_equal(g, s, err_msg=f"frame {i}")

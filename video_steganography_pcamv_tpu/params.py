@@ -267,9 +267,6 @@ class Params:
             if self.stego.enabled:
                 assert self.partitions, \
                     "AQ + embedding needs the partition path"
-                assert not self.p4x4, \
-                    "AQ + sub-8x8 + embedding not combined (the sub " \
-                    "stego re-encode runs at the frame QP)"
 
     @property
     def mb_width(self) -> int:

@@ -370,9 +370,15 @@ class StegoEngine:
             enc, part, sub_type, mv4, skip1, np.asarray(rho_s),
             np.asarray(alt_s))
         qpc = chroma_qp(qp, p.chroma_qp_offset)
+        # AQ: re-encode at the pass-1 per-MB grid (see
+        # embed_frame_parts — rho stays at frame-QP lambda)
+        qp_enc, qpc_enc = qp, qpc
+        if getattr(enc, "_aq_grids", None) is not None:
+            qp_enc = jnp.asarray(enc._aq_grids[0])
+            qpc_enc = jnp.asarray(enc._aq_grids[1])
         res2 = I.encode_p_frame_device4(
             y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
-            jnp.asarray(final4), qp, qpc, mbh, mbw,
+            jnp.asarray(final4), qp_enc, qpc_enc, mbh, mbw,
             decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
             trellis=bool(p.trellis), nr_offset=enc._nr_offset())
         return final4, skip1, mvd2, res2
