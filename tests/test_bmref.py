@@ -145,3 +145,64 @@ def test_bmref_with_weightb(cabac):
         ru = enc.recon_by_disp[i][1][:H // 2, :W // 2] \
             .astype(np.uint8)
         np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} U")
+
+
+@pytest.mark.parametrize("direct", [2, 3])
+def test_bmref_temporal_direct(direct):
+    """Temporal (and auto) direct under multi-ref B: refIdxL0 = the
+    colocated ref through the identity map_col_to_list0 (the B's L0
+    IS the colocated anchor's L0), per-ref DistScaleFactors, per-8x8
+    direct refs through MC on both sides."""
+    frames = _anchor_flicker(9, seed=33)
+    p = Params(width=W, height=H, qp=26, me_range=8, ref_frames=3,
+               bframes=2, b_adapt=0, cabac=True, direct=direct)
+    p.validate()
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+    dec = decode_annexb(bs)
+    assert len(dec) == 9
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+        ru = enc.recon_by_disp[i][1][:H // 2, :W // 2] \
+            .astype(np.uint8)
+        np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} U")
+
+
+def test_temporal_fields_multiref_unit():
+    """temporal_direct_fields with a per-ref DSF table: refs follow
+    the colocated field, each block scales by ITS ref's factor,
+    colocated intra falls back to ref 0 / zero MVs, availability is
+    total (every colocated ref has an L0 image under the identity
+    map)."""
+    from video_steganography_pcamv_tpu.encoder.bslice import (
+        temporal_direct_fields)
+    mbh = mbw = 1
+    col_mv4 = np.zeros((4, 4, 2), np.int32)
+    col_ref4 = np.zeros((4, 4), np.int32)
+    # 8x8 z-blocks via corner cells (0,0),(0,3),(3,0),(3,3)
+    col_mv4[0, 0] = (8, 4)     # ref 0
+    col_ref4[0, 3] = 1         # ref 1, different scale
+    col_mv4[0, 3] = (8, 4)
+    col_ref4[3, 0] = -1        # colocated intra
+    col_mv4[3, 0] = (100, 100)
+    col_ref4[3, 3] = 2
+    col_mv4[3, 3] = (-6, 10)
+    dsf = np.array([128, 256, 64], np.int64)   # per-L0-entry
+    avail, mv0, mv1, ref8 = temporal_direct_fields(col_mv4, col_ref4,
+                                                   dsf)
+    assert avail.all()
+    np.testing.assert_array_equal(ref8, [[0, 1], [0, 2]])
+    # block (0,0): dsf 128 -> mv0 = (mv*128+128)>>8 = mv/2
+    np.testing.assert_array_equal(mv0[0, 0], [4, 2])
+    np.testing.assert_array_equal(mv1[0, 0], [4 - 8, 2 - 4])
+    # block (0,1): dsf 256 -> mv0 = mv, mv1 = 0
+    np.testing.assert_array_equal(mv0[0, 1], [8, 4])
+    np.testing.assert_array_equal(mv1[0, 1], [0, 0])
+    # block (1,0): colocated intra -> zeros, ref 0
+    np.testing.assert_array_equal(mv0[1, 0], [0, 0])
+    np.testing.assert_array_equal(mv1[1, 0], [0, 0])
+    # block (1,1): dsf 64 -> mv0 = (mv*64+128)>>8
+    np.testing.assert_array_equal(
+        mv0[1, 1], [(-6 * 64 + 128) >> 8, (10 * 64 + 128) >> 8])

@@ -48,7 +48,7 @@ def test_temporal_fields_scaling_and_avail():
     col_mv4[:4, :4] = (12, -6)          # MB (0,0): mv (12,-6), ref 0
     col_ref4[:4, 4:] = 1                # MB (0,1): ref 1 -> unavailable
     col_ref4[4:, :4] = -1               # MB (1,0): intra -> zeros
-    avail, mv0, mv1 = BS.temporal_direct_fields(col_mv4, col_ref4, 128)
+    avail, mv0, mv1, _r8 = BS.temporal_direct_fields(col_mv4, col_ref4, 128)
     assert avail.tolist() == [[True, False], [True, True]]
     # mv0 = (128*mv + 128) >> 8 = (mv + 1) >> 1 (round toward -inf)
     np.testing.assert_array_equal(mv0[0, 0], [6, -3])

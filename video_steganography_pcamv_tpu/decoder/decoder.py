@@ -392,15 +392,19 @@ class SliceDecoder:
                 bipred_weight(poc, e["poc"], self.refs_l1[0]["poc"],
                               True) for e in self.refs]
             self.bipred_w1 = self.bipred_w1_tab[0]
-        # temporal direct scale (spec 8.4.1.2.3), from the slice POCs
+        # temporal direct scales (spec 8.4.1.2.3), one per L0 entry
+        # (multi-ref temporal direct; [0] is the single-ref value)
         self.direct_spatial = direct_spatial
         self.b_l0_active = 1   # effective L0 size; decode_annexb sets
-        self._dsf = 256
+        self._dsf_tab = [256]
         if (not direct_spatial and self.refs and self.refs_l1
                 and "poc" in self.refs[0]):
             from ..encoder.bslice import dist_scale_factor
-            self._dsf = dist_scale_factor(
-                poc, self.refs[0]["poc"], self.refs_l1[0]["poc"])
+            self._dsf_tab = [
+                dist_scale_factor(poc, e["poc"],
+                                  self.refs_l1[0]["poc"])
+                for e in self.refs]
+        self._dsf = self._dsf_tab[0]
         self.mbw = (sps.width + 15) // 16
         self.mbh = (sps.height + 15) // 16
         self.y = np.zeros((self.mbh * 16, self.mbw * 16), np.int64)
@@ -957,28 +961,33 @@ class SliceDecoder:
         direct min-positive rule; 0 under temporal / zero-pred)."""
         if self.direct_spatial:
             return self._spatial_direct(my, mx)
-        u0, u1, mv0, mv1 = self._temporal_direct(my, mx)
-        return u0, u1, mv0, mv1, 0, 0
+        return self._temporal_direct(my, mx)
 
     def _temporal_direct(self, my, mx):
         """Temporal direct (spec 8.4.1.2.3; twin of
         bslice.temporal_direct_fields): per-8x8 colocated corner MV
-        scaled by DistScaleFactor; colocated intra -> zeros, refs 0.
-        Returns (use0, use1, mv0 [4,2], mv1 [4,2])."""
+        scaled by the colocated ref's DistScaleFactor; refIdxL0 = the
+        colocated ref via the (identity) map_col_to_list0 — the B's
+        L0 list is the colocated anchor's own L0 here; colocated
+        intra -> zeros, refs 0. Returns (use0, use1, mv0 [4,2],
+        mv1 [4,2], r8 [4] per-8x8 L0 refs, 0)."""
         y4, x4 = 4 * my, 4 * mx
         col = self.refs_l1[0]
         col_mv4, col_ref4 = col["mv4"], col["ref4"]
         mv0 = np.zeros((4, 2), np.int32)
         mv1 = np.zeros((4, 2), np.int32)
+        r8 = np.zeros(4, np.int32)
         for b, (cy, cx) in enumerate(self._COL_CORNERS):
             colr = int(col_ref4[y4 + cy, x4 + cx])
             if colr < 0:
                 continue    # colocated intra: zeros, refs 0
+            r = min(colr, len(self._dsf_tab) - 1)
+            r8[b] = r
             colm = col_mv4[y4 + cy, x4 + cx].astype(np.int64)
-            l0 = (self._dsf * colm + 128) >> 8
+            l0 = (self._dsf_tab[r] * colm + 128) >> 8
             mv0[b] = l0
             mv1[b] = l0 - colm
-        return True, True, mv0, mv1
+        return True, True, mv0, mv1, r8, 0
 
     def _spatial_direct(self, my, mx):
         """Spatial direct (use0, use1, mv0 [4,2], mv1 [4,2]) per 8x8
@@ -1026,10 +1035,12 @@ class SliceDecoder:
         y4, x4 = 4 * my, 4 * mx
         u0 = np.broadcast_to(np.asarray(use0), (4,))
         u1 = np.broadcast_to(np.asarray(use1), (4,))
+        r0a = np.broadcast_to(np.asarray(r0), (4,))
         for b in range(4):
             by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
             self.mv4[by:by + 2, bx:bx + 2] = mv0[b] if u0[b] else 0
-            self.ref4[by:by + 2, bx:bx + 2] = r0 if u0[b] else -1
+            self.ref4[by:by + 2, bx:bx + 2] = \
+                int(r0a[b]) if u0[b] else -1
             self.mv4_1[by:by + 2, bx:bx + 2] = mv1[b] if u1[b] else 0
             self.ref4_1[by:by + 2, bx:bx + 2] = 0 if u1[b] else -1
         self.dec4[y4:y4 + 4, x4:x4 + 4] = True
@@ -1078,13 +1089,14 @@ class SliceDecoder:
         MB's L0 ref index into the slice's L0 list."""
         u0a = np.broadcast_to(np.asarray(use0), (4,))
         u1a = np.broadcast_to(np.asarray(use1), (4,))
+        r0a = np.broadcast_to(np.asarray(r0), (4,))
         gy, gx = 16 * my, 16 * mx
         pred = np.zeros((16, 16), np.int64)
         for b in range(4):
             oy, ox = 8 * (b >> 1), 8 * (b & 1)
             pred[oy:oy + 8, ox:ox + 8] = self._b_pred_luma8(
                 gy + oy, gx + ox, u0a[b], u1a[b], mv0[b], mv1[b],
-                r0=r0)
+                r0=int(r0a[b]))
         for by in range(4):
             for bx in range(4):
                 py, px = gy + 4 * by, gx + 4 * bx
@@ -1098,7 +1110,7 @@ class SliceDecoder:
                 oy, ox = 4 * (b >> 1), 4 * (b & 1)
                 cpred[oy:oy + 4, ox:ox + 4] = self._b_pred_chroma4(
                     ch, 8 * my + oy, 8 * mx + ox, u0a[b], u1a[b],
-                    mv0[b], mv1[b], r0=r0)
+                    mv0[b], mv1[b], r0=int(r0a[b]))
             cpreds.append(cpred)
         if read_chroma:
             self._decode_chroma(br, mx, my, 0, cbp_chroma, qpc,
@@ -1739,6 +1751,7 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
             mvp = dec._unit_mvp(y4, x4, 4, 0, 0, ref=0, lst=1)
             mv1[:] = (mvp[0] + mvd1[0], mvp[1] + mvd1[1])
     dec._commit_b(my, mx, use0, use1, mv0, mv1, r0=r0)
+    r0a = np.broadcast_to(np.asarray(r0), (4,))
     blocks = np.zeros((4, 4, 4, 4), np.int64)
     for by in range(4):
         for bx in range(4):
@@ -1748,7 +1761,8 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
     for b in range(4):
         oy, ox = 8 * (b >> 1), 8 * (b & 1)
         pred[oy:oy + 8, ox:ox + 8] = dec._b_pred_luma8(
-            gy + oy, gx + ox, use0, use1, mv0[b], mv1[b], r0=r0)
+            gy + oy, gx + ox, use0, use1, mv0[b], mv1[b],
+            r0=int(r0a[b]))
     for by in range(4):
         for bx in range(4):
             py, px = gy + 4 * by, gx + 4 * bx
@@ -1762,7 +1776,7 @@ def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):
             oy, ox = 4 * (b >> 1), 4 * (b & 1)
             cpred[oy:oy + 4, ox:ox + 4] = dec._b_pred_chroma4(
                 ch, 8 * my + oy, 8 * mx + ox, use0, use1,
-                mv0[b], mv1[b], r0=r0)
+                mv0[b], mv1[b], r0=int(r0a[b]))
         cpreds.append(cpred)
     _recon_chroma_from(dec, ps, my, mx, 0, cbpc, cdcs, cacs, qpc,
                        False, preds=cpreds)

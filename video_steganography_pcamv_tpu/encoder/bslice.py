@@ -774,19 +774,26 @@ def dist_scale_factor(poc_b, poc0, poc1) -> int:
     return int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
 
 
-def temporal_direct_fields(col_mv4, col_ref4, dsf: int):
+def temporal_direct_fields(col_mv4, col_ref4, dsf):
     """Temporal direct fields, whole frame (spec 8.4.1.2.3; reference
     x264_mb_predict_mv_direct16x16_temporal, common/macroblock.c:165).
 
     Per 8x8 (direct_8x8_inference) the colocated corner 4x4 of L1[0]'s
     own motion field scales by POC distances: mvL0 = (DSF*mvCol+128)>>8,
-    mvL1 = mvL0 - mvCol; colocated intra -> zeros with refs 0. A
-    colocated ref > 0 has no image in our single-entry B L0 list
-    (map_col_to_list0 < 0, macroblock.c:187-207) -> the whole MB is
-    direct-unavailable. Unlike spatial, nothing depends on neighbour
-    commits, so the field is computed once per frame, vectorized.
+    mvL1 = mvL0 - mvCol; colocated intra -> zeros with refs 0.
 
-    Returns (avail [mbh,mbw] bool, mv0_8 [2mbh,2mbw,2], mv1_8)."""
+    dsf scalar (single-ref L0): a colocated ref > 0 has no image in
+    the one-entry B L0 list (map_col_to_list0 < 0, macroblock.c:
+    187-207) -> the whole MB is direct-unavailable.
+    dsf [R] array (multi-ref B lists): refIdxL0 = map_col_to_list0 of
+    the colocated ref — the IDENTITY here, because the B's L0 list is
+    the colocated anchor's own L0 (the same pre-anchor DPB window,
+    both POC-descending; a general-stream decoder would map by POC) —
+    and each block scales by ITS ref's DistScaleFactor.
+
+    Unlike spatial, nothing depends on neighbour commits, so the field
+    is computed once per frame, vectorized. Returns (avail [mbh,mbw]
+    bool, mv0_8 [2mbh,2mbw,2], mv1_8, ref8_0 [2mbh,2mbw])."""
     h4, w4 = col_ref4.shape
     mbh, mbw = h4 // 4, w4 // 4
     iy = np.arange(2 * mbh)
@@ -795,24 +802,35 @@ def temporal_direct_fields(col_mv4, col_ref4, dsf: int):
     cx = (ix // 2) * 4 + (ix % 2) * 3
     colm = col_mv4[np.ix_(cy, cx)].astype(np.int64)   # [2mbh,2mbw,2]
     colr = col_ref4[np.ix_(cy, cx)]                   # [2mbh,2mbw]
-    mv0 = (dsf * colm + 128) >> 8       # arithmetic shift, C twin
+    mref = isinstance(dsf, np.ndarray) and dsf.ndim == 1
+    if mref:
+        ref8 = np.where(colr < 0, 0, colr).astype(np.int32)
+        dsf_b = dsf[np.clip(ref8, 0, len(dsf) - 1)][..., None]
+    else:
+        ref8 = np.zeros_like(colr, np.int32)
+        dsf_b = dsf
+    mv0 = (dsf_b * colm + 128) >> 8     # arithmetic shift, C twin
     mv1 = mv0 - colm
     intra = colr < 0
     mv0 = np.where(intra[..., None], 0, mv0).astype(np.int32)
     mv1 = np.where(intra[..., None], 0, mv1).astype(np.int32)
-    ok8 = intra | (colr == 0)
-    avail = ok8.reshape(mbh, 2, mbw, 2).all(axis=(1, 3))
-    return avail, mv0, mv1
+    if mref:
+        avail = np.ones((mbh, mbw), bool)
+    else:
+        ok8 = intra | (colr == 0)
+        avail = ok8.reshape(mbh, 2, mbw, 2).all(axis=(1, 3))
+    return avail, mv0, mv1, ref8
 
 
 def _tdir_mb(tdir, my, mx):
     """One MB's direct derivation from the precomputed temporal field
-    (same return shape as spatial_direct)."""
-    avail, tmv0, tmv1 = tdir
+    (same return shape as spatial_direct + per-8x8 L0 refs)."""
+    avail, tmv0, tmv1, tref = tdir
     ok = bool(avail[my, mx])
     dmv0 = tmv0[2 * my:2 * my + 2, 2 * mx:2 * mx + 2].reshape(4, 2)
     dmv1 = tmv1[2 * my:2 * my + 2, 2 * mx:2 * mx + 2].reshape(4, 2)
-    return ok, ok, dmv0, dmv1
+    dr8 = tref[2 * my:2 * my + 2, 2 * mx:2 * mx + 2].reshape(4)
+    return ok, ok, dmv0, dmv1, dr8
 
 
 def approx_direct_fields(mv0, mv1, col_mv4, col_ref4):
@@ -890,7 +908,7 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
                 du0, du1, dmv0, dmv1 = spatial_direct(
                     g0, g1, col_mv4, col_ref4, my, mx)
             else:
-                du0, du1, dmv0, dmv1 = _tdir_mb(tdir, my, mx)
+                du0, du1, dmv0, dmv1, _dr8 = _tdir_mb(tdir, my, mx)
             if du0 and c_dir[my, mx] + lam <= c_cfg[my, mx]:
                 # B_Direct_16x16 (code 0): commit per 8x8
                 u0i, u1i = int(du0), int(du1)
@@ -984,12 +1002,14 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
             if intra is not None and intra[my, mx]:
                 continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
-            dr0 = dr1 = 0
+            dr1 = 0
+            dr8 = np.zeros(4, np.int32)
             if tdir is None:
                 du0, du1, dmv0, dmv1, dr0, dr1 = spatial_direct(
                     g0, g1, col_mv4, col_ref4, my, mx, with_refs=True)
+                dr8[:] = dr0
             else:
-                du0, du1, dmv0, dmv1 = _tdir_mb(tdir, my, mx)
+                du0, du1, dmv0, dmv1, dr8 = _tdir_mb(tdir, my, mx)
             cands = np.array([
                 (c_dir[my, mx] if du0 or du1 else (1 << 60))
                 + lam * hdr[0],
@@ -1005,12 +1025,13 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
                 use1[sy, sx] = u1i
                 fmv0[sy, sx] = dmv0.reshape(2, 2, 2)
                 fmv1[sy, sx] = dmv1.reshape(2, 2, 2)
-                ref8_0[sy, sx] = dr0 if u0i else -1
-                # commit per 8x8 (direct MVs can differ per block)
+                if u0i:
+                    ref8_0[sy, sx] = dr8.reshape(2, 2)
+                # commit per 8x8 (direct MVs/refs can differ per block)
                 for b in range(4):
                     by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
                     g0.commit(by, bx, 2, 2, dmv0[b],
-                              ref=dr0 if u0i else -1)
+                              ref=int(dr8[b]) if u0i else -1)
                     g1.commit(by, bx, 2, 2, dmv1[b],
                               ref=dr1 if u1i else -1)
                 continue

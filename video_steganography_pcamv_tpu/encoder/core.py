@@ -2373,7 +2373,20 @@ class Encoder:
         tdir = None        # active temporal field
         tfields = None     # computed temporal field (active or alt)
         if dmode in (2, 3) and pocs is not None:
-            dsf = BS.dist_scale_factor(*pocs)
+            if l0_stack is not None:
+                # multi-ref temporal direct: refIdxL0 = the colocated
+                # ref (map_col_to_list0 is the identity here — the B's
+                # L0 IS the colocated anchor's L0), one
+                # DistScaleFactor per L0 entry
+                disps_l0 = l0_stack[4]
+                dsf = np.array([
+                    BS.dist_scale_factor(
+                        pocs[0],
+                        2 * disps_l0[min(r, len(disps_l0) - 1)],
+                        pocs[2])
+                    for r in range(p.ref_frames)], np.int64)
+            else:
+                dsf = BS.dist_scale_factor(*pocs)
             tfields = BS.temporal_direct_fields(col_mv4, col_ref4, dsf)
             if not spatial_pred:
                 tdir = tfields
@@ -2383,6 +2396,8 @@ class Encoder:
                     np.zeros((2 * p.mb_height, 2 * p.mb_width, 2),
                              np.int32),
                     np.zeros((2 * p.mb_height, 2 * p.mb_width, 2),
+                             np.int32),
+                    np.zeros((2 * p.mb_height, 2 * p.mb_width),
                              np.int32))
         subs = None
         b_mref = l0_stack is not None

@@ -225,13 +225,10 @@ class Params:
         self.ref_frames = max(1, min(8, self.ref_frames))
         if self.ref_frames > 1:
             assert self.partitions, "multi-ref needs the partition path"
-            if self.bframes > 0:
-                # multi-ref B lists (b16x16 REF_COST ref sweep):
-                # spatial direct only (temporal needs
-                # map_col_to_list0 across refs); --weightb rides
-                # per-L0-ref implicit weight tables
-                assert self.direct in (0, 1), \
-                    "multi-ref B lists: --direct spatial/none only"
+            # multi-ref B lists combine with every direct mode:
+            # temporal maps the colocated ref through the (identity)
+            # map_col_to_list0 with per-ref DistScaleFactors; weightb
+            # rides per-L0-ref implicit weight tables
             if self.p4x4:
                 assert not self.stego.enabled, \
                     "multi-ref + sub-8x8 + embedding not combined " \
