@@ -206,3 +206,56 @@ def test_temporal_fields_multiref_unit():
     # block (1,1): dsf 64 -> mv0 = (mv*64+128)>>8
     np.testing.assert_array_equal(
         mv0[1, 1], [(-6 * 64 + 128) >> 8, (10 * 64 + 128) >> 8])
+
+
+@pytest.mark.parametrize("cabac,direct", [(False, 1), (True, 1),
+                                          (True, 2)])
+def test_bmref_partitions(cabac, direct):
+    """B partitions under multi-ref L0: the per-MB 16x16 REF_COST
+    winner feeds every shape (analyse.c a->l0.i_ref), ref_idx_l0 per
+    L0-using partition unit (te(v)/ctx-54, refs before mvds),
+    per-unit ref-aware MVPs, direct subs at derived refs. The full B
+    MB zoo must appear and the stream decode bit-exactly."""
+    frames = _anchor_flicker(9, seed=39)
+    # add split motion so partitions actually win
+    for i, f in enumerate(frames):
+        f.y[60:96, 40 + 3 * i:76 + 3 * i] = \
+            frames[0].y[:36, :36]
+    p = Params(width=W, height=H, qp=26, me_range=8, ref_frames=3,
+               bframes=2, b_adapt=0, cabac=cabac, direct=direct)
+    p.validate()
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+    dec = decode_annexb(bs)
+    assert len(dec) == 9
+    kinds = set()
+    for i, d in enumerate(dec):
+        if d.slice_type in (1, 6):
+            kinds |= {m.mb_type for m in d.mbs}
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+        ru = enc.recon_by_disp[i][1][:H // 2, :W // 2] \
+            .astype(np.uint8)
+        np.testing.assert_array_equal(d.u, ru, err_msg=f"frame {i} U")
+    assert {"B16x8", "B8x16", "B8x8"} & kinds, kinds
+    # the ref sweep must pick ref > 0 somewhere
+    r = getattr(enc, "_last_b_ref0", None)
+    assert r is not None
+
+
+def test_bmref_partitions_weightb_intra():
+    """Partitions + multi-ref + weightb + intra-in-B together."""
+    frames = _anchor_flicker(9, seed=41)
+    for i, f in enumerate(frames):
+        f.y[60:96, 40 + 3 * i:76 + 3 * i] = frames[0].y[:36, :36]
+    p = Params(width=W, height=H, qp=26, me_range=8, ref_frames=2,
+               bframes=2, b_adapt=0, cabac=True, weightb=True)
+    p.validate()
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+    dec = decode_annexb(bs)
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")

@@ -710,6 +710,16 @@ class CabacSliceParser:
             uses = (list(u0), list(u1))
             dirs = set()
             subs = None
+        # ref_idx_l0 per L0-using non-direct unit (multi-ref B lists;
+        # refs before mvds, spec 7.3.5.1/7.3.5.2). The ref ctx cache
+        # stays 0 for direct/L1-only units (spec 9.3.3.1.1.6).
+        refs_u = [0] * len(geom)
+        for u, ((oy, ox), h4, w4) in enumerate(geom):
+            if uses[0][u] and u not in dirs and self.num_ref > 1:
+                refs_u[u] = self.ref_idx(y4 + oy, x4 + ox, h4, w4)
+            else:
+                self.ref4[y4 + oy:y4 + oy + h4,
+                          x4 + ox:x4 + ox + w4] = 0
         mvds = [[None] * len(geom), [None] * len(geom)]
         for li in (0, 1):
             cache = self.mvd4 if li == 0 else self.mvd4_1
@@ -746,7 +756,7 @@ class CabacSliceParser:
             self.nnz_c[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
         self.prev_coded = 1 if (cbp_luma or cbp_chroma) else 0
         return (subs, mvds, cbp_luma, cbp_chroma, blocks, cdcs,
-                cacs)
+                cacs, refs_u)
 
     def parse_b_skip_mb(self, my, mx):
         self._clear_mb_ctx(my, mx)

@@ -1198,20 +1198,22 @@ class SliceDecoder:
             ((2,), 2, 0, 2, 2, 3), ((3,), 2, 2, 2, 2, 3)],
     }
 
-    def _derive_b_parts_mvs(self, mx, my, mb_type, subs, mvds):
+    def _derive_b_parts_mvs(self, mx, my, mb_type, subs, mvds,
+                            refs_u=None):
         """MV derivation + neighbor-field commit for a B partition MB —
         twin of the encoder's per-MB walk (bslice.py scan_b_parts):
         spatial direct first (before any commit of this MB), then
         all-L0-then-all-L1 unit order; within a list a later unit's MVP
         sees this MB's earlier units (spec 8.4.1.3). mvds:
-        [2][n_units] of (x, y) or None. Returns (use0 [4], use1 [4],
-        mv0 [4,2], mv1 [4,2] per 8x8 z-order, unit_mvs)."""
+        [2][n_units] of (x, y) or None; refs_u: per-unit L0 refs
+        (multi-ref B lists; None = all 0). Returns (use0 [4], use1
+        [4], mv0 [4,2], mv1 [4,2] per 8x8 z-order, r8 [4] per-8x8 L0
+        refs, unit_mvs)."""
         from ..encoder.cavlc import B_CODE_USES, B_SUB_USES
         y4, x4 = 4 * my, 4 * mx
-        assert self.b_l0_active == 1, \
-            "B partitions + multi-ref L0 not supported (encoder " \
-            "never combines them)"
-        du0, du1, dmv0, dmv1, _dr0, _dr1 = self._direct(my, mx)
+        du0, du1, dmv0, dmv1, dr0, _dr1 = self._direct(my, mx)
+        dr8 = np.broadcast_to(np.asarray(dr0), (4,))
+        r8_out = np.zeros(4, np.int32)
         if mb_type == 22:
             geom = self._B_UNIT_GEOM[3]
             uses = ([B_SUB_USES[int(s)][0] for s in subs],
@@ -1231,15 +1233,20 @@ class SliceDecoder:
             mvf = self.mv4 if li == 0 else self.mv4_1
             rff = self.ref4 if li == 0 else self.ref4_1
             for u, (blocks, oy, ox, h4, w4, kind) in enumerate(geom):
+                ur = 0 if refs_u is None or li == 1 else int(refs_u[u])
                 if u in direct_units:
                     ui = int(duse)
                     for b in blocks:
                         use_v[li][b] = ui
                         if ui:
                             mv_v[li][b] = dmv[b]
+                            if li == 0:
+                                r8_out[b] = int(dr8[b])
                         by, bx = y4 + 2 * (b >> 1), x4 + 2 * (b & 1)
                         mvf[by:by + 2, bx:bx + 2] = dmv[b]
-                        rff[by:by + 2, bx:bx + 2] = 0 if ui else -1
+                        rff[by:by + 2, bx:bx + 2] = \
+                            (int(dr8[b]) if li == 0 else 0) \
+                            if ui else -1
                         self.dec4[by:by + 2, bx:bx + 2] = True
                         if li == 0:
                             unit_mvs.append((int(dmv[b][0]),
@@ -1249,7 +1256,7 @@ class SliceDecoder:
                 mv = np.zeros(2, np.int32)
                 if used:
                     mvp = self._unit_mvp(y4 + oy, x4 + ox, w4, kind, u,
-                                         ref=0, lst=li)
+                                         ref=ur, lst=li)
                     d = mvds[li][u]
                     mv = np.array([mvp[0] + d[0], mvp[1] + d[1]],
                                   np.int32)
@@ -1257,14 +1264,16 @@ class SliceDecoder:
                     use_v[li][b] = 1 if used else 0
                     if used:
                         mv_v[li][b] = mv
+                        if li == 0:
+                            r8_out[b] = ur
                 mvf[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = mv
                 rff[y4 + oy:y4 + oy + h4, x4 + ox:x4 + ox + w4] = \
-                    0 if used else -1
+                    ur if used else -1
                 self.dec4[y4 + oy:y4 + oy + h4,
                           x4 + ox:x4 + ox + w4] = True
                 if li == 0:
                     unit_mvs.append((int(mv[0]), int(mv[1])))
-        return use_v[0], use_v[1], mv_v[0], mv_v[1], unit_mvs
+        return use_v[0], use_v[1], mv_v[0], mv_v[1], r8_out, unit_mvs
 
     def decode_b_mb_parts(self, br: BitReader, mx: int, my: int,
                           mb_type: int, qp: int):
@@ -1290,14 +1299,22 @@ class SliceDecoder:
             uses = (list(u0t), list(u1t))
             direct_units = []
             subs = None
+        # ref_idx_l0 per L0-using non-direct unit (multi-ref B
+        # lists; spec 7.3.5.1/7.3.5.2 order: refs before mvds)
+        refs_u = [0] * len(geom)
+        if self.b_l0_active > 1:
+            for u in range(len(geom)):
+                if uses[0][u] and u not in direct_units:
+                    refs_u[u] = br.read_te(self.b_l0_active - 1)
         # parse mvds: all L0 units then all L1 units
         mvds = [[None] * len(geom), [None] * len(geom)]
         for li in (0, 1):
             for u in range(len(geom)):
                 if uses[li][u] and u not in direct_units:
                     mvds[li][u] = (br.read_se(), br.read_se())
-        use0v, use1v, mv0, mv1, unit_mvs = self._derive_b_parts_mvs(
-            mx, my, mb_type, subs, mvds)
+        use0v, use1v, mv0, mv1, r8, unit_mvs = \
+            self._derive_b_parts_mvs(mx, my, mb_type, subs, mvds,
+                                     refs_u)
         # residual (same syntax tail as the 16x16 path)
         cbp_code = br.read_ue()
         cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
@@ -1321,7 +1338,8 @@ class SliceDecoder:
             else:
                 self.nnz_y[4 * my + by, 4 * mx + bx] = 0
         self._recon_b(mx, my, use0v, use1v, mv0, mv1, blocks_r,
-                      cbp_chroma, br, qp, qpc, read_chroma=True)
+                      cbp_chroma, br, qp, qpc, read_chroma=True,
+                      r0=r8)
         self.decoded[my, mx] = True
         kind = "B8x8" if mb_type == 22 else \
             ("B16x8" if mb_type in (4, 6, 8, 10, 12, 14, 16, 18, 20)
@@ -1790,13 +1808,13 @@ def _recon_b_parts_cabac(dec, ps, my, mx, code, qp, qpc):
     """B partition MB, CABAC (codes 4-22): parse via
     parse_b_mb_parts, derive/commit MVs via the shared
     _derive_b_parts_mvs, then the standard bipred recon."""
-    subs, mvds, cbpl, cbpc, blk_lv, cdcs, cacs = \
+    subs, mvds, cbpl, cbpc, blk_lv, cdcs, cacs, refs_u = \
         ps.parse_b_mb_parts(my, mx, code)
     qp = ps.qp
     qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
                                 0, 51)])
-    use0v, use1v, mv0, mv1, unit_mvs = dec._derive_b_parts_mvs(
-        mx, my, code, subs, mvds)
+    use0v, use1v, mv0, mv1, r8, unit_mvs = dec._derive_b_parts_mvs(
+        mx, my, code, subs, mvds, refs_u)
     u0a = np.broadcast_to(np.asarray(use0v), (4,))
     u1a = np.broadcast_to(np.asarray(use1v), (4,))
     blocks = np.zeros((4, 4, 4, 4), np.int64)
@@ -1808,7 +1826,8 @@ def _recon_b_parts_cabac(dec, ps, my, mx, code, qp, qpc):
     for b in range(4):
         oy, ox = 8 * (b >> 1), 8 * (b & 1)
         pred[oy:oy + 8, ox:ox + 8] = dec._b_pred_luma8(
-            gy + oy, gx + ox, u0a[b], u1a[b], mv0[b], mv1[b])
+            gy + oy, gx + ox, u0a[b], u1a[b], mv0[b], mv1[b],
+            r0=int(r8[b]))
     for by in range(4):
         for bx in range(4):
             py, px = gy + 4 * by, gx + 4 * bx
@@ -1822,7 +1841,7 @@ def _recon_b_parts_cabac(dec, ps, my, mx, code, qp, qpc):
             oy, ox = 4 * (b >> 1), 4 * (b & 1)
             cpred[oy:oy + 4, ox:ox + 4] = dec._b_pred_chroma4(
                 ch, 8 * my + oy, 8 * mx + ox, u0a[b], u1a[b],
-                mv0[b], mv1[b])
+                mv0[b], mv1[b], r0=int(r8[b]))
         cpreds.append(cpred)
     _recon_chroma_from(dec, ps, my, mx, 0, cbpc, cdcs, cacs, qpc,
                        False, preds=cpreds)

@@ -440,6 +440,7 @@ def encode_b_frame_device(y, u, v, ref0_luma, ref0_u, ref0_v,
 # ---------------------------------------------------------------------------
 
 from .partition import (fullpel_search_parts, gather_windows8_jnp,
+                        gather_windows8_mref,
                         block_table8, wht8_flat, satd_flat, subpel_parts,
                         _mb_blocks8, _sp_to_z, _z_to_sp, BLOCK_UNIT,
                         N_UNITS, UNIT_BLOCKS, D_16x16 as PD16,
@@ -456,6 +457,20 @@ B_CODE_16X8 = np.array([[4, 8, 12], [10, 6, 14], [16, 18, 20]], np.int32)
 B_CODE_8X16 = np.array([[5, 9, 13], [11, 7, 15], [17, 19, 21]], np.int32)
 # sub_mb_type ue codes: sel {0:L0,1:L1,2:BI,3:direct} -> code
 _B_SUB_CODE = np.array([1, 2, 3, 0], np.int32)
+
+
+def _gather8_fp_mref(planes_r, r8, mv8sp, mbh: int, mbw: int):
+    """Multi-ref twin of _gather8_fp: planes_r [R,Hp,Wp] full-pel
+    planes, r8 [N8] per-8x8 ref index."""
+    n8 = 4 * mbh * mbw
+    bys = (jnp.arange(n8) // (2 * mbw)) * 8
+    bxs = (jnp.arange(n8) % (2 * mbw)) * 8
+    mvf = mv8sp.reshape(n8, 2)
+    ys = bys + mc.PAD + mvf[:, 1]
+    xs = bxs + mc.PAD + mvf[:, 0]
+    yy = ys[:, None] + jnp.arange(8)
+    xx = xs[:, None] + jnp.arange(8)
+    return planes_r[r8[:, None, None], yy[:, :, None], xx[:, None, :]]
 
 
 def _gather8_fp(plane, mv8sp, mbh: int, mbw: int):
@@ -513,9 +528,52 @@ def analyse_b_parts_stage1(y, ref0_luma, ref1_luma, rng: int,
     return st0, st1
 
 
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "nrefs"))
+def analyse_b_parts_stage1_mref(y, refs0_luma, n_valid, ref1_luma,
+                                rng: int, mbh: int, mbw: int, lam,
+                                nrefs: int):
+    """Multi-ref twin of analyse_b_parts_stage1: the L0 all-shapes
+    scan runs per DPB entry; the per-MB ref is chosen at 16x16 with
+    REF_COST (the x264 b16x16 ref sweep feeding every partition shape
+    of that MB, analyse.c a->l0.i_ref), and the whole L0 state is
+    gathered per MB at that ref. The per-unit te(ref) bits ride the
+    merged L0 cost fields so the shape decision pays them. Returns
+    (st0, st1, ref0 [mbh,mbw])."""
+    from .partition import te_ref_bits
+    zero = jnp.zeros((mbh, mbw, 2), jnp.int32)
+    ref_bits = jnp.asarray(te_ref_bits(nrefs))
+    sts = [fullpel_search_parts.__wrapped__(
+        y, refs0_luma[r][0], zero, rng, mbh, mbw, lam)
+        for r in range(nrefs)]
+    c16 = jnp.stack([
+        jnp.where(r < n_valid,
+                  sts[r]["c16"] + lam * ref_bits[r],
+                  jnp.int32(1 << 28))
+        for r in range(nrefs)])
+    ref0 = jnp.argmin(c16, axis=0).astype(jnp.int32)      # [mbh,mbw]
+    st0 = {}
+    for k in sts[0]:
+        arr = jnp.stack([sts[r][k] for r in range(nrefs)])
+        idx = ref0.reshape((1, mbh, mbw) + (1,) * (arr.ndim - 3))
+        st0[k] = jnp.take_along_axis(
+            arr, jnp.broadcast_to(idx, (1,) + arr.shape[1:]),
+            axis=0)[0]
+    rb = (lam * ref_bits[ref0]).astype(st0["c16"].dtype)
+    st0 = dict(st0)
+    st0["c16"] = st0["c16"] + rb
+    st0["c16x8"] = st0["c16x8"] + rb[..., None]
+    st0["c8x16"] = st0["c8x16"] + rb[..., None]
+    st0["c8"] = st0["c8"] + rb[..., None]
+    st1 = fullpel_search_parts.__wrapped__(
+        y, ref1_luma[0], zero, rng, mbh, mbw, lam)
+    return st0, st1, ref0
+
+
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "subpel"))
 def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
-                    mbh: int, mbw: int, lam, subpel: int, w1=32):
+                    mbh: int, mbw: int, lam, subpel: int, w1=32,
+                    ref0_map=None):
     """Fused B partition analysis (stage 2).
 
     st0/st1: per-list all-shapes states from analyse_b_parts_stage1;
@@ -534,6 +592,12 @@ def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
     cur8 = _mb_blocks8(y, mbh, mbw)
     wcur8 = wht8_flat(cur8)                                # [N8,64]
     zero = jnp.zeros((mbh, mbw, 2), jnp.int32)
+    # multi-ref B lists: ref0_luma is a STACKED [R,4,Hp,Wp] DPB and
+    # ref0_map [mbh,mbw] selects each MB's plane for every L0 gather
+    r8_map = None
+    if ref0_map is not None:
+        r8_map = jnp.repeat(jnp.repeat(ref0_map, 2, 0), 2, 1) \
+            .reshape(n8)
 
     bits_t = jnp.asarray(mv_bits_table(4 * 512))
     boff = 4 * 512
@@ -551,8 +615,12 @@ def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
     # the shape's unit MVs, SAD per 8x8, reduce per unit
     bi_unit = []                               # [4][mbh,mbw,4] unit sums
     for s in range(4):
-        w0 = _gather8_fp(ref0_luma[0], _z_to_sp(f0[s], mbh, mbw),
-                         mbh, mbw)
+        if r8_map is None:
+            w0 = _gather8_fp(ref0_luma[0], _z_to_sp(f0[s], mbh, mbw),
+                             mbh, mbw)
+        else:
+            w0 = _gather8_fp_mref(ref0_luma[:, 0], r8_map,
+                                  _z_to_sp(f0[s], mbh, mbw), mbh, mbw)
         w1b = _gather8_fp(ref1_luma[0], _z_to_sp(f1[s], mbh, mbw),
                           mbh, mbw)
         avg = _bi_avg(w0, w1b, w1)
@@ -606,9 +674,14 @@ def analyse_b_parts(y, ref0_luma, ref1_luma, st0, st1, c_dir8,
 
     # ---- subpel refinement per list at the chosen shape ----
     outs = []
-    for ref_luma, mvfp8 in ((ref0_luma, mvfp8_0), (ref1_luma, mvfp8_1)):
-        win = gather_windows8_jnp(ref_luma.astype(jnp.uint8), mvfp8,
-                                  mbh, mbw)
+    for li, (ref_luma, mvfp8) in enumerate(
+            ((ref0_luma, mvfp8_0), (ref1_luma, mvfp8_1))):
+        if li == 0 and r8_map is not None:
+            win = gather_windows8_mref(
+                ref_luma.astype(jnp.uint8), mvfp8, r8_map, mbh, mbw)
+        else:
+            win = gather_windows8_jnp(ref_luma.astype(jnp.uint8),
+                                      mvfp8, mbh, mbw)
         blocks8 = block_table8(win)                        # [169,N8,8,8]
         wtab = wht8_flat(blocks8).astype(jnp.int16)
         mv8, r_idx8, _ = subpel_parts.__wrapped__(
@@ -875,11 +948,15 @@ _B_UNIT_GEOM = {
 
 
 def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
-                 col_ref4, lam: int, intra=None, tdir=None):
+                 col_ref4, lam: int, intra=None, tdir=None,
+                 ref0=None):
     """Host raster commit for the B partition path: exact spatial
     direct derivation, direct-vs-config decision, per-unit MVP/mvd for
     both lists (all-L0-then-all-L1 syntax order; within a list the MVP
     of a later unit sees this MB's earlier units, spec 8.4.1.3).
+    ref0: optional [mbh,mbw] per-MB L0 ref (multi-ref B lists: every
+    L0/BI unit of the MB codes that ref, the x264 per-MB ref model);
+    appends ref8_0 [2mbh,2mbw] to the returns (-1 where L0 unused).
 
     part/sel8/c_cfg: analyse_b_parts outputs (numpy); mv0z/mv1z
     [mbh,mbw,4,2] z-order per-block qpel fields; c_dir [mbh,mbw]
@@ -899,16 +976,20 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
     fmv1 = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)
     mvd0 = np.zeros((mbh, mbw, 4, 2), np.int32)
     mvd1 = np.zeros((mbh, mbw, 4, 2), np.int32)
+    ref8_0 = np.full((2 * mbh, 2 * mbw), -1, np.int32)
     for my in range(mbh):
         for mx in range(mbw):
             if intra is not None and intra[my, mx]:
                 continue  # not committed: unavailable to neighbours
             y4, x4 = 4 * my, 4 * mx
+            dr8 = np.zeros(4, np.int32)
             if tdir is None:
-                du0, du1, dmv0, dmv1 = spatial_direct(
-                    g0, g1, col_mv4, col_ref4, my, mx)
+                du0, du1, dmv0, dmv1, dsr0, _dr1 = spatial_direct(
+                    g0, g1, col_mv4, col_ref4, my, mx, with_refs=True)
+                dr8[:] = dsr0
             else:
-                du0, du1, dmv0, dmv1, _dr8 = _tdir_mb(tdir, my, mx)
+                du0, du1, dmv0, dmv1, dr8 = _tdir_mb(tdir, my, mx)
+            r0 = int(ref0[my, mx]) if ref0 is not None else 0
             if du0 and c_dir[my, mx] + lam <= c_cfg[my, mx]:
                 # B_Direct_16x16 (code 0): commit per 8x8
                 u0i, u1i = int(du0), int(du1)
@@ -919,10 +1000,11 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
                     use1[sy, sx] = u1i
                     if u0i:
                         fmv0[sy, sx] = dmv0[b]
+                        ref8_0[sy, sx] = int(dr8[b])
                     if u1i:
                         fmv1[sy, sx] = dmv1[b]
                     g0.commit(by, bx, 2, 2, dmv0[b],
-                              ref=0 if u0i else -1)
+                              ref=int(dr8[b]) if u0i else -1)
                     g1.commit(by, bx, 2, 2, dmv1[b],
                               ref=0 if u1i else -1)
                 continue
@@ -957,24 +1039,31 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
                             usearr[sy, sx] = ui
                             if ui:
                                 fmvarr[sy, sx] = dmv[b]
+                                if l == 0:
+                                    ref8_0[sy, sx] = int(dr8[b])
                             g.commit(y4 + 2 * (b >> 1), x4 + 2 * (b & 1),
-                                     2, 2, dmv[b], ref=0 if ui else -1)
+                                     2, 2, dmv[b],
+                                     ref=(int(dr8[b]) if l == 0 else 0)
+                                     if ui else -1)
                         continue
                     uses = (s == l) or (s == 2)
+                    ur = r0 if l == 0 else 0
                     mv = mvz[my, mx, b0].copy() if uses \
                         else np.zeros(2, np.int32)
                     if uses:
                         mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, kind,
-                                       u, ref=0)
+                                       u, ref=ur)
                         mvdarr[my, mx, u] = mv - mvp
                     for b in blocks:
                         sy, sx = 2 * my + (b >> 1), 2 * mx + (b & 1)
                         usearr[sy, sx] = 1 if uses else 0
                         if uses:
                             fmvarr[sy, sx] = mv
+                            if l == 0:
+                                ref8_0[sy, sx] = ur
                     g.commit(y4 + oy, x4 + ox, h4, w4, mv,
-                             ref=0 if uses else -1)
-    return code, subs, use0, use1, fmv0, fmv1, mvd0, mvd1
+                             ref=ur if uses else -1)
+    return code, subs, use0, use1, fmv0, fmv1, mvd0, mvd1, ref8_0
 
 
 def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,

@@ -987,8 +987,11 @@ class CabacSliceWriter:
 
     def write_b_mb_ext(self, my, mx, code: int, subs, mvd0, mvd1,
                        cbp_luma, cbp_chroma, luma_blocks, chroma_dc,
-                       chroma_ac, dqp: int = 0):
+                       chroma_ac, dqp: int = 0, ref0: int = 0,
+                       num_ref: int = 1):
         """B partition MB (codes 4-22): mb_type bins, B_8x8 sub types,
+        ref_idx_l0 per L0-using non-direct unit (multi-ref B lists,
+        num_ref > 1 — refs before mvds per spec 7.3.5.1/7.3.5.2),
         per-unit mvds all-L0-then-all-L1 (reference encoder/cabac.c
         B_8x8 / 'All B mode' branches :894-975). mvd0/mvd1: [4,2]
         per-unit in coding order."""
@@ -1008,6 +1011,14 @@ class CabacSliceWriter:
             geom = _B_GEOM[1 if code % 2 == 0 else 2]
             uses = (list(u0), list(u1))
             dirs = []
+        for u, ((oy, ox), h4, w4) in enumerate(geom):
+            if uses[0][u] and u not in dirs and num_ref > 1:
+                self.ref_idx(y4 + oy, x4 + ox, h4, w4, int(ref0))
+            else:
+                # spec 9.3.3.1.1.6: direct/L1-only neighbours
+                # contribute 0 to the ref ctx
+                self.ref4[y4 + oy:y4 + oy + h4,
+                          x4 + ox:x4 + ox + w4] = 0
         for li, mvd in ((0, mvd0), (1, mvd1)):
             cache = self.mvd4 if li == 0 else self.mvd4_1
             for u, ((oy, ox), h4, w4) in enumerate(geom):

@@ -455,6 +455,13 @@ class FrameCavlc:
         if btype == 22:
             for b in range(4):
                 bw.write_ue(int(subs[b]))   # sub_mb_type (Table 7-18)
+            if num_ref > 1:
+                # ref_idx_l0 per non-direct L0-using 8x8 (spec
+                # 7.3.5.2 sub_mb_pred order: refs before mvds)
+                for b in range(4):
+                    sb = int(subs[b])
+                    if sb != 0 and B_SUB_USES[sb][0]:
+                        bw.write_te(num_ref - 1, int(ref0))
             for mvd, li in ((mvd0, 0), (mvd1, 1)):
                 for b in range(4):
                     if B_SUB_USES[int(subs[b])][li]:
@@ -462,6 +469,12 @@ class FrameCavlc:
                         bw.write_se(int(mvd[b, 1]))
         else:
             n_units, u0, u1 = B_CODE_USES[btype]
+            if num_ref > 1 and btype > 3:
+                # ref_idx_l0 per L0-using partition (spec 7.3.5.1
+                # mb_pred order: all refs before all mvds)
+                for u in range(n_units):
+                    if u0[u]:
+                        bw.write_te(num_ref - 1, int(ref0))
             for mvd, uses in ((mvd0, u0), (mvd1, u1)):
                 for u in range(n_units):
                     if uses[u]:

@@ -2401,7 +2401,24 @@ class Encoder:
                              np.int32))
         subs = None
         b_mref = l0_stack is not None
-        use_parts = p.partitions and not b_mref
+        use_parts = p.partitions
+        ref0_16 = None
+        ref8_0 = None
+        if b_mref:
+            refs0_l, refs0_u, refs0_v, n_valid, l0_disps = l0_stack
+            # the slice may only signal as many L0 entries as the
+            # DPB actually holds (first GOPs after an IDR)
+            b_l0_eff = max(1, min(int(n_valid), p.ref_frames))
+            # implicit bipred weight PER L0 REF (x264
+            # h->mb.bipred_weight[i_ref0][i_ref1]); scalar 32 when
+            # --weightb is off
+            w_tab = np.array([
+                BS.bipred_weight(
+                    2 * disp,
+                    2 * l0_disps[min(r, len(l0_disps) - 1)],
+                    pocs[2] if pocs is not None else 2 * disp + 2,
+                    p.weightb)
+                for r in range(p.ref_frames)], np.int32)
         # intra-in-B (analyse.c:3110+ considers intra in B MBs too);
         # same gating as intra-in-P
         do_intra = (p.intra_in_p and self._stego is None
@@ -2410,11 +2427,19 @@ class Encoder:
         direct_c = None
         if use_parts:
             # B partitions (16x8/8x16 combos + B_8x8 subs): two-stage
-            # device analysis, host commit scan (bslice.py)
+            # device analysis, host commit scan (bslice.py); under
+            # multi-ref the per-MB L0 ref is the 16x16 REF_COST
+            # winner, reused by every shape (analyse.c a->l0.i_ref)
             from .partition import _sp_to_z
-            st0, st1 = BS.analyse_b_parts_stage1(
-                y, ref0["luma"], ref1["luma"], p.me_range, mbh, mbw,
-                lam)
+            if b_mref:
+                st0, st1, ref0_d = BS.analyse_b_parts_stage1_mref(
+                    y, refs0_l, jnp.asarray(n_valid), ref1["luma"],
+                    p.me_range, mbh, mbw, lam, p.ref_frames)
+                ref0_16 = np.asarray(ref0_d)
+            else:
+                st0, st1 = BS.analyse_b_parts_stage1(
+                    y, ref0["luma"], ref1["luma"], p.me_range, mbh,
+                    mbw, lam)
             if tdir is not None:
                 av8 = np.repeat(np.repeat(
                     tdir[0].astype(np.int32), 2, 0), 2, 1)
@@ -2433,9 +2458,15 @@ class Encoder:
                 # or B_8x8 direct subs)
                 c_dir8 = jnp.where(jnp.asarray(tdir[0])[:, :, None],
                                    c_dir8, 1 << 20)
-            stres = BS.analyse_b_parts(
-                y, ref0["luma"], ref1["luma"], st0, st1, c_dir8,
-                mbh, mbw, lam, p.subpel, w1=w1)
+            if b_mref:
+                stres = BS.analyse_b_parts(
+                    y, refs0_l, ref1["luma"], st0, st1, c_dir8,
+                    mbh, mbw, lam, p.subpel, w1=w1,
+                    ref0_map=jnp.asarray(ref0_16))
+            else:
+                stres = BS.analyse_b_parts(
+                    y, ref0["luma"], ref1["luma"], st0, st1, c_dir8,
+                    mbh, mbw, lam, p.subpel, w1=w1)
             mv0z = np.asarray(_sp_to_z(stres["mv0_8"], mbh, mbw))
             mv1z = np.asarray(_sp_to_z(stres["mv1_8"], mbh, mbw))
             part_np = np.asarray(stres["part"])
@@ -2451,30 +2482,16 @@ class Encoder:
                     parts=True)
             rescan_args = (part_np, sel8_np, mv0z, mv1z, c_cfg_np,
                            c_dir_mb, col_mv4, col_ref4, lam)
-            ref0_16, ref8_0 = None, None
-            mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
-                BS.scan_b_parts(*rescan_args, tdir=tdir)
+            (mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1,
+             ref8_0) = BS.scan_b_parts(*rescan_args, tdir=tdir,
+                                       ref0=ref0_16)
+            self._last_b_ref0 = ref0_16
             if do_intra:
                 inter_cost = np.minimum(c_dir_mb + lam, c_cfg_np)
                 direct_c = (mode == 0) | ((mode == 22)
                                           & (subs == 0).any(-1))
         else:
-            ref0_16 = None
             if b_mref:
-                refs0_l, refs0_u, refs0_v, n_valid, l0_disps = l0_stack
-                # the slice may only signal as many L0 entries as the
-                # DPB actually holds (first GOPs after an IDR)
-                b_l0_eff = max(1, min(int(n_valid), p.ref_frames))
-                # implicit bipred weight PER L0 REF (x264
-                # h->mb.bipred_weight[i_ref0][i_ref1]); scalar 32 when
-                # --weightb is off
-                w_tab = np.array([
-                    BS.bipred_weight(
-                        2 * disp,
-                        2 * l0_disps[min(r, len(l0_disps) - 1)],
-                        pocs[2] if pocs is not None else 2 * disp + 2,
-                        p.weightb)
-                    for r in range(p.ref_frames)], np.int32)
                 mv0, c0, ref0_d, mv1, c1, cbi = \
                     BS.analyse_b_frame_mref(
                         y, refs0_l, jnp.asarray(n_valid),
@@ -2578,9 +2595,10 @@ class Encoder:
                     res[k] = ir[k]
                 imask = intra_kind > 0
                 if use_parts:
-                    mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1 = \
-                        BS.scan_b_parts(*rescan_args, intra=imask,
-                                        tdir=tdir)
+                    (mode, subs, use0, use1, fmv0, fmv1, mvd0, mvd1,
+                     ref8_0) = BS.scan_b_parts(
+                        *rescan_args, intra=imask, tdir=tdir,
+                        ref0=ref0_16)
                 else:
                     (mode, use0, use1, fmv0, fmv1, mvd0, mvd1,
                      ref8_0) = BS.scan_b_frame(
@@ -2848,7 +2866,10 @@ class Encoder:
                                      res["luma_lev"][my, mx],
                                      res["chroma_dc"][my, mx],
                                      res["chroma_ac"][my, mx],
-                                     dqp=dq)
+                                     dqp=dq,
+                                     ref0=0 if ref0 is None
+                                     else int(ref0[my, mx]),
+                                     num_ref=num_ref)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
         return bw.get_bytes()
