@@ -4,23 +4,58 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/30}
 Baseline: BASELINE.json north star = 30 fps/chip 1080p encode+embed.
 
-Runs on whatever backend the driver provides (real TPU under axon).
-Measures the full pipeline: device analyse/encode/stego + host scan +
-CAVLC entropy + STC. First I+P frames are compile warmup and excluded.
+Outage-proof orchestration (the TPU is reached through a shared,
+known-flaky tunnel that can be down for hours):
+  * the backend is probed in a SUBPROCESS with a hard timeout (a dead
+    tunnel hangs imports/dispatch indefinitely — a timeout is the only
+    reliable failure signal);
+  * the measurement itself also runs in a subprocess, so a backend
+    that dies mid-run cannot poison the orchestrator;
+  * failures are retried with backoff across several minutes;
+  * a corrupted JAX compilation cache ("Fatal ... cache read") is
+    cleared and retried once;
+  * on final failure the record carries a DISTINCT metric name and the
+    process exits nonzero — a 0.0 can never masquerade as a
+    measurement again (VERDICT r2 weak #2).
 """
 
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+METRIC = "encode_embed_fps_1080p"
+CACHE_DIR = os.path.expanduser("~/.cache/pcamv_jax")
+PROBE_TIMEOUT = 180          # tiny matmul; generous for cold tunnel init
+RUN_TIMEOUT = 2400           # full 1080p bench incl. compiles
+BACKOFF = (20, 60, 120, 240, 300)   # ~12.5 min of waiting across retries
+
+_PROBE_SRC = r"""
+import os, jax
+# the image pins JAX_PLATFORMS=axon over the env var; only
+# jax.config.update can actually force another backend (smoke tests)
+plat = os.environ.get("PCAMV_BENCH_PLATFORM")
+if plat:
+    jax.config.update("jax_platforms", plat)
+import numpy as np, jax.numpy as jnp
+d = jax.devices()
+x = jnp.ones((256, 256), jnp.bfloat16)
+v = np.asarray(x @ x)[0, 0]
+print("PROBE_OK", d[0].platform, float(v))
+"""
 
 
-def run(width=1920, height=1088, n_measure=6, qp=26, em_rate=64.0):
+def run(width=1920, height=1088, n_measure=8, qp=26, em_rate=64.0):
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/pcamv_jax"))
+    plat = os.environ.get("PCAMV_BENCH_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import numpy as np
     from video_steganography_pcamv_tpu.params import Params, StegoParams
@@ -60,26 +95,104 @@ def run(width=1920, height=1088, n_measure=6, qp=26, em_rate=64.0):
     return fps, recovered
 
 
-def main():
+def _child():
+    """Run the measurement and print the JSON record (subprocess mode)."""
+    # smoke-test overrides (CI / CPU): PCAMV_BENCH_DIMS="352x288x3"
+    kw = {}
+    dims = os.environ.get("PCAMV_BENCH_DIMS")
+    if dims:
+        w, h, n = (int(v) for v in dims.split("x"))
+        kw = dict(width=w, height=h, n_measure=n)
     try:
-        fps, recovered = run()
-        metric = "encode_embed_fps_1080p"
-        if not recovered:
-            metric += "_PAYLOAD_LOSS"
-        print(json.dumps({
-            "metric": metric,
-            "value": round(fps, 4),
-            "unit": "fps",
-            "vs_baseline": round(fps / 30.0, 5),
-        }))
+        fps, recovered = run(**kw)
     except Exception as e:  # noqa: BLE001
-        print(json.dumps({
-            "metric": "encode_embed_fps_1080p",
-            "value": 0.0,
-            "unit": "fps",
-            "vs_baseline": 0.0,
-            "error": str(e)[:200],
-        }))
+        print(json.dumps({"child_error": str(e)[:400]}))
+        sys.exit(2)
+    metric = METRIC if recovered else METRIC + "_PAYLOAD_LOSS"
+    print(json.dumps({
+        "metric": metric,
+        "value": round(fps, 4),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 5),
+    }))
+    sys.exit(0)
+
+
+def _probe():
+    """Check the backend is alive with a bounded tiny-matmul subprocess."""
+    try:
+        r = subprocess.run([sys.executable, "-c", _PROBE_SRC],
+                           capture_output=True, text=True,
+                           timeout=PROBE_TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return False, "probe timeout (%ds)" % PROBE_TIMEOUT
+    out = (r.stdout or "") + (r.stderr or "")
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return True, r.stdout.strip().splitlines()[-1]
+    return False, out.strip()[-400:]
+
+
+def _looks_like_cache_corruption(text):
+    t = text.lower()
+    return ("cache" in t and ("abort" in t or "corrupt" in t
+                              or "fatal" in t or "deserializ" in t))
+
+
+def main():
+    if "--run" in sys.argv:
+        _child()
+        return
+
+    last_err = "no attempt made"
+    cache_cleared = False
+    for attempt, delay in enumerate(BACKOFF + (0,)):
+        if attempt:
+            time.sleep(BACKOFF[min(attempt - 1, len(BACKOFF) - 1)])
+        ok, info = _probe()
+        if not ok:
+            last_err = "backend probe failed: " + info
+            sys.stderr.write("[bench] attempt %d: %s\n" % (attempt, last_err))
+            continue
+        sys.stderr.write("[bench] attempt %d: %s\n" % (attempt, info))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                capture_output=True, text=True, timeout=RUN_TIMEOUT)
+        except subprocess.TimeoutExpired:
+            last_err = "bench run timeout (%ds)" % RUN_TIMEOUT
+            sys.stderr.write("[bench] %s\n" % last_err)
+            continue
+        sys.stderr.write(r.stderr[-2000:] if r.stderr else "")
+        rec = None
+        for line in reversed((r.stdout or "").strip().splitlines()):
+            try:
+                rec = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if r.returncode == 0 and rec and "metric" in rec:
+            print(json.dumps(rec))
+            sys.exit(0)
+        last_err = (rec or {}).get(
+            "child_error", (r.stdout or r.stderr or "no output").strip()[-400:])
+        sys.stderr.write("[bench] attempt %d failed: %s\n"
+                         % (attempt, last_err))
+        if _looks_like_cache_corruption(last_err) and not cache_cleared:
+            # known-trap: a torn write leaves the persistent compilation
+            # cache unreadable; clearing it is the documented fix
+            shutil.rmtree(CACHE_DIR, ignore_errors=True)
+            cache_cleared = True
+            sys.stderr.write("[bench] cleared jax cache dir, retrying\n")
+
+    # final failure: DISTINCT metric + nonzero exit — never a silent 0.0
+    print(json.dumps({
+        "metric": METRIC + "_BACKEND_UNAVAILABLE",
+        "value": 0.0,
+        "unit": "fps",
+        "vs_baseline": 0.0,
+        "error": last_err[:400],
+    }))
+    sys.exit(1)
 
 
 if __name__ == "__main__":
