@@ -105,3 +105,59 @@ def test_device_deblock_per_mb_qp_matches_native():
                                       err_msg=f"U t{trial}")
         np.testing.assert_array_equal(np.asarray(dv), rv,
                                       err_msg=f"V t{trial}")
+
+@pytest.mark.skipif(native.load() is None, reason="native lib missing")
+def test_device_deblock_chroma_qp_offset_thresh():
+    """chroma_qp_offset lowers qp_thresh (reference frame.c:633:
+    15 - min(offA, offB) - max(0, cqo)); QPs straddling the boundary
+    must gate internal edges identically on both backends, and low-QP
+    MBs must still filter their MB-boundary edges when an AQ
+    neighbour's qPav clears alpha/beta (no whole-MB early-out)."""
+    rng = np.random.RandomState(1515)
+    from video_steganography_pcamv_tpu.ops.transform import (
+        CHROMA_QP_TABLE)
+    for cqo in (0, 2, 6):
+        for trial in range(2):
+            mbh, mbw = rng.randint(2, 5), rng.randint(2, 6)
+            H, W = 16 * mbh, 16 * mbw
+            y = rng.randint(0, 256, (H, W)).astype(np.uint8)
+            y = ((y.astype(np.int32) // 8) + 110).astype(np.uint8)
+            gy, gx = np.mgrid[0:H // 2, 0:W // 2]
+            u = (128 + (gx % 16) // 3 + (gy % 16) // 4).astype(np.uint8)
+            v = np.roll(u, 3, axis=1).copy()
+            intra = (rng.rand(mbh, mbw) < 0.3).astype(np.uint8)
+            skip = ((rng.rand(mbh, mbw) < 0.2) & (intra == 0)) \
+                .astype(np.uint8)
+            nnz4 = (rng.rand(4 * mbh, 4 * mbw) < 0.5).astype(np.int32)
+            mv4 = rng.randint(-10, 11, (4 * mbh, 4 * mbw, 2)) \
+                .astype(np.int32)
+            # half the MBs sit at/below the threshold, adjacent to
+            # much higher-QP MBs: qPav on the shared edge exceeds the
+            # alpha cut even though the low MB alone would not
+            qp_map = np.where(rng.rand(mbh, mbw) < 0.5,
+                              rng.randint(6, 16, (mbh, mbw)),
+                              rng.randint(30, 46, (mbh, mbw))) \
+                .astype(np.int32)
+            qpc_map = CHROMA_QP_TABLE[
+                np.clip(qp_map + cqo, 0, 51)].astype(np.int32)
+            qp = int(qp_map[0, 0])
+            qpc = int(qpc_map[0, 0])
+
+            ry, ru, rv = y.copy(), u.copy(), v.copy()
+            native.deblock_frame(ry, ru, rv, intra, nnz4, mv4, skip,
+                                 qp, qpc, qp_map=qp_map,
+                                 qpc_map=qpc_map,
+                                 chroma_qp_offset=cqo)
+            dy, du, dv = deblock_frame_device(
+                jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+                jnp.asarray(v, jnp.int32), jnp.asarray(intra),
+                jnp.asarray(skip), jnp.asarray(nnz4),
+                jnp.asarray(mv4), jnp.asarray(qp_map),
+                jnp.asarray(qpc_map), mbh, mbw,
+                qp_thresh=15 - max(0, cqo))
+            np.testing.assert_array_equal(np.asarray(dy), ry,
+                                          err_msg=f"luma cqo{cqo}")
+            np.testing.assert_array_equal(np.asarray(du), ru,
+                                          err_msg=f"U cqo{cqo}")
+            np.testing.assert_array_equal(np.asarray(dv), rv,
+                                          err_msg=f"V cqo{cqo}")

@@ -1610,7 +1610,8 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                     ref4=np.maximum(dec.ref4, 0),
                     trans8=dec.mb_trans8.astype(np.uint8),
                     alpha_off=alpha_off, beta_off=beta_off,
-                    qp_map=qp_map, qpc_map=qpc_map)
+                    qp_map=qp_map, qpc_map=qpc_map,
+                    chroma_qp_offset=pps.chroma_qp_index_offset)
                 dec.y, dec.u, dec.v = (dy.astype(np.int64),
                                        du.astype(np.int64),
                                        dv.astype(np.int64))

@@ -65,7 +65,9 @@ def bipred_weight(poc_b: int, poc0: int, poc1: int,
     if td == 0:
         return 32
     tb = min(127, max(-128, poc_b - poc0))
-    tx = (16384 + (abs(td) >> 1)) // td
+    # C truncates toward zero; Python // floors — divide magnitudes
+    # and reapply the sign so td < 0 (L1[0] POC below L0[0]) matches
+    tx = (16384 + (abs(td) >> 1)) // abs(td) * (1 if td > 0 else -1)
     dsf = min(1023, max(-1024, (tb * tx + 32) >> 6)) >> 2
     if -64 <= dsf <= 128:
         return dsf
@@ -843,7 +845,9 @@ def dist_scale_factor(poc_b, poc0, poc1) -> int:
     tb = int(np.clip(poc_b - poc0, -128, 127))
     if td == 0:
         return 256
-    tx = (16384 + abs(td) // 2) // td
+    # trunc-toward-zero division (spec 8.4.1.2.3 / C semantics), not
+    # Python floor — matters when td < 0
+    tx = (16384 + abs(td) // 2) // abs(td) * (1 if td > 0 else -1)
     return int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
 
 

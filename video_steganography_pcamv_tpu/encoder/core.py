@@ -1343,6 +1343,7 @@ class Encoder:
             jnp.asarray(skip.astype(np.int32)),
             nnz4_dev, jnp.asarray(mv4), qp_arg, qpc_arg,
             p.mb_height, p.mb_width,
+            qp_thresh=15 - max(0, p.chroma_qp_offset),
             ref4=(jnp.asarray(ref4) if ref4 is not None else None))
         self._push_ref(mc.build_ref(dy, du, dv))
         if self.p.psnr or self.p.ssim or self.keep_recon:
@@ -1407,7 +1408,8 @@ class Encoder:
                              ref4=ref4, trans8=trans8,
                              alpha_off=2 * p.deblock_alpha,
                              beta_off=2 * p.deblock_beta,
-                             qp_map=qp_maps[0], qpc_map=qp_maps[1])
+                             qp_map=qp_maps[0], qpc_map=qp_maps[1],
+                             chroma_qp_offset=p.chroma_qp_offset)
         self.recon_prev = (ry, ru, rv)
         # upload as uint8 (4x fewer bytes over the tunnel); build_ref
         # casts on device

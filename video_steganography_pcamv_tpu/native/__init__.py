@@ -95,7 +95,7 @@ def load():
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_void_p]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
     lib.pcamv_write_slice_cabac.restype = ctypes.c_long
     lib.pcamv_write_slice_cabac.argtypes = [
         u8p, ctypes.c_long, u8p, ctypes.c_int,
@@ -367,7 +367,7 @@ def host_scan_p_forced(mv, skip):
 
 def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None,
                   trans8=None, alpha_off=0, beta_off=0, qp_map=None,
-                  qpc_map=None):
+                  qpc_map=None, chroma_qp_offset=0):
     """In-place H.264 deblocking of uint8 planes.
 
     y/u/v: MB-padded planes (modified in place); intra: [mbh,mbw] uint8;
@@ -407,7 +407,7 @@ def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None,
         np.ascontiguousarray(intra, np.uint8),
         _as_i32(nnz4).reshape(-1), _as_i32(mv).reshape(-1), ref_p,
         skip_p, qp, qpc, t8_p, int(alpha_off), int(beta_off),
-        qpm_p, qpcm_p)
+        qpm_p, qpcm_p, int(chroma_qp_offset))
 
 
 def stc_embed(cover, message, rho, h=10, state=None):

@@ -102,6 +102,7 @@ struct Ctx {
   int qp, qpc;
   const uint8_t* trans8 = nullptr;  // [N] transform_size_8x8 per MB
   int off_a = 0, off_b = 0;  // FilterOffsetA/B (2 * slice div2 values)
+  int cqo = 0;               // chroma_qp_index_offset (qp_thresh term)
   // per-MB QP maps (adaptive quantization): when set, MB edges use
   // QPav = (QPp + QPq + 1) >> 1 (spec 8.7.2.2 / reference
   // common/frame.c deblock_edge qp averaging); null = slice qp
@@ -131,10 +132,15 @@ void deblock_mb(const Ctx& c, int mbx, int mby) {
   const int cur_qp = c.qp_map ? c.qp_map[mb] : c.qp;
   const int cur_qpc = c.qpc_map ? c.qpc_map[mb] : c.qpc;
   const bool cur_intra = c.intra[mb];
+  // qp_thresh (reference frame.c:633): below it no internal edge can
+  // filter, but MB-boundary edges still can — their qPav with a
+  // higher-QP neighbour (AQ qp_map) may clear the alpha/beta cut, so
+  // there is no whole-MB early return; each edge re-checks its own
+  // alpha/beta below.
+  const int qp_thresh = 15 - (c.off_a < c.off_b ? c.off_a : c.off_b)
+                        - (c.cqo > 0 ? c.cqo : 0);
   int edge_end = (c.skip && c.skip[mb]) ? 1 : 4;
-  if (cur_qp <= 15) edge_end = 1;
-  if (!ALPHA_TAB[cur_qp + c.off_a + 12] || !BETA_TAB[cur_qp + c.off_b + 12])
-    return;
+  if (cur_qp <= qp_thresh) edge_end = 1;
 
   uint8_t* py = c.y + 16 * mby * c.wy + 16 * mbx;
   uint8_t* pu = c.u + 8 * mby * c.wc + 8 * mbx;
@@ -228,9 +234,10 @@ extern "C" void pcamv_deblock_frame(uint8_t* y, uint8_t* u, uint8_t* v,
                                     const uint8_t* trans8,
                                     int off_a, int off_b,
                                     const int32_t* qp_map,
-                                    const int32_t* qpc_map) {
+                                    const int32_t* qpc_map,
+                                    int chroma_qp_offset) {
   Ctx c{y, u, v, mbw, mbh, 16 * mbw, 8 * mbw, intra, nnz, mv, ref, skip,
-        qp, qpc, trans8, off_a, off_b, qp_map, qpc_map};
+        qp, qpc, trans8, off_a, off_b, chroma_qp_offset, qp_map, qpc_map};
   for (int mby = 0; mby < mbh; mby++)
     for (int mbx = 0; mbx < mbw; mbx++)
       deblock_mb(c, mbx, mby);

@@ -603,10 +603,14 @@ extern "C" int pcamv_stc_embed(const uint8_t* cover, long n,
   int shorter = (int)std::floor(invalpha);
   int longer = (int)std::ceil(invalpha);
   std::vector<uint32_t> cols_s, cols_l;
+  // the reference calls getMatrix TWICE even when longer == shorter
+  // (embed.h:362-376): on the LCG-fallback path the second call
+  // consumes (and may differ from) the first, and every block then
+  // uses the SECOND set (matrices[i]=1 for all i when invalpha is
+  // integral) — shortcutting would desync the persistent myholdrand
   int rc = stc_get_matrix(shorter, h, holdrand, cols_s);
   if (rc) return rc;
-  if (longer == shorter) cols_l = cols_s;
-  else if ((rc = stc_get_matrix(longer, h, holdrand, cols_l))) return rc;
+  if ((rc = stc_get_matrix(longer, h, holdrand, cols_l))) return rc;
   std::vector<int> widths(k);
   std::vector<uint8_t> use_l(k);
   long worm = 0;

@@ -126,7 +126,8 @@ def _chroma_edge(samples, bs2, alpha, beta, tc0_row, strong, active):
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
 def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
-                         mbh: int, mbw: int, ref4=None):
+                         mbh: int, mbw: int, ref4=None,
+                         qp_thresh: int = 15):
     """Deblock one frame on device. y/u/v: int32 planes (MB-padded);
     intra/skip: [mbh,mbw]; nnz4: [4mbh,4mbw]; mv4: [4mbh,4mbw,2];
     qp/qpc traced — scalar, or per-MB [mbh,mbw] maps (adaptive
@@ -190,16 +191,16 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         cur_skip = skip[my, mx] > 0
         # per-MB QP context (deblock.cpp deblock_mb): internal edges
         # use the MB's own QP; e==0 MB edges average with the
-        # neighbour's (qPav). Whole-MB alpha gate + the qp<=15
-        # internal shortcut follow the C++ exactly.
+        # neighbour's (qPav). qp<=qp_thresh kills internal edges only
+        # (reference frame.c:633); every edge re-checks its own
+        # alpha/beta, so MB edges with a higher-QP qPav still filter.
         qp_w = qp_pm[my + 1, mx + 1]                        # [W]
         qpc_w = qpc_pm[my + 1, mx + 1]
         eqp_v = (qp_pm[my + 1, mx] + qp_w + 1) >> 1
         eqp_h = (qp_pm[my, mx + 1] + qp_w + 1) >> 1
         eqpc_v = (qpc_pm[my + 1, mx] + qpc_w + 1) >> 1
         eqpc_h = (qpc_pm[my, mx + 1] + qpc_w + 1) >> 1
-        lowqp = qp_w <= 15
-        mb_ok = (ALPHA[qp_w + 12] > 0) & (BETA[qp_w + 12] > 0)
+        lowqp = qp_w <= qp_thresh
         # nnz/mv neighbourhood [W,5,5] at (4my-1, 4mx-1)
         n5r = (4 * my)[:, None] + jnp.arange(5)
         n5c = (4 * mx)[:, None] + jnp.arange(5)
@@ -207,7 +208,7 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         mv5 = mvp[n5r[:, :, None], n5c[:, None, :]]
         rf5 = rfp[n5r[:, :, None], n5c[:, None, :]]
 
-        internal_on = act & ~cur_skip & ~lowqp & mb_ok
+        internal_on = act & ~cur_skip & ~lowqp
 
         def bs_groups(e, dir0: bool):
             """[W,4] bS for edge e's four 4-sample groups (bs_inter +
@@ -238,7 +239,7 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         def edge_active(e, dir0: bool):
             if e == 0:
                 border = (mx > 0) if dir0 else (my > 0)
-                return act & border & mb_ok
+                return act & border
             return internal_on
 
         def edge_qp(e, dir0: bool):

@@ -78,8 +78,11 @@ def ref_layout(n: int, k: int, h: int, state: StcState):
     shorter = int(np.floor(invalpha))
     longer = int(np.ceil(invalpha))
     cols_s = get_matrix(shorter, h, state)   # order matters for the LCG
-    cols_l = (cols_s if longer == shorter
-              else get_matrix(longer, h, state))
+    # the reference calls getMatrix TWICE even when longer == shorter
+    # (embed.h:362-376): on the LCG path the second call consumes the
+    # generator and all blocks use the SECOND result (matrices[i] = 1
+    # for every i when invalpha is integral)
+    cols_l = get_matrix(longer, h, state)
     widths = np.empty(k, np.int32)
     use_longer = np.empty(k, np.uint8)
     worm = 0

@@ -53,7 +53,13 @@ class Mp4Writer:
 
     def add_frame(self, annexb: bytes, timecode_ms: int | None = None):
         """One access unit in decode order; timecode_ms is its
-        display-order timestamp (mp4_set_eop's DTS/CTS split)."""
+        display-order timestamp (mp4_set_eop's DTS/CTS split).
+
+        CFR contract: stts is one run of n samples at the constant
+        fps-derived delta, so the multiset of timecodes must be
+        {k * fps_den/fps_num}. Reordered (B) display times are fine —
+        ctts absorbs them — but genuinely variable frame durations
+        would corrupt DTS; the encoder only produces CFR output."""
         payload = b""
         keyframe = False
         for nal in split_annexb(annexb):
