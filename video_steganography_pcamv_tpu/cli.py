@@ -102,6 +102,9 @@ def build_argparser():
                          "(serving config; reference stays on-chip)")
     ap.add_argument("--nr", type=int, default=0,
                     help="noise reduction strength (x264 --nr)")
+    ap.add_argument("--chroma-qp-offset", type=int, default=0,
+                    help="chroma QP offset, PPS chroma_qp_index_offset "
+                         "(x264 --chroma-qp-offset)")
     ap.add_argument("--aq-mode", type=int, default=0,
                     help="adaptive quantization (0 off, 1 variance AQ; "
                          "x264 --aq-mode)")
@@ -252,6 +255,7 @@ def _run(args):
                deblock_beta=int((args.deblock_ab.replace(":", ",")
                                  .split(",") + ["0"])[1]),
                noise_reduction=args.nr,
+               chroma_qp_offset=args.chroma_qp_offset,
                aq_mode=args.aq_mode, aq_strength=args.aq_strength,
                zones=args.zones,
                bitrate=args.bitrate, crf=args.crf,
