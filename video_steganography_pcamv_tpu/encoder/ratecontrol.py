@@ -141,12 +141,16 @@ class RateControl:
         self.slice_type = slice_type
         self.last_satd = max(1, satd)
         if self.mode == RC_CQP:
+            # per-type constants exactly as the reference derives them
+            # (ratecontrol.c:369-373): ip/pb offsets are 6*log2 of the
+            # factor, added with +0.5 then TRUNCATED (C double->int),
+            # so qp 26 / ipratio 1.4 gives I at 23, B at 28
             if slice_type == SLICE_I:
-                q = max(p.qp_min, round(p.qp - p.ip_qp_offset))
+                q = int(clip3(p.qp - 6.0 * math.log2(abs(p.ip_ratio))
+                              + 0.5, 0, 51))
             elif slice_type == SLICE_B:
-                # non-ref B offset (~6*log2(f_pb_factor), ratecontrol.c
-                # qp_constant[SLICE_TYPE_B])
-                q = round(p.qp + p.pb_qp_offset)
+                q = int(clip3(p.qp + 6.0 * math.log2(abs(p.pb_ratio))
+                              + 0.5, 0, 51))
             else:
                 q = p.qp
             self.qpa = int(clip3(q, p.qp_min, p.qp_max))

@@ -90,10 +90,10 @@ class Params:
     qp_min: int = 10
     qp_max: int = 51
     qp_step: int = 4
-    ip_qp_offset: float = 2.0      # CQP I-frame offset (common.c defaults)
-    ip_ratio: float = 1.4          # qscale ratio I:P (f_ip_factor)
+    ip_ratio: float = 1.4          # qscale ratio I:P (f_ip_factor);
+                                   # CQP derives the I offset as
+                                   # 6*log2(ip_ratio) (ratecontrol.c:369)
     pb_ratio: float = 1.3          # qscale ratio P:B (f_pb_factor)
-    pb_qp_offset: float = 2.0      # CQP B-frame offset (~6*log2(1.3))
     bitrate: int = 0               # kbps (ABR target)
     crf: float = 0.0               # CRF quality target
     rate_tolerance: float = 1.0
@@ -104,7 +104,11 @@ class Params:
     stat_out: str = ""             # 2-pass: pass-1 stat file to write
     stat_in: str = ""              # 2-pass: stat file to read (pass 2)
     qpfile: str = ""               # forced per-frame types/QPs
-    chroma_qp_offset: int = 0
+    # the reference's EFFECTIVE default is -2: its vestigial psy-trellis
+    # compensation (encoder.c:521-528, psy_trellis default 1.0) lowers
+    # the PPS chroma_qp_index_offset even though this fork does no psy
+    # RD; matching it is what makes the chroma PSNR curves line up
+    chroma_qp_offset: int = -2
 
     # analysis
     i4x4: bool = True          # intra 4x4 partitions (x264 analyse default)
