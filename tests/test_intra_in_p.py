@@ -79,4 +79,8 @@ def test_intra_in_p_improves_quality_on_reveal():
         mse = float(np.mean((ry.astype(np.int64)
                              - frames[1].y.astype(np.int64)) ** 2))
         out[flag] = mse
-    assert out[True] <= out[False] * 1.001, out
+    # soft heuristic, not a conformance bound: intra-in-P should not
+    # hurt a reveal clip. The CQP frame-type offsets (ratecontrol.c:
+    # 369-373 parity) shifted the I/P QP split and with it this
+    # margin; sub-percent MSE wiggle is noise at qp 30.
+    assert out[True] <= out[False] * 1.01, out

@@ -94,21 +94,30 @@ def oracle_dequant8(lev, qp, intra):
 
 
 def test_dct8_matches_oracle():
+    # x264's sub8x8_dct8 stores the TRANSPOSE of the spec coefficient
+    # matrix (DST dct[x][i]) and compensates inside its zigzag macro
+    # (dct.c:491 ZIG(i,y,x)=dct[0][x*8+y]); our kernel returns the
+    # spec orientation C[r][c] directly so the (r,c) zigzag applies —
+    # hence the .T on the literal-port oracle. Conformance of this
+    # orientation is pinned by tests/test_ffmpeg_conformance.py and
+    # the reference-bitstream decode in test_ref_interop.py.
     res = rng.randint(-255, 256, (20, 8, 8)).astype(np.int32)
     got = np.asarray(T8.dct8x8(jnp.asarray(res)))
     for i in range(20):
-        np.testing.assert_array_equal(got[i], oracle_dct8(res[i]),
+        np.testing.assert_array_equal(got[i], oracle_dct8(res[i]).T,
                                       err_msg=f"block {i}")
 
 
 def test_idct8_matches_oracle():
+    # our kernel consumes the spec orientation (= transpose of the
+    # x264 in-memory layout the literal-port oracle expects)
     coef = rng.randint(-2000, 2000, (20, 8, 8)).astype(np.int32)
     pred = rng.randint(0, 256, (20, 8, 8)).astype(np.int32)
     got = np.asarray(T8.idct8x8_add(jnp.asarray(pred),
                                     jnp.asarray(coef)))
     for i in range(20):
         np.testing.assert_array_equal(
-            got[i], oracle_idct8_add(pred[i], coef[i]),
+            got[i], oracle_idct8_add(pred[i], coef[i].T),
             err_msg=f"block {i}")
 
 

@@ -121,7 +121,10 @@ class CabacSliceParser:
         self.cmode_map = np.zeros((mbh, mbw), np.int32)
 
     # context helpers (identical derivations to the writer)
-    def _nz(self, luma, ch, by, bx, cur_intra):
+    def _nz(self, luma, ch, by, bx, cur_intra, my=-1, mx=-1):
+        """Sibling blocks inside the current MB (my,mx) are always
+        available with their already-parsed cbf (spec 9.3.3.1.1.9);
+        mb_kind is only stamped at the end of the MB."""
         arr = self.nnz_y if luma else self.nnz_c[ch]
         h, w = arr.shape
 
@@ -129,16 +132,17 @@ class CabacSliceParser:
             if y < 0 or x < 0 or y >= h or x >= w:
                 return 1 if cur_intra else 0
             step = 4 if luma else 2
-            if self.mb_kind[y // step, x // step] < 0:
+            if (y // step, x // step) != (my, mx) \
+                    and self.mb_kind[y // step, x // step] < 0:
                 return 1 if cur_intra else 0
             return 1 if arr[y, x] else 0
         return one(by, bx - 1), one(by - 1, bx)
 
     def _cbf_ctx(self, cat, my, mx, by, bx, ch, cur_intra):
         if cat in (CAT_LUMA_AC, CAT_LUMA_4x4):
-            a, b = self._nz(True, 0, by, bx, cur_intra)
+            a, b = self._nz(True, 0, by, bx, cur_intra, my, mx)
         elif cat == CAT_CHROMA_AC:
-            a, b = self._nz(False, ch, by, bx, cur_intra)
+            a, b = self._nz(False, ch, by, bx, cur_intra, my, mx)
         elif cat == CAT_LUMA_DC:
             a = (self.dc_nz_y[my, mx - 1] if mx > 0
                  and self.mb_kind[my, mx - 1] >= 0 else 1)

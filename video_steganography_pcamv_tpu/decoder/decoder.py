@@ -395,6 +395,7 @@ class SliceDecoder:
         # temporal direct scales (spec 8.4.1.2.3), one per L0 entry
         # (multi-ref temporal direct; [0] is the single-ref value)
         self.direct_spatial = direct_spatial
+        self.p_l0_active = None  # P-slice num_ref override (7.4.3)
         self.b_l0_active = 1   # effective L0 size; decode_annexb sets
         self._dsf_tab = [256]
         if (not direct_spatial and self.refs and self.refs_l1
@@ -856,7 +857,8 @@ class SliceDecoder:
             geom = self._UNIT_GEOM[mb_type]
             ref_geom = geom
         y4, x4 = 4 * my, 4 * mx
-        num_ref = self.pps.num_ref_idx_l0_active
+        num_ref = (self.p_l0_active if self.p_l0_active is not None
+                   else self.pps.num_ref_idx_l0_active)
         if num_ref > 1:
             for (oy, ox, w4, h4) in ref_geom:
                 if num_ref == 2:
@@ -1575,6 +1577,7 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                                  if e["frame_num"] % max_fn == pred)
                         l0p.insert(idx, l0p.pop(j))
                 dec = SliceDecoder(sps, pps, refs=l0p)
+                dec.p_l0_active = l0_override
                 if pps.cabac:
                     _decode_slice_cabac(dec, br, slice_type, qp,
                                         cabac_model)
@@ -1663,7 +1666,9 @@ def _decode_slice_cabac(dec: SliceDecoder, br, slice_type: int, qp: int,
         assert br.read1() == 1, "cabac_alignment_one_bit must be 1"
     is_i = slice_type in (2, 7)
     ps = CabacSliceParser(br, dec.mbw, dec.mbh, qp, is_i, model,
-                          num_ref=dec.pps.num_ref_idx_l0_active,
+                          num_ref=(dec.p_l0_active
+                                   if dec.p_l0_active is not None
+                                   else dec.pps.num_ref_idx_l0_active),
                           trans8_mode=dec.pps.transform_8x8)
     qpc = int(CHROMA_QP[np.clip(qp + dec.pps.chroma_qp_index_offset,
                                 0, 51)])

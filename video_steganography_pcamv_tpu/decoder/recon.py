@@ -362,7 +362,10 @@ def dezigzag8(levels) -> np.ndarray:
 
 
 def idct8x8_add(pred: np.ndarray, coef: np.ndarray) -> np.ndarray:
-    dct = coef.astype(np.int64).copy()
+    # coef arrives in the spec orientation C[r][c] (dezigzag8 places
+    # scan position i at ZIGZAG_8x8[i] = (r, c)); the pass structure
+    # below mirrors x264's add8x8_idct8, which runs on the transpose.
+    dct = coef.T.astype(np.int64).copy()
     dct[0][0] += 32
 
     def pass1d(get, put):

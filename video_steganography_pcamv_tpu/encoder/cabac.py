@@ -217,9 +217,14 @@ class CabacSliceWriter:
     def _intra(self, my, mx) -> bool:
         return self.mb_kind[my, mx] >= 2
 
-    def _nz(self, luma: bool, ch: int, by: int, bx: int, cur_intra: bool):
+    def _nz(self, luma: bool, ch: int, by: int, bx: int, cur_intra: bool,
+            my: int = -1, mx: int = -1):
         """Neighbour nnz for coded_block_flag ctx (AC/4x4 cats):
-        unavailable-or-outside -> intra flag of the CURRENT MB."""
+        unavailable-or-outside -> intra flag of the CURRENT MB. A
+        sibling block inside the current MB (my,mx) is always available
+        with its already-coded cbf (spec 9.3.3.1.1.9; z-scan order
+        guarantees left/top siblings are written first) even though
+        mb_kind is only stamped at the end of the MB."""
         arr = self.nnz_y if luma else self.nnz_c[ch]
         h = arr.shape[0]
         w = arr.shape[1]
@@ -228,16 +233,17 @@ class CabacSliceWriter:
             if y < 0 or x < 0 or y >= h or x >= w:
                 return 1 if cur_intra else 0
             step = 4 if luma else 2
-            if self.mb_kind[y // step, x // step] < 0:
+            if (y // step, x // step) != (my, mx) \
+                    and self.mb_kind[y // step, x // step] < 0:
                 return 1 if cur_intra else 0
             return 1 if arr[y, x] else 0
         return one(by, bx - 1), one(by - 1, bx)
 
     def _cbf_ctx(self, cat, my, mx, by, bx, ch, cur_intra):
         if cat in (CAT_LUMA_AC, CAT_LUMA_4x4):
-            a, b = self._nz(True, 0, by, bx, cur_intra)
+            a, b = self._nz(True, 0, by, bx, cur_intra, my, mx)
         elif cat == CAT_CHROMA_AC:
-            a, b = self._nz(False, ch, by, bx, cur_intra)
+            a, b = self._nz(False, ch, by, bx, cur_intra, my, mx)
         elif cat == CAT_LUMA_DC:
             a = (self.dc_nz_y[my, mx - 1] if mx > 0
                  and self.mb_kind[my, mx - 1] >= 0 else 1)

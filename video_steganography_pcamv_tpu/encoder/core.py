@@ -219,6 +219,9 @@ class Encoder:
     def __init__(self, params: Params):
         params.validate()
         self.p = params
+        # open-time ceilings for reconfig() clamps (encoder.c:840,851)
+        self._open_ref_frames = params.ref_frames
+        self._open_me_range = params.me_range
         self.sps = H.SPS(params.width, params.height,
                          num_ref_frames=params.ref_frames,
                          log2_max_frame_num=8)
@@ -285,7 +288,11 @@ class Encoder:
             transfer=params.transfer, colmatrix=params.colmatrix,
             chromaloc=params.chromaloc,
             fps_num=params.fps_num, fps_den=params.fps_den,
-            num_reorder_frames=1 if params.bframes else 0,
+            # reference set.c:197: pyramid holds a reference B, so
+            # display reordering is 2 deep (FFmpeg trusts this and
+            # DROPS late b frames if it reads 1)
+            num_reorder_frames=(2 if params.b_pyramid else
+                                1 if params.bframes else 0),
             max_dec_frame_buffering=self.sps.num_ref_frames,
             mv_range=params.me_range)
         if params.level_idc:
@@ -349,6 +356,47 @@ class Encoder:
         self._cur_qp = params.qp  # qp of the frame being encoded
 
     # ------------------------------------------------------------------
+    # -- live reconfiguration ------------------------------------------
+    # Analog of x264_encoder_reconfig (/root/reference/encoder/encoder.c:
+    # 837-878): a whitelist of analysis/filter knobs may change between
+    # frames without reopening; everything baked into SPS/PPS
+    # (resolution, entropy mode, profile, GOP structure) is rejected.
+    # Guards mirror the reference's: me_range only shrinks (scratch
+    # buffers, encoder.c:851), ref_frames never exceeds the SPS window
+    # (encoder.c:840), transform_8x8 only toggles if the PPS enabled it
+    # at open (encoder.c:869).
+    _RECONFIG_OK = frozenset((
+        "ref_frames", "scenecut_threshold", "deblock", "deblock_alpha",
+        "deblock_beta", "me_range", "noise_reduction", "trellis",
+        "fast_pskip", "partitions", "p4x4", "transform_8x8", "rd",
+        "deadzone_intra", "deadzone_inter", "intra_in_p", "dct_decimate",
+    ))
+
+    def reconfig(self, **changes) -> None:
+        """Apply a parameter delta mid-stream. Raises PcamvError for
+        non-reconfigurable keys or illegal transitions; later frames
+        use the new settings (jit caches re-key on changed statics)."""
+        from ..utils.log import PcamvError
+        p = self.p
+        bad = sorted(set(changes) - self._RECONFIG_OK)
+        if bad:
+            raise PcamvError(
+                "not reconfigurable without reopening: " + ", ".join(bad))
+        if "ref_frames" in changes:
+            changes["ref_frames"] = max(
+                1, min(int(changes["ref_frames"]),
+                       self.sps.num_ref_frames, self._open_ref_frames))
+        if "me_range" in changes:
+            changes["me_range"] = max(
+                1, min(int(changes["me_range"]), self._open_me_range))
+        if changes.get("transform_8x8") and not self.pps.transform_8x8:
+            raise PcamvError(
+                "transform_8x8 can only be enabled at open (PPS "
+                "transform_8x8_mode_flag already written)")
+        for k, v in changes.items():
+            setattr(p, k, v)
+        p.validate()
+
     def headers(self) -> bytes:
         """SPS+PPS+SEI Annex-B chunk (x264_encoder_headers,
         encoder.c:901; SEI version encoder/set.c:475)."""
@@ -1973,7 +2021,8 @@ class Encoder:
                              beta_div2=p.deblock_beta,
                              poc_lsb=self._poc_lsb if poc_lsb is None
                              else poc_lsb,
-                             reorder_l0=self._take_reorder_l0())
+                             reorder_l0=self._take_reorder_l0(),
+                             p_l0_active=p.ref_frames)
         n = mbh * mbw
         if p.cabac:
             return self._write_p_slice_cabac(bw, res_np, qp, part_np,
@@ -2203,7 +2252,8 @@ class Encoder:
                              alpha_div2=p.deblock_alpha,
                              beta_div2=p.deblock_beta,
                              poc_lsb=self._poc_lsb,
-                             reorder_l0=self._take_reorder_l0())
+                             reorder_l0=self._take_reorder_l0(),
+                             p_l0_active=self.p.ref_frames)
         if p.cabac:
             return self._write_p_slice_cabac_sub(
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
@@ -2927,7 +2977,8 @@ class Encoder:
                              alpha_div2=self.p.deblock_alpha,
                              beta_div2=self.p.deblock_beta,
                              poc_lsb=self._poc_lsb,
-                             reorder_l0=self._take_reorder_l0())
+                             reorder_l0=self._take_reorder_l0(),
+                             p_l0_active=self.p.ref_frames)
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if p.cabac:

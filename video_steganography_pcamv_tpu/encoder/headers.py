@@ -343,7 +343,8 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
                        alpha_div2: int = 0, beta_div2: int = 0,
                        direct_spatial: bool = True,
                        reorder_l0=None,
-                       b_l0_active: int = 1) -> None:
+                       b_l0_active: int = 1,
+                       p_l0_active: int = None) -> None:
     """Single-slice frame header (reference: encoder/encoder.c slice
     header writer; fields per spec 7.3.3)."""
     bw.write_ue(0)  # first_mb_in_slice
@@ -366,6 +367,12 @@ def write_slice_header(bw: BitWriter, sps: SPS, pps: PPS, slice_type: int,
             bw.write1(1)
             bw.write_ue(b_l0_active - 1)  # num_ref_idx_l0_active_minus1
             bw.write_ue(0)   # num_ref_idx_l1_active_minus1
+        elif (slice_type == SLICE_TYPE_P and p_l0_active is not None
+                and pps.num_ref_idx_l0_active != p_l0_active):
+            # P-slice override: encoder_reconfig can shrink the live
+            # reference window below the PPS default (encoder.c:840)
+            bw.write1(1)
+            bw.write_ue(p_l0_active - 1)  # num_ref_idx_l0_active_minus1
         else:
             bw.write1(0)  # num_ref_idx_active_override
         if reorder_l0:

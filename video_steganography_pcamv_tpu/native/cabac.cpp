@@ -184,12 +184,17 @@ struct CabacSlice {
     t8map[my * m.mbw + mx] = flag ? 1 : 0;
   }
 
-  int nz_nb(bool luma, int ch, int y, int x, bool cur_intra) {
+  // A sibling block inside the current MB (my,mx) is always available
+  // with its already-coded cbf (spec 9.3.3.1.1.9; z-scan order writes
+  // left/top siblings first) even though mb_kind is stamped at MB end.
+  int nz_nb(bool luma, int ch, int y, int x, bool cur_intra,
+            int my, int mx) {
     int H = luma ? 4 * m.mbh : 2 * m.mbh;
     int W = luma ? 4 * m.mbw : 2 * m.mbw;
     if (y < 0 || x < 0 || y >= H || x >= W) return cur_intra ? 1 : 0;
     int step = luma ? 4 : 2;
-    if (m.kind(y / step, x / step) < 0) return cur_intra ? 1 : 0;
+    if ((y / step != my || x / step != mx) &&
+        m.kind(y / step, x / step) < 0) return cur_intra ? 1 : 0;
     int v = luma ? m.ny(y, x) : m.nc(ch, y, x);
     return v ? 1 : 0;
   }
@@ -198,11 +203,11 @@ struct CabacSlice {
               bool cur_intra) {
     int a, b;
     if (cat == 1 || cat == 2) {
-      a = nz_nb(true, 0, by, bx - 1, cur_intra);
-      b = nz_nb(true, 0, by - 1, bx, cur_intra);
+      a = nz_nb(true, 0, by, bx - 1, cur_intra, my, mx);
+      b = nz_nb(true, 0, by - 1, bx, cur_intra, my, mx);
     } else if (cat == 4) {
-      a = nz_nb(false, ch, by, bx - 1, cur_intra);
-      b = nz_nb(false, ch, by - 1, bx, cur_intra);
+      a = nz_nb(false, ch, by, bx - 1, cur_intra, my, mx);
+      b = nz_nb(false, ch, by - 1, bx, cur_intra, my, mx);
     } else if (cat == 0) {
       a = (mx > 0 && m.kind(my, mx - 1) >= 0)
               ? m.dc_nz_y[my * m.mbw + mx - 1] : 1;

@@ -157,15 +157,22 @@ def dct8x8(res: jnp.ndarray) -> jnp.ndarray:
 
     t = dct1d(jnp.swapaxes(x, -1, -2))     # columns (SRC tmp[x][i])
     t = jnp.swapaxes(t, -1, -2)
-    # second pass reads rows (SRC tmp[i][x]) and writes TRANSPOSED
-    # (DST dct[x][i]), so the row-transform result is swapped back
-    return jnp.swapaxes(dct1d(t), -1, -2)
+    # Output orientation: C[r][c] with r = vertical frequency, the
+    # H.264 coefficient-matrix convention the (r,c) ZIGZAG_8x8 seam
+    # expects. (x264's sub8x8_dct8 instead stores the TRANSPOSE —
+    # DST dct[x][i], dct.c:236-285 — and compensates inside its
+    # zigzag macro, ZIG(i,y,x) = dct[0][x*8+y], dct.c:491. Keeping
+    # the spec orientation here lets every scan read blk[r, c].)
+    return dct1d(t)
 
 
 def idct8x8_add(pred: jnp.ndarray, coef: jnp.ndarray) -> jnp.ndarray:
     """Inverse 8x8 transform + reconstruction (add8x8_idct8,
     dct.c:296-330): dc += 32, rows then columns, >>6, clip to pred."""
-    x = coef.astype(jnp.int32)
+    # consumes the spec-orientation C[r][c] produced by dct8x8 (see
+    # note there); internally the passes run on the transpose like
+    # x264's add8x8_idct8
+    x = jnp.swapaxes(coef.astype(jnp.int32), -1, -2)
     x = x.at[..., 0, 0].add(32)
 
     def idct1d(s):
