@@ -34,9 +34,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# the image PINS JAX_PLATFORMS=axon (env setdefault is useless); the
+# config.update below is the only reliable CPU switch. Honour an
+# explicit PCAMV_DEVICE=axon for TPU-side runs.
 import jax
-jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_platforms",
+                  os.environ.get("PCAMV_DEVICE", "cpu"))
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("PCAMV_JAX_CACHE",
                                  os.path.expanduser("~/.cache/pcamv_jax_cpu")))
@@ -101,7 +104,7 @@ def run_reference(x264, yuv, wh, qp, frames, emrate, out):
     cmd = [x264, "--qp", str(qp), "--frames", str(frames),
            "--no-cabac", "--subme", "2", "--keyint", "250",
            "--min-keyint", "25", "--ref", "1", "--bframes", "0",
-           "--no-scenecut"]
+           "--scenecut", "0"]
     if emrate:
         cmd += ["--emrate", str(emrate)]
     cmd += ["-o", out, yuv, wh]
@@ -120,7 +123,7 @@ def run_repo(w, h, qp, frames_yuv, emrate):
     from video_steganography_pcamv_tpu.utils.yuv import Frame
     ys, us, vs = frames_yuv
     kw = dict(width=w, height=h, qp=qp, me_range=16,
-              scenecut_threshold=0, keyint=250)
+              scenecut_threshold=0, keyint_max=250)
     if emrate:
         kw["stego"] = StegoParams(em_rate=float(emrate))
     p = Params(**kw)
