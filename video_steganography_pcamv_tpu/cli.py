@@ -102,11 +102,11 @@ def build_argparser():
                          "(serving config; reference stays on-chip)")
     ap.add_argument("--nr", type=int, default=0,
                     help="noise reduction strength (x264 --nr)")
-    ap.add_argument("--chroma-qp-offset", type=int, default=-2,
+    ap.add_argument("--chroma-qp-offset", type=int, default=0,
                     help="chroma QP offset, PPS chroma_qp_index_offset "
-                         "(x264 --chroma-qp-offset; default -2 = the "
-                         "reference binary's effective default after "
-                         "its psy-trellis compensation)")
+                         "(x264 --chroma-qp-offset; the reference's "
+                         "psy -2 compensation only fires at subme>=6 — "
+                         "pass -2 to match such runs)")
     ap.add_argument("--aq-mode", type=int, default=0,
                     help="adaptive quantization (0 off, 1 variance AQ; "
                          "x264 --aq-mode)")

@@ -104,11 +104,14 @@ class Params:
     stat_out: str = ""             # 2-pass: pass-1 stat file to write
     stat_in: str = ""              # 2-pass: stat file to read (pass 2)
     qpfile: str = ""               # forced per-frame types/QPs
-    # the reference's EFFECTIVE default is -2: its vestigial psy-trellis
-    # compensation (encoder.c:521-528, psy_trellis default 1.0) lowers
-    # the PPS chroma_qp_index_offset even though this fork does no psy
-    # RD; matching it is what makes the chroma PSNR curves line up
-    chroma_qp_offset: int = -2
+    # Default 0 = the reference's PPS value at its default/low-subme
+    # settings: b66 ZEROES f_psy_rd whenever subme < 6
+    # (encoder.c:513-514), so the psy chroma compensation
+    # (encoder.c:520-521, offset -= 2) never fires there — verified by
+    # parsing the built binary's PPS (chroma_qp_index_offset = 0 at
+    # subme 2/default 5). Only a subme >= 6 reference run carries -2;
+    # pass --chroma-qp-offset -2 when matching THOSE flags.
+    chroma_qp_offset: int = 0
 
     # analysis
     i4x4: bool = True          # intra 4x4 partitions (x264 analyse default)
