@@ -933,8 +933,7 @@ class Encoder:
         n = mbh * mbw
         if p.cabac:
             return self._write_i_slice_cabac(bw, res, qp)
-        if self._native is not None and not p.transform_8x8 \
-                and self._aq_grids is None:
+        if self._native is not None and self._aq_grids is None:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice(
@@ -946,7 +945,14 @@ class Encoder:
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
                 mb_i4=res["mb_i4"].reshape(n) if p.i4x4 else None,
-                i4_modes=res["i4_modes"].reshape(n, 16) if p.i4x4 else None)
+                i4_modes=res["i4_modes"].reshape(n, 16) if p.i4x4 else None,
+                mb_i8=(res["mb_i8"].reshape(n).astype(np.uint8)
+                       if p.transform_8x8 else None),
+                i8_modes=(res["i8_modes"].reshape(n, 4)
+                          if p.transform_8x8 else None),
+                luma8_lev=(res["luma8_lev"]
+                           if p.transform_8x8 else None),
+                trans8_mode=p.transform_8x8)
         fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         aqg = self._aq_grids[0] if self._aq_grids is not None else None
         last_qp = qp
@@ -1107,7 +1113,7 @@ class Encoder:
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
         if self._native is not None and intra_res is None \
-                and not p.transform_8x8 and self._aq_grids is None:
+                and self._aq_grids is None:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -1119,7 +1125,12 @@ class Encoder:
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
-                refs=self._refs4(part, ref8), num_ref=p.ref_frames)
+                refs=self._refs4(part, ref8), num_ref=p.ref_frames,
+                trans8=(res["trans8"].reshape(n).astype(np.uint8)
+                        if p.transform_8x8 else None),
+                luma8_lev=(res["luma8_lev"]
+                           if p.transform_8x8 else None),
+                trans8_mode=p.transform_8x8)
         fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
         aqg = self._aq_grids[0] if self._aq_grids is not None else None
@@ -2033,7 +2044,7 @@ class Encoder:
                 bw, res_np, qp, part_np, mvd, skip, ref8_np,
                 intra_kind, intra_res)
         if (self._native is not None and intra_res is None
-                and not p.transform_8x8 and self._aq_grids is None):
+                and self._aq_grids is None):
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice(
@@ -2044,7 +2055,12 @@ class Encoder:
                 cbp_chroma=res_np["cbp_chroma"],
                 luma_blocks=res_np["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res_np["chroma_dc"].reshape(n, 2, 4),
-                chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16))
+                chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16),
+                trans8=(res_np["trans8"].reshape(n).astype(np.uint8)
+                        if p.transform_8x8 else None),
+                luma8_lev=(res_np["luma8_lev"]
+                           if p.transform_8x8 else None),
+                trans8_mode=p.transform_8x8)
         fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
         aqg = self._aq_grids[0] if self._aq_grids is not None else None
@@ -2994,7 +3010,8 @@ class Encoder:
                 cbp_luma=res["cbp_luma"], cbp_chroma=res["cbp_chroma"],
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
-                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16))
+                chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
+                trans8_mode=p.transform_8x8)
         fc = FrameCavlc(p.mb_width, p.mb_height,
                         trans8_mode=p.transform_8x8)
         skip_run = 0

@@ -60,6 +60,8 @@ def load():
         i32p, i32p, ctypes.c_void_p, i32p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int]
 
     lib.pcamv_write_slice_b.restype = ctypes.c_long
@@ -127,10 +129,14 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
                 cmode=None, cbp_luma, cbp_chroma, luma_dc=None,
                 luma_blocks, chroma_dc, chroma_ac, mb_i4=None,
                 i4_modes=None, part=None, mvd4=None, refs=None,
-                num_ref: int = 1, sub_type=None) -> bytes:
+                num_ref: int = 1, sub_type=None, mb_i8=None,
+                i8_modes=None, luma8_lev=None, trans8=None,
+                trans8_mode: bool = False) -> bytes:
     """Native whole-slice entropy coding. Shapes:
     luma_blocks [N,16,16], luma_dc [N,16], chroma_dc [N,2,4],
-    chroma_ac [N,2,4,16], mvd [N,2], mb_i4 [N] u8, i4_modes [N,16]."""
+    chroma_ac [N,2,4,16], mvd [N,2], mb_i4 [N] u8, i4_modes [N,16].
+    High-profile 8x8: mb_i8 [N] u8, i8_modes [N,4], luma8_lev
+    [N,2,2,8,8] raster (zigzag-scanned here), trans8 [N] u8."""
     lib = load()
     n = mbw * mbh
     cap = 1 << 22
@@ -161,6 +167,19 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
                   if refs is not None else None)
         sub_a = (_as_i32(sub_type).reshape(n * 4)
                  if sub_type is not None else None)
+        i8_a = (np.ascontiguousarray(mb_i8, np.uint8)
+                if mb_i8 is not None else None)
+        i8m_a = (_as_i32(i8_modes).reshape(n * 4)
+                 if i8_modes is not None else None)
+        l8_a = None
+        if luma8_lev is not None:
+            from ..ops.transform8 import ZIGZAG_8x8
+            zz = np.asarray(ZIGZAG_8x8)
+            blocks8 = _as_i32(luma8_lev).reshape(n, 4, 8, 8)
+            l8_a = np.ascontiguousarray(
+                blocks8[:, :, zz[:, 0], zz[:, 1]].reshape(n * 256))
+        t8_a = (np.ascontiguousarray(trans8, np.uint8)
+                if trans8 is not None else None)
         r = lib.pcamv_write_slice(
             out, cap, hdr, header_nbits, slice_type, mbw, mbh,
             ptr(skip_a), ptr(mvd_a), ptr(mode_a), ptr(cmode_a),
@@ -169,7 +188,9 @@ def write_slice(header_bytes: bytes, header_nbits: int, slice_type: int,
             _as_i32(chroma_dc).reshape(n * 8),
             _as_i32(chroma_ac).reshape(n * 128),
             ptr(i4_a), ptr(i4m_a), ptr(part_a), ptr(mvd4_a),
-            ptr(refs_a), num_ref, ptr(sub_a), stride)
+            ptr(refs_a), num_ref, ptr(sub_a), stride,
+            ptr(i8_a), ptr(i8m_a), ptr(l8_a), ptr(t8_a),
+            1 if trans8_mode else 0)
         if r >= 0:
             return bytes(out[:r])
         cap *= 4

@@ -9,6 +9,7 @@
 //
 // Build: make -C this dir (g++ -O3 -shared). Exposed via ctypes (C ABI).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
