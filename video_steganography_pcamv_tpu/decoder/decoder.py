@@ -1606,15 +1606,24 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
                 qpc_map = CHROMA_QP[np.clip(
                     qp_map + pps.chroma_qp_index_offset,
                     0, 51)].astype(np.int32)
+                # B slices: bS compares BOTH lists (spec 8.7.2.1 /
+                # reference frame.c:735-741); unused-list cells keep
+                # the x264 ref=-1 / mv=0 convention. P slices keep the
+                # historical clamped single-list call.
+                bkw = {}
+                if is_b:
+                    bkw = dict(mv_l1=dec.mv4_1, ref4_l1=dec.ref4_1)
                 native.deblock_frame(
                     dy, du, dv, dec.mb_intra.astype(np.uint8),
                     nnz_eff, dec.mv4,
                     dec.mb_skip.astype(np.uint8), qp, qpc,
-                    ref4=np.maximum(dec.ref4, 0),
+                    ref4=(dec.ref4 if is_b
+                          else np.maximum(dec.ref4, 0)),
                     trans8=dec.mb_trans8.astype(np.uint8),
                     alpha_off=alpha_off, beta_off=beta_off,
                     qp_map=qp_map, qpc_map=qpc_map,
-                    chroma_qp_offset=pps.chroma_qp_index_offset)
+                    chroma_qp_offset=pps.chroma_qp_index_offset,
+                    **bkw)
                 dec.y, dec.u, dec.v = (dy.astype(np.int64),
                                        du.astype(np.int64),
                                        dv.astype(np.int64))

@@ -97,7 +97,8 @@ def load():
         u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, u8p, i32p, i32p,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
-        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.pcamv_write_slice_cabac.restype = ctypes.c_long
     lib.pcamv_write_slice_cabac.argtypes = [
         u8p, ctypes.c_long, u8p, ctypes.c_int,
@@ -388,7 +389,8 @@ def host_scan_p_forced(mv, skip):
 
 def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None,
                   trans8=None, alpha_off=0, beta_off=0, qp_map=None,
-                  qpc_map=None, chroma_qp_offset=0):
+                  qpc_map=None, chroma_qp_offset=0,
+                  mv_l1=None, ref4_l1=None):
     """In-place H.264 deblocking of uint8 planes.
 
     y/u/v: MB-padded planes (modified in place); intra: [mbh,mbw] uint8;
@@ -423,12 +425,26 @@ def deblock_frame(y, u, v, intra, nnz4, mv, skip, qp, qpc, ref4=None,
     qpcm_p = (qpcm_a.ctypes.data_as(ctypes.c_void_p)
               if qpcm_a is not None else None)
     assert (qpm_p is None) == (qpcm_p is None)
+    # B slices: second-list motion for the spec 8.7.2.1 two-list bS
+    # (reference frame.c:735-741); unused-list cells ref=-1 / mv=0
+    mv1_a = None
+    if mv_l1 is not None:
+        mv1_a = np.asarray(mv_l1)
+        if mv1_a.shape[:2] == (mbh, mbw):
+            mv1_a = np.repeat(np.repeat(mv1_a, 4, 0), 4, 1)
+        mv1_a = _as_i32(mv1_a).reshape(-1)
+    mv1_p = (mv1_a.ctypes.data_as(ctypes.c_void_p)
+             if mv1_a is not None else None)
+    ref1_a = (_as_i32(ref4_l1).reshape(-1)
+              if ref4_l1 is not None else None)
+    ref1_p = (ref1_a.ctypes.data_as(ctypes.c_void_p)
+              if ref1_a is not None else None)
     lib.pcamv_deblock_frame(
         y, u, v, mbw, mbh,
         np.ascontiguousarray(intra, np.uint8),
         _as_i32(nnz4).reshape(-1), _as_i32(mv).reshape(-1), ref_p,
         skip_p, qp, qpc, t8_p, int(alpha_off), int(beta_off),
-        qpm_p, qpcm_p, int(chroma_qp_offset))
+        qpm_p, qpcm_p, int(chroma_qp_offset), mv1_p, ref1_p)
 
 
 def stc_embed(cover, message, rho, h=10, state=None):

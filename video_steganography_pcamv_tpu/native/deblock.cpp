@@ -108,18 +108,33 @@ struct Ctx {
   // common/frame.c deblock_edge qp averaging); null = slice qp
   const int32_t* qp_map = nullptr;   // [N] luma QPY
   const int32_t* qpc_map = nullptr;  // [N] chroma QPC
+  // B slices: second-list motion (reference frame.c:735-741 compares
+  // BOTH lists; unused-list cells carry ref -1 / mv 0, the x264 cache
+  // convention). Null = P slice (L0 only).
+  const int32_t* mv_l1 = nullptr;    // [4mbh][4mbw][2]
+  const int32_t* ref_l1 = nullptr;   // [4mbh][4mbw]
 };
 
 // bS for one 4-sample group on an edge between 4x4 blocks p(-1 side) / q
 inline int bs_inter(const Ctx& c, int qx, int qy, int px, int py) {
   // global 4x4 coords; both MBs inter here
   if (c.nnz[qy * 4 * c.mbw + qx] || c.nnz[py * 4 * c.mbw + px]) return 2;
-  // different reference pictures -> bS = 1 (spec 8.7.2.1)
+  // different reference pictures or |mvdiff| >= 4 in EITHER list ->
+  // bS = 1 (spec 8.7.2.1 via the reference's per-list compare,
+  // frame.c:734-741; ordered pairing, like x264)
   if (c.ref && c.ref[qy * 4 * c.mbw + qx] != c.ref[py * 4 * c.mbw + px])
     return 1;
   const int32_t* mq = &c.mv[(qy * 4 * c.mbw + qx) * 2];
   const int32_t* mp = &c.mv[(py * 4 * c.mbw + px) * 2];
   if (abs(mq[0] - mp[0]) >= 4 || abs(mq[1] - mp[1]) >= 4) return 1;
+  if (c.mv_l1) {
+    if (c.ref_l1 &&
+        c.ref_l1[qy * 4 * c.mbw + qx] != c.ref_l1[py * 4 * c.mbw + px])
+      return 1;
+    const int32_t* nq = &c.mv_l1[(qy * 4 * c.mbw + qx) * 2];
+    const int32_t* np = &c.mv_l1[(py * 4 * c.mbw + px) * 2];
+    if (abs(nq[0] - np[0]) >= 4 || abs(nq[1] - np[1]) >= 4) return 1;
+  }
   return 0;
 }
 
@@ -235,9 +250,12 @@ extern "C" void pcamv_deblock_frame(uint8_t* y, uint8_t* u, uint8_t* v,
                                     int off_a, int off_b,
                                     const int32_t* qp_map,
                                     const int32_t* qpc_map,
-                                    int chroma_qp_offset) {
+                                    int chroma_qp_offset,
+                                    const int32_t* mv_l1,
+                                    const int32_t* ref_l1) {
   Ctx c{y, u, v, mbw, mbh, 16 * mbw, 8 * mbw, intra, nnz, mv, ref, skip,
-        qp, qpc, trans8, off_a, off_b, chroma_qp_offset, qp_map, qpc_map};
+        qp, qpc, trans8, off_a, off_b, chroma_qp_offset, qp_map, qpc_map,
+        mv_l1, ref_l1};
   for (int mby = 0; mby < mbh; mby++)
     for (int mbx = 0; mbx < mbw; mbx++)
       deblock_mb(c, mbx, mby);
