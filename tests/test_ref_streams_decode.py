@@ -26,12 +26,17 @@ STREAMS = sorted(glob.glob(os.path.join(FIX, "*.264")))
 W, H = 96, 64
 
 
-# Known open corner (round 3): on the reference's B streams a handful
-# of B_SKIP/B_DIRECT/B_L1 MBs reconstruct 1-5 LSB off vs FFmpeg (same
-# MB set in both configs; anchors bit-exact, display order correct) —
-# a spatial-direct / B-MC rounding corner the repo's OWN encoder never
-# emits (our B streams pass the FFmpeg suite bit-exactly). Tracked for
-# round 4; xfail(strict) so a fix flips these to green visibly.
+# Known open corner (round 3, precisely pinned): after the two-list
+# bS fix most B MBs are bit-exact; the residue is 1-2 LSB on single
+# rows of internal vertical edges in B8x16/B_DIRECT MBs where FFmpeg
+# filters with bS>0 although BOTH the spec partition rule (8.7.2.1:
+# same partition, same single-list motion, zero coefficients => 0)
+# and the reference's per-list compare (frame.c:734-741) give bS=0 —
+# instrumented dump in docs/ROUND3.md. Suspected: FFmpeg's bS
+# derivation for B internal edges differs from our reading; needs a
+# libavcodec source dive (not available offline). The repo's OWN B
+# streams pass the FFmpeg suite bit-exactly (we signal deblock off on
+# B slices). xfail(strict) so a fix flips these to green visibly.
 _XFAIL = ("bframes2", "bpyramid")
 
 
