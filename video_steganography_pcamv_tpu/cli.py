@@ -134,6 +134,10 @@ def build_argparser():
                     help="blind-extract payload from an Annex-B stream")
     ap.add_argument("--dump-yuv", default="",
                     help="write reconstructed frames (y4m)")
+    ap.add_argument("--no-threaded-input", dest="threaded_input",
+                    action="store_false", default=True,
+                    help="disable the input read-ahead thread "
+                         "(x264 threaded reader analog, muxers.c:441)")
     ap.add_argument("--visualize", default="",
                     help="dump per-frame MB/MV overlay PPMs with this "
                          "prefix (reference: --visualize X11 overlay)")
@@ -226,6 +230,9 @@ def _run(args):
         reader = yuv.open_input(args.input, w, h)
     else:
         reader = yuv.open_input(args.input)
+    if args.threaded_input:
+        # overlap file I/O with the encode (muxers.c:441-517 analog)
+        reader = yuv.PrefetchReader(reader, start=args.seek)
 
     p = Params(width=reader.width, height=reader.height, qp=args.qp,
                keyint_max=args.keyint, keyint_min=args.min_keyint,

@@ -96,6 +96,69 @@ def open_input(path: str, width: int = 0, height: int = 0):
     return YUVReader(path, width, height)
 
 
+class PrefetchReader:
+    """Threaded read-ahead wrapper: a daemon thread pulls frames from
+    the underlying reader into a bounded queue so file I/O overlaps
+    the encode (the reference's threaded input seam,
+    /root/reference/muxers.c:441-517 open_file_thread /
+    read_frame_thread, which double-buffers one frame ahead).
+
+    Sequential access contract: read(idx) must be called with
+    consecutive indices starting at `start` (the CLI loop's pattern).
+    A non-sequential index falls back to a direct synchronous read."""
+
+    def __init__(self, reader, start: int = 0, depth: int = 2):
+        import queue
+        import threading
+        self._r = reader
+        self.width = reader.width
+        self.height = reader.height
+        self.fps = getattr(reader, "fps", (25, 1))
+        self.num_frames = reader.num_frames
+        self._q = queue.Queue(maxsize=max(1, depth))
+        self._next = start
+        self._stop = threading.Event()
+
+        def worker():
+            i = start
+            while not self._stop.is_set() and i < reader.num_frames:
+                try:
+                    item = (i, reader.read(i))
+                except Exception as ex:   # surface on the consumer side
+                    self._q.put((i, ex))
+                    return
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.2)
+                        break
+                    except Exception:
+                        continue
+                i += 1
+
+        self._t = threading.Thread(target=worker, daemon=True)
+        self._t.start()
+
+    def read(self, idx: int) -> Frame:
+        if idx != self._next:
+            return self._r.read(idx)      # random access: bypass
+        self._next += 1
+        i, item = self._q.get()
+        assert i == idx
+        if isinstance(item, Exception):
+            raise item
+        return item
+
+    def close(self) -> None:
+        self._stop.set()
+        try:                    # drain so the worker can exit a put()
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._t.join(timeout=2.0)
+        self._r.close()
+
+
 def write_y4m(path: str, frames: list[Frame], fps=(25, 1)) -> None:
     with open(path, "wb") as f:
         w, h = frames[0].width, frames[0].height
