@@ -180,3 +180,31 @@ def test_ffmpeg_decode_cropped_dims(tmp_path):
         i += 1
     cap.release()
     assert i == n
+
+
+@pytest.mark.slow
+def test_ffmpeg_decode_occlusion_intra_in_p(tmp_path):
+    """Busy content (moving rectangles -> occlusions -> intra-in-P MBs
+    with inter neighbours) at a mid QP. Regression for the round-3
+    intra-neighbour MVP/P_SKIP availability bug: intra neighbours must
+    join MVP as available (mv 0 / ref -1, x264 cache -1 vs -2) — the
+    old unavailable-like treatment desynced every MV downstream of an
+    intra MB and only FFmpeg could see it (encoder and decoder shared
+    the convention)."""
+    from video_steganography_pcamv_tpu.utils.yuv import (
+        synthetic_sequence)
+    frames = synthetic_sequence(160, 96, 10, seed=4)
+    for cabac in (False, True):
+        p = Params(width=160, height=96, me_range=16, qp=28,
+                   partitions=True, cabac=cabac)
+        enc = Encoder(p)
+        bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+        path = str(tmp_path / f"occl{int(cabac)}.264")
+        with open(path, "wb") as fh:
+            fh.write(bs)
+        ours = decode_annexb(bs)
+        lumas = _cv2_luma(path, 10, 160, 96)
+        for i, (ff, d) in enumerate(zip(lumas, ours)):
+            np.testing.assert_array_equal(
+                ff, d.y[:96, :160],
+                err_msg=f"cabac={cabac} frame {i}")

@@ -492,6 +492,12 @@ class SliceDecoder:
 
         self._decode_chroma(br, mx, my, cmode, cbp_chroma, qpc, intra=True)
         self.mb_intra[my, mx] = True
+        # intra neighbours are AVAILABLE with mv 0 /
+        # ref -1 for MVP/P_SKIP (x264 cache -1 vs -2
+        # outside, macroblock.c:28-46; scan.py twin)
+        self.dec4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = True
+        self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = -1
         return qp
 
     def decode_i4x4(self, br: BitReader, mx: int, my: int, qp: int):
@@ -540,6 +546,12 @@ class SliceDecoder:
 
         self._decode_chroma(br, mx, my, cmode, cbp_chroma, qpc, intra=True)
         self.mb_intra[my, mx] = True
+        # intra neighbours are AVAILABLE with mv 0 /
+        # ref -1 for MVP/P_SKIP (x264 cache -1 vs -2
+        # outside, macroblock.c:28-46; scan.py twin)
+        self.dec4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = True
+        self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = -1
         return qp
 
     _Z8 = [(0, 0), (0, 1), (1, 0), (1, 1)]
@@ -591,6 +603,12 @@ class SliceDecoder:
                             intra=True)
         self.mb_intra[my, mx] = True
         self.mb_trans8[my, mx] = True
+        # intra neighbours are AVAILABLE with mv 0 /
+        # ref -1 for MVP/P_SKIP (x264 cache -1 vs -2
+        # outside, macroblock.c:28-46; scan.py twin)
+        self.dec4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = True
+        self.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+        self.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = -1
         return qp
 
     def _i8_pred_block(self, mx, my, by8, bx8, mode):
@@ -1929,6 +1947,11 @@ def _recon_i16_cabac(dec, ps, my, mx, mode16, cbpl, cbpc, qp, qpc):
                 blocks[by, bx])
     _recon_chroma_from(dec, ps, my, mx, cmode, cbpc, cdcs, cacs, qpc,
                        True)
+    # intra neighbours: AVAILABLE with mv 0 / ref -1 for MVP/P_SKIP
+    # (x264 cache -1 vs -2 outside, macroblock.c:28-46)
+    dec.dec4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = True
+    dec.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+    dec.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = -1
     dec.mb_intra[my, mx] = True
     dec.mbs.append(MBInfo("I16x16", (0, 0), qp))
 
@@ -1955,6 +1978,11 @@ def _recon_i4_cabac(dec, ps, my, mx, qp, qpc):
             pred, blocks[by, bx])
     _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,
                        qpc, True)
+    # intra neighbours: AVAILABLE with mv 0 / ref -1 for MVP/P_SKIP
+    # (x264 cache -1 vs -2 outside, macroblock.c:28-46)
+    dec.dec4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = True
+    dec.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+    dec.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = -1
     dec.mb_intra[my, mx] = True
     dec.mbs.append(MBInfo("I4x4", (0, 0), qp))
 
@@ -1977,6 +2005,11 @@ def _recon_i8_cabac(dec, ps, my, mx, qp, qpc):
         dec.y[py:py + 8, px:px + 8] = R.idct8x8_add(pred, deq)
     _recon_chroma_from(dec, ps, my, mx, cmode, cbp_chroma, cdcs, cacs,
                        qpc, True)
+    # intra neighbours: AVAILABLE with mv 0 / ref -1 for MVP/P_SKIP
+    # (x264 cache -1 vs -2 outside, macroblock.c:28-46)
+    dec.dec4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = True
+    dec.mv4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 0
+    dec.ref4[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = -1
     dec.mb_intra[my, mx] = True
     dec.mb_trans8[my, mx] = True
     dec.mbs.append(MBInfo("I8x8", (0, 0), qp))

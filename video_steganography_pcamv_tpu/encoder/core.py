@@ -1512,6 +1512,20 @@ class Encoder:
                     jnp.asarray(self.prev_mv), p.me_range, mbh, mbw,
                     lam, p.subpel, p.ref_frames,
                     use_pallas=jax.default_backend() == "tpu")
+        elif (p.rd >= 1 and self._stego is None and not p.aq_mode):
+            # partition-shape RD re-rank (x264_mb_analyse_p_rd,
+            # analyse.c:2117: shapes within 5/4 of the SATD best are
+            # fully encoded and re-ranked by SSD + lambda2*exact bits)
+            part, mv8, r_idx8, blocks8, wht8, mb_cost = \
+                PT.rd_rerank_parts(
+                    y, u, v, self.ref["luma"], self.ref["u"],
+                    self.ref["v"], jnp.asarray(self.prev_mv), qp, qpc,
+                    p.me_range, mbh, mbw, lam, p.subpel,
+                    decimate=p.dct_decimate, trellis=bool(p.trellis),
+                    nr_offset=self._nr_offset(),
+                    trans8=p.transform_8x8,
+                    use_pallas=jax.default_backend() == "tpu")
+            ref8 = None
         else:
             part, mv8, r_idx8, blocks8, wht8, mb_cost = \
                 PT.analyse_p_frame_parts(

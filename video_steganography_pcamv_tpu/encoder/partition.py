@@ -1184,3 +1184,105 @@ def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
         pieces.append(extra.reshape(-1).astype(f32))
     packed = jnp.concatenate(pieces)
     return packed, res, blocks8, wht8, r_idx8
+
+
+# ---------------------------------------------------------------------------
+# Partition-shape RD re-rank (--rd >= 1)
+#
+# Reference: x264_mb_analyse_p_rd (analyse.c:2117-2186) — after the
+# SATD cascade, every partition shape whose SATD total is within 5/4 of
+# the best is FULLY encoded and re-ranked by SSD + lambda2 * exact bits
+# (x264_rd_cost_mb, rdo.c:139). TPU redesign: each shape becomes one
+# uniform-part frame probe (subpel refine + full device encode + device
+# scan for exact per-unit mvds + exact CAVLC residual bits), and the
+# per-MB argmin mixes shapes. Divergences from the serial original,
+# both documented PARITY.md-style: per-unit MVPs come from the probe's
+# own uniform-shape field rather than the mixed final cache (the
+# batched analog of the rdo.c FIXME about stale NNZ), and nC starts at
+# 0 like every other rd estimator in ops/rdcost.py.
+# ---------------------------------------------------------------------------
+
+def rd_rerank_parts(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
+                    rng: int, mbh: int, mbw: int, lam, subpel: int,
+                    decimate: bool, trellis: bool, nr_offset,
+                    trans8: bool, use_pallas: bool = False):
+    """Returns (part, mv8, r_idx8, blocks8, wht8, mb_cost) — the same
+    contract as analyse_p_frame_parts, with `part` re-ranked by exact
+    RD and `mv8` the winning shapes' refined unit MVs."""
+    from . import inter as P
+    from .scan_device import scan_p_device
+
+    if use_pallas:
+        from ..ops.pallas_kernels import fullpel_parts_pallas
+        st = fullpel_parts_pallas(y, ref_luma[0], rng, mbh, mbw, lam)
+    else:
+        st = fullpel_search_parts(y, ref_luma[0], prev_mv >> 2, rng,
+                                  mbh, mbw, lam)
+
+    hdr = jnp.asarray(_HDR_BITS)
+    tot = jnp.stack([
+        st["c16"] + lam * hdr[0],
+        st["c16x8"].sum(-1) + lam * hdr[1],
+        st["c8x16"].sum(-1) + lam * hdr[2],
+        st["c8"].sum(-1) + lam * hdr[3],
+    ])                                              # [4,mbh,mbw]
+    # analyse.c:2119 thresh = i_satd * 5/4 (candidate gate)
+    thresh = (tot.min(0) * 5) // 4
+
+    mv_by_part = jnp.stack([
+        jnp.broadcast_to(st["mv16"][:, :, None, :], (mbh, mbw, 4, 2)),
+        st["mv16x8"][:, :, [0, 0, 1, 1], :],
+        st["mv8x16"][:, :, [0, 1, 0, 1], :],
+        st["mv8"],
+    ])                                              # [4,mbh,mbw,4,2]
+
+    costs, mv8s, aux = [], [], []
+    for s in range(4):
+        part_s = jnp.full((mbh, mbw), s, jnp.int32)
+        mvsp = mv_by_part[s].reshape(mbh, mbw, 2, 2, 2) \
+            .transpose(0, 2, 1, 3, 4).reshape(2 * mbh, 2 * mbw, 2)
+        windows = gather_windows8_jnp(ref_luma.astype(jnp.uint8),
+                                      mvsp, mbh, mbw)
+        blocks8 = block_table8(windows)
+        wht8 = wht8_flat(blocks8).astype(jnp.int16)
+        mv8_s, r_idx_s, cost_s = subpel_parts(
+            y, wht8, part_s, mvsp, prev_mv, mbh, mbw, lam, subpel)
+        res = P.encode_p_frame_device8(
+            y, u, v, ref_luma, ref_u, ref_v, mv8_s, qp, qpc, mbh, mbw,
+            decimate=decimate, trellis=trellis, nr_offset=nr_offset,
+            trans8=trans8, rd=True)
+        _, mvd_s, _, _ = scan_p_device(part_s, mv8_s,
+                                       res["cbp_luma"],
+                                       res["cbp_chroma"], mbh, mbw)
+        rd = P.rd_coded_cost(
+            y, u, v, res["luma_lev"], res["chroma_dc"],
+            res["chroma_ac"], res["recon_y"], res["recon_u"],
+            res["recon_v"], mvd_s, part_s, qp, mbh, mbw)
+        # int32-safe sentinel (jax_enable_x64 is off; a 16x16 MB's max
+        # SSD+bits cost is ~6e7, well under 2^30)
+        gated = jnp.where(tot[s] <= thresh, rd.astype(jnp.int32),
+                          jnp.int32(1) << 30)
+        costs.append(gated)
+        mv8s.append(mv8_s)
+        aux.append((r_idx_s, blocks8, wht8, cost_s))
+
+    allc = jnp.stack(costs)                         # [4,mbh,mbw]
+    part = jnp.argmin(allc, axis=0).astype(jnp.int32)
+    sel8 = jnp.repeat(jnp.repeat(part, 2, 0), 2, 1)  # [2mbh,2mbw]
+    mv8 = jnp.take_along_axis(
+        jnp.stack(mv8s), sel8[None, :, :, None], axis=0)[0]
+    # downstream tables (stego probes / rd-2 refine) from the winning
+    # shapes: per-8x8 select over the per-shape tables
+    n8 = 4 * mbh * mbw
+    sel_n8 = sel8.reshape(2 * mbh, 2 * mbw).reshape(-1)
+    r_idx8 = jnp.take_along_axis(
+        jnp.stack([a[0] for a in aux]), sel_n8[None, :], axis=0)[0]
+    blocks8 = jnp.take_along_axis(
+        jnp.stack([a[1] for a in aux]),
+        sel_n8[None, None, :, None, None], axis=0)[0]
+    wht8 = jnp.take_along_axis(
+        jnp.stack([a[2] for a in aux]), sel_n8[None, None, :, None],
+        axis=0)[0]
+    mb_cost = jnp.take_along_axis(
+        jnp.stack([a[3] for a in aux]), part[None], axis=0)[0]
+    return part, mv8, r_idx8, blocks8, wht8, mb_cost

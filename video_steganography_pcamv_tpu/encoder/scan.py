@@ -150,7 +150,13 @@ def scan_p_frame(part: np.ndarray, mv8: np.ndarray,
     for my in range(mbh):
         for mx in range(mbw):
             if intra is not None and intra[my, mx]:
-                continue  # not committed: unavailable to neighbours
+                # intra neighbours are AVAILABLE with mv 0 / ref -1
+                # (x264 cache ref -1 vs -2 for outside,
+                # macroblock.c:28-46; spec 8.4.1.3: only truly
+                # unavailable neighbours trigger the C->D fallback,
+                # the lone-A rule, and the P_SKIP zero-forcing)
+                g.commit(4 * my, 4 * mx, 4, 4, 0, ref=-1)
+                continue
             y4, x4 = 4 * my, 4 * mx
             p = int(part[my, mx])
             if p == D_16x16:
@@ -195,6 +201,7 @@ def scan_p_frame_sub(part: np.ndarray, sub_type: np.ndarray,
     for my in range(mbh):
         for mx in range(mbw):
             if intra is not None and intra[my, mx]:
+                g.commit(4 * my, 4 * mx, 4, 4, 0, ref=-1)  # see above
                 continue
             y4, x4 = 4 * my, 4 * mx
             p = int(part[my, mx])
@@ -290,7 +297,8 @@ def scan_p_frame_forced(part: np.ndarray, mv8: np.ndarray,
     for my in range(mbh):
         for mx in range(mbw):
             if intra is not None and intra[my, mx]:
-                continue  # not committed: unavailable to neighbours
+                g.commit(4 * my, 4 * mx, 4, 4, 0, ref=-1)  # see above
+                continue
             y4, x4 = 4 * my, 4 * mx
             p = int(part[my, mx])
             if skip[my, mx]:

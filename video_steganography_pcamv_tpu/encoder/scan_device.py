@@ -44,17 +44,22 @@ def _median3(a, b, c):
 
 
 def _gather_cell(mv4, ref4, ok4, ny4, nx4, cur_idx, h4, w4):
-    """(mv, ref, avail) of neighbour cells [..]: avail = in-bounds,
-    not intra, and the cell's MB does not follow the current MB in
-    raster order (same-MB cells are always earlier units)."""
+    """(mv, ref, avail) of neighbour cells [..]: avail = in-bounds and
+    the cell's MB does not follow the current MB in raster order
+    (same-MB cells are always earlier units). INTRA cells are
+    AVAILABLE with mv 0 / ref -1 — the x264 cache keeps -1 for intra
+    vs -2 for outside (macroblock.c:28-46), and only truly unavailable
+    neighbours trigger the C->D fallback, the lone-A rule, and the
+    P_SKIP zero-forcing."""
     inb = (ny4 >= 0) & (nx4 >= 0) & (ny4 < h4) & (nx4 < w4)
     cy = jnp.clip(ny4, 0, h4 - 1)
     cx = jnp.clip(nx4, 0, w4 - 1)
     mbw = w4 // 4
     cell_idx = (cy // 4) * mbw + (cx // 4)
-    avail = inb & (cell_idx <= cur_idx) & ok4[cy, cx]
-    mv = jnp.where(avail[..., None], mv4[cy, cx], 0)
-    ref = jnp.where(avail, ref4[cy, cx], -1)
+    avail = inb & (cell_idx <= cur_idx)
+    usable = avail & ok4[cy, cx]          # inter cells with a real MV
+    mv = jnp.where(usable[..., None], mv4[cy, cx], 0)
+    ref = jnp.where(usable, ref4[cy, cx], -1)
     return mv, ref, avail
 
 

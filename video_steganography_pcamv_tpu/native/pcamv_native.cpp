@@ -853,7 +853,16 @@ extern "C" void pcamv_scan_p_parts(
   for (int my = 0; my < mbh; my++)
     for (int mx = 0; mx < mbw; mx++) {
       int a = my * mbw + mx;
-      if (intra && intra[a]) continue;
+      if (intra && intra[a]) {
+        // intra neighbours are AVAILABLE with mv 0 / ref -1 (x264
+        // cache -1 vs -2 outside, macroblock.c:28-46): they join the
+        // MVP median and do NOT trigger the C->D fallback, the
+        // lone-A rule, or the P_SKIP zero-forcing (Python twin
+        // scan.py has the same convention)
+        static const int32_t z[2] = {0, 0};
+        g.commit(4 * my, 4 * mx, 4, 4, z, -1);
+        continue;
+      }
       int y4 = 4 * my, x4 = 4 * mx;
       int p = part[a];
       if (p == 0) {
