@@ -882,7 +882,7 @@ class Encoder:
         res_dev = I.encode_i_frame(y, u, v, qp_enc, qpc_enc, p.mb_width,
                                    p.mb_height, lam=ME.lambda_tab(qp),
                                    i4x4=p.i4x4, i8x8=p.transform_8x8,
-                                   rd=bool(p.rd))
+                                   rd=bool(p.rd), trellis=bool(p.trellis))
         res = {k: np.asarray(val) for k, val in res_dev.items()}
         qp_maps = (None, None)
         if self._aq_grids is not None:
@@ -1515,13 +1515,16 @@ class Encoder:
         elif (p.rd >= 1 and self._stego is None and not p.aq_mode):
             # partition-shape RD re-rank (x264_mb_analyse_p_rd,
             # analyse.c:2117: shapes within 5/4 of the SATD best are
-            # fully encoded and re-ranked by SSD + lambda2*exact bits)
+            # fully encoded and re-ranked by SSD + lambda2*exact bits).
+            # Probe quantization uses trellis only at --trellis 2
+            # (analyse.c:248 b_trellis = i_trellis > 1 && i_mbrd); the
+            # final encode below trellises at any --trellis >= 1.
             part, mv8, r_idx8, blocks8, wht8, mb_cost = \
                 PT.rd_rerank_parts(
                     y, u, v, self.ref["luma"], self.ref["u"],
                     self.ref["v"], jnp.asarray(self.prev_mv), qp, qpc,
                     p.me_range, mbh, mbw, lam, p.subpel,
-                    decimate=p.dct_decimate, trellis=bool(p.trellis),
+                    decimate=p.dct_decimate, trellis=p.trellis > 1,
                     nr_offset=self._nr_offset(),
                     trans8=p.transform_8x8,
                     use_pallas=jax.default_backend() == "tpu")
@@ -1571,7 +1574,8 @@ class Encoder:
         if p.intra_in_p and self._stego is None and not p.aq_mode:
             ir = I.refine_p_intra(
                 y, u, v, res["recon_y"], res["recon_u"], res["recon_v"],
-                mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4)
+                mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4,
+                trellis=bool(p.trellis))
             intra_kind = np.asarray(ir["intra_kind"])
             if intra_kind.any():
                 intra_res = {k: np.asarray(val) for k, val in ir.items()}
@@ -2200,7 +2204,8 @@ class Encoder:
         if p.intra_in_p and self._stego is None and not p.aq_mode:
             ir = I.refine_p_intra(
                 y, u, v, res["recon_y"], res["recon_u"], res["recon_v"],
-                mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4)
+                mb_cost, qp, qpc, mbw, mbh, lam=lam, i4x4=p.i4x4,
+                trellis=bool(p.trellis))
             intra_kind = np.asarray(ir["intra_kind"])
             if intra_kind.any():
                 intra_res = {k: np.asarray(val) for k, val in ir.items()}
@@ -2668,7 +2673,8 @@ class Encoder:
             ir = I.refine_p_intra(
                 y, u, v, res["recon_y"], res["recon_u"],
                 res["recon_v"], jnp.asarray(cost_masked), qp, qpc,
-                mbw, mbh, lam=lam, i4x4=p.i4x4)
+                mbw, mbh, lam=lam, i4x4=p.i4x4,
+                trellis=bool(p.trellis))
             intra_kind = np.asarray(ir["intra_kind"])
             if intra_kind.any():
                 intra_res = {k: np.asarray(val) for k, val in ir.items()}

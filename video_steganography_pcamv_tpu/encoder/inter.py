@@ -146,30 +146,65 @@ def trellis_quant4x4_planes(coef, qp, intra: bool):
     cat); returns levels in the same plane layout. qp: scalar or
     per-MB [N] (any trailing singleton dims tolerated)."""
     from ..ops import trellis as TR
-    n = coef.shape[0]
+    n, _, _, by, bx = coef.shape
     zz = _zigzag_gather(coef)                     # [N,16,BY,BX]
-    v = zz.transpose(0, 2, 3, 1).reshape(n * 16, 16)
+    v = zz.transpose(0, 2, 3, 1).reshape(n * by * bx, 16)
     qp_b = qp if jnp.ndim(qp) == 0 \
-        else jnp.repeat(jnp.reshape(qp, (n,)), 16)
+        else jnp.repeat(jnp.reshape(qp, (n,)), by * bx)
     lev = TR.trellis_quant(v, qp_b, TR.CAT_LUMA_4x4, intra)
-    lev = lev.reshape(n, 4, 4, 16).transpose(0, 3, 1, 2)  # [N,16,BY,BX]
+    lev = lev.reshape(n, by, bx, 16).transpose(0, 3, 1, 2)  # [N,16,BY,BX]
     izig = np.zeros((4, 4), np.int64)
     izig[T.ZIGZAG_4x4[:, 0], T.ZIGZAG_4x4[:, 1]] = np.arange(16)
     return lev[:, izig]                           # [N,4,4,BY,BX]
 
 
-def trellis_quant_chroma_dc(dch, qpc):
+def trellis_quant_chroma_dc(dch, qpc, intra: bool = False):
     """Chroma-DC trellis (2x2 hadamard domain, raster scan; rdo.c
-    x264_quant_dc_trellis DCT_CHROMA_DC). dch: [N,2,2]."""
+    x264_quant_dc_trellis DCT_CHROMA_DC, b_intra = !b_inter).
+    dch: [N,2,2]."""
     from ..ops import trellis as TR
     n = dch.shape[0]
     qpc_b = qpc if jnp.ndim(qpc) == 0 else jnp.reshape(qpc, (n,))
     lev = TR.trellis_quant(dch.reshape(n, 4), qpc_b, TR.CAT_CHROMA_DC,
-                           False)
+                           intra)
     return lev.reshape(n, 2, 2)
 
 
-def trellis_quant_chroma_ac(ac, qpc):
+def trellis_quant_luma_dc(dct, qp):
+    """i16x16 luma-DC trellis (4x4 hadamard domain, zigzag scan;
+    rdo.c x264_quant_dc_trellis DCT_LUMA_DC, intra only —
+    encoder/macroblock.c:252-253). dct: [N,4,4]."""
+    from ..ops import trellis as TR
+    n = dct.shape[0]
+    zz = jnp.asarray(T.ZIGZAG_4x4)
+    v = dct[:, zz[:, 0], zz[:, 1]]                # [N,16]
+    qp_b = qp if jnp.ndim(qp) == 0 else jnp.reshape(qp, (n,))
+    lev = TR.trellis_quant(v, qp_b, TR.CAT_LUMA_DC, True)
+    izig = np.zeros((4, 4), np.int64)
+    izig[T.ZIGZAG_4x4[:, 0], T.ZIGZAG_4x4[:, 1]] = np.arange(16)
+    return lev[:, izig]                           # [N,4,4]
+
+
+def trellis_quant_luma_ac(ac, qp, intra: bool = True):
+    """i16x16 luma-AC trellis (DCT_LUMA_AC cat, 15 coefs;
+    encoder/macroblock.c:229 x264_quant_4x4 -> trellis). ac:
+    [N,4,4,BY,BX] coefficient planes with DC already zeroed."""
+    from ..ops import trellis as TR
+    n, _, _, by, bx = ac.shape
+    zz = _zigzag_gather(ac)[:, 1:]                # [N,15,BY,BX]
+    v = zz.transpose(0, 2, 3, 1).reshape(n * by * bx, 15)
+    qp_b = qp if jnp.ndim(qp) == 0 \
+        else jnp.repeat(jnp.reshape(qp, (n,)), by * bx)
+    lev = TR.trellis_quant(v, qp_b, TR.CAT_LUMA_AC, intra)
+    lev = jnp.concatenate(
+        [jnp.zeros((n * by * bx, 1), lev.dtype), lev], axis=1)
+    lev = lev.reshape(n, by, bx, 16).transpose(0, 3, 1, 2)
+    izig = np.zeros((4, 4), np.int64)
+    izig[T.ZIGZAG_4x4[:, 0], T.ZIGZAG_4x4[:, 1]] = np.arange(16)
+    return lev[:, izig]                           # [N,4,4,BY,BX]
+
+
+def trellis_quant_chroma_ac(ac, qpc, intra: bool = False):
     """Chroma-AC trellis (DCT_CHROMA_AC cat, 15 coefs). ac:
     [N,4,4,BY,BX] coefficient planes with DC already zeroed."""
     from ..ops import trellis as TR
@@ -178,7 +213,7 @@ def trellis_quant_chroma_ac(ac, qpc):
     v = zz.transpose(0, 2, 3, 1).reshape(n * by * bx, 15)
     qpc_b = qpc if jnp.ndim(qpc) == 0 \
         else jnp.repeat(jnp.reshape(qpc, (n,)), by * bx)
-    lev = TR.trellis_quant(v, qpc_b, TR.CAT_CHROMA_AC, False)
+    lev = TR.trellis_quant(v, qpc_b, TR.CAT_CHROMA_AC, intra)
     lev = jnp.concatenate(
         [jnp.zeros((n * by * bx, 1), lev.dtype), lev], axis=1)
     lev = lev.reshape(n, by, bx, 16).transpose(0, 3, 1, 2)

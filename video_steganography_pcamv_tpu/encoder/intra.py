@@ -82,10 +82,13 @@ def _untile(t: jnp.ndarray) -> jnp.ndarray:
     return t.transpose(0, 2, 1, 3).reshape(mh * n, mw * n)
 
 
-def _i16_mb(enc, top, left, topleft, at, al, qp, lam):
+def _i16_mb(enc, top, left, topleft, at, al, qp, lam,
+            trellis: bool = False):
     """Batched i16x16 encode for one wave.
 
     enc: [W,16,16]; top/left: [W,16]; topleft, at, al: [W].
+    trellis: RD-quantize DC + AC (x264 --trellis at the final intra
+    encode, encoder/macroblock.c:229,252 — mode choice stays SATD).
     Returns (mode, dc_lev [W,4,4], ac_lev [W,4,4,4,4], cbp_luma_flag,
     recon [W,16,16], cost [W])."""
     preds = P.predict_i16x16_all(top, left, topleft, at, al)  # [W,4,16,16]
@@ -104,9 +107,14 @@ def _i16_mb(enc, top, left, topleft, at, al, qp, lam):
     dc = coef[:, 0, 0, :, :]                          # [W,4,4]
     dc_t = hadamard4x4(dc[..., None, None], final_shift=True)[..., 0, 0]
     qpb = qp if jnp.ndim(qp) == 0 else qp[:, None, None]  # per-MB AQ
-    dc_lev = T.quant_dc(dc_t, qpb, intra=True)        # [W,4,4]
     ac = coef.at[:, 0, 0].set(0)
-    ac_lev = T.quant4x4(ac, qpb, intra=True)
+    if trellis:
+        from .inter import trellis_quant_luma_dc, trellis_quant_luma_ac
+        dc_lev = trellis_quant_luma_dc(dc_t, qp)      # [W,4,4]
+        ac_lev = trellis_quant_luma_ac(ac, qp, intra=True)
+    else:
+        dc_lev = T.quant_dc(dc_t, qpb, intra=True)    # [W,4,4]
+        ac_lev = T.quant4x4(ac, qpb, intra=True)
     cbp_luma = jnp.any(ac_lev != 0, axis=(1, 2, 3, 4))  # [W]
 
     deq = T.dequant4x4(ac_lev, qpb, intra=True)
@@ -126,7 +134,7 @@ def _satd4(a, b):
 
 
 def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
-           nb_left_modes, nb_top_modes):
+           nb_left_modes, nb_top_modes, trellis: bool = False):
     """Batched i4x4 encode for one wave: static 16-step z-scan unroll.
 
     enc: [W,16,16]; top20: [W,20] (above MB row15 + above-right MB's
@@ -204,7 +212,11 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
 
         coef = T.dct4x4((eblk - pred)[..., None, None])      # [W,4,4,1,1]
         qpb = qp if jnp.ndim(qp) == 0 else qp[:, None, None]
-        lev = T.quant4x4(coef, qpb, intra=True)
+        if trellis:
+            from .inter import trellis_quant4x4_planes
+            lev = trellis_quant4x4_planes(coef, qp, intra=True)
+        else:
+            lev = T.quant4x4(coef, qpb, intra=True)
         deq = T.dequant4x4(lev, qpb, intra=True)
         rec = T.idct4x4_add(pred[..., None, None], deq)[..., 0, 0]
         wt = wt.at[:, 4 * by:4 * by + 4, 4 * bx:4 * bx + 4].set(rec)
@@ -225,7 +237,7 @@ def _i4_mb(enc, top20, left, topleft, at, al, atr, qp, lam,
 
 
 def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
-           nb_left_modes, nb_top_modes):
+           nb_left_modes, nb_top_modes, trellis: bool = False):
     """Batched Intra_8x8 encode for one wave: static 4-step z-scan over
     the MB's 8x8 blocks (reference: x264_mb_analyse_intra's i8x8 sweep
     analyse.c:659-697 + x264_mb_encode_i8x8 encoder/macroblock.c:156).
@@ -318,7 +330,18 @@ def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
             preds, mode[:, None, None, None], axis=1)[:, 0]  # [W,8,8]
 
         coef = T8.dct8x8(eblk - pred)
-        lev = T8.quant8x8(coef, qp, intra=True)
+        if trellis:
+            from ..ops import trellis as TR
+            zz8 = jnp.asarray(T8.ZIGZAG_8x8)
+            vz = coef[:, zz8[:, 0], zz8[:, 1]]          # [W,64]
+            qp8b = qp if jnp.ndim(qp) == 0 else jnp.reshape(qp, (-1,))
+            lv = TR.trellis_quant(vz, qp8b, TR.CAT_LUMA_8x8, True)
+            izig8 = np.zeros((8, 8), np.int64)
+            izig8[T8.ZIGZAG_8x8[:, 0], T8.ZIGZAG_8x8[:, 1]] = \
+                np.arange(64)
+            lev = lv[:, izig8]
+        else:
+            lev = T8.quant8x8(coef, qp, intra=True)
         deq = T8.dequant8x8(lev, qp, intra=True)
         rec = T8.idct8x8_add(pred, deq)
         wt = wt.at[:, y0:y0 + 8, x0:x0 + 8].set(rec)
@@ -335,7 +358,7 @@ def _i8_mb(enc, top24, left, topleft, at, al, atr, qp, lam,
 
 
 def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
-               qpc, lam):
+               qpc, lam, trellis: bool = False):
     """Batched chroma encode, joint U+V mode decision.
 
     enc_*: [W,8,8]; tops/lefts: ((top_u, top_v), (left_u, left_v)).
@@ -362,9 +385,17 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
         coef = T.dct4x4(res)
         dc = coef[:, 0, 0][..., None, None]           # [W,2(by),2(bx),1,1]
         dc_t = hadamard2x2(dc)
-        dc_lev = T.quant_dc(dc_t[..., 0, 0], qpcb, intra=True)  # [W,2,2]
         ac = coef.at[:, 0, 0].set(0)
-        ac_lev = T.quant4x4(ac, qpcb, intra=True)
+        if trellis:
+            from .inter import (trellis_quant_chroma_dc,
+                                trellis_quant_chroma_ac)
+            dc_lev = trellis_quant_chroma_dc(dc_t[..., 0, 0], qpc,
+                                             intra=True)   # [W,2,2]
+            ac_lev = trellis_quant_chroma_ac(ac, qpc, intra=True)
+        else:
+            dc_lev = T.quant_dc(dc_t[..., 0, 0], qpcb,
+                                intra=True)                 # [W,2,2]
+            ac_lev = T.quant4x4(ac, qpcb, intra=True)
         # recon
         deq = T.dequant4x4(ac_lev, qpcb, intra=True)
         dc_rec = hadamard2x2(dc_lev[..., None, None])[..., 0, 0]  # [W,2,2]
@@ -386,10 +417,10 @@ def _chroma_mb(enc_u, enc_v, tops, lefts, topleft_u, topleft_v, at, al,
 
 
 @functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4",
-                                             "i8x8", "rd"))
+                                             "i8x8", "rd", "trellis"))
 def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
                    i4x4: bool = True, i8x8: bool = False,
-                   rd: bool = False):
+                   rd: bool = False, trellis: bool = False):
     """Encode one I-frame. y: [16*mbh, 16*mbw] int32; u, v: half size.
     qp/qpc/lam are traced scalars (per-frame rate control re-uses one
     compiled program across QPs).
@@ -448,7 +479,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         qpw = qp if jnp.ndim(qp) == 0 else qp[my, mx]
         qpcw = qpc if jnp.ndim(qpc) == 0 else qpc[my, mx]
         mode16, dc_lev, ac_lev, cbpl16, rec16, cost16 = _i16_mb(
-            enc, top, left, tl, at, al, qpw, lam)
+            enc, top, left, tl, at, al, qpw, lam, trellis=trellis)
 
         nb_lm = st["modes4"][my, mxc, :, 3]               # [W,4]
         nb_tm = st["modes4"][myc, mx, 3, :]
@@ -457,7 +488,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             top20 = jnp.concatenate([top, tr4], axis=1)   # [W,20]
             m4, lev4, cbpl4, rec4, cost4, mb4bits = _i4_mb(
                 enc, top20, left, tl, at, al, atr, qpw, lam,
-                nb_lm, nb_tm)
+                nb_lm, nb_tm, trellis=trellis)
             use4 = cost4 < cost16
         else:
             use4 = jnp.zeros_like(cost16, dtype=bool)
@@ -472,7 +503,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
             top24 = jnp.concatenate([top, tr8], axis=1)   # [W,24]
             m8, lev8, cbpl8, rec8, cost8, ctx8, mb8bits = _i8_mb(
                 enc, top24, left, tl, at, al, atr, qpw, lam,
-                nb_lm, nb_tm)
+                nb_lm, nb_tm, trellis=trellis)
             use8 = (cost8 < cost16) & (cost8 <= cost4)
             use4 = use4 & ~use8
         else:
@@ -556,7 +587,7 @@ def encode_i_frame(y, u, v, qp, qpc, mbw: int, mbh: int, lam=0,
         tlv = st["rv"][myc, mxc, 7, 7]
         cmode, cdc, cac, cbpc, ruu, rvv = _chroma_mb(
             cu, cvv, (top_u, top_v), (left_u, left_v), tlu, tlv, at, al,
-            qpcw, lam)
+            qpcw, lam, trellis=trellis)
 
         # inactive lanes scatter out of bounds -> dropped
         sy = jnp.where(act, my, mbh)
@@ -601,10 +632,11 @@ def _z_to_grid(m4_z):
     return g
 
 
-@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4"))
+@functools.partial(jax.jit, static_argnames=("mbw", "mbh", "i4x4",
+                                             "trellis"))
 def refine_p_intra(y, u, v, recon_y, recon_u, recon_v, inter_cost,
                    qp, qpc, mbw: int, mbh: int, lam=0,
-                   i4x4: bool = True):
+                   i4x4: bool = True, trellis: bool = False):
     """Intra-vs-inter refinement for P frames (the final intra compare
     of x264_macroblock_analyse's P path, analyse.c:2812-2825 — skipped
     by the reference when embedding, analyse.c:2862-2863).
@@ -664,7 +696,7 @@ def refine_p_intra(y, u, v, recon_y, recon_u, recon_v, inter_cost,
         left = st["ry"][my, mxc, :, 15]
         tl = st["ry"][myc, mxc, 15, 15]
         mode16, dc_lev, ac_lev, cbpl16, rec16, cost16 = _i16_mb(
-            enc, top, left, tl, at, al, qp, lam)
+            enc, top, left, tl, at, al, qp, lam, trellis=trellis)
         if i4x4:
             tr4 = st["ry"][myc, mxr, 15, 0:4]
             top20 = jnp.concatenate([top, tr4], axis=1)
@@ -672,7 +704,7 @@ def refine_p_intra(y, u, v, recon_y, recon_u, recon_v, inter_cost,
             nb_tm = st["modes4"][myc, mx, 3, :]
             m4, lev4, cbpl4, rec4, cost4, _mb4b = _i4_mb(
                 enc, top20, left, tl, at, al, atr, qp, lam,
-                nb_lm, nb_tm)
+                nb_lm, nb_tm, trellis=trellis)
             use4 = cost4 < cost16
             cost_intra = jnp.minimum(cost4, cost16)
         else:
@@ -709,7 +741,7 @@ def refine_p_intra(y, u, v, recon_y, recon_u, recon_v, inter_cost,
         tlv = st["rv"][myc, mxc, 7, 7]
         cmode, cdc, cac, cbpc, ruu, rvv = _chroma_mb(
             cu, cvv, (top_u, top_v), (left_u, left_v), tlu, tlv, at, al,
-            qpc, lam)
+            qpc, lam, trellis=trellis)
         ruu = jnp.where(use_intra[:, None, None], ruu, inter_ru)
         rvv = jnp.where(use_intra[:, None, None], rvv, inter_rv)
 

@@ -1,0 +1,463 @@
+"""Fused single-kernel device deblock (Pallas).
+
+The XLA knight-wavefront twin (ops/deblock_jax.py) is bit-exact but
+dispatches ~254 waves of gather + filter + scatter ops at 1080p
+(~180 ms, PERF.md "Device deblocking"). This kernel runs the WHOLE
+frame in ONE pallas_call: the planes live in VMEM for the duration,
+macroblocks are processed in raster order (the reference's serial
+order, common/frame.c:627 — so ordering correctness is trivial), and
+each MB's 20x20 tile is addressed with a dynamic-sublane strip load
+plus a lane rotation (Mosaic allows dynamic sublane starts aligned to
+the dtype tile and 128-multiple lane offsets; arbitrary lane offsets
+are not expressible, hence the roll).
+
+Everything data-dependent-but-pixel-independent is precomputed OUTSIDE
+the kernel by `edge_params` (plain batched XLA): per-MB/edge/group
+boundary strengths, alpha/beta thresholds, tc0 clip values and active
+masks — exactly the bs_groups / edge_qp / strong_mask logic of
+deblock_jax.py (reference bS: spec 8.7.2.1, frame.c:633-811). The
+kernel then only does normative pixel arithmetic (spec 8.7.2.3/8.7.2.4)
+with scalar parameters, so it stays bit-exact with the C++ and XLA
+twins (tests/test_deblock_pallas.py fuzzes all three).
+
+Param row layout ([128] int16 lanes per MB):
+  0:8     alpha_l [dir*4+e]        (dir 0 = vertical edges)
+  8:16    beta_l
+  16:24   active_l (0/1; folds frame border, skip, qp_thresh, a>0, b>0)
+  24:26   strong  [dir] (intra MB-edge -> strong filter, e0 only)
+  32:64   bs_l    [dir*16 + e*4 + g]
+  64:96   tc0_l   [dir*16 + e*4 + g]
+  96:100  alpha_c [dir*2 + ei]     (ei 0 -> edge 0, 1 -> edge 2)
+  100:104 beta_c
+  104:108 active_c
+  108:124 tc0_c   [dir*8 + ei*4 + g]  (per-line = repeat(group, 2))
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .deblock_jax import ALPHA_TAB, BETA_TAB, TC0_TAB
+
+PAD = 4
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ---------------------------------------------------------------------------
+# Host/XLA precompute: per-MB edge parameters
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "qp_thresh"))
+def edge_params(intra, skip, nnz4, mv4, qp, qpc, mbh: int, mbw: int,
+                ref4=None, qp_thresh: int = 15):
+    """Batched twin of deblock_jax's per-wave bs_groups/edge_qp/
+    strong_mask/edge_active, over the whole MB grid at once.
+    Returns [mbh*mbw, 128] int16."""
+    if ref4 is None:
+        ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
+    ALPHA = jnp.asarray(ALPHA_TAB)
+    BETA = jnp.asarray(BETA_TAB)
+    TC0 = jnp.asarray(TC0_TAB)
+    qp_g = jnp.broadcast_to(jnp.asarray(qp), (mbh, mbw)).astype(jnp.int32)
+    qpc_g = jnp.broadcast_to(jnp.asarray(qpc), (mbh, mbw)) \
+        .astype(jnp.int32)
+    qp_pm = jnp.pad(qp_g, 1)
+    qpc_pm = jnp.pad(qpc_g, 1)
+    intra_g = intra.astype(jnp.int32) > 0
+    intra_pm = jnp.pad(intra_g, 1)
+
+    # 4x4-grid tensors reshaped to [mbh, 4, mbw, 4] (g = row-in-MB for
+    # vertical edges / col-in-MB for horizontal)
+    def grid4(x):
+        return x.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3)  # [mbh,mbw,4,4]
+
+    nz = grid4(nnz4)
+    mvx = grid4(mv4[..., 0])
+    mvy = grid4(mv4[..., 1])
+    rf = grid4(ref4)
+    # left/top-shifted neighbours on the 4x4 grid (outside -> 0; the
+    # e=0 active mask kills frame-border edges anyway)
+    nzL = grid4(jnp.pad(nnz4, ((0, 0), (1, 0)))[:, :-1])
+    mvxL = grid4(jnp.pad(mv4[..., 0], ((0, 0), (1, 0)))[:, :-1])
+    mvyL = grid4(jnp.pad(mv4[..., 1], ((0, 0), (1, 0)))[:, :-1])
+    rfL = grid4(jnp.pad(ref4, ((0, 0), (1, 0)))[:, :-1])
+    nzT = grid4(jnp.pad(nnz4, ((1, 0), (0, 0)))[:-1])
+    mvxT = grid4(jnp.pad(mv4[..., 0], ((1, 0), (0, 0)))[:-1])
+    mvyT = grid4(jnp.pad(mv4[..., 1], ((1, 0), (0, 0)))[:-1])
+    rfT = grid4(jnp.pad(ref4, ((1, 0), (0, 0)))[:-1])
+
+    cur_i = intra_g                                     # [mbh,mbw]
+    left_i = intra_pm[1:-1, :-2]
+    top_i = intra_pm[:-2, 1:-1]
+    cur_skip = skip.astype(jnp.int32) > 0
+    qp_w = qp_g
+    qpc_w = qpc_g
+    eqp = jnp.stack([(qp_pm[1:-1, :-2] + qp_w + 1) >> 1,
+                     (qp_pm[:-2, 1:-1] + qp_w + 1) >> 1])     # [2,mbh,mbw]
+    eqpc = jnp.stack([(qpc_pm[1:-1, :-2] + qpc_w + 1) >> 1,
+                      (qpc_pm[:-2, 1:-1] + qpc_w + 1) >> 1])
+    lowqp = qp_w <= qp_thresh
+    mxg = jnp.arange(mbw)[None, :]
+    myg = jnp.arange(mbh)[:, None]
+    border = jnp.stack([jnp.broadcast_to(mxg > 0, (mbh, mbw)),
+                        jnp.broadcast_to(myg > 0, (mbh, mbw))])
+    internal_on = ~cur_skip & ~lowqp
+
+    bs_all = jnp.zeros((mbh, mbw, 2, 4, 4), jnp.int32)
+    for d in range(2):
+        for e in range(4):
+            if d == 0:   # vertical edge e: q col = e, p col = e-1
+                qn = nz[:, :, :, e]
+                qx, qy, qr = mvx[:, :, :, e], mvy[:, :, :, e], rf[:, :, :, e]
+                if e == 0:
+                    # shifted grid: nzL[..., g, 0] = nnz4[4my+g, 4mx-1]
+                    pn, px = nzL[:, :, :, 0], mvxL[:, :, :, 0]
+                    py, pr = mvyL[:, :, :, 0], rfL[:, :, :, 0]
+                else:
+                    pn, px = nz[:, :, :, e - 1], mvx[:, :, :, e - 1]
+                    py, pr = mvy[:, :, :, e - 1], rf[:, :, :, e - 1]
+                nb_i = left_i
+            else:        # horizontal edge e: q row = e, p row = e-1
+                qn = nz[:, :, e, :]
+                qx, qy, qr = mvx[:, :, e, :], mvy[:, :, e, :], rf[:, :, e, :]
+                if e == 0:
+                    pn, px = nzT[:, :, 0, :], mvxT[:, :, 0, :]
+                    py, pr = mvyT[:, :, 0, :], rfT[:, :, 0, :]
+                else:
+                    pn, px = nz[:, :, e - 1, :], mvx[:, :, e - 1, :]
+                    py, pr = mvy[:, :, e - 1, :], rf[:, :, e - 1, :]
+                nb_i = top_i
+            bs = jnp.where((qn > 0) | (pn > 0), 2, 0)
+            mvd = (jnp.abs(qx - px) >= 4) | (jnp.abs(qy - py) >= 4) \
+                | (qr != pr)
+            bs = jnp.where((bs == 0) & mvd, 1, bs)
+            promote = cur_i | ((e == 0) & nb_i)
+            bs = jnp.where(promote[:, :, None], 3, bs)
+            bs_all = bs_all.at[:, :, d, e, :].set(bs)
+
+    # per-edge luma qp / alpha / beta / tc0 / active
+    alpha_l = jnp.zeros((mbh, mbw, 2, 4), jnp.int32)
+    beta_l = jnp.zeros((mbh, mbw, 2, 4), jnp.int32)
+    act_l = jnp.zeros((mbh, mbw, 2, 4), jnp.int32)
+    tc0_l = jnp.zeros((mbh, mbw, 2, 4, 4), jnp.int32)
+    alpha_c = jnp.zeros((mbh, mbw, 2, 2), jnp.int32)
+    beta_c = jnp.zeros((mbh, mbw, 2, 2), jnp.int32)
+    act_c = jnp.zeros((mbh, mbw, 2, 2), jnp.int32)
+    tc0_c = jnp.zeros((mbh, mbw, 2, 2, 4), jnp.int32)
+    for d in range(2):
+        for e in range(4):
+            eq = jnp.where(e == 0, eqp[d], qp_w)
+            a_e = ALPHA[eq + 12]
+            b_e = BETA[eq + 12]
+            act = (border[d] if e == 0 else internal_on) \
+                & (a_e > 0) & (b_e > 0)
+            alpha_l = alpha_l.at[:, :, d, e].set(a_e)
+            beta_l = beta_l.at[:, :, d, e].set(b_e)
+            act_l = act_l.at[:, :, d, e].set(act.astype(jnp.int32))
+            tc = TC0[(eq + 12)[:, :, None],
+                     jnp.clip(bs_all[:, :, d, e, :], 0, 3)]
+            tc0_l = tc0_l.at[:, :, d, e].set(tc)
+            if e in (0, 2):
+                ei = 0 if e == 0 else 1
+                eqc = jnp.where(e == 0, eqpc[d], qpc_w)
+                a_ce = ALPHA[eqc + 12]
+                b_ce = BETA[eqc + 12]
+                # the C++ gates each edge's chroma on the LUMA alpha/beta
+                actc = (border[d] if e == 0 else internal_on) \
+                    & (a_e > 0) & (b_e > 0)
+                alpha_c = alpha_c.at[:, :, d, ei].set(a_ce)
+                beta_c = beta_c.at[:, :, d, ei].set(b_ce)
+                act_c = act_c.at[:, :, d, ei].set(actc.astype(jnp.int32))
+                tcc = TC0[(eqc + 12)[:, :, None],
+                          jnp.clip(bs_all[:, :, d, e, :], 0, 3)]
+                tc0_c = tc0_c.at[:, :, d, ei].set(tcc)
+
+    strong = jnp.stack([cur_i | left_i, cur_i | top_i], axis=-1)  # [.,.,2]
+
+    n = mbh * mbw
+    par = jnp.zeros((mbh, mbw, 128), jnp.int32)
+    par = par.at[:, :, 0:8].set(alpha_l.reshape(mbh, mbw, 8))
+    par = par.at[:, :, 8:16].set(beta_l.reshape(mbh, mbw, 8))
+    par = par.at[:, :, 16:24].set(act_l.reshape(mbh, mbw, 8))
+    par = par.at[:, :, 24:26].set(strong.astype(jnp.int32))
+    par = par.at[:, :, 32:64].set(bs_all.reshape(mbh, mbw, 32))
+    par = par.at[:, :, 64:96].set(tc0_l.reshape(mbh, mbw, 32))
+    par = par.at[:, :, 96:100].set(alpha_c.reshape(mbh, mbw, 4))
+    par = par.at[:, :, 100:104].set(beta_c.reshape(mbh, mbw, 4))
+    par = par.at[:, :, 104:108].set(act_c.reshape(mbh, mbw, 4))
+    par = par.at[:, :, 108:124].set(tc0_c.reshape(mbh, mbw, 16))
+    return par.reshape(n, 128).astype(jnp.int16)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel edge filters (spec 8.7.2.3 / 8.7.2.4, int32 vectors)
+# ---------------------------------------------------------------------------
+
+def _clip3(v, lo, hi):
+    return jnp.maximum(lo, jnp.minimum(v, hi))
+
+
+def _luma_rows(samples, a, b, tc0v, bsv, strong, active):
+    """Filter one luma edge. samples: p3..q3, each [1,16] int32;
+    a/b/strong/active: [1,1]; tc0v/bsv: [1,16]. Returns p2..q2."""
+    p3, p2, p1, p0, q0, q1, q2, q3 = samples
+    base = ((jnp.abs(p0 - q0) < a) & (jnp.abs(p1 - p0) < b)
+            & (jnp.abs(q1 - q0) < b) & (active > 0))
+    nf = base & (bsv > 0) & (strong == 0)
+    ap = jnp.abs(p2 - p0) < b
+    aq = jnp.abs(q2 - q0) < b
+    tc = tc0v + ap.astype(jnp.int32) + aq.astype(jnp.int32)
+    p1n = p1 + _clip3(((p2 + ((p0 + q0 + 1) >> 1)) >> 1) - p1, -tc0v, tc0v)
+    q1n = q1 + _clip3(((q2 + ((p0 + q0 + 1) >> 1)) >> 1) - q1, -tc0v, tc0v)
+    delta = _clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0_n = jnp.clip(p0 + delta, 0, 255)
+    q0_n = jnp.clip(q0 - delta, 0, 255)
+
+    sf = base & (strong > 0)
+    lum = jnp.abs(p0 - q0) < ((a >> 2) + 2)
+    sp = lum & ap
+    sq = lum & aq
+    p0_s3 = (p2 + 2 * p1 + 2 * p0 + 2 * q0 + q1 + 4) >> 3
+    p1_s = (p2 + p1 + p0 + q0 + 2) >> 2
+    p2_s = (2 * p3 + 3 * p2 + p1 + p0 + q0 + 4) >> 3
+    p0_w = (2 * p1 + p0 + q1 + 2) >> 2
+    q0_s3 = (p1 + 2 * p0 + 2 * q0 + 2 * q1 + q2 + 4) >> 3
+    q1_s = (p0 + q0 + q1 + q2 + 2) >> 2
+    q2_s = (2 * q3 + 3 * q2 + q1 + q0 + p0 + 4) >> 3
+    q0_w = (2 * q1 + q0 + p1 + 2) >> 2
+    p0_str = jnp.where(sp, p0_s3, p0_w)
+    q0_str = jnp.where(sq, q0_s3, q0_w)
+
+    p2o = jnp.where(sf & sp, p2_s, p2)
+    p1o = jnp.where(sf & sp, p1_s, jnp.where(nf & ap, p1n, p1))
+    p0o = jnp.where(sf, p0_str, jnp.where(nf, p0_n, p0))
+    q0o = jnp.where(sf, q0_str, jnp.where(nf, q0_n, q0))
+    q1o = jnp.where(sf & sq, q1_s, jnp.where(nf & aq, q1n, q1))
+    q2o = jnp.where(sf & sq, q2_s, q2)
+    return p2o, p1o, p0o, q0o, q1o, q2o
+
+
+def _chroma_rows(samples, a, b, tcv, bsv, strong, active):
+    """One chroma edge over [1,8] lines (u and v stacked by caller as
+    [2,8]). tcv/bsv already per line."""
+    p1, p0, q0, q1 = samples
+    base = ((jnp.abs(p0 - q0) < a) & (jnp.abs(p1 - p0) < b)
+            & (jnp.abs(q1 - q0) < b) & (active > 0))
+    nf = base & (bsv > 0) & (strong == 0)
+    tc = tcv + 1
+    delta = _clip3((((q0 - p0) << 2) + (p1 - q1) + 4) >> 3, -tc, tc)
+    p0_n = jnp.clip(p0 + delta, 0, 255)
+    q0_n = jnp.clip(q0 - delta, 0, 255)
+    sf = base & (strong > 0)
+    p0_s = (2 * p1 + p0 + q1 + 2) >> 2
+    q0_s = (2 * q1 + q0 + p1 + 2) >> 2
+    p0o = jnp.where(sf, p0_s, jnp.where(nf, p0_n, p0))
+    q0o = jnp.where(sf, q0_s, jnp.where(nf, q0_n, q0))
+    return p0o, q0o
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(mbh: int, mbw: int):
+    n_mb = mbh * mbw
+
+    def kernel(yp_in, up_in, vp_in, par_ref, y_ref, u_ref, v_ref):
+        del yp_in, up_in, vp_in    # aliased with outputs
+
+        def mb_body(n, _):
+            my = n // mbw
+            mx = n - my * mbw
+
+            # ---- per-MB params: 16-row block + sublane roll ----
+            blk = par_ref[pl.ds((n // 16) * 16, 16), :]
+            prow = pltpu.roll(blk, -(n % 16), axis=0)[0:1, :] \
+                .astype(jnp.int32)                      # [1,128]
+
+            def sc(i):
+                return prow[0:1, i:i + 1]               # [1,1]
+
+            def vec(lo, cnt, rep):
+                # element-wise repeat ([a,b] -> [a,a,b,b]); NB
+                # pltpu.repeat is tile-style concat, not this
+                x = prow[0:1, lo:lo + cnt]               # [1,cnt]
+                return jnp.broadcast_to(x[:, :, None],
+                                        (1, cnt, rep)) \
+                    .reshape(1, cnt * rep)
+
+            # ---- luma tile: rows [16my,16my+32), lane window 256 ----
+            r0 = pl.multiple_of(16 * my, 16)
+            c_tile = 16 * mx                  # tile left in padded coords
+            c0 = pl.multiple_of((c_tile // 128) * 128, 128)
+            off = c_tile - c0
+            strip = y_ref[pl.ds(r0, 32), pl.ds(c0, 256)]
+            rot = pltpu.roll(strip, -off, axis=1)
+            til = rot[:, 0:32].astype(jnp.int32)        # [32,32]
+
+            # vertical edges: operate on the transpose (cols -> rows)
+            tt = til.T                                   # [32,32]
+            for e in range(4):
+                col = 4 + 4 * e
+                s = [tt[col + k:col + k + 1, 4:20] for k in range(-4, 4)]
+                a = sc(0 * 8 + 0 + e)
+                b = sc(8 + e)
+                act = sc(16 + e)
+                strong = sc(24) if e == 0 else jnp.zeros((1, 1), jnp.int32)
+                bsv = vec(32 + e * 4, 4, 4)              # [1,16]
+                tcv = vec(64 + e * 4, 4, 4)
+                p2o, p1o, p0o, q0o, q1o, q2o = _luma_rows(
+                    tuple(s), a, b, tcv, bsv, strong, act)
+                upd = jnp.concatenate([p2o, p1o, p0o, q0o, q1o, q2o], 0)
+                tt = jax.lax.dynamic_update_slice(tt, upd, (col - 3, 4))
+            til = tt.T
+
+            # horizontal edges
+            for e in range(4):
+                row = 4 + 4 * e
+                s = [til[row + k:row + k + 1, 4:20] for k in range(-4, 4)]
+                a = sc(4 + e)
+                b = sc(8 + 4 + e)
+                act = sc(16 + 4 + e)
+                strong = sc(25) if e == 0 else jnp.zeros((1, 1), jnp.int32)
+                bsv = vec(32 + 16 + e * 4, 4, 4)
+                tcv = vec(64 + 16 + e * 4, 4, 4)
+                p2o, p1o, p0o, q0o, q1o, q2o = _luma_rows(
+                    tuple(s), a, b, tcv, bsv, strong, act)
+                upd = jnp.concatenate([p2o, p1o, p0o, q0o, q1o, q2o], 0)
+                til = jax.lax.dynamic_update_slice(til, upd, (row - 3, 4))
+
+            rot = jax.lax.dynamic_update_slice(
+                rot, til.astype(rot.dtype), (0, 0))
+            y_ref[pl.ds(r0, 32), pl.ds(c0, 256)] = \
+                pltpu.roll(rot, off, axis=1)
+
+            # ---- chroma tiles (12x12 at 8-stride), u and v ----
+            rc0 = pl.multiple_of(8 * my, 8)
+            cc_tile = 8 * mx
+            cc0 = pl.multiple_of((cc_tile // 128) * 128, 128)
+            offc = cc_tile - cc0
+            ustrip = u_ref[pl.ds(rc0, 16), pl.ds(cc0, 256)]
+            vstrip = v_ref[pl.ds(rc0, 16), pl.ds(cc0, 256)]
+            urot = pltpu.roll(ustrip, -offc, axis=1)
+            vrot = pltpu.roll(vstrip, -offc, axis=1)
+            utl = urot[:, 0:16].astype(jnp.int32)       # [16,16]
+            vtl = vrot[:, 0:16].astype(jnp.int32)
+
+            # chroma V edges (e0, e2) then H edges — the C++ per-MB
+            # order (all vertical before any horizontal)
+            utt, vtt = utl.T, vtl.T
+            for ei, e in enumerate((0, 2)):
+                col = 4 + 2 * e
+                a = sc(96 + 0 + ei)
+                b = sc(100 + ei)
+                act = sc(104 + ei)
+                strong = sc(24) if e == 0 else jnp.zeros((1, 1), jnp.int32)
+                bsv = vec(32 + e * 4, 4, 2)              # [1,8]
+                tcv = vec(108 + ei * 4, 4, 2)
+                for t in (0, 1):
+                    tl = utt if t == 0 else vtt
+                    s = [tl[col + k:col + k + 1, 4:12] for k in range(-2, 2)]
+                    p0o, q0o = _chroma_rows(tuple(s), a, b, tcv, bsv,
+                                            strong, act)
+                    upd = jnp.concatenate([p0o, q0o], 0)
+                    tl = jax.lax.dynamic_update_slice(tl, upd,
+                                                      (col - 1, 4))
+                    if t == 0:
+                        utt = tl
+                    else:
+                        vtt = tl
+            utl, vtl = utt.T, vtt.T
+            for ei, e in enumerate((0, 2)):
+                row = 4 + 2 * e
+                a = sc(96 + 2 + ei)
+                b = sc(102 + ei)
+                act = sc(106 + ei)
+                strong = sc(25) if e == 0 else jnp.zeros((1, 1), jnp.int32)
+                bsv = vec(32 + 16 + e * 4, 4, 2)
+                tcv = vec(116 + ei * 4, 4, 2)
+                for t in (0, 1):
+                    tl = utl if t == 0 else vtl
+                    s = [tl[row + k:row + k + 1, 4:12] for k in range(-2, 2)]
+                    p0o, q0o = _chroma_rows(tuple(s), a, b, tcv, bsv,
+                                            strong, act)
+                    upd = jnp.concatenate([p0o, q0o], 0)
+                    tl = jax.lax.dynamic_update_slice(tl, upd,
+                                                      (row - 1, 4))
+                    if t == 0:
+                        utl = tl
+                    else:
+                        vtl = tl
+
+            urot = jax.lax.dynamic_update_slice(
+                urot, utl.astype(urot.dtype), (0, 0))
+            vrot = jax.lax.dynamic_update_slice(
+                vrot, vtl.astype(vrot.dtype), (0, 0))
+            u_ref[pl.ds(rc0, 16), pl.ds(cc0, 256)] = \
+                pltpu.roll(urot, offc, axis=1)
+            v_ref[pl.ds(rc0, 16), pl.ds(cc0, 256)] = \
+                pltpu.roll(vrot, offc, axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, n_mb, mb_body, 0)
+
+    return kernel
+
+
+INTERPRET = False   # tests flip this to run the kernel on CPU
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "interpret"))
+def _run(yp, up, vp, par, mbh: int, mbw: int, interpret: bool = False):
+    kernel = _make_kernel(mbh, mbw)
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(yp.shape, yp.dtype),
+            jax.ShapeDtypeStruct(up.shape, up.dtype),
+            jax.ShapeDtypeStruct(vp.shape, vp.dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        input_output_aliases={0: 0, 1: 1, 2: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(yp, up, vp, par)
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "qp_thresh"))
+def deblock_frame_pallas(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
+                         mbh: int, mbw: int, ref4=None,
+                         qp_thresh: int = 15):
+    """Drop-in twin of deblock_jax.deblock_frame_device (same argument
+    and return contract), one fused kernel instead of ~mbw+2*mbh waves."""
+    par = edge_params(intra, skip, nnz4, mv4, qp, qpc, mbh, mbw,
+                      ref4=ref4, qp_thresh=qp_thresh)
+    H, W = 16 * mbh, 16 * mbw
+    Hc, Wc = 8 * mbh, 8 * mbw
+    Hp = 16 * mbh + 32
+    Wp = max(_round_up(16 * mbw + PAD, 128),
+             (16 * (mbw - 1)) // 128 * 128 + 256)
+    Hpc = 8 * mbh + 16
+    Wpc = max(_round_up(8 * mbw + PAD, 128),
+              (8 * (mbw - 1)) // 128 * 128 + 256)
+    yp = jnp.zeros((Hp, Wp), jnp.int16).at[PAD:PAD + H, PAD:PAD + W] \
+        .set(y[:H, :W].astype(jnp.int16))
+    up = jnp.zeros((Hpc, Wpc), jnp.int32).at[PAD:PAD + Hc, PAD:PAD + Wc] \
+        .set(u[:Hc, :Wc].astype(jnp.int32))
+    vp = jnp.zeros((Hpc, Wpc), jnp.int32).at[PAD:PAD + Hc, PAD:PAD + Wc] \
+        .set(v[:Hc, :Wc].astype(jnp.int32))
+    yo, uo, vo = _run(yp, up, vp, par, mbh, mbw, interpret=INTERPRET)
+    return (yo[PAD:PAD + H, PAD:PAD + W].astype(jnp.uint8),
+            uo[PAD:PAD + Hc, PAD:PAD + Wc].astype(jnp.uint8),
+            vo[PAD:PAD + Hc, PAD:PAD + Wc].astype(jnp.uint8))
