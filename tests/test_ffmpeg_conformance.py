@@ -208,3 +208,31 @@ def test_ffmpeg_decode_occlusion_intra_in_p(tmp_path):
             np.testing.assert_array_equal(
                 ff, d.y[:96, :160],
                 err_msg=f"cabac={cabac} frame {i}")
+
+
+@pytest.mark.slow
+def test_ffmpeg_decode_occlusion_intra_in_b(tmp_path):
+    """Busy content with B frames: occlusions force intra-in-B MBs with
+    inter neighbours. Regression for the round-3 B-path desync of the
+    intra-neighbour availability convention (intra neighbours are
+    AVAILABLE with mv 0 / ref -1 in BOTH list grids of the B scans,
+    matching the decoder's dec4/ref4 state; x264 cache -1 vs -2,
+    macroblock.c:28-46). Verified against FFmpeg so a future symmetric
+    encoder+decoder desync cannot hide."""
+    from video_steganography_pcamv_tpu.utils.yuv import (
+        synthetic_sequence)
+    frames = synthetic_sequence(160, 96, 9, seed=4)
+    for cabac, parts in ((False, True), (True, False)):
+        p = Params(width=160, height=96, me_range=16, qp=28,
+                   bframes=2, b_adapt=0, partitions=parts, cabac=cabac)
+        enc = Encoder(p)
+        bs = b"".join(enc.encode_frame(f) for f in frames) + enc.flush()
+        path = str(tmp_path / f"occlb{int(cabac)}.264")
+        with open(path, "wb") as fh:
+            fh.write(bs)
+        ours = decode_annexb(bs)
+        lumas = _cv2_luma(path, 9, 160, 96)
+        for i, (ff, d) in enumerate(zip(lumas, ours)):
+            np.testing.assert_array_equal(
+                ff, d.y[:96, :160],
+                err_msg=f"cabac={cabac} parts={parts} frame {i}")

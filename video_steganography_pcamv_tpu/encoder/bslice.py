@@ -968,8 +968,12 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
     subs [mbh,mbw,4] sub_mb_type ue codes (part 3 only), use0/use1
     [2mbh,2mbw], fmv0/fmv1 [2mbh,2mbw,2], mvd0/mvd1 [mbh,mbw,4,2]
     per-unit in coding order). intra: optional [mbh,mbw] mask — intra
-    MBs carry no MVs and stay uncommitted (unavailable to neighbour
-    MVP/direct derivation, matching the decoder's dec4 convention)."""
+    MBs carry no MVs but ARE committed as available neighbours with
+    mv 0 / ref -1 in BOTH lists (x264 cache ref -1 for intra vs -2 for
+    outside, macroblock.c:28-46; spec 8.4.1.3): they join the MVP
+    median and the spatial-direct ref derivation without triggering
+    the C->D fallback or the lone-A rule — same convention as the
+    decoder's dec4/ref4 state and the P-path scans."""
     mbh, mbw = part.shape
     g0, g1 = _Grid(mbh, mbw), _Grid(mbh, mbw)
     code = np.zeros((mbh, mbw), np.int32)
@@ -984,7 +988,11 @@ def scan_b_parts(part, sel8, mv0z, mv1z, c_cfg, c_dir, col_mv4,
     for my in range(mbh):
         for mx in range(mbw):
             if intra is not None and intra[my, mx]:
-                continue  # not committed: unavailable to neighbours
+                # available with mv 0 / ref -1 in both lists (x264
+                # cache -1 vs -2 outside; decoder dec4 twin)
+                g0.commit(4 * my, 4 * mx, 4, 4, 0, ref=-1)
+                g1.commit(4 * my, 4 * mx, 4, 4, 0, ref=-1)
+                continue
             y4, x4 = 4 * my, 4 * mx
             dr8 = np.zeros(4, np.int32)
             if tdir is None:
@@ -1093,7 +1101,11 @@ def scan_b_frame(c_dir, c0, c1, cbi, mv0, mv1, col_mv4, col_ref4,
     for my in range(mbh):
         for mx in range(mbw):
             if intra is not None and intra[my, mx]:
-                continue  # not committed: unavailable to neighbours
+                # available with mv 0 / ref -1 in both lists (x264
+                # cache -1 vs -2 outside; decoder dec4 twin)
+                g0.commit(4 * my, 4 * mx, 4, 4, 0, ref=-1)
+                g1.commit(4 * my, 4 * mx, 4, 4, 0, ref=-1)
+                continue
             y4, x4 = 4 * my, 4 * mx
             dr1 = 0
             dr8 = np.zeros(4, np.int32)
