@@ -1386,8 +1386,17 @@ class Encoder:
         """Device wavefront deblock (bit-exact C++ twin): the filtered
         reference never leaves the chip; recon is downloaded once for
         PSNR/dump only. qp_maps: effective per-MB (qp, qpc) grids
-        under AQ (the decoder-visible chain)."""
-        from ..ops.deblock_jax import deblock_frame_device
+        under AQ (the decoder-visible chain).
+
+        On a real TPU the fused single-kernel Pallas twin is dispatched
+        (bit-exact, 90 ms vs 356 ms for the ~254-wave XLA path at 1080p
+        — tools/bench_deblock.py); elsewhere the wavefront twin runs
+        (Mosaic only targets TPU)."""
+        if _jax.default_backend() == "tpu":
+            from ..ops.deblock_pallas import \
+                deblock_frame_pallas as deblock_frame_device
+        else:
+            from ..ops.deblock_jax import deblock_frame_device
         p = self.p
         qp_arg = qp
         qpc_arg = chroma_qp(qp, p.chroma_qp_offset)

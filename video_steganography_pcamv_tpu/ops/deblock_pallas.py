@@ -20,7 +20,7 @@ kernel then only does normative pixel arithmetic (spec 8.7.2.3/8.7.2.4)
 with scalar parameters, so it stays bit-exact with the C++ and XLA
 twins (tests/test_deblock_pallas.py fuzzes all three).
 
-Param row layout ([128] int16 lanes per MB):
+Param row layout ([128] int32 lanes per MB):
   0:8     alpha_l [dir*4+e]        (dir 0 = vertical edges)
   8:16    beta_l
   16:24   active_l (0/1; folds frame border, skip, qp_thresh, a>0, b>0)
@@ -195,7 +195,8 @@ def edge_params(intra, skip, nnz4, mv4, qp, qpc, mbh: int, mbw: int,
     par = par.at[:, :, 100:104].set(beta_c.reshape(mbh, mbw, 4))
     par = par.at[:, :, 104:108].set(act_c.reshape(mbh, mbw, 4))
     par = par.at[:, :, 108:124].set(tc0_c.reshape(mbh, mbw, 16))
-    return par.reshape(n, 128).astype(jnp.int16)
+    # int32: Mosaic's dynamic_rotate only supports 32-bit data
+    return par.reshape(n, 128)
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +270,15 @@ def _chroma_rows(samples, a, b, tcv, bsv, strong, active):
 # The kernel
 # ---------------------------------------------------------------------------
 
+def _upd_rows(t, upd, r0: int):
+    """Static-offset in-value row update (Mosaic has no
+    dynamic_update_slice on values, and lane-offset concats don't
+    lower either — so rows are updated FULL-WIDTH via a sublane-only
+    concat; the filters return original samples wherever the active
+    vector is 0, which encodes the lane window)."""
+    return jnp.concatenate([t[:r0], upd, t[r0 + upd.shape[0]:]], axis=0)
+
+
 def _make_kernel(mbh: int, mbw: int):
     n_mb = mbh * mbw
 
@@ -281,19 +291,29 @@ def _make_kernel(mbh: int, mbw: int):
 
             # ---- per-MB params: 16-row block + sublane roll ----
             blk = par_ref[pl.ds((n // 16) * 16, 16), :]
-            prow = pltpu.roll(blk, -(n % 16), axis=0)[0:1, :] \
-                .astype(jnp.int32)                      # [1,128]
+            prow = pltpu.roll(blk, -(n % 16), axis=0)[0:1, :]  # [1,128]
 
             def sc(i):
                 return prow[0:1, i:i + 1]               # [1,1]
 
-            def vec(lo, cnt, rep):
-                # element-wise repeat ([a,b] -> [a,a,b,b]); NB
-                # pltpu.repeat is tile-style concat, not this
-                x = prow[0:1, lo:lo + cnt]               # [1,cnt]
-                return jnp.broadcast_to(x[:, :, None],
-                                        (1, cnt, rep)) \
-                    .reshape(1, cnt * rep)
+            def vec(lo, cnt, rep, total):
+                # element-wise repeat ([a,b] -> [a,a,b,b]) via scalar
+                # broadcasts + lane concat (Mosaic rejects the
+                # [1,c,r]->[1,c*r] shape cast; pltpu.repeat is
+                # tile-style concat, not this), positioned at lane 4
+                # in a full-width [1,total] row (zeros elsewhere —
+                # bs 0 / active 0 makes the filters pass through)
+                parts = [jnp.zeros((1, 4), jnp.int32)]
+                parts += [jnp.broadcast_to(prow[0:1, lo + i:lo + i + 1],
+                                           (1, rep)) for i in range(cnt)]
+                parts.append(jnp.zeros((1, total - 4 - cnt * rep),
+                                       jnp.int32))
+                return jnp.concatenate(parts, axis=1)
+
+            lane32 = jax.lax.broadcasted_iota(jnp.int32, (1, 32), 1)
+            win_l = ((lane32 >= 4) & (lane32 < 20)).astype(jnp.int32)
+            lane16 = lane32[:, :16]
+            win_c = ((lane16 >= 4) & (lane16 < 12)).astype(jnp.int32)
 
             # ---- luma tile: rows [16my,16my+32), lane window 256 ----
             r0 = pl.multiple_of(16 * my, 16)
@@ -308,36 +328,36 @@ def _make_kernel(mbh: int, mbw: int):
             tt = til.T                                   # [32,32]
             for e in range(4):
                 col = 4 + 4 * e
-                s = [tt[col + k:col + k + 1, 4:20] for k in range(-4, 4)]
+                s = [tt[col + k:col + k + 1, :] for k in range(-4, 4)]
                 a = sc(0 * 8 + 0 + e)
                 b = sc(8 + e)
-                act = sc(16 + e)
+                act = sc(16 + e) * win_l
                 strong = sc(24) if e == 0 else jnp.zeros((1, 1), jnp.int32)
-                bsv = vec(32 + e * 4, 4, 4)              # [1,16]
-                tcv = vec(64 + e * 4, 4, 4)
+                bsv = vec(32 + e * 4, 4, 4, 32)          # [1,32]
+                tcv = vec(64 + e * 4, 4, 4, 32)
                 p2o, p1o, p0o, q0o, q1o, q2o = _luma_rows(
                     tuple(s), a, b, tcv, bsv, strong, act)
                 upd = jnp.concatenate([p2o, p1o, p0o, q0o, q1o, q2o], 0)
-                tt = jax.lax.dynamic_update_slice(tt, upd, (col - 3, 4))
+                tt = _upd_rows(tt, upd, col - 3)
             til = tt.T
 
             # horizontal edges
             for e in range(4):
                 row = 4 + 4 * e
-                s = [til[row + k:row + k + 1, 4:20] for k in range(-4, 4)]
+                s = [til[row + k:row + k + 1, :] for k in range(-4, 4)]
                 a = sc(4 + e)
                 b = sc(8 + 4 + e)
-                act = sc(16 + 4 + e)
+                act = sc(16 + 4 + e) * win_l
                 strong = sc(25) if e == 0 else jnp.zeros((1, 1), jnp.int32)
-                bsv = vec(32 + 16 + e * 4, 4, 4)
-                tcv = vec(64 + 16 + e * 4, 4, 4)
+                bsv = vec(32 + 16 + e * 4, 4, 4, 32)
+                tcv = vec(64 + 16 + e * 4, 4, 4, 32)
                 p2o, p1o, p0o, q0o, q1o, q2o = _luma_rows(
                     tuple(s), a, b, tcv, bsv, strong, act)
                 upd = jnp.concatenate([p2o, p1o, p0o, q0o, q1o, q2o], 0)
-                til = jax.lax.dynamic_update_slice(til, upd, (row - 3, 4))
+                til = _upd_rows(til, upd, row - 3)
 
-            rot = jax.lax.dynamic_update_slice(
-                rot, til.astype(rot.dtype), (0, 0))
+            rot = jnp.concatenate(
+                [til.astype(rot.dtype), rot[:, 32:]], axis=1)
             y_ref[pl.ds(r0, 32), pl.ds(c0, 256)] = \
                 pltpu.roll(rot, off, axis=1)
 
@@ -360,18 +380,17 @@ def _make_kernel(mbh: int, mbw: int):
                 col = 4 + 2 * e
                 a = sc(96 + 0 + ei)
                 b = sc(100 + ei)
-                act = sc(104 + ei)
+                act = sc(104 + ei) * win_c
                 strong = sc(24) if e == 0 else jnp.zeros((1, 1), jnp.int32)
-                bsv = vec(32 + e * 4, 4, 2)              # [1,8]
-                tcv = vec(108 + ei * 4, 4, 2)
+                bsv = vec(32 + e * 4, 4, 2, 16)          # [1,16]
+                tcv = vec(108 + ei * 4, 4, 2, 16)
                 for t in (0, 1):
                     tl = utt if t == 0 else vtt
-                    s = [tl[col + k:col + k + 1, 4:12] for k in range(-2, 2)]
+                    s = [tl[col + k:col + k + 1, :] for k in range(-2, 2)]
                     p0o, q0o = _chroma_rows(tuple(s), a, b, tcv, bsv,
                                             strong, act)
                     upd = jnp.concatenate([p0o, q0o], 0)
-                    tl = jax.lax.dynamic_update_slice(tl, upd,
-                                                      (col - 1, 4))
+                    tl = _upd_rows(tl, upd, col - 1)
                     if t == 0:
                         utt = tl
                     else:
@@ -381,27 +400,26 @@ def _make_kernel(mbh: int, mbw: int):
                 row = 4 + 2 * e
                 a = sc(96 + 2 + ei)
                 b = sc(102 + ei)
-                act = sc(106 + ei)
+                act = sc(106 + ei) * win_c
                 strong = sc(25) if e == 0 else jnp.zeros((1, 1), jnp.int32)
-                bsv = vec(32 + 16 + e * 4, 4, 2)
-                tcv = vec(116 + ei * 4, 4, 2)
+                bsv = vec(32 + 16 + e * 4, 4, 2, 16)
+                tcv = vec(116 + ei * 4, 4, 2, 16)
                 for t in (0, 1):
                     tl = utl if t == 0 else vtl
-                    s = [tl[row + k:row + k + 1, 4:12] for k in range(-2, 2)]
+                    s = [tl[row + k:row + k + 1, :] for k in range(-2, 2)]
                     p0o, q0o = _chroma_rows(tuple(s), a, b, tcv, bsv,
                                             strong, act)
                     upd = jnp.concatenate([p0o, q0o], 0)
-                    tl = jax.lax.dynamic_update_slice(tl, upd,
-                                                      (row - 1, 4))
+                    tl = _upd_rows(tl, upd, row - 1)
                     if t == 0:
                         utl = tl
                     else:
                         vtl = tl
 
-            urot = jax.lax.dynamic_update_slice(
-                urot, utl.astype(urot.dtype), (0, 0))
-            vrot = jax.lax.dynamic_update_slice(
-                vrot, vtl.astype(vrot.dtype), (0, 0))
+            urot = jnp.concatenate(
+                [utl.astype(urot.dtype), urot[:, 16:]], axis=1)
+            vrot = jnp.concatenate(
+                [vtl.astype(vrot.dtype), vrot[:, 16:]], axis=1)
             u_ref[pl.ds(rc0, 16), pl.ds(cc0, 256)] = \
                 pltpu.roll(urot, offc, axis=1)
             v_ref[pl.ds(rc0, 16), pl.ds(cc0, 256)] = \
@@ -443,6 +461,11 @@ def deblock_frame_pallas(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
     and return contract), one fused kernel instead of ~mbw+2*mbh waves."""
     par = edge_params(intra, skip, nnz4, mv4, qp, qpc, mbh, mbw,
                       ref4=ref4, qp_thresh=qp_thresh)
+    # the kernel fetches params as aligned 16-row blocks + sublane roll;
+    # a ragged final block would clamp the dynamic slice and desync the
+    # roll offset for the last n_mb%16 MBs — pad to a 16 multiple
+    n_mb = mbh * mbw
+    par = jnp.pad(par, ((0, _round_up(n_mb, 16) - n_mb), (0, 0)))
     H, W = 16 * mbh, 16 * mbw
     Hc, Wc = 8 * mbh, 8 * mbw
     Hp = 16 * mbh + 32
@@ -451,8 +474,8 @@ def deblock_frame_pallas(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
     Hpc = 8 * mbh + 16
     Wpc = max(_round_up(8 * mbw + PAD, 128),
               (8 * (mbw - 1)) // 128 * 128 + 256)
-    yp = jnp.zeros((Hp, Wp), jnp.int16).at[PAD:PAD + H, PAD:PAD + W] \
-        .set(y[:H, :W].astype(jnp.int16))
+    yp = jnp.zeros((Hp, Wp), jnp.int32).at[PAD:PAD + H, PAD:PAD + W] \
+        .set(y[:H, :W].astype(jnp.int32))
     up = jnp.zeros((Hpc, Wpc), jnp.int32).at[PAD:PAD + Hc, PAD:PAD + Wc] \
         .set(u[:Hc, :Wc].astype(jnp.int32))
     vp = jnp.zeros((Hpc, Wpc), jnp.int32).at[PAD:PAD + Hc, PAD:PAD + Wc] \
