@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import mc
+from ..ops import transform as T
 from ..ops.blocks import to_blocks
 from .me import mv_bits_table
 from . import qpel_table as QT
@@ -313,10 +314,17 @@ def subpel_parts(cur_y, wht8, part, mvfp8, prev_mv, mbh: int, mbw: int,
 
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
-def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
-                      cost_mv, qp, mbh: int, mbw: int,
-                      decimate: bool = True):
-    """Partition-aware x264_ih_get_mv_cost (analyse.c:2391-2550): RCA
+def stego_costs_parts_ref(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
+                          cost_mv, qp, mbh: int, mbw: int,
+                          decimate: bool = True):
+    """Reference twin of stego_costs_parts (bit-identical, slower):
+    one full-MB re-encode per (slot, candidate) = 49 encode programs.
+    Kept as the oracle for tests/test_stego_costs_v2.py; the serving
+    path uses the per-block shared-encode rewrite below (13 block-level
+    encode passes instead of 49 MB-level ones — the same DCT volume
+    deduped across slots, measured ~3x on the probe stage).
+
+    Partition-aware x264_ih_get_mv_cost (analyse.c:2391-2550): RCA
     alternative-MV cost for EVERY partition unit, batched.
 
     blocks8/wht8: [169, N8, ...] per-8x8 qpel tables; r_idx8: [N8]
@@ -440,6 +448,155 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
             dc = (int(D_MV[c][1]), int(D_MV[c][0]))       # (dy,dx)
             wc = encode_cand(c)
             nbc = probes(wc, dc)
+            cand_cost.append(nbc[:, 8])
+            cand_opt.append(jnp.min(nbc, axis=1) >= nbc[:, 8])
+        cand_cost = jnp.stack(cand_cost, axis=1)
+        cand_opt = jnp.stack(cand_opt, axis=1)
+
+        rho, sel_delta, _flags = rca_decide(nb0, orig_cost, orig_opt,
+                                            cand_cost, cand_opt)
+        out_rho.append(rho)
+        out_alt.append(mvu + sel_delta)
+        out_valid.append(valid_u)
+
+    rho = jnp.stack(out_rho, axis=1).reshape(mbh, mbw, 4)
+    alt = jnp.stack(out_alt, axis=1).reshape(mbh, mbw, 4, 2)
+    valid = jnp.stack(out_valid, axis=1).reshape(mbh, mbw, 4)
+    return rho, alt, valid
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate"))
+def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
+                      cost_mv, qp, mbh: int, mbw: int,
+                      decimate: bool = True):
+    """Per-block shared-encode RCA probe stage (bit-identical to
+    stego_costs_parts_ref — fuzzed by tests/test_stego_costs_v2.py).
+
+    Key identity exploited: the 4x4 DCT/quant/recon of an 8x8 block
+    depends only on (cur block, pred block), and every (slot,
+    candidate) combination assembles its MB from per-block VERSIONS
+    v in {0 (chosen MV), 1..12 (D_MV candidates)}. So the transform
+    chain runs ONCE per (block, version) — 13 block-level passes —
+    and each combination reduces to cheap selects:
+      - per-block decimate scores sc8[v] and keep8[v] (JVT-B118 is
+        per-4x4/per-8x8; only the keep_mb >= 6 gate couples the MB,
+        and that is a sum of selected per-block scores);
+      - recon WHT per block = kept ? WK[v] : WP[v]  (zeroed levels
+        reconstruct to the prediction exactly).
+    Reference semantics per unit unchanged: candidate deltas apply to
+    member blocks, decimation couples the whole MB, probe SATD sums
+    member blocks only (analyse.c:2391-2550 MV_SATD_FDEC_IH)."""
+    from ..stego.cost import D_MV, D_NB, rca_decide
+
+    n = mbh * mbw
+    cur = cur_y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
+               .reshape(n, 16, 16)
+    mvz = _sp_to_z(mv8, mbh, mbw).reshape(n, 4, 2)
+    partf = part.reshape(n)
+    block_unit = jnp.asarray(BLOCK_UNIT)[partf]           # [n,4]
+
+    def didx(dy, dx):
+        return dy * 13 + dx
+
+    def blocks_at(delta):
+        idx8 = r_idx8 + didx(*delta)
+        b8 = QT.select_rows(blocks8, idx8).astype(jnp.int32)  # [N8,8,8]
+        return _sp_to_z(b8.reshape(2 * mbh, 2 * mbw, 8, 8),
+                        mbh, mbw).reshape(n, 4, 8, 8)
+
+    # WHT rows for the 7x7 probe lattice, z-order [n, 4, 64]
+    sel_whtz = {}
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            w = QT.select_rows(wht8, r_idx8 + didx(dy, dx))  # [N8,64]
+            sel_whtz[(dy, dx)] = _sp_to_z(
+                w.reshape(2 * mbh, 2 * mbw, 64),
+                mbh, mbw).reshape(n, 4, 64)
+
+    mvpz = mvp_u.reshape(n, 4, 2)
+    member = {u: (block_unit == u) for u in range(4)}      # [n,4] bool
+
+    # ---- per-(block, version) shared encode: 13 versions ----
+    from .inter import _zigzag_gather, decimate_score
+    P13 = jnp.stack([blocks_at((0, 0))]
+                    + [blocks_at((int(D_MV[c][1]), int(D_MV[c][0])))
+                       for c in range(12)])                # [13,n,4,8,8]
+    curz = cur.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
+              .reshape(n, 4, 8, 8)
+    M = 13 * n * 4
+    qp_a = jnp.asarray(qp)
+    if qp_a.ndim == 1:   # per-MB AQ: expand over versions and blocks
+        qp_b = jnp.broadcast_to(qp_a[None, :, None],
+                                (13, n, 4)).reshape(M)[:, None, None]
+    else:
+        qp_b = qp_a
+    res13 = to_blocks((curz[None] - P13).reshape(M, 8, 8), 4)
+    coef13 = T.dct4x4(res13)                               # [M,4,4,2,2]
+    lev13 = T.quant4x4(coef13, qp_b, intra=False)
+    deq13 = T.dequant4x4(lev13, qp_b)
+    rec13 = T.idct4x4_add(to_blocks(P13.reshape(M, 8, 8), 4), deq13)
+    from ..ops.blocks import from_blocks
+    WK = wht8_flat(from_blocks(rec13)).reshape(13, n, 4, 64)
+    WP = wht8_flat(P13)                                    # [13,n,4,64]
+    if decimate:
+        sc = decimate_score(_zigzag_gather(lev13))         # [M,2,2]
+        sc8 = sc.sum((1, 2)).reshape(13, n, 4)
+        keep8 = sc8 >= 4
+        keep_mb0 = jnp.sum(jnp.where(keep8[0], sc8[0], 0), axis=1) >= 6
+        kept0 = keep8[0] & keep_mb0[:, None]
+        w0 = jnp.where(kept0[..., None], WK[0], WP[0])
+    else:
+        w0 = WK[0]
+
+    nb_d = [(int(D_NB[k][1]), int(D_NB[k][0])) for k in range(9)]
+
+    out_rho, out_alt, out_valid = [], [], []
+    for u in range(4):
+        mem = member[u]                                   # [n,4]
+        valid_u = jnp.any(mem, axis=1)
+        first = jnp.argmax(mem, axis=1)
+        mvu = jnp.take_along_axis(
+            mvz, first[:, None, None], axis=1)[:, 0]      # [n,2]
+        mvpu = mvpz[:, u]
+
+        def mvcost(dq):
+            qx = mvu[:, 0] + dq[1]
+            qy = mvu[:, 1] + dq[0]
+            return (cost_mv[jnp.abs(qx - mvpu[:, 0])]
+                    + cost_mv[jnp.abs(qy - mvpu[:, 1])])
+
+        def probes(wrec_z, center):
+            """k-batched: one [9,n,4,64] satd instead of 9 calls."""
+            sels = jnp.stack([sel_whtz[(center[0] + dk0,
+                                        center[1] + dk1)]
+                              for dk0, dk1 in nb_d])      # [9,n,4,64]
+            per_blk = satd_flat(wrec_z[None], sels)       # [9,n,4]
+            sat = jnp.sum(per_blk * mem[None], axis=2)    # [9,n]
+            mvc = jnp.stack([mvcost((center[0] + dk0, center[1] + dk1))
+                             for dk0, dk1 in nb_d])       # [9,n]
+            return (sat + mvc).T                          # [n,9]
+
+        def wrec_for(c):
+            """Recon WHT of the (u, candidate c) combination."""
+            if not decimate:
+                return jnp.where(mem[..., None], WK[c + 1], WK[0])
+            sc_sel = jnp.where(mem, sc8[c + 1], sc8[0])
+            k8_sel = jnp.where(mem, keep8[c + 1], keep8[0])
+            keep_mb = jnp.sum(jnp.where(k8_sel, sc_sel, 0),
+                              axis=1) >= 6
+            kept = k8_sel & keep_mb[:, None]
+            wk = jnp.where(mem[..., None], WK[c + 1], WK[0])
+            wp = jnp.where(mem[..., None], WP[c + 1], WP[0])
+            return jnp.where(kept[..., None], wk, wp)
+
+        nb0 = probes(w0, (0, 0))
+        orig_cost = nb0[:, 8]
+        orig_opt = jnp.min(nb0, axis=1) >= orig_cost
+
+        cand_cost, cand_opt = [], []
+        for c in range(12):
+            dc = (int(D_MV[c][1]), int(D_MV[c][0]))       # (dy,dx)
+            nbc = probes(wrec_for(c), dc)
             cand_cost.append(nbc[:, 8])
             cand_opt.append(jnp.min(nbc, axis=1) >= nbc[:, 8])
         cand_cost = jnp.stack(cand_cost, axis=1)
