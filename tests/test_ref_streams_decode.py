@@ -26,27 +26,20 @@ STREAMS = sorted(glob.glob(os.path.join(FIX, "*.264")))
 W, H = 96, 64
 
 
-# Known open corner (round 3, precisely pinned): after the two-list
-# bS fix most B MBs are bit-exact; the residue is 1-2 LSB on single
-# rows of internal vertical edges in B8x16/B_DIRECT MBs where FFmpeg
-# filters with bS>0 although BOTH the spec partition rule (8.7.2.1:
-# same partition, same single-list motion, zero coefficients => 0)
-# and the reference's per-list compare (frame.c:734-741) give bS=0 —
-# instrumented dump in docs/ROUND3.md. Suspected: FFmpeg's bS
-# derivation for B internal edges differs from our reading; needs a
-# libavcodec source dive (not available offline). The repo's OWN B
-# streams pass the FFmpeg suite bit-exactly (we signal deblock off on
-# B slices). xfail(strict) so a fix flips these to green visibly.
-_XFAIL = ("bframes2", "bpyramid")
+# Round-3's open corner (1-5 LSB diffs on bframes2/bpyramid) was
+# resolved in round 4: the CABAC B-slice decode path never handed the
+# parser's luma nnz map to the deblocker (`dec.nnz_y = ps.nnz_y`
+# existed only on the P/I path), so CABAC B slices deblocked with an
+# all-zero nnz map and lost every bS=2 edge. Root-caused by
+# interposing a logging ff_h264_loop_filter_strength into a static
+# libavcodec link (tools/debug_bstream3.py holds the per-edge-group
+# brute-force harness): FFmpeg's motion caches matched ours
+# everywhere; only its nnz cache differed. All 10 reference-binary
+# streams now decode bit-exactly.
 
 
 @pytest.mark.parametrize(
-    "path",
-    [pytest.param(p, marks=pytest.mark.xfail(
-        reason="B direct/MC rounding corner vs reference B streams",
-        strict=True))
-     if os.path.basename(p)[:-4] in _XFAIL else p
-     for p in STREAMS],
+    "path", STREAMS,
     ids=[os.path.basename(p)[:-4] for p in STREAMS])
 def test_reference_stream_decodes_like_ffmpeg(path):
     bs = open(path, "rb").read()

@@ -1779,6 +1779,12 @@ def _decode_slice_cabac_b(dec: SliceDecoder, br, qp: int,
                 dec.decoded[my, mx] = True
         eos = ps.end_mb()
         assert eos == (1 if a == n - 1 else 0), f"end_of_slice at MB {a}"
+    # deblock consumes the luma nnz map (bS=2 rule, spec 8.7.2.1) —
+    # round-4 fix: this handoff existed only on the P/I CABAC path, so
+    # CABAC B slices deblocked with an all-zero nnz map (root cause of
+    # the 1-5 LSB reference-B-stream xfails; pinned via an interposed
+    # libavcodec ff_h264_loop_filter_strength shim)
+    dec.nnz_y = ps.nnz_y
 
 
 def _recon_b_cabac(dec, ps, my, mx, btype, qp, qpc):

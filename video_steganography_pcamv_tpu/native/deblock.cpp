@@ -115,27 +115,63 @@ struct Ctx {
   const int32_t* ref_l1 = nullptr;   // [4mbh][4mbw]
 };
 
+// B-slice bS MV-compare rule selector (experimental, env-driven while
+// the FFmpeg-vs-reference B-deblock corner is being pinned down):
+//   0 = straight per-list compare (reference frame.c:734-741)
+//   1 = AND-of-pairings: bS=0 only when BOTH the straight (l0-l0 +
+//       l1-l1) and crossed (l0-l1 + l1-l0) pairings fully match
+//   2 = OR-of-pairings: bS=0 when EITHER pairing fully matches
+//       (spec 8.7.2.1 "refs compared without regard to list")
+static int b_bs_rule() {
+  static int rule = -1;
+  if (rule < 0) {
+    const char* e = getenv("PCAMV_B_BS_RULE");
+    rule = e ? atoi(e) : 0;
+  }
+  return rule;
+}
+
 // bS for one 4-sample group on an edge between 4x4 blocks p(-1 side) / q
 inline int bs_inter(const Ctx& c, int qx, int qy, int px, int py) {
   // global 4x4 coords; both MBs inter here
   if (c.nnz[qy * 4 * c.mbw + qx] || c.nnz[py * 4 * c.mbw + px]) return 2;
+  const int iq = qy * 4 * c.mbw + qx, ip = py * 4 * c.mbw + px;
+  const int32_t* mq = &c.mv[iq * 2];
+  const int32_t* mp = &c.mv[ip * 2];
+  if (c.mv_l1 && b_bs_rule() != 0) {
+    const int32_t* nq = &c.mv_l1[iq * 2];
+    const int32_t* np = &c.mv_l1[ip * 2];
+    const int r0q = c.ref ? c.ref[iq] : 0, r0p = c.ref ? c.ref[ip] : 0;
+    const int r1q = c.ref_l1 ? c.ref_l1[iq] : 0;
+    const int r1p = c.ref_l1 ? c.ref_l1[ip] : 0;
+    const bool straight =
+        r0q == r0p && abs(mq[0] - mp[0]) < 4 && abs(mq[1] - mp[1]) < 4 &&
+        r1q == r1p && abs(nq[0] - np[0]) < 4 && abs(nq[1] - np[1]) < 4;
+    const bool cross =
+        r0q == r1p && abs(mq[0] - np[0]) < 4 && abs(mq[1] - np[1]) < 4 &&
+        r1q == r0p && abs(nq[0] - mp[0]) < 4 && abs(nq[1] - mp[1]) < 4;
+    if (b_bs_rule() == 1) return (straight && cross) ? 0 : 1;
+    return (straight || cross) ? 0 : 1;
+  }
   // different reference pictures or |mvdiff| >= 4 in EITHER list ->
   // bS = 1 (spec 8.7.2.1 via the reference's per-list compare,
   // frame.c:734-741; ordered pairing, like x264)
-  if (c.ref && c.ref[qy * 4 * c.mbw + qx] != c.ref[py * 4 * c.mbw + px])
-    return 1;
-  const int32_t* mq = &c.mv[(qy * 4 * c.mbw + qx) * 2];
-  const int32_t* mp = &c.mv[(py * 4 * c.mbw + px) * 2];
+  if (c.ref && c.ref[iq] != c.ref[ip]) return 1;
   if (abs(mq[0] - mp[0]) >= 4 || abs(mq[1] - mp[1]) >= 4) return 1;
   if (c.mv_l1) {
-    if (c.ref_l1 &&
-        c.ref_l1[qy * 4 * c.mbw + qx] != c.ref_l1[py * 4 * c.mbw + px])
-      return 1;
-    const int32_t* nq = &c.mv_l1[(qy * 4 * c.mbw + qx) * 2];
-    const int32_t* np = &c.mv_l1[(py * 4 * c.mbw + px) * 2];
+    if (c.ref_l1 && c.ref_l1[iq] != c.ref_l1[ip]) return 1;
+    const int32_t* nq = &c.mv_l1[iq * 2];
+    const int32_t* np = &c.mv_l1[ip * 2];
     if (abs(nq[0] - np[0]) >= 4 || abs(nq[1] - np[1]) >= 4) return 1;
   }
   return 0;
+}
+
+// Debug/experiment hook: when set, overrides derived inter bS per
+// (mb, dir, edge, group): int8 [mbh*mbw][2][4][4]; -1 = derive.
+static const int8_t* g_bs_override = nullptr;
+extern "C" void pcamv_set_bs_override(const int8_t* p) {
+  g_bs_override = p;
 }
 
 void deblock_mb(const Ctx& c, int mbx, int mby) {
@@ -194,6 +230,10 @@ void deblock_mb(const Ctx& c, int mbx, int mby) {
           int gpx = dir == 0 ? gqx - 1 : gqx;
           int gpy = dir == 0 ? gqy : gqy - 1;
           bs[i] = bs_inter(c, gqx, gqy, gpx, gpy);
+          if (g_bs_override) {
+            int8_t o = g_bs_override[((mb * 2 + dir) * 4 + e) * 4 + i];
+            if (o >= 0) bs[i] = o;
+          }
         }
       }
       // luma
