@@ -498,50 +498,70 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
     def didx(dy, dx):
         return dy * 13 + dx
 
-    def blocks_at(delta):
-        idx8 = r_idx8 + didx(*delta)
-        b8 = QT.select_rows(blocks8, idx8).astype(jnp.int32)  # [N8,8,8]
-        return _sp_to_z(b8.reshape(2 * mbh, 2 * mbw, 8, 8),
-                        mbh, mbw).reshape(n, 4, 8, 8)
+    # ---- all table rows via ONE MXU pass per table (select_rows_mm):
+    # 13 block versions + 49 probe-lattice WHT rows. XLA's row gather
+    # on these [169, N8, C] tables ran at ~5 GB/s effective (~100
+    # ms/frame at 1080p, the probe stage's dominant cost); the one-hot
+    # matmul streams each table once and lets the MXU do the select.
+    off13 = [0] + [didx(int(D_MV[c][1]), int(D_MV[c][0]))
+                   for c in range(12)]
+    b13 = QT.select_rows_mm(blocks8.reshape(169, -1, 64),
+                            r_idx8, off13)                 # [13,N8,64]
+    blk13 = [_sp_to_z(b13[v].reshape(2 * mbh, 2 * mbw, 8, 8),
+                      mbh, mbw).reshape(n, 4, 8, 8)
+             for v in range(13)]
 
-    # WHT rows for the 7x7 probe lattice, z-order [n, 4, 64]
+    w49 = QT.select_rows_mm(
+        wht8, r_idx8,
+        [didx(dy, dx) for dy in range(-3, 4) for dx in range(-3, 4)]
+    ).astype(jnp.int16)                                    # [49,N8,64]
     sel_whtz = {}
-    for dy in range(-3, 4):
-        for dx in range(-3, 4):
-            w = QT.select_rows(wht8, r_idx8 + didx(dy, dx))  # [N8,64]
-            sel_whtz[(dy, dx)] = _sp_to_z(
-                w.reshape(2 * mbh, 2 * mbw, 64),
-                mbh, mbw).reshape(n, 4, 64)
+    for k, (dy, dx) in enumerate((dy, dx) for dy in range(-3, 4)
+                                 for dx in range(-3, 4)):
+        sel_whtz[(dy, dx)] = _sp_to_z(
+            w49[k].reshape(2 * mbh, 2 * mbw, 64),
+            mbh, mbw).reshape(n, 4, 64)
 
     mvpz = mvp_u.reshape(n, 4, 2)
     member = {u: (block_unit == u) for u in range(4)}      # [n,4] bool
 
-    # ---- per-(block, version) shared encode: 13 versions ----
+    # ---- per-(block, version) shared encode: 13 versions, each a
+    # separately-fused DCT/quant/recon chain over [n*4] 8x8 blocks
+    # (stacking them into one [13,...] program materialises ~100MB
+    # intermediates between ops and measures ~2x SLOWER on TPU)
     from .inter import _zigzag_gather, decimate_score
-    P13 = jnp.stack([blocks_at((0, 0))]
-                    + [blocks_at((int(D_MV[c][1]), int(D_MV[c][0])))
-                       for c in range(12)])                # [13,n,4,8,8]
+    from ..ops.blocks import from_blocks
     curz = cur.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
               .reshape(n, 4, 8, 8)
-    M = 13 * n * 4
     qp_a = jnp.asarray(qp)
-    if qp_a.ndim == 1:   # per-MB AQ: expand over versions and blocks
-        qp_b = jnp.broadcast_to(qp_a[None, :, None],
-                                (13, n, 4)).reshape(M)[:, None, None]
+    if qp_a.ndim == 1:   # per-MB AQ: expand over the 4 blocks
+        qp_b = jnp.broadcast_to(qp_a[:, None],
+                                (n, 4)).reshape(n * 4)[:, None, None]
     else:
         qp_b = qp_a
-    res13 = to_blocks((curz[None] - P13).reshape(M, 8, 8), 4)
-    coef13 = T.dct4x4(res13)                               # [M,4,4,2,2]
-    lev13 = T.quant4x4(coef13, qp_b, intra=False)
-    deq13 = T.dequant4x4(lev13, qp_b)
-    rec13 = T.idct4x4_add(to_blocks(P13.reshape(M, 8, 8), 4), deq13)
-    from ..ops.blocks import from_blocks
-    WK = wht8_flat(from_blocks(rec13)).reshape(13, n, 4, 64)
-    WP = wht8_flat(P13)                                    # [13,n,4,64]
+
+    def encode_v(pv):
+        """pv: [n,4,8,8] pred blocks -> (WK [n,4,64], WP, sc8 [n,4])."""
+        pv4 = pv.reshape(n * 4, 8, 8)
+        res = to_blocks(curz.reshape(n * 4, 8, 8) - pv4, 4)
+        lev = T.quant4x4(T.dct4x4(res), qp_b, intra=False)
+        rec = T.idct4x4_add(to_blocks(pv4, 4),
+                            T.dequant4x4(lev, qp_b))
+        wk = wht8_flat(from_blocks(rec)).reshape(n, 4, 64)
+        wp = wht8_flat(pv)
+        if decimate:
+            sc = decimate_score(_zigzag_gather(lev))       # [n*4,2,2]
+            sc8_v = sc.sum((1, 2)).reshape(n, 4)
+        else:
+            sc8_v = jnp.zeros((n, 4), jnp.int32)
+        return wk, wp, sc8_v
+
+    outs = [encode_v(blk13[v]) for v in range(13)]
+    WK = [o[0] for o in outs]
+    WP = [o[1] for o in outs]
+    sc8 = [o[2] for o in outs]
+    keep8 = [s >= 4 for s in sc8]
     if decimate:
-        sc = decimate_score(_zigzag_gather(lev13))         # [M,2,2]
-        sc8 = sc.sum((1, 2)).reshape(13, n, 4)
-        keep8 = sc8 >= 4
         keep_mb0 = jnp.sum(jnp.where(keep8[0], sc8[0], 0), axis=1) >= 6
         kept0 = keep8[0] & keep_mb0[:, None]
         w0 = jnp.where(kept0[..., None], WK[0], WP[0])
@@ -578,14 +598,14 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
 
         def wrec_for(c):
             """Recon WHT of the (u, candidate c) combination."""
+            wk = jnp.where(mem[..., None], WK[c + 1], WK[0])
             if not decimate:
-                return jnp.where(mem[..., None], WK[c + 1], WK[0])
+                return wk
             sc_sel = jnp.where(mem, sc8[c + 1], sc8[0])
             k8_sel = jnp.where(mem, keep8[c + 1], keep8[0])
             keep_mb = jnp.sum(jnp.where(k8_sel, sc_sel, 0),
                               axis=1) >= 6
             kept = k8_sel & keep_mb[:, None]
-            wk = jnp.where(mem[..., None], WK[c + 1], WK[0])
             wp = jnp.where(mem[..., None], WP[c + 1], WP[0])
             return jnp.where(kept[..., None], wk, wp)
 
