@@ -564,11 +564,26 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
     if decimate:
         keep_mb0 = jnp.sum(jnp.where(keep8[0], sc8[0], 0), axis=1) >= 6
         kept0 = keep8[0] & keep_mb0[:, None]
-        w0 = jnp.where(kept0[..., None], WK[0], WP[0])
-    else:
-        w0 = WK[0]
 
     nb_d = [(int(D_NB[k][1]), int(D_NB[k][0])) for k in range(9)]
+    centers = [(0, 0)] + [(int(D_MV[c][1]), int(D_MV[c][0]))
+                          for c in range(12)]
+
+    # Per-version probe SATD maps, unit-independent: a member block of
+    # any (unit, candidate c) combination reconstructs to WK[c+1]
+    # (kept) or WP[c+1] (decimated) regardless of the unit, and the
+    # probe sum masks non-members out anyway — so the 9-point probe
+    # SATDs collapse to 26 precomputed maps + per-combination [n,4]
+    # selects (the previous form re-ran 52 stacked [9,n,4,64] SATDs,
+    # ~2 GB of HBM traffic per frame at 1080p).
+    SK, SP = [], []
+    for v, cen in enumerate(centers):
+        sels = jnp.stack([sel_whtz[(cen[0] + dk0, cen[1] + dk1)]
+                          for dk0, dk1 in nb_d])       # [9,n,4,64]
+        SK.append(satd_flat(WK[v][None], sels))        # [9,n,4]
+        SP.append(satd_flat(WP[v][None], sels) if decimate else SK[v])
+    # version-0 decimation is combination-independent
+    P0 = jnp.where(kept0[None], SK[0], SP[0]) if decimate else SK[0]
 
     out_rho, out_alt, out_valid = [], [], []
     for u in range(4):
@@ -585,38 +600,32 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
             return (cost_mv[jnp.abs(qx - mvpu[:, 0])]
                     + cost_mv[jnp.abs(qy - mvpu[:, 1])])
 
-        def probes(wrec_z, center):
-            """k-batched: one [9,n,4,64] satd instead of 9 calls."""
-            sels = jnp.stack([sel_whtz[(center[0] + dk0,
-                                        center[1] + dk1)]
-                              for dk0, dk1 in nb_d])      # [9,n,4,64]
-            per_blk = satd_flat(wrec_z[None], sels)       # [9,n,4]
+        def probes_from(per_blk, center):
+            """per_blk: [9,n,4] precomputed SATD map -> [n,9] costs."""
             sat = jnp.sum(per_blk * mem[None], axis=2)    # [9,n]
             mvc = jnp.stack([mvcost((center[0] + dk0, center[1] + dk1))
                              for dk0, dk1 in nb_d])       # [9,n]
             return (sat + mvc).T                          # [n,9]
 
-        def wrec_for(c):
-            """Recon WHT of the (u, candidate c) combination."""
-            wk = jnp.where(mem[..., None], WK[c + 1], WK[0])
+        def per_blk_for(c):
+            """SATD map of the (u, candidate c) combination (member
+            blocks only are meaningful; the rest are masked)."""
             if not decimate:
-                return wk
+                return SK[c + 1]
             sc_sel = jnp.where(mem, sc8[c + 1], sc8[0])
             k8_sel = jnp.where(mem, keep8[c + 1], keep8[0])
             keep_mb = jnp.sum(jnp.where(k8_sel, sc_sel, 0),
                               axis=1) >= 6
             kept = k8_sel & keep_mb[:, None]
-            wp = jnp.where(mem[..., None], WP[c + 1], WP[0])
-            return jnp.where(kept[..., None], wk, wp)
+            return jnp.where(kept[None], SK[c + 1], SP[c + 1])
 
-        nb0 = probes(w0, (0, 0))
+        nb0 = probes_from(P0, (0, 0))
         orig_cost = nb0[:, 8]
         orig_opt = jnp.min(nb0, axis=1) >= orig_cost
 
         cand_cost, cand_opt = [], []
         for c in range(12):
-            dc = (int(D_MV[c][1]), int(D_MV[c][0]))       # (dy,dx)
-            nbc = probes(wrec_for(c), dc)
+            nbc = probes_from(per_blk_for(c), centers[c + 1])
             cand_cost.append(nbc[:, 8])
             cand_opt.append(jnp.min(nbc, axis=1) >= nbc[:, 8])
         cand_cost = jnp.stack(cand_cost, axis=1)
