@@ -10,8 +10,9 @@ anchor doesn't evict a still-referenced past anchor (the set.c
 pyramid-slot trick). Spatial direct is ref-aware on both sides
 (min-positive over neighbour refs, spec 8.4.1.2.2).
 
-Scope delta (documented): B partitions are single-ref; under multi-ref
-the B path codes the 16x16 family only.
+B partitions ride multi-ref too: the per-MB L0 ref is the 16x16
+REF_COST winner reused by every shape (the analyse.c:1973 model —
+b16x8 loads p_fref[0][a->l0.i_ref]); see test_bmref_partitions*.
 """
 
 import numpy as np

@@ -19,10 +19,14 @@ partition list combos (spec Table 7-14 codes 4-21) and B_8x8 with
 per-8x8 direct/L0/L1/BI sub modes (Table 7-18; no sub-8x8 splits).
 Intra-in-B rides the post-encode refine_p_intra wavefront (core.py
 _encode_b_frame); implicit weighted bipred (--weightb) threads the
-POC-distance weight w1 through every BI combine. B frames are
-non-references (no B-pyramid) and deblocking is disabled on B slices
-via the slice header (a legal encoder choice; B recon drift is
-impossible since nothing references it).
+POC-distance weight w1 through every BI combine. Under multi-ref the
+per-MB L0 ref is the 16x16 REF_COST winner reused by every partition
+shape — the exact reference model (analyse.c:1973 b16x8 loads
+p_fref[0][a->l0.i_ref]). B frames are non-references unless
+--b-pyramid keeps the middle B of a GOP as one; deblocking is
+disabled on non-reference B slices via the slice header (a legal
+encoder choice; recon drift is impossible since nothing references
+them).
 """
 
 from __future__ import annotations
