@@ -2171,6 +2171,18 @@ class Encoder:
                     jnp.asarray(self.prev_mv), p.me_range, mbh, mbw,
                     lam, p.subpel, p.ref_frames)
             ref8_np = np.asarray(ref8)
+        elif p.rd >= 1 and self._stego is None and not p.aq_mode:
+            # sub-8x8 RD re-rank (x264_mb_analyse_p_rd P_8x8 branch,
+            # analyse.c:2150: per-8x8 sub types within 5/4 of the SATD
+            # best re-ranked by partial RD, MB shapes by full RD).
+            # Probe quant trellises only at --trellis 2 (analyse.c:248)
+            part, sub_type, mv4, r_idx4, blocks4, wht4, mb_cost = \
+                PT.rd_rerank_sub(
+                    y, u, v, self.ref["luma"], self.ref["u"],
+                    self.ref["v"], jnp.asarray(self.prev_mv), qp, qpc,
+                    p.me_range, mbh, mbw, lam, p.subpel,
+                    decimate=p.dct_decimate, trellis=p.trellis > 1,
+                    nr_offset=self._nr_offset())
         else:
             part, sub_type, mv4, r_idx4, blocks4, wht4, mb_cost = \
                 PT.analyse_p_frame_sub(

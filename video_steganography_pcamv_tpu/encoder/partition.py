@@ -1472,3 +1472,245 @@ def rd_rerank_parts(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
     mb_cost = jnp.take_along_axis(
         jnp.stack([a[3] for a in aux]), part[None], axis=0)[0]
     return part, mv8, r_idx8, blocks8, wht8, mb_cost
+
+
+# ---------------------------------------------------------------------------
+# Sub-8x8 RD re-rank (--rd >= 1 with --p4x4)
+#
+# Reference: the P_8x8 branch of x264_mb_analyse_p_rd
+# (analyse.c:2150-2180): per 8x8 block, every sub_mb_type whose SATD
+# is within 5/4 of the block's best is cached and re-ranked by the
+# partial RD cost x264_rd_cost_part (rdo.c: SSD of the partition's
+# luma+chroma + lambda2 * the partition's bits); the MB then competes
+# against 16x16/16x8/8x16 by full-MB RD (x264_rd_cost_mb) exactly like
+# the pure-parts path. TPU redesign: each of the 7 candidates
+# (3 MB shapes + 4 uniform sub shapes) becomes one uniform-shape frame
+# probe (subpel refine + full device encode); per-8x8 partial RD is a
+# batched decomposition of the frame encode (per-4x4 CAVLC bits
+# grouped by 8x8, SSD over the 8x8's luma + its chroma 4x4s), and one
+# more mixed-subtype encode prices the recomposed P_8x8 frame exactly.
+# Probe MVPs come from the probe's own uniform field (scan_p_device)
+# with every sub unit inheriting its 8x8's MVP — the batched analog of
+# the rdo.c stale-cache FIXME; nC starts at 0 like every rd estimator
+# in ops/rdcost.py.
+# ---------------------------------------------------------------------------
+
+
+def _z44_to_sp(mv44, mbh, mbw):
+    """[mbh,mbw,4(blk z),4(sub z),2] -> [4mbh,4mbw,2] spatial."""
+    return mv44.reshape(mbh, mbw, 2, 2, 2, 2, 2) \
+               .transpose(0, 2, 4, 1, 3, 5, 6) \
+               .reshape(4 * mbh, 4 * mbw, 2)
+
+
+def _bits_per8(luma_lev, chroma_ac, n):
+    """Residual CAVLC bits grouped by 8x8 z block [n,4] int32: the
+    8x8's 4 luma 4x4s + its colocated chroma AC 4x4 per plane (chroma
+    DC is MB-level syntax and near subtype-invariant, so it cancels in
+    the per-block argmin). luma_lev [mbh,mbw,256] / chroma_ac
+    [mbh,mbw,128] in the _finish_p4 packing (by,bx block grid major)."""
+    from ..ops.rdcost import cavlc_block_bits
+    from ..ops.transform import ZIGZAG_4x4
+    zz = jnp.asarray(ZIGZAG_4x4)
+    blk = luma_lev.reshape(n * 16, 4, 4).astype(jnp.int32)
+    bz = blk[:, zz[:, 0], zz[:, 1]]
+    bl = cavlc_block_bits(bz, jnp.zeros(n * 16, jnp.int32)) \
+        .reshape(n, 4, 4)                          # [n, by, bx]
+    per8 = bl.reshape(n, 2, 2, 2, 2).sum((2, 4)).reshape(n, 4)
+    ca = chroma_ac.reshape(n, 2, 4, 4, 4).astype(jnp.int32)
+    caz = ca[..., zz[:, 0], zz[:, 1]][..., 1:].reshape(n * 8, 15)
+    cb = cavlc_block_bits(caz, jnp.zeros(n * 8, jnp.int32),
+                          max_coeff=15).reshape(n, 2, 4)
+    return per8 + cb.sum(1)
+
+
+def _ssd_per8(y, u, v, res, mbh, mbw):
+    """SSD grouped by 8x8 z block [n,4] int32: the 8x8 luma region +
+    its 4x4 chroma region per plane (the x264_rd_cost_part measure)."""
+    n = mbh * mbw
+
+    def group(plane, rec, b):
+        t = lambda p: p.reshape(mbh, 2 * b, mbw, 2 * b) \
+            .transpose(0, 2, 1, 3).reshape(n, 2 * b, 2 * b)
+        d = t(rec).astype(jnp.int32) - t(plane).astype(jnp.int32)
+        return (d * d).reshape(n, 2, b, 2, b).sum((2, 4)) \
+            .reshape(n, 4)
+
+    return (group(y, res["recon_y"], 8)
+            + group(u, res["recon_u"], 4)
+            + group(v, res["recon_v"], 4))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "rng", "mbh", "mbw", "subpel", "decimate", "trellis"))
+def rd_rerank_sub(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
+                  rng: int, mbh: int, mbw: int, lam, subpel: int,
+                  decimate: bool, trellis: bool, nr_offset):
+    """Same contract as analyse_p_frame_sub, with `part` re-ranked by
+    exact full-MB RD, `sub_type` re-ranked by per-8x8 partial RD and
+    `mv4` the winning shapes' refined unit MVs."""
+    from . import inter as P
+    from .scan_device import scan_p_device
+    from ..ops.rdcost import se_len
+
+    n = mbh * mbw
+    lam2 = jnp.asarray(P.LAMBDA2_TAB)[qp].astype(jnp.int32)
+    st = fullpel_search_sub.__wrapped__(
+        y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
+
+    # SATD gates (full-pel totals, like rd_rerank_parts)
+    shdr = jnp.asarray(_SUB_HDR_BITS)
+    sub_tot = jnp.stack([
+        st["c8"] + lam * shdr[0],
+        st["c84"].sum(-1) + lam * shdr[1],
+        st["c48"].sum(-1) + lam * shdr[2],
+        st["c44"].sum(-1) + lam * shdr[3],
+    ])                                            # [4(sub),mbh,mbw,4]
+    sub_thresh = (sub_tot.min(0) * 5) // 4
+    hdr = jnp.asarray(_HDR_BITS_SUB)
+    tot = jnp.stack([
+        st["c16"] + lam * hdr[0],
+        st["c16x8"].sum(-1) + lam * hdr[1],
+        st["c8x16"].sum(-1) + lam * hdr[2],
+        sub_tot.min(0).sum(-1) + lam * hdr[3],
+    ])                                            # [4(part),mbh,mbw]
+    mb_thresh = (tot.min(0) * 5) // 4
+
+    # candidate full-pel per-4x4 fields (z44 layout)
+    b44 = (mbh, mbw, 4, 4, 2)
+    mv_cands44 = [
+        jnp.broadcast_to(st["mv16"][:, :, None, None, :], b44),
+        jnp.broadcast_to(st["mv16x8"][:, :, [0, 0, 1, 1], None, :],
+                         b44),
+        jnp.broadcast_to(st["mv8x16"][:, :, [0, 1, 0, 1], None, :],
+                         b44),
+        jnp.broadcast_to(st["mv8"][:, :, :, None, :], b44),
+        st["mv84"][:, :, :, [0, 1, 0, 1], :][:, :, :, [0, 2, 1, 3], :],
+        st["mv48"][:, :, :, [0, 1, 0, 1], :],
+        st["mv44"],
+    ]
+
+    def probe(ci):
+        """One uniform-shape frame probe: subpel + encode + scan."""
+        part_c = jnp.full((mbh, mbw), min(ci, 3), jnp.int32)
+        subt_c = jnp.full((mbh, mbw, 4), max(ci - 3, 0), jnp.int32)
+        mv4fp = _z44_to_sp(mv_cands44[ci], mbh, mbw)
+        windows = gather_windows4_jnp(ref_luma.astype(jnp.uint8),
+                                      mv4fp, mbh, mbw)
+        wht4 = wht4_flat(block_table4(windows)).astype(jnp.int16)
+        mv4_c, r_idx4_c, mb_cost_c = subpel_sub.__wrapped__(
+            y, wht4, part_c, subt_c, mv4fp, prev_mv, mbh, mbw, lam,
+            subpel)
+        res = P.encode_p_frame_device4.__wrapped__(
+            y, u, v, ref_luma, ref_u, ref_v, mv4_c, qp, qpc, mbh, mbw,
+            decimate, None, trellis, nr_offset)
+        _, mvd_c, mvp_c, _ = scan_p_device(
+            part_c, mv4_c[::2, ::2], res["cbp_luma"],
+            res["cbp_chroma"], mbh, mbw)
+        return mv4_c, r_idx4_c, mb_cost_c, res, mvd_c, mvp_c
+
+    # int32-safe sentinel (jax_enable_x64 is off; a 16x16 MB's
+    # max SSD+bits cost is ~6e7, well under 2^30)
+    BIG = jnp.int32(1) << 30
+    shape_rd, cand_fields = [], []
+    for ci in range(3):
+        mv4_c, r_idx4_c, mb_cost_c, res, mvd_c, _ = probe(ci)
+        rd = P.rd_coded_cost(
+            y, u, v, res["luma_lev"], res["chroma_dc"],
+            res["chroma_ac"], res["recon_y"], res["recon_u"],
+            res["recon_v"], mvd_c,
+            jnp.full((mbh, mbw), ci, jnp.int32), qp, mbh, mbw)
+        shape_rd.append(jnp.where(tot[ci] <= mb_thresh,
+                                  rd.astype(jnp.int32), BIG))
+        cand_fields.append((mv4_c, r_idx4_c, mb_cost_c))
+
+    # per-8x8 partial RD of the 4 uniform sub probes
+    slots = jnp.arange(4)
+    sub_part_rd, sub_fields = [], []
+    for t in range(4):
+        mv4_c, r_idx4_c, mb_cost_c, res, _, mvp_c = probe(3 + t)
+        bits8 = _bits_per8(res["luma_lev"], res["chroma_ac"], n)
+        ssd8 = _ssd_per8(y, u, v, res, mbh, mbw)
+        # mvd bits: each sub unit against its 8x8's probe MVP
+        mvz = _sp4_to_z(mv4_c, mbh, mbw).reshape(n, 4, 4, 2)
+        d = mvz - mvp_c.reshape(n, 4, 1, 2)
+        is_unit = (jnp.asarray(_SUB_UNIT_ID)[t][None, None]
+                   == slots[None, None, :])       # [1,1,4] slot mask
+        mvd_bits = jnp.sum(jnp.where(
+            is_unit, se_len(d[..., 0]) + se_len(d[..., 1]), 0),
+            axis=2)                                      # [n,4]
+        bits = bits8 + mvd_bits + jnp.int32(int(_SUB_HDR_BITS[t]))
+        prd = (ssd8 + ((lam2 * bits + 128) >> 8)).reshape(mbh, mbw, 4)
+        sub_part_rd.append(jnp.where(sub_tot[t] <= sub_thresh,
+                                     prd, BIG))
+        sub_fields.append((mv4_c, r_idx4_c, mb_cost_c))
+
+    sub_rd = jnp.stack(sub_part_rd)                 # [4,mbh,mbw,4]
+    sub_type = jnp.argmin(sub_rd, axis=0).astype(jnp.int32)
+
+    # recompose the mixed-subtype P_8x8 frame and price it exactly
+    sub44 = jnp.stack([_sp4_to_z(f[0], mbh, mbw) for f in sub_fields])
+    sel44 = jnp.repeat(sub_type, 4, axis=-1).reshape(mbh, mbw, 16)
+    mv4_mixz = jnp.take_along_axis(
+        sub44, sel44[None, :, :, :, None], axis=0)[0]
+    mv4_mix = _z_to_sp4(mv4_mixz, mbh, mbw)
+    res_m = P.encode_p_frame_device4.__wrapped__(
+        y, u, v, ref_luma, ref_u, ref_v, mv4_mix, qp, qpc, mbh, mbw,
+        decimate, None, trellis, nr_offset)
+    _, _, mvp_m, _ = scan_p_device(
+        jnp.full((mbh, mbw), 3, jnp.int32), mv4_mix[::2, ::2],
+        res_m["cbp_luma"], res_m["cbp_chroma"], mbh, mbw)
+    bits8_m = _bits_per8(res_m["luma_lev"], res_m["chroma_ac"], n)
+    mvz_m = _sp4_to_z(mv4_mix, mbh, mbw).reshape(n, 4, 4, 2)
+    d_m = mvz_m - mvp_m.reshape(n, 4, 1, 2)
+    subt_f = sub_type.reshape(n, 4)
+    is_unit_m = (jnp.asarray(_SUB_UNIT_ID)[subt_f]
+                 == slots[None, None, :])                # [n,4,4]
+    mvd_bits_m = jnp.sum(jnp.where(
+        is_unit_m, se_len(d_m[..., 0]) + se_len(d_m[..., 1]), 0),
+        axis=(1, 2))
+    sub_hdr_m = jnp.sum(jnp.asarray(_SUB_HDR_BITS)[subt_f], axis=1)
+    bits_m = (bits8_m.sum(1) + mvd_bits_m + sub_hdr_m
+              + jnp.int32(int(_HDR_BITS_SUB[3])))        # ue(P_8x8)
+    ssd_m = _ssd_per8(y, u, v, res_m, mbh, mbw).sum(1)
+    rd_mix = (ssd_m + ((lam2 * bits_m + 128) >> 8)).reshape(mbh, mbw)
+    shape_rd.append(jnp.where(tot[3] <= mb_thresh, rd_mix, BIG))
+
+    allc = jnp.stack(shape_rd)                       # [4,mbh,mbw]
+    part = jnp.argmin(allc, axis=0).astype(jnp.int32)
+    sub_type = jnp.where((part == 3)[..., None], sub_type, 0)
+
+    # winner index per 4x4 block over the 7 candidates
+    widx16 = jnp.where(
+        (part == 3)[..., None],
+        3 + jnp.repeat(sub_type, 4, axis=-1).reshape(mbh, mbw, 16),
+        jnp.broadcast_to(part[..., None], (mbh, mbw, 16)))
+    all_mv44 = jnp.stack(
+        [_sp4_to_z(f[0], mbh, mbw) for f in cand_fields] + list(sub44))
+    mv4z = jnp.take_along_axis(
+        all_mv44, widx16[None, :, :, :, None], axis=0)[0]
+    mv4 = _z_to_sp4(mv4z, mbh, mbw)
+    all_ri = jnp.stack(
+        [_sp4_to_z(f[1].reshape(4 * mbh, 4 * mbw, 1),
+                   mbh, mbw)[..., 0]
+         for f in cand_fields + sub_fields])
+    r_idx4z = jnp.take_along_axis(all_ri, widx16[None], axis=0)[0]
+    r_idx4 = _z_to_sp4(r_idx4z[..., None], mbh, mbw)[..., 0] \
+        .reshape(16 * n)
+    # intra-refine threshold: the winning shape's SATD cost (part 3:
+    # best uniform sub candidate — a tight bound for the mixed field)
+    cost3 = jnp.min(jnp.stack([f[2] for f in sub_fields]), axis=0)
+    costs_by_part = jnp.stack([f[2] for f in cand_fields] + [cost3])
+    mb_cost = jnp.take_along_axis(costs_by_part, part[None], axis=0)[0]
+
+    # downstream tables at the final full-pel field (base = qpel mv
+    # minus its refine offset, exact by construction of r_idx)
+    offs_y = r_idx4.reshape(4 * mbh, 4 * mbw) // 13 - 6
+    offs_x = r_idx4.reshape(4 * mbh, 4 * mbw) % 13 - 6
+    mv4fp_fin = jnp.stack([(mv4[..., 0] - offs_x) >> 2,
+                           (mv4[..., 1] - offs_y) >> 2], axis=-1)
+    windows = gather_windows4_jnp(ref_luma.astype(jnp.uint8),
+                                  mv4fp_fin, mbh, mbw)
+    blocks4 = block_table4(windows)
+    wht4 = wht4_flat(blocks4).astype(jnp.int16)
+    return part, sub_type, mv4, r_idx4, blocks4, wht4, mb_cost
