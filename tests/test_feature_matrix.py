@@ -47,13 +47,27 @@ CONFIGS = [
     # multi-ref B + AQ + CQM
     dict(ref_frames=2, bframes=1, b_adapt=0, aq_mode=1,
          aq_strength=1.2, cqm="jvt", cabac=True),
+    # b-pyramid + multi-ref + weightb (round-4: the BREF enters the
+    # sliding window; B L0 lists hold reference Bs)
+    dict(ref_frames=2, bframes=3, b_adapt=0, b_pyramid=True,
+         weightb=True, cabac=True),
+    # b-pyramid + temporal direct (round-4: POC-matched
+    # map_col_to_list0 across the pyramid)
+    dict(ref_frames=2, bframes=3, b_adapt=0, b_pyramid=True,
+         direct=2),
+    # multi-ref + sub-8x8 + embedding (round-4: per-block-ref RCA
+    # probe tables)
+    dict(ref_frames=2, p4x4=True),
 ]
 
 
 @pytest.mark.parametrize("cfg", CONFIGS,
                          ids=["b+trellis+cabac+nr", "mref+trellis+idr",
                               "crf+b+cabac", "bmref+weightb+trellis",
-                              "bmref+aq+cqm"])
+                              "bmref+aq+cqm",
+                              "pyramid+mref+weightb",
+                              "pyramid+temporal",
+                              "mref+p4x4+stego"])
 def test_feature_combo_roundtrip(cfg):
     n = 8
     frames = _frames(n, seed=sum(map(ord, str(sorted(cfg.items())))))

@@ -150,3 +150,41 @@ def test_sub8x8_stego_roundtrip(cabac):
     for g, s in zip(got, sent):
         np.testing.assert_array_equal(g, s)
     assert enc.stats.mv_flips > 0
+
+
+@pytest.mark.parametrize("refs", [2, 3])
+def test_sub8x8_stego_multiref_roundtrip(refs):
+    """Multi-ref + sub-8x8 + embedding (the last round-3 combination
+    gate): the RCA probe tables gather from each block's own DPB
+    entry, flips alternate MVs but never refs (analyse.c:3518 model),
+    the forced rescan re-commits the pass-1 refs so ref-matched MVPs
+    stay live, and the pass-2 re-encode MCs from the per-block ref.
+    Blind extraction must recover every message bit and the stream
+    must stay bit-exact vs the repo decoder."""
+    from video_steganography_pcamv_tpu.stego.extract import (
+        extract_from_stream)
+    f0, f1 = _make_pair(W, H, seed=19)
+    frames = [f0, f1]
+    # flicker so older refs genuinely win on some blocks
+    for i in range(2, 6):
+        y = np.roll(frames[-1].y, (1, -1), axis=(0, 1))
+        if i % 2:
+            y = np.clip(y.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+        frames.append(Frame(y, f0.u.copy(), f0.v.copy()))
+    p = Params(width=W, height=H, qp=26, me_range=4, p4x4=True,
+               ref_frames=refs,
+               stego=StegoParams(em_rate=16.0, key=99))
+    p.validate()
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b"".join(enc.encode_frame(f) for f in frames)
+    dec = decode_annexb(bs)
+    for i, d in enumerate(dec):
+        ry = enc.recon_by_disp[i][0][:H, :W].astype(np.uint8)
+        np.testing.assert_array_equal(d.y, ry, err_msg=f"frame {i}")
+    got = extract_from_stream(bs, em_rate=16.0, key=99)
+    sent = enc._stego.sent_messages
+    assert len(got) == len(sent)
+    for g, s in zip(got, sent):
+        np.testing.assert_array_equal(g, s)
+    assert enc.stats.mv_flips > 0

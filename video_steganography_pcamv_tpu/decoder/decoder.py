@@ -986,22 +986,46 @@ class SliceDecoder:
     def _temporal_direct(self, my, mx):
         """Temporal direct (spec 8.4.1.2.3; twin of
         bslice.temporal_direct_fields): per-8x8 colocated corner MV
-        scaled by the colocated ref's DistScaleFactor; refIdxL0 = the
-        colocated ref via the (identity) map_col_to_list0 — the B's
-        L0 list is the colocated anchor's own L0 here; colocated
-        intra -> zeros, refs 0. Returns (use0, use1, mv0 [4,2],
-        mv1 [4,2], r8 [4] per-8x8 L0 refs, 0)."""
+        scaled by the mapped ref's DistScaleFactor; refIdxL0 =
+        map_col_to_list0 of the colocated ref, built by POC matching
+        within the active L0 (reference common/macroblock.c:830-841)
+        — the identity whenever the B's L0 is the colocated frame's
+        own L0 (every non-pyramid stream); colocated intra -> zeros,
+        refs 0. Returns (use0, use1, mv0 [4,2], mv1 [4,2], r8 [4]
+        per-8x8 L0 refs, 0)."""
         y4, x4 = 4 * my, 4 * mx
         col = self.refs_l1[0]
-        col_mv4, col_ref4 = col["mv4"], col["ref4"]
+        col_mv4 = col.get("mv4_l0", col["mv4"])
+        col_ref4 = col.get("ref4_l0", col["ref4"])
+        cmap = None
+        rp0 = col.get("ref_poc0")
+        if rp0:
+            n_act = min(self.b_l0_active, len(self.refs))
+            pocs = [self.refs[j]["poc"] for j in range(n_act)]
+            cmap = [pocs.index(p) if p in pocs else -1 for p in rp0]
         mv0 = np.zeros((4, 2), np.int32)
         mv1 = np.zeros((4, 2), np.int32)
         r8 = np.zeros(4, np.int32)
         for b, (cy, cx) in enumerate(self._COL_CORNERS):
             colr = int(col_ref4[y4 + cy, x4 + cx])
-            if colr < 0:
+            if colr == -1:
                 continue    # colocated intra: zeros, refs 0
-            r = min(colr, len(self._dsf_tab) - 1)
+            if colr <= -2:
+                # a reference B's L1-only colocated block: the x264
+                # cache reads ref[0] = -1 there and the whole MB is
+                # direct-unavailable (macroblock.c:199). This MB is
+                # derived speculatively for every partition MB; a
+                # conformant stream never CODES direct/skip here, so
+                # the unavailable result is discarded.
+                return False, False, mv0 * 0, mv1 * 0, r8 * 0, 0
+            if cmap is not None:
+                r = cmap[min(colr, len(cmap) - 1)]
+                if r < 0:
+                    # colocated ref has no image in the active L0
+                    # (map_col_to_list0 < 0): direct-unavailable
+                    return False, False, mv0 * 0, mv1 * 0, r8 * 0, 0
+            else:
+                r = min(colr, len(self._dsf_tab) - 1)
             r8[b] = r
             colm = col_mv4[y4 + cy, x4 + cx].astype(np.int64)
             l0 = (self._dsf_tab[r] * colm + 128) >> 8
@@ -1655,21 +1679,45 @@ def decode_annexb(data: bytes) -> list[DecodedFrame]:
             frames.append(df)
             if ref_idc != 0:
                 col_mv, col_ref = dec.mv4, dec.ref4
+                col_mv0, col_ref0 = dec.mv4, dec.ref4
                 if is_b:
-                    # reference B (pyramid): the colocated field falls
-                    # back to L1 where L0 is unused (spec 8.4.1.2.2
-                    # refIdxL0Col < 0 branch)
+                    # reference B (pyramid): the spatial colocated
+                    # field falls back to L1 where L0 is unused (spec
+                    # 8.4.1.2.2 refIdxL0Col < 0 branch); temporal
+                    # reads the L0-ONLY field like the reference cache
+                    # (macroblock.c:187): intra stays -1 (available,
+                    # zeros), L1-only inter becomes -2 (the
+                    # macroblock.c:199 direct-unavailable case)
                     m0 = dec.ref4 >= 0
                     col_mv = np.where(m0[..., None], dec.mv4,
                                       dec.mv4_1)
                     col_ref = np.where(m0, dec.ref4, dec.ref4_1)
+                    col_mv0 = np.where(m0[..., None], dec.mv4, 0)
+                    col_ref0 = np.where(m0, dec.ref4,
+                                        np.where(dec.ref4_1 >= 0,
+                                                 -2, -1))
+                # the frame's own active L0 POC list: feeds
+                # map_col_to_list0 (spec 8.4.1.2.3) when a later B
+                # uses this frame as its colocated picture
+                if is_b:
+                    rp0 = [e["poc"] for e in dec.refs[:dec.b_l0_active]]
+                elif slice_type in (2, 7) or nal_type == 5:
+                    rp0 = []
+                else:
+                    n_act = (dec.p_l0_active
+                             if dec.p_l0_active is not None
+                             else pps.num_ref_idx_l0_active)
+                    rp0 = [e["poc"] for e in dec.refs[:n_act]]
                 dpb.insert(0, {"luma": R.np_hpel_planes(R.np_pad(dec.y)),
                                "u": R.np_pad(dec.u),
                                "v": R.np_pad(dec.v),
                                "poc": poc,
                                "frame_num": frame_num,
                                "mv4": col_mv.copy(),
-                               "ref4": col_ref.copy()})
+                               "ref4": col_ref.copy(),
+                               "mv4_l0": col_mv0.copy(),
+                               "ref4_l0": col_ref0.copy(),
+                               "ref_poc0": rp0})
                 del dpb[max(1, sps.num_ref_frames):]
     if sps is not None and sps.poc_type == 0:
         # display (POC) order within each GOP; decode order across GOPs

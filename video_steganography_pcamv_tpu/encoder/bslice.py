@@ -855,7 +855,7 @@ def dist_scale_factor(poc_b, poc0, poc1) -> int:
     return int(np.clip((tb * tx + 32) >> 6, -1024, 1023))
 
 
-def temporal_direct_fields(col_mv4, col_ref4, dsf):
+def temporal_direct_fields(col_mv4, col_ref4, dsf, col_map=None):
     """Temporal direct fields, whole frame (spec 8.4.1.2.3; reference
     x264_mb_predict_mv_direct16x16_temporal, common/macroblock.c:165).
 
@@ -867,10 +867,15 @@ def temporal_direct_fields(col_mv4, col_ref4, dsf):
     the one-entry B L0 list (map_col_to_list0 < 0, macroblock.c:
     187-207) -> the whole MB is direct-unavailable.
     dsf [R] array (multi-ref B lists): refIdxL0 = map_col_to_list0 of
-    the colocated ref — the IDENTITY here, because the B's L0 list is
-    the colocated anchor's own L0 (the same pre-anchor DPB window,
-    both POC-descending; a general-stream decoder would map by POC) —
-    and each block scales by ITS ref's DistScaleFactor.
+    the colocated ref, and each block scales by ITS mapped ref's
+    DistScaleFactor.
+
+    col_map (optional [Rcol] int array): map_col_to_list0 — colocated
+    ref idx -> the B's L0 idx, -1 where the colocated ref has no image
+    in the active L0 (macroblock.c:830-841 built by POC matching;
+    :199 returns 0 = the whole MB is direct-unavailable). None keeps
+    the legacy identity rule (the B's L0 IS the colocated frame's L0
+    — true for every non-pyramid GOP).
 
     Unlike spatial, nothing depends on neighbour commits, so the field
     is computed once per frame, vectorized. Returns (avail [mbh,mbw]
@@ -883,23 +888,35 @@ def temporal_direct_fields(col_mv4, col_ref4, dsf):
     cx = (ix // 2) * 4 + (ix % 2) * 3
     colm = col_mv4[np.ix_(cy, cx)].astype(np.int64)   # [2mbh,2mbw,2]
     colr = col_ref4[np.ix_(cy, cx)]                   # [2mbh,2mbw]
+    # -1 = colocated intra (available with zeros/ref 0); <= -2 = the
+    # colocated block carries no L0 motion (a reference B's L1-only
+    # block: x264's cache reads ref[0] = -1 there and the whole MB is
+    # direct-unavailable, macroblock.c:199)
+    intra = colr == -1
+    unused = colr <= -2
     mref = isinstance(dsf, np.ndarray) and dsf.ndim == 1
-    if mref:
+    if col_map is not None:
+        cm = np.asarray(col_map, np.int32)
+        mapped = np.where(colr < 0, 0,
+                          cm[np.clip(colr, 0, len(cm) - 1)])
+        ok8 = intra | (~unused & (mapped >= 0))
+        ref8 = np.maximum(mapped, 0).astype(np.int32)
+        avail = ok8.reshape(mbh, 2, mbw, 2).all(axis=(1, 3))
+    elif mref:
         ref8 = np.where(colr < 0, 0, colr).astype(np.int32)
-        dsf_b = dsf[np.clip(ref8, 0, len(dsf) - 1)][..., None]
+        avail = (intra | ~unused).reshape(mbh, 2, mbw, 2) \
+            .all(axis=(1, 3))
     else:
         ref8 = np.zeros_like(colr, np.int32)
-        dsf_b = dsf
-    mv0 = (dsf_b * colm + 128) >> 8     # arithmetic shift, C twin
-    mv1 = mv0 - colm
-    intra = colr < 0
-    mv0 = np.where(intra[..., None], 0, mv0).astype(np.int32)
-    mv1 = np.where(intra[..., None], 0, mv1).astype(np.int32)
-    if mref:
-        avail = np.ones((mbh, mbw), bool)
-    else:
         ok8 = intra | (colr == 0)
         avail = ok8.reshape(mbh, 2, mbw, 2).all(axis=(1, 3))
+    intra = colr < 0    # zeros for every no-L0-motion cell
+    dsf_b = (dsf[np.clip(ref8, 0, len(dsf) - 1)][..., None]
+             if mref else dsf)
+    mv0 = (dsf_b * colm + 128) >> 8     # arithmetic shift, C twin
+    mv1 = mv0 - colm
+    mv0 = np.where(intra[..., None], 0, mv0).astype(np.int32)
+    mv1 = np.where(intra[..., None], 0, mv1).astype(np.int32)
     return avail, mv0, mv1, ref8
 
 

@@ -246,9 +246,12 @@ class Encoder:
             if params.ref_frames > 1:
                 # multi-ref B lists: the future anchor occupies a DPB
                 # slot while the Bs still reference ALL ref_frames
-                # past anchors — same extra-slot trick as the pyramid
+                # past entries — same extra-slot trick as the pyramid;
+                # under the pyramid the window also holds the current
+                # BREF on top of the R-deep past list
                 self.sps.num_ref_frames = max(
-                    self.sps.num_ref_frames, params.ref_frames + 1)
+                    self.sps.num_ref_frames,
+                    params.ref_frames + (2 if params.b_pyramid else 1))
         # custom quantization matrices (x264 --cqm): swap the active
         # quant/dequant tables (process-level encoder state; see
         # ops/cqm.py) and signal the lists in the SPS (High profile)
@@ -309,6 +312,14 @@ class Encoder:
                 self.sps.profile >= H.PROFILE_HIGH):
             log(LOG_WARNING, msg)
         self.dpb = []   # device ref dicts, newest first (L0 order)
+        # decode-order reference store (sliding window, spec 8.2.5.3):
+        # self.dpb is the derived P-list VIEW ([newest anchor] + rest
+        # PicNum-descending — exactly the reference's one-op reordered
+        # list, encoder.c:138-150); B slices derive POC-descending L0
+        # stacks per frame from the same store. With b-pyramid the
+        # store holds reference Bs too.
+        self._dpb_store = []
+        self._ref_meta = None  # staged (disp, fn, anchor, ref_poc0)
         self._bbuf = []        # pending display-order frames (B pipe)
         self._disp_idx = 0     # display index of the next input frame
         self._last_idr_disp = 0
@@ -553,10 +564,10 @@ class Encoder:
         f, y, u, v, satd, disp, lr = items[k]
         ref_l0 = self.ref                 # previous anchor (device)
         l0_disp = self._anchor_disp
-        self._b_l0_stack = (self._dpb_stacked()
-                            + (list(self._dpb_disps),)
-                            if self.p.ref_frames > 1
-                            and not self.p.b_pyramid else None)
+        mref = self.p.ref_frames > 1
+        self._b_l0_stack = ((self._dpb_stacked()
+                             + (list(self._dpb_disps),))
+                            if mref and not self.p.b_pyramid else None)
         out = self._encode_anchor(f, y, u, v, False, satd, disp)
         self._anchor_lr = lr
         ref_l1 = self.ref                 # the new anchor
@@ -570,13 +581,32 @@ class Encoder:
             # reordering op to stay on the previous anchor
             mid = k // 2
             bf, by, bu, bv, bsatd, mdisp, _ = items[mid]
+            # the anchor's own L0 disp list, for map_col_to_list0 of
+            # every B whose colocated frame (L1[0]) is the anchor
+            anchor_poc0 = self._dpb_store[0]["_ref_poc0"]
+            # pre-GOP L0 window (POC-descending past refs, incl. any
+            # previous BREFs still in the sliding window)
+            past0, disps0 = self._b_l0_view(mdisp)
+            stack0 = (self._b_l0_stack_of(past0) + (disps0,)
+                      if mref else None)
             w1 = BSW.bipred_weight(2 * mdisp, 2 * l0_disp, 2 * disp,
                                    self.p.weightb)
-            nal, bref_ref, bref_col = self._encode_b_frame(
+            nal, bref_ref, bref_col, bref_col_l0 = self._encode_b_frame(
                 bf, by, bu, bv, ref_l0, ref_l1, col, anchor_qp, bsatd,
                 mdisp, w1=w1,
-                pocs=(2 * mdisp, 2 * l0_disp, 2 * disp), is_ref=True)
+                pocs=(2 * mdisp, 2 * l0_disp, 2 * disp), is_ref=True,
+                l0_stack=stack0, col_poc0=anchor_poc0)
             out += nal
+            # the BREF enters the sliding window (a reference B):
+            # late Bs lead L0 with it, the next P sees it at list
+            # position 1 after the reordering op
+            self._ref_meta = (mdisp, self.frame_num - 1, False,
+                              disps0)
+            self._push_ref(bref_ref)
+            stack1 = None
+            if mref:
+                past1, disps1 = self._b_l0_view(disp)   # BREF + past
+                stack1 = self._b_l0_stack_of(past1) + (disps1,)
             for i, (bf, by, bu, bv, bsatd, bdisp, _) in \
                     enumerate(items[:k]):
                 if i == mid:
@@ -584,19 +614,26 @@ class Encoder:
                 if bdisp < mdisp:   # L1[0] = BREF (nearest future)
                     r0, r1, c = ref_l0, bref_ref, bref_col
                     pocs = (2 * bdisp, 2 * l0_disp, 2 * mdisp)
+                    stk, cp0, ct = stack0, disps0, bref_col_l0
                 else:               # L0[0] = BREF (nearest past)
                     r0, r1, c = bref_ref, ref_l1, col
                     pocs = (2 * bdisp, 2 * mdisp, 2 * disp)
+                    stk, cp0, ct = stack1, anchor_poc0, None
                 w1 = BSW.bipred_weight(*pocs, self.p.weightb)
                 out += self._encode_b_frame(bf, by, bu, bv, r0, r1, c,
                                             anchor_qp, bsatd, bdisp,
-                                            w1=w1, pocs=pocs)
+                                            w1=w1, pocs=pocs,
+                                            l0_stack=stk, col_poc0=cp0,
+                                            col_t=ct)
             self._reorder_next_p = True
             return out
-        # multi-ref B lists: the L0 list is the past-anchor DPB as it
+        # multi-ref B lists: the L0 list is the past-ref DPB as it
         # stood BEFORE this GOP's anchor entered (newest first — the
         # default B L0 order, POC descending past; spec 8.2.4.2.3)
         l0_stack = self._b_l0_stack
+        # colocated (the anchor)'s L0 = the same window: map is the
+        # identity; pass the disp list so the derivation stays uniform
+        anchor_poc0 = self._dpb_store[0]["_ref_poc0"]
         for (bf, by, bu, bv, bsatd, bdisp, _) in items[:k]:
             # implicit bipred weight from the display (=POC/2)
             # distances (x264_macroblock_bipred_init)
@@ -607,7 +644,8 @@ class Encoder:
                                         w1=w1,
                                         pocs=(2 * bdisp, 2 * l0_disp,
                                               2 * disp),
-                                        l0_stack=l0_stack)
+                                        l0_stack=l0_stack,
+                                        col_poc0=anchor_poc0)
         return out
 
     def _zone_qp(self, qp: int, disp: int) -> int:
@@ -650,22 +688,24 @@ class Encoder:
         if is_idr:
             self.frame_num = 0
             self.dpb = []
+            self._dpb_store = []
             self._dpb_disps = []
             self._reorder_next_p = False   # IDR resets the DPB
             self.lookahead.last_keyframe = disp
             out += self.headers()
+            self._ref_meta = (disp, 0, True, [])
             nal = self._encode_i(y, u, v, qp)
             out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
             self.stats.i_frames += 1
         else:
+            self._ref_meta = (disp, self.frame_num, True,
+                              list(self._dpb_disps))
             nal = self._encode_p(y, u, v, qp)
             out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
             self.stats.p_frames += 1
         self._last_anchor_fn = self.frame_num
         self._save_col()
         self._anchor_disp = disp
-        self._dpb_disps.insert(0, disp)
-        del self._dpb_disps[self.p.ref_frames:]
         self._accumulate_psnr(frame)
         if self.keep_recon:
             self.recon_by_disp[disp] = tuple(
@@ -734,11 +774,16 @@ class Encoder:
         if is_idr:
             self.frame_num = 0
             self.dpb = []   # IDR resets the DPB
+            self._dpb_store = []
+            self._dpb_disps = []
             out += self.headers()
+            self._ref_meta = (self._frame_idx, 0, True, [])
             nal = self._encode_i(y, u, v, qp)
             out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
             self.stats.i_frames += 1
         else:
+            self._ref_meta = (self._frame_idx, self.frame_num, True,
+                              list(self._dpb_disps))
             nal = self._encode_p(y, u, v, qp)
             out += nal_unit(NAL_SLICE, NAL_PRIORITY_HIGH, nal)
             self.stats.p_frames += 1
@@ -791,7 +836,10 @@ class Encoder:
             self._cur_qp = qp
             self.frame_num = 0
             self.dpb = []
+            self._dpb_store = []
+            self._dpb_disps = []
             out += self.headers()
+            self._ref_meta = (self._frame_idx, 0, True, [])
             nal = self._encode_i(y, u, v, qp)
             out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
             self.stats.i_frames += 1
@@ -1423,10 +1471,54 @@ class Encoder:
             self.recon_prev = (dy, du, dv)
 
     def _push_ref(self, refdict):
-        """Sliding-window DPB update (newest first; spec 8.2.5.3)."""
-        self.dpb.insert(0, refdict)
-        del self.dpb[self.p.ref_frames:]
-        self.ref = self.dpb[0]
+        """Sliding-window DPB update (newest first; spec 8.2.5.3).
+        Consumes the meta staged by the encoding frame (display index,
+        frame_num, anchor/BREF kind, the frame's own L0 disp list for
+        map_col_to_list0) and re-derives the P-list view."""
+        e = dict(refdict)
+        disp, fn, anchor, ref_poc0 = (self._ref_meta
+                                      or (0, 0, True, []))
+        self._ref_meta = None
+        e.update(_disp=disp, _fn=fn, _anchor=anchor,
+                 _ref_poc0=list(ref_poc0))
+        self._dpb_store.insert(0, e)
+        del self._dpb_store[self.sps.num_ref_frames:]
+        self._refresh_dpb_view()
+
+    def _refresh_dpb_view(self):
+        """P-list view over the store: [newest anchor] + the rest in
+        PicNum-descending order, truncated to ref_frames — byte-equal
+        to the decoder's default list after the single reordering op
+        (_take_reorder_l0). Without a pyramid this IS decode order."""
+        st = self._dpb_store
+        if not st:
+            self.dpb, self._dpb_disps, self.ref = [], [], None
+            return
+        head = next((e for e in st if e["_anchor"]), st[0])
+        rest = sorted((e for e in st if e is not head),
+                      key=lambda e: -e["_fn"])
+        view = ([head] + rest)[:self.p.ref_frames]
+        self.dpb = view
+        self._dpb_disps = [e["_disp"] for e in view]
+        self.ref = view[0]
+
+    def _b_l0_view(self, bdisp: int):
+        """B-slice L0 over the store: POC-descending past refs (spec
+        8.2.4.2.3), truncated to ref_frames. Returns (entries, disps)."""
+        past = sorted((e for e in self._dpb_store
+                       if e["_disp"] < bdisp),
+                      key=lambda e: -e["_disp"])[:self.p.ref_frames]
+        return past, [e["_disp"] for e in past]
+
+    def _b_l0_stack_of(self, entries):
+        """Stack B L0 entries padded to ref_frames slots (same shape
+        contract as _dpb_stacked)."""
+        R = self.p.ref_frames
+        es = list(entries) + [entries[0]] * (R - len(entries))
+        return (jnp.stack([d["luma"] for d in es]),
+                jnp.stack([d["u"] for d in es]),
+                jnp.stack([d["v"] for d in es]),
+                len(entries))
 
     def _dpb_stacked(self):
         """Stacked DPB arrays padded to ref_frames slots by repeating
@@ -2244,8 +2336,11 @@ class Encoder:
         skip &= ~intra_mask
 
         if self._stego is not None:
+            if multiref:
+                self._mref_stack4 = (refs_luma, refs_u, refs_v)
             replaced = self._stego.embed_frame_sub(
-                self, y, u, v, part_np, sub_np, mv4_np, skip, mvp)
+                self, y, u, v, part_np, sub_np, mv4_np, skip, mvp,
+                ref8=ref8_np)
             if replaced is not None:
                 final4, skip, mvd, res = replaced
         need_recon = (self.keep_recon
@@ -2435,7 +2530,8 @@ class Encoder:
     def _encode_b_frame(self, frame, y, u, v, ref0, ref1, col,
                         anchor_qp: int, satd, disp: int,
                         w1: int = 32, pocs=None,
-                        is_ref: bool = False, l0_stack=None):
+                        is_ref: bool = False, l0_stack=None,
+                        col_poc0=None, col_t=None):
         """Non-reference B frame between two anchors (bslice.py:
         two-list exhaustive ME + BI at the per-list winners + spatial
         direct; reference B path analyse.c:3110-3466). l0_stack:
@@ -2481,12 +2577,10 @@ class Encoder:
         tdir = None        # active temporal field
         tfields = None     # computed temporal field (active or alt)
         if dmode in (2, 3) and pocs is not None:
+            # the B's active L0 disp list (for DistScaleFactors and
+            # map_col_to_list0)
             if l0_stack is not None:
-                # multi-ref temporal direct: refIdxL0 = the colocated
-                # ref (map_col_to_list0 is the identity here — the B's
-                # L0 IS the colocated anchor's L0), one
-                # DistScaleFactor per L0 entry
-                disps_l0 = l0_stack[4]
+                disps_l0 = list(l0_stack[4])
                 dsf = np.array([
                     BS.dist_scale_factor(
                         pocs[0],
@@ -2494,8 +2588,29 @@ class Encoder:
                         pocs[2])
                     for r in range(p.ref_frames)], np.int64)
             else:
+                disps_l0 = [pocs[1] // 2]
                 dsf = BS.dist_scale_factor(*pocs)
-            tfields = BS.temporal_direct_fields(col_mv4, col_ref4, dsf)
+            cmap = None
+            if col_poc0 is not None:
+                # map_col_to_list0 by POC matching within the active
+                # L0 window (spec 8.4.1.2.3; reference
+                # common/macroblock.c:830-841) — identity whenever the
+                # B's L0 IS the colocated frame's L0 (every
+                # non-pyramid GOP); -1 entries mark colocated refs
+                # with no image in L0 (the macroblock.c:199 "return 0"
+                # case: those MBs are direct-unavailable)
+                n_act = max(1, min(len(disps_l0), p.ref_frames))
+                act = disps_l0[:n_act]
+                cmap = np.array(
+                    [act.index(d0) if d0 in act else -1
+                     for d0 in col_poc0] or [-1], np.int32)
+            # temporal reads the L0-only colocated field when the
+            # colocated picture is a reference B (x264's fref1 cache
+            # stores list 0 only, macroblock.c:187); for P colocated
+            # frames the two fields coincide
+            tmv4, tref4 = col_t if col_t is not None else col
+            tfields = BS.temporal_direct_fields(tmv4, tref4, dsf,
+                                                col_map=cmap)
             if not spatial_pred:
                 tdir = tfields
         if dmode == 0:
@@ -2741,13 +2856,19 @@ class Encoder:
 
         bref_ref = None
         bref_col = None
+        bref_col_l0 = None
         if is_ref:
             # materialize the BREF as a reference picture: padded +
-            # hpel planes on device, plus the colocated motion field
-            # dependent Bs' direct derivation reads — combined
-            # L0-else-L1 per spec 8.4.1.2.2 (refIdxL0Col < 0 falls
-            # back to list 1); intra/uncommitted cells are -1. The
-            # decoder stores the identical field at its DPB insert.
+            # hpel planes on device, plus the colocated motion fields
+            # dependent Bs' direct derivation reads. Spatial reads the
+            # combined L0-else-L1 field per spec 8.4.1.2.2
+            # (refIdxL0Col < 0 falls back to list 1; refs are the
+            # TRUE per-8x8 L0 refs — colZeroFlag compares against 0);
+            # temporal reads the L0-ONLY field, exactly the reference
+            # cache (macroblock.c:187 fref1[0]->ref[0]): intra -> -1
+            # (available, zeros), L1-only inter -> -2 (the
+            # macroblock.c:199 map[-1] branch: direct-unavailable).
+            # The decoder stores the identical fields at DPB insert.
             bref_ref = mc.build_ref(res["recon_y"], res["recon_u"],
                                     res["recon_v"])
             u0r = np.repeat(np.repeat(
@@ -2757,12 +2878,23 @@ class Encoder:
             f0r = np.repeat(np.repeat(np.asarray(fmv0), 2, 0), 2, 1)
             f1r = np.repeat(np.repeat(np.asarray(fmv1), 2, 0), 2, 1)
             im4 = np.repeat(np.repeat(intra_kind > 0, 4, 0), 4, 1)
+            r0_4 = (np.zeros((4 * mbh, 4 * mbw), np.int32)
+                    if ref8_0 is None else
+                    np.repeat(np.repeat(np.asarray(ref8_0), 2, 0),
+                              2, 1).astype(np.int32))
+            dead = im4 | ~(u0r | u1r)
             col_mv = np.where(u0r[..., None], f0r, f1r)
-            col_mv = np.where((im4 | ~(u0r | u1r))[..., None], 0,
+            col_mv = np.where(dead[..., None], 0,
                               col_mv).astype(np.int32)
-            col_ref = np.where(im4 | ~(u0r | u1r), -1, 0) \
-                .astype(np.int32)
+            col_ref = np.where(dead, -1,
+                               np.where(u0r, r0_4, 0)).astype(np.int32)
             bref_col = (col_mv, col_ref)
+            col_mv0 = np.where((dead | ~u0r)[..., None], 0, f0r) \
+                .astype(np.int32)
+            col_ref0 = np.where(im4 | ~(u0r | u1r), -1,
+                                np.where(u0r, r0_4, -2)) \
+                .astype(np.int32)
+            bref_col_l0 = (col_mv0, col_ref0)
 
         bw = BitWriter()
         H.write_slice_header(
@@ -2801,7 +2933,7 @@ class Encoder:
         self.stats.elapsed += time.time() - t0
         self._emit_au(disp, out, "B")
         if is_ref:
-            return out, bref_ref, bref_col
+            return out, bref_ref, bref_col, bref_col_l0
         return out
 
     def _write_b_slice_cavlc(self, bw, res, qp, mode, mvd0,

@@ -226,9 +226,12 @@ def scan_p_frame_sub(part: np.ndarray, sub_type: np.ndarray,
 
 
 def scan_p_frame_sub_forced(part: np.ndarray, sub_type: np.ndarray,
-                            mv4: np.ndarray, skip: np.ndarray):
+                            mv4: np.ndarray, skip: np.ndarray,
+                            ref8: np.ndarray | None = None):
     """Stego pass-2 scan at 4x4 granularity (sub-8x8-aware twin of
-    scan_p_frame_forced)."""
+    scan_p_frame_forced). ref8: optional [2mbh,2mbw] per-8x8 L0 refs
+    (multi-ref; flips alternate MVs, never refs — the pass-1 refs are
+    re-committed so the ref-matched MVP rules stay live)."""
     mbh, mbw = part.shape
     g = _Grid(mbh, mbw)
     mvd = np.zeros((mbh, mbw, 16, 2), np.int32)
@@ -245,11 +248,13 @@ def scan_p_frame_sub_forced(part: np.ndarray, sub_type: np.ndarray,
                 continue
             for u, (oy, ox, w4, h4) in enumerate(
                     mb_units(p, sub_type[my, mx])):
-                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u)
+                r = (0 if ref8 is None
+                     else int(ref8[2 * my + oy // 2, 2 * mx + ox // 2]))
+                mvp = unit_mvp(g, y4 + oy, x4 + ox, w4, p, u, ref=r)
                 mv = final[y4 + oy, x4 + ox].copy()
                 mvd[my, mx, u] = mv - mvp
                 mvp_out[my, mx, u] = mvp
-                g.commit(y4 + oy, x4 + ox, h4, w4, mv)
+                g.commit(y4 + oy, x4 + ox, h4, w4, mv, ref=r)
     return final, mvd, mvp_out
 
 

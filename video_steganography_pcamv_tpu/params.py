@@ -220,26 +220,18 @@ class Params:
         self.b_adapt = max(0, min(2, self.b_adapt))
         # pyramid needs >= 2 Bs per GOP (reference encoder.c:463)
         self.b_pyramid = self.b_pyramid and self.bframes > 1
-        if self.b_pyramid:
-            assert self.ref_frames == 1, \
-                "b-pyramid + multi-ref not combined yet"
-            assert self.direct == 1, \
-                "b-pyramid v1: spatial direct only (temporal needs " \
-                "map_col_to_list0 across the pyramid)"
-
         self.rc_lookahead = max(0, min(12, self.rc_lookahead))
         self.subpel = max(0, min(2, self.subpel))
         self.ref_frames = max(1, min(8, self.ref_frames))
         if self.ref_frames > 1:
             assert self.partitions, "multi-ref needs the partition path"
-            # multi-ref B lists combine with every direct mode:
-            # temporal maps the colocated ref through the (identity)
-            # map_col_to_list0 with per-ref DistScaleFactors; weightb
-            # rides per-L0-ref implicit weight tables
-            if self.p4x4:
-                assert not self.stego.enabled, \
-                    "multi-ref + sub-8x8 + embedding not combined " \
-                    "(the sub stego probe is single-ref)"
+            # multi-ref combines with every direct mode (temporal maps
+            # the colocated ref through map_col_to_list0 with per-ref
+            # DistScaleFactors; weightb rides per-L0-ref implicit
+            # weight tables), with b-pyramid (the BREF enters the
+            # sliding window) and with sub-8x8 embedding (the RCA
+            # probe tables are gathered from each block's own DPB
+            # entry; flips alternate MVs, never refs — analyse.c:3518)
         if self.crf > 0 and self.rc_mode == 0:
             self.rc_mode = 1
         if self.bitrate > 0 and self.rc_mode == 0:

@@ -317,7 +317,8 @@ class StegoEngine:
 
     def embed_frame_sub(self, enc, y, u, v, part: np.ndarray,
                         sub_type: np.ndarray, mv4: np.ndarray,
-                        skip1: np.ndarray, mvp16: np.ndarray):
+                        skip1: np.ndarray, mvp16: np.ndarray,
+                        ref8: np.ndarray | None = None):
         """Sub-8x8-partition-aware embedding: the cover spans every
         unit MV including 8x4/4x8/4x4 sub-units (the reference's
         D_L0_8x4/4x8/4x4 cover cases, encoder.c:1566-1647 +
@@ -368,7 +369,7 @@ class StegoEngine:
             decimate=p.dct_decimate)
         final4, skip1, mvd2 = self.apply_costs_sub(
             enc, part, sub_type, mv4, skip1, np.asarray(rho_s),
-            np.asarray(alt_s))
+            np.asarray(alt_s), ref8=ref8)
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         # AQ: re-encode at the pass-1 per-MB grid (see
         # embed_frame_parts — rho stays at frame-QP lambda)
@@ -376,15 +377,27 @@ class StegoEngine:
         if getattr(enc, "_aq_grids", None) is not None:
             qp_enc = jnp.asarray(enc._aq_grids[0])
             qpc_enc = jnp.asarray(enc._aq_grids[1])
-        res2 = I.encode_p_frame_device4(
-            y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
-            jnp.asarray(final4), qp_enc, qpc_enc, mbh, mbw,
-            decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
-            trellis=bool(p.trellis), nr_offset=enc._nr_offset())
+        if ref8 is not None:
+            # multi-ref re-encode: flips alternate MVs, never refs —
+            # each block's MC reads its own pass-1 DPB entry
+            refs_l, refs_u, refs_v = enc._mref_stack4
+            ref4_dev = jnp.repeat(jnp.repeat(jnp.asarray(ref8), 2, 0),
+                                  2, 1)
+            res2 = I.encode_p_frame_device4_mref(
+                y, u, v, refs_l, refs_u, refs_v, jnp.asarray(final4),
+                ref4_dev, qp_enc, qpc_enc, mbh, mbw,
+                decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
+                trellis=bool(p.trellis), nr_offset=enc._nr_offset())
+        else:
+            res2 = I.encode_p_frame_device4(
+                y, u, v, enc.ref["luma"], enc.ref["u"], enc.ref["v"],
+                jnp.asarray(final4), qp_enc, qpc_enc, mbh, mbw,
+                decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
+                trellis=bool(p.trellis), nr_offset=enc._nr_offset())
         return final4, skip1, mvd2, res2
 
     def apply_costs_sub(self, enc, part, sub_type, mv4, skip1, rho_s,
-                        alt_s):
+                        alt_s, ref8=None):
         """Host half of sub-partition embedding: MVC adjustment
         (pair rule for 2-MV units incl. 8x4/4x8, quad-cycle for 8x8 and
         4x4 quads — the reference's encoder.c:1649-1819 generalized to
@@ -409,7 +422,7 @@ class StegoEngine:
         if an <= 0 or n_cov == 0:
             self.sent_messages.append(np.zeros(0, np.uint8))
             f4, md, _ = SCAN.scan_p_frame_sub_forced(
-                part, sub_type, mv4, skip1)
+                part, sub_type, mv4, skip1, ref8=ref8)
             return f4, skip1, md
 
         c1, c2 = st.mvc_c1, st.mvc_c2
@@ -498,7 +511,7 @@ class StegoEngine:
                   4 * mx + ox:4 * mx + ox + ww] = alt_s[my, mx, sslot]
 
         final4, mvd2, _mvp2 = SCAN.scan_p_frame_sub_forced(
-            part, sub_type, mv4_2, skip1)
+            part, sub_type, mv4_2, skip1, ref8=ref8)
         return final4, skip1, mvd2
 
     def apply_costs(self, enc, part, mv8, skip1, rho_u, alt_u,
