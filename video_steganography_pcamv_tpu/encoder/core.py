@@ -320,6 +320,11 @@ class Encoder:
         # store holds reference Bs too.
         self._dpb_store = []
         self._ref_meta = None  # staged (disp, fn, anchor, ref_poc0)
+        # effective P L0 count for the CURRENT slice (the reference
+        # signals sh->i_num_ref_idx_l0_active = h->i_ref0, the ACTUAL
+        # list length — FFmpeg pads short lists with a 'missing
+        # reference picture' default otherwise)
+        self._p_l0_eff = params.ref_frames
         self._bbuf = []        # pending display-order frames (B pipe)
         self._disp_idx = 0     # display index of the next input frame
         self._last_idr_disp = 0
@@ -1173,7 +1178,7 @@ class Encoder:
                 luma_blocks=res["luma_lev"].reshape(n, 16, 16),
                 chroma_dc=res["chroma_dc"].reshape(n, 2, 4),
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
-                refs=self._refs4(part, ref8), num_ref=p.ref_frames,
+                refs=self._refs4(part, ref8), num_ref=self._p_l0_eff,
                 trans8=(res["trans8"].reshape(n).astype(np.uint8)
                         if p.transform_8x8 else None),
                 luma8_lev=(res["luma8_lev"]
@@ -1232,7 +1237,7 @@ class Encoder:
                     res["chroma_dc"][my, mx],
                     res["chroma_ac"][my, mx], qp_delta=dq,
                     refs=self._refs_of(pt, ref8, my, mx),
-                    num_ref=p.ref_frames,
+                    num_ref=self._p_l0_eff,
                     trans8=bool(p.transform_8x8
                                 and res["trans8"][my, mx]),
                     luma8_lev=(res["luma8_lev"][my, mx]
@@ -1270,7 +1275,7 @@ class Encoder:
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
                 refs=(None if ref8 is None
                       else self._refs4(part_a, ref8)),
-                num_ref=self.p.ref_frames,
+                num_ref=self._p_l0_eff,
                 luma8_lev=(res["luma8_lev"].reshape(n, 256)
                            if p.transform_8x8 else None),
                 trans8=(res["trans8"].astype(np.int32)
@@ -1328,7 +1333,7 @@ class Encoder:
                              res["chroma_ac"][my, mx],
                              refs=(None if ref8 is None
                                    else self._refs_of(pt, ref8, my, mx)),
-                             num_ref=self.p.ref_frames,
+                             num_ref=self._p_l0_eff,
                              trans8=bool(p.transform_8x8
                                          and res["trans8"][my, mx]),
                              luma8_lev=(res["luma8_lev"][my, mx]
@@ -1363,7 +1368,7 @@ class Encoder:
                 chroma_ac=res["chroma_ac"].reshape(n, 2, 4, 16),
                 refs=(None if ref8 is None
                       else self._refs4(part, ref8)),
-                num_ref=p.ref_frames)
+                num_ref=self._p_l0_eff)
         while not bw.byte_aligned():
             bw.write1(1)
         w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
@@ -1412,7 +1417,7 @@ class Encoder:
                              refs=(None if ref8 is None
                                    else self._refs_of(pt, ref8, my,
                                                       mx)),
-                             num_ref=p.ref_frames,
+                             num_ref=self._p_l0_eff,
                              dqp=dq)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
@@ -1607,6 +1612,7 @@ class Encoder:
             return self._encode_p_parts_fused(y, u, v, qp, qpc)
         if multiref:
             refs_luma, refs_u, refs_v, n_valid = self._dpb_stacked()
+            self._p_l0_eff = max(1, min(p.ref_frames, int(n_valid)))
             part, mv8, ref8, r_idx8, blocks8, wht8, mb_cost = \
                 PT.analyse_p_frame_parts_mref(
                     y, refs_luma, jnp.asarray(n_valid),
@@ -2152,7 +2158,7 @@ class Encoder:
                              poc_lsb=self._poc_lsb if poc_lsb is None
                              else poc_lsb,
                              reorder_l0=self._take_reorder_l0(),
-                             p_l0_active=p.ref_frames)
+                             p_l0_active=self._p_l0_eff)
         n = mbh * mbw
         if p.cabac:
             return self._write_p_slice_cabac(bw, res_np, qp, part_np,
@@ -2257,6 +2263,7 @@ class Encoder:
             # each 8x8's ref is its own masked argmin; sub splits
             # evaluate that ref's per-4x4 costs
             refs_luma, refs_u, refs_v, n_valid = self._dpb_stacked()
+            self._p_l0_eff = max(1, min(p.ref_frames, int(n_valid)))
             part, sub_type, mv4, ref8, r_idx4, blocks4, wht4, \
                 mb_cost = PT.analyse_p_frame_sub_mref(
                     y, refs_luma, jnp.asarray(n_valid),
@@ -2404,7 +2411,7 @@ class Encoder:
                              beta_div2=p.deblock_beta,
                              poc_lsb=self._poc_lsb,
                              reorder_l0=self._take_reorder_l0(),
-                             p_l0_active=self.p.ref_frames)
+                             p_l0_active=self._p_l0_eff)
         if p.cabac:
             return self._write_p_slice_cabac_sub(
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
@@ -2427,7 +2434,7 @@ class Encoder:
                 chroma_ac=res_np["chroma_ac"].reshape(n, 2, 4, 16),
                 refs=(None if ref8_np is None
                       else self._refs4(part_np, ref8_np)),
-                num_ref=p.ref_frames)
+                num_ref=self._p_l0_eff)
         fc = FrameCavlc(mbw, mbh)
         skip_run = 0
         aqg = self._aq_grids[0] if self._aq_grids is not None else None
@@ -2482,7 +2489,7 @@ class Encoder:
                     sub_types=(sub_np[my, mx] if ptk == 3 else None),
                     refs=(None if ref8_np is None
                           else self._refs_of(ptk, ref8_np, my, mx)),
-                    num_ref=p.ref_frames)
+                    num_ref=self._p_l0_eff)
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()
@@ -3167,7 +3174,7 @@ class Encoder:
                              beta_div2=self.p.deblock_beta,
                              poc_lsb=self._poc_lsb,
                              reorder_l0=self._take_reorder_l0(),
-                             p_l0_active=self.p.ref_frames)
+                             p_l0_active=self._p_l0_eff)
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if p.cabac:
