@@ -28,6 +28,7 @@ side (CPU backend); use --frames 10 --size 192x160 for a smoke run.
 
 import argparse
 import os
+import re
 import subprocess
 import sys
 import time
@@ -100,40 +101,70 @@ def score(decoded, ys, us, vs):
     return (psnr(sy / npx_y), psnr(su / npx_c), psnr(sv / npx_c))
 
 
-def run_reference(x264, yuv, wh, qp, frames, emrate, out):
+# matched-flag presets per BASELINE config ladder rung:
+#   cavlc: rung 1/2 (IPPP CAVLC single-ref; the round-3 ladder)
+#   c3:    rung 3 (720p, 8x8 transform + RD; reference --subme 6 is
+#          its first RD rung, ours is --rd 1 + exhaustive fullpel)
+#   c4:    rung 4 (1080p CABAC + B-frames + 2-ref ME)
+REF_FLAGS = {
+    "cavlc": ["--no-cabac", "--subme", "2", "--ref", "1",
+              "--bframes", "0"],
+    "c3": ["--no-cabac", "--subme", "6", "--ref", "1",
+           "--bframes", "0", "--8x8dct"],
+    # CABAC is the reference default (only --no-cabac exists);
+    # --no-b-adapt pins the fixed B placement our b_adapt=0 matches
+    "c4": ["--subme", "2", "--ref", "2", "--bframes", "2",
+           "--no-b-adapt"],
+}
+
+
+def run_reference(x264, yuv, wh, qp, frames, emrate, out,
+                  config="cavlc"):
     cmd = [x264, "--qp", str(qp), "--frames", str(frames),
-           "--no-cabac", "--subme", "2", "--keyint", "250",
-           "--min-keyint", "25", "--ref", "1", "--bframes", "0",
-           "--scenecut", "0"]
+           "--keyint", "250", "--min-keyint", "25",
+           "--scenecut", "0"] + REF_FLAGS[config]
     if emrate:
         cmd += ["--emrate", str(emrate)]
     cmd += ["-o", out, yuv, wh]
     t0 = time.time()
-    r = subprocess.run(cmd, capture_output=True, text=True)
+    # the reference's log strings are GBK-encoded Chinese: decode
+    # permissively
+    r = subprocess.run(cmd, capture_output=True)
     dt = time.time() - t0
+    r = type(r)(r.args, r.returncode,
+                r.stdout.decode("utf-8", "replace"),
+                r.stderr.decode("utf-8", "replace"))
     if r.returncode != 0:
         raise RuntimeError(f"reference failed: {r.stderr[-400:]}")
     size = os.path.getsize(out)
     return size, dt, r.stderr + r.stdout
 
 
-def run_repo(w, h, qp, frames_yuv, emrate):
+REPO_KW = {
+    "cavlc": {},
+    "c3": dict(transform_8x8=True, rd=1),
+    "c4": dict(cabac=True, ref_frames=2, bframes=2, b_adapt=0),
+}
+
+
+def run_repo(w, h, qp, frames_yuv, emrate, config="cavlc"):
     from video_steganography_pcamv_tpu.params import Params, StegoParams
     from video_steganography_pcamv_tpu.encoder.core import Encoder
     from video_steganography_pcamv_tpu.utils.yuv import Frame
     ys, us, vs = frames_yuv
     kw = dict(width=w, height=h, qp=qp, me_range=16,
-              scenecut_threshold=0, keyint_max=250)
+              scenecut_threshold=0, keyint_max=250, **REPO_KW[config])
     if emrate:
-        kw["stego"] = StegoParams(em_rate=float(emrate))
+        kw["stego"] = StegoParams(em_rate=float(emrate), key=17)
     p = Params(**kw)
+    p.validate()
     enc = Encoder(p)
     t0 = time.time()
     bs = b"".join(enc.encode_frame(Frame(y, u, v))
                   for y, u, v in zip(ys, us, vs))
     bs += enc.flush()
     dt = time.time() - t0
-    return bs, dt
+    return bs, dt, enc
 
 
 def main():
@@ -144,6 +175,9 @@ def main():
     ap.add_argument("--emrate", type=float, default=0.0)
     ap.add_argument("--x264", default="/tmp/refbuild/x264")
     ap.add_argument("--workdir", default="/tmp/h2h")
+    ap.add_argument("--config", default="cavlc",
+                    choices=("cavlc", "c3", "c4"),
+                    help="matched-flag preset (BASELINE ladder rung)")
     args = ap.parse_args()
 
     w, h = map(int, args.size.split("x"))
@@ -164,30 +198,54 @@ def main():
     for qp in qps:
         ref264 = os.path.join(args.workdir, f"ref_q{qp}.264")
         rsize, rdt, rlog = run_reference(args.x264, yuv, args.size, qp,
-                                         args.frames, args.emrate, ref264)
+                                         args.frames, args.emrate,
+                                         ref264, config=args.config)
         rdec = decode_annexb(open(ref264, "rb").read())
         rpy, rpu, rpv = score(rdec, ys, us, vs)
         rkbps = rsize * 8 * 25 / fps_den / 1000.0
+        rbits = ""
+        # the reference's stego summary prints the embedded payload as
+        # "<x> Kbits" (encoder.c:2884 i_message_num / 1000; the label
+        # text is GBK-encoded Chinese)
+        m = re.findall(r"([0-9.]+)\s*Kbits", rlog)
+        if m:
+            rbits = int(float(m[-1]) * 1000)
 
-        bs, mdt = run_repo(w, h, qp, (ys, us, vs), args.emrate)
+        bs, mdt, enc = run_repo(w, h, qp, (ys, us, vs), args.emrate,
+                                config=args.config)
         open(os.path.join(args.workdir, f"repo_q{qp}.264"), "wb").write(bs)
         mdec = decode_annexb(bs)
         mpy, mpu, mpv = score(mdec, ys, us, vs)
         mkbps = len(bs) * 8 * 25 / fps_den / 1000.0
+        mbits = ""
+        if args.emrate:
+            mbits = int(enc.stats.message_bits)
+            # capacity claims must survive the blind round trip
+            from video_steganography_pcamv_tpu.stego.extract import \
+                extract_from_stream
+            got = extract_from_stream(bs, em_rate=float(args.emrate),
+                                      key=17)
+            sent = enc._stego.sent_messages
+            assert len(got) == len(sent) and all(
+                np.array_equal(g, s) for g, s in zip(got, sent)), \
+                f"blind extract mismatch at qp{qp}"
 
-        rows.append((qp, rkbps, rpy, rpu, rpv, mkbps, mpy, mpu, mpv))
-        print(f"qp{qp}: ref {rkbps:.1f} kbps Y{rpy:.3f} | "
-              f"repo {mkbps:.1f} kbps Y{mpy:.3f} | dY {mpy - rpy:+.3f} "
+        rows.append((qp, rkbps, rpy, rpu, rpv, rbits,
+                     mkbps, mpy, mpu, mpv, mbits))
+        print(f"qp{qp}: ref {rkbps:.1f} kbps Y{rpy:.3f} bits={rbits} | "
+              f"repo {mkbps:.1f} kbps Y{mpy:.3f} bits={mbits} | "
+              f"dY {mpy - rpy:+.3f} "
               f"(ref {rdt:.1f}s, repo {mdt:.1f}s)", flush=True)
 
     print()
-    print("| qp | ref kbps | ref PSNR-Y | ref U | ref V | repo kbps | "
-          "repo PSNR-Y | repo U | repo V | dY (dB) |")
-    print("|---|---|---|---|---|---|---|---|---|---|")
-    for (qp, rk, ry, ru, rv, mk, my_, mu, mv) in rows:
+    print("| qp | ref kbps | ref PSNR-Y | ref U | ref V | ref bits | "
+          "repo kbps | repo PSNR-Y | repo U | repo V | repo bits | "
+          "dY (dB) |")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|")
+    for (qp, rk, ry, ru, rv, rb, mk, my_, mu, mv, mb) in rows:
         print(f"| {qp} | {rk:.1f} | {ry:.3f} | {ru:.3f} | {rv:.3f} | "
-              f"{mk:.1f} | {my_:.3f} | {mu:.3f} | {mv:.3f} | "
-              f"{my_ - ry:+.3f} |")
+              f"{rb} | {mk:.1f} | {my_:.3f} | {mu:.3f} | {mv:.3f} | "
+              f"{mb} | {my_ - ry:+.3f} |")
 
 
 if __name__ == "__main__":

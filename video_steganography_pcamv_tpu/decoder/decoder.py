@@ -865,6 +865,9 @@ class SliceDecoder:
         """P_L0_16x16 / P_L0_L0_16x8 / P_L0_L0_8x16 / P_8x8 (spec
         7.3.5.2), incl. sub_mb_types P_L0_8x8/8x4/4x8/4x4."""
         from ..encoder.scan import mb_units
+        ref0_inferred = mb_type == 4      # P_8x8ref0 (Table 7-13)
+        if mb_type == 4:
+            mb_type = 3
         if mb_type == 3:
             subs = [br.read_ue() for _ in range(4)]
             assert all(0 <= st <= 3 for st in subs), \
@@ -877,7 +880,9 @@ class SliceDecoder:
         y4, x4 = 4 * my, 4 * mx
         num_ref = (self.p_l0_active if self.p_l0_active is not None
                    else self.pps.num_ref_idx_l0_active)
-        if num_ref > 1:
+        if ref0_inferred:
+            self.ref4[y4:y4 + 4, x4:x4 + 4] = 0
+        elif num_ref > 1:
             for (oy, ox, w4, h4) in ref_geom:
                 if num_ref == 2:
                     r = 1 - br.read1()        # te(v), range 0..1
@@ -1466,7 +1471,11 @@ class SliceDecoder:
                 break
             my, mx = addr // self.mbw, addr % self.mbw
             mb_type = br.read_ue()
-            if mb_type <= 3:
+            if mb_type <= 4:
+                # 4 = P_8x8ref0 (spec Table 7-13, CAVLC only): P_8x8
+                # with every ref inferred 0, no ref_idx syntax — the
+                # reference always prefers it when all refs are 0
+                # (encoder/cavlc.c:428-436)
                 qp = self.decode_p_mb(br, mx, my, mb_type, qp)
             elif mb_type == 5:
                 self.mb_intra[my, mx] = True
