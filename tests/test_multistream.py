@@ -54,3 +54,40 @@ def test_multistream_stego_payloads():
         assert len(got) == len(sent) == n - 1
         for g, m in zip(got, sent):
             np.testing.assert_array_equal(g, m, err_msg=f"stream {s}")
+
+
+def test_pipelined_multistream_roundtrip():
+    """PipelinedMultiEncoder (single-chip round-robin over the fused
+    serving path): per-stream bitstreams decode bit-exact and every
+    stream's payload survives blind extraction."""
+    import numpy as np
+    from video_steganography_pcamv_tpu.encoder.multistream import (
+        PipelinedMultiEncoder)
+    from video_steganography_pcamv_tpu.params import Params, StegoParams
+    from video_steganography_pcamv_tpu.decoder import decode_annexb
+    from video_steganography_pcamv_tpu.stego.extract import (
+        extract_from_stream)
+    from video_steganography_pcamv_tpu.utils.yuv import synthetic_sequence
+
+    S, T, W, H = 2, 5, 96, 64
+    p = Params(width=W, height=H, qp=26, me_range=4, keyint_max=30,
+               scenecut_threshold=0,
+               stego=StegoParams(em_rate=16.0, key=13))
+    p.validate()
+    me = PipelinedMultiEncoder(p, S)
+    seqs = [synthetic_sequence(W, H, T, seed=60 + s) for s in range(S)]
+    chunks = [b"" for _ in range(S)]
+    for t in range(T):
+        for s, c in enumerate(me.encode_step(
+                [seqs[s][t] for s in range(S)])):
+            chunks[s] += c
+    for s, c in enumerate(me.flush()):
+        chunks[s] += c
+    for s in range(S):
+        dec = decode_annexb(chunks[s])
+        assert len(dec) == T
+        got = extract_from_stream(chunks[s], em_rate=16.0, key=13)
+        sent = me.encs[s]._stego.sent_messages
+        assert len(got) == len(sent) > 0
+        for g, m in zip(got, sent):
+            np.testing.assert_array_equal(g, m)

@@ -267,3 +267,33 @@ class MultiEncoder:
             "u": self._put(jnp.stack([e.ref["u"] for e in self.encs])),
             "v": self._put(jnp.stack([e.ref["v"] for e in self.encs])),
         }
+
+
+class PipelinedMultiEncoder:
+    """Single-chip multi-stream driver: S independent Encoders driven
+    round-robin through the fused pipelined serving path (params.
+    pipeline=True). Each encode_frame dispatches its stream's fused
+    stage-1 and defers entropy one frame, so the host's serial work
+    (STC, CAVLC/CABAC, muxing) for stream s-1 runs while the device
+    processes stream s's queue — the TPU analog of x264's
+    one-thread-per-frame throughput model (doc/threads.txt), with the
+    device queue as the pipeline. Unlike MultiEncoder there is no GOP
+    lockstep requirement: streams are fully independent.
+
+    This replaces the round-1 batched path for the single-chip
+    many-streams case (PERF.md r2 measured it at 0.42 fps/stream for
+    2 streams vs 0.54 single — host deblock + per-stream meta pulls
+    serialized the chip; the fused path has neither)."""
+
+    def __init__(self, params: Params, n_streams: int):
+        self.S = n_streams
+        self.encs = [Encoder(params) for _ in range(n_streams)]
+
+    def encode_step(self, frames) -> list[bytes]:
+        """frames: one Frame per stream. Returns per-stream chunks
+        (entropy may lag one frame per stream; flush() drains)."""
+        assert len(frames) == self.S
+        return [e.encode_frame(f) for e, f in zip(self.encs, frames)]
+
+    def flush(self) -> list[bytes]:
+        return [e.flush() for e in self.encs]
