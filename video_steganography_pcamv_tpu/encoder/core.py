@@ -1608,6 +1608,11 @@ class Encoder:
         import jax
         lam = ME.lambda_tab(qp)
         multiref = p.ref_frames > 1
+        if not multiref:
+            # reconfig can shrink ref_frames mid-stream: the effective
+            # L0 count must track the CURRENT path, not a stale mref
+            # frame's n_valid (sh->i_num_ref_idx_l0_active = i_ref0)
+            self._p_l0_eff = 1
         if self._stego is not None and not multiref and not p.aq_mode:
             return self._encode_p_parts_fused(y, u, v, qp, qpc)
         if multiref:
@@ -1923,6 +1928,7 @@ class Encoder:
         import jax
         p = self.p
         mbh, mbw = p.mb_height, p.mb_width
+        self._p_l0_eff = 1   # the fused stego path is single-ref
         lam = ME.lambda_tab(qp)
         cmv = self._cost_mv_dev(qp, lam)
         # pass-1 materializes levels/recon whenever the pass-2
@@ -2257,6 +2263,8 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         lam = ME.lambda_tab(qp)
         multiref = p.ref_frames > 1
+        if not multiref:
+            self._p_l0_eff = 1   # see _encode_p_parts (reconfig shrink)
         ref8_np = None
         if multiref:
             # mixed-ref sub-8x8 (analyse.c:1291-1370 generalized):
@@ -3130,6 +3138,7 @@ class Encoder:
         if p.partitions:
             return self._encode_p_parts(y, u, v, qp, qpc)
 
+        self._p_l0_eff = 1   # unpartitioned path is single-ref
         mv_q, _ = self.analyse_p(y, qp)
         mv_np = np.asarray(mv_q)
         res = P.encode_p_frame_device(
