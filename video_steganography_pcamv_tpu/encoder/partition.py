@@ -1302,6 +1302,15 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
     # WHT of uint8 blocks fits int16 (|coef| <= 16*255); flat [.., 64]
     # layout (padding-friendly); consumers promote to int32 on use
     wht8 = wht8_flat(blocks8).astype(jnp.int16)
+    # layout barrier: inside the fused stage-1 program, XLA's layout
+    # assignment otherwise pushes select_rows_mm's batched-matmul
+    # layout ({0,2,1}, n-major) up through the 169-slice stack and
+    # its remat pass then materializes EACH [1,N8,64] slice as its own
+    # 128x-lane-padded copy — 166 x 255 MB = 42 GB of HLO temp at
+    # 1080p (observed HBM OOM). Pinning the tables as whole values
+    # keeps them as ONE buffer each; the matmul pays at most one
+    # transpose copy.
+    blocks8, wht8 = jax.lax.optimization_barrier((blocks8, wht8))
     mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(
         y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
     return part, mv8, r_idx8, blocks8, wht8, mb_cost
