@@ -210,6 +210,13 @@ def main(argv=None):
 
 
 def _run(args):
+    from .utils.log import warning
+    if args.me not in ("esa", "tesa"):
+        # accepted for x264 compat but NOT a silent alias: the batched
+        # device analysis is always exhaustive (me.c:248-525 methods
+        # collapse into ESA — more search effort, not less)
+        warning(f"--me {args.me} maps to esa on the TPU path "
+                "(exhaustive batched search)")
     if args.extract:
         from .stego.extract import extract_from_stream
         data = open(args.input, "rb").read()

@@ -751,6 +751,11 @@ def analyse_p_frame_parts_mref(y, refs_luma, n_valid, prev_mv, rng: int,
         refs_luma.astype(jnp.uint8), mvfp8, ref8, mbh, mbw)
     blocks8 = block_table8(windows)
     wht8 = wht8_flat(blocks8).astype(jnp.int16)
+    # layout barrier: same 42 GB layout/remat OOM guard as the
+    # single-ref stage-1 path (see analyse_p_frame_parts) — today this
+    # path crosses a jit boundary before the probe consumers, but the
+    # barrier keeps any future fusion from reintroducing the blowup
+    blocks8, wht8 = jax.lax.optimization_barrier((blocks8, wht8))
     mv8, r_idx8, mb_cost = subpel_parts.__wrapped__(
         y, wht8, part, mvfp8, prev_mv, mbh, mbw, lam, subpel)
     return part, mv8, ref8, r_idx8, blocks8, wht8, mb_cost
@@ -1440,6 +1445,9 @@ def rd_rerank_parts(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
                                       mvsp, mbh, mbw)
         blocks8 = block_table8(windows)
         wht8 = wht8_flat(blocks8).astype(jnp.int16)
+        # layout barrier: see analyse_p_frame_parts — guards the
+        # 42 GB layout/remat OOM if this ever fuses with the probes
+        blocks8, wht8 = jax.lax.optimization_barrier((blocks8, wht8))
         mv8_s, r_idx_s, cost_s = subpel_parts(
             y, wht8, part_s, mvsp, prev_mv, mbh, mbw, lam, subpel)
         res = P.encode_p_frame_device8(
