@@ -161,3 +161,53 @@ def test_device_deblock_chroma_qp_offset_thresh():
                                           err_msg=f"U cqo{cqo}")
             np.testing.assert_array_equal(np.asarray(dv), rv,
                                           err_msg=f"V cqo{cqo}")
+
+
+@pytest.mark.skipif(native.load() is None, reason="native lib missing")
+def test_device_deblock_trans8_and_offsets_matches_native():
+    """High-profile inputs (round 5): 8x8-transform MBs skip internal
+    4x4-only luma edges (deblock.cpp trans8 rule / reference
+    frame.c:627-811), and FilterOffsetA/B shift the alpha/beta/tc0
+    table indices (spec 8.7.2.2). Fuzz the XLA twin vs the C++ oracle
+    across QPs, offsets (incl. negative and asymmetric) and trans8
+    densities."""
+    rng = np.random.RandomState(5150)
+    cases = [(30, 0, 0), (30, 6, -6), (26, -4, 4), (38, 12, 12),
+             (16, -12, -12), (22, 2, 0)]
+    for qp, off_a, off_b in cases:
+        mbh, mbw = rng.randint(2, 6), rng.randint(2, 8)
+        H, W = 16 * mbh, 16 * mbw
+        y = rng.randint(0, 256, (H, W)).astype(np.uint8)
+        y = ((y.astype(np.int32) // 8) + 110).astype(np.uint8)
+        gy, gx = np.mgrid[0:H // 2, 0:W // 2]
+        u = (128 + (gx % 16) // 3 + (gy % 16) // 4).astype(np.uint8)
+        u += (rng.rand(H // 2, W // 2) < 0.2).astype(np.uint8)
+        v = np.roll(u, 3, axis=1).copy()
+        intra = (rng.rand(mbh, mbw) < 0.3).astype(np.uint8)
+        skip = ((rng.rand(mbh, mbw) < 0.2) & (intra == 0)) \
+            .astype(np.uint8)
+        trans8 = (rng.rand(mbh, mbw) < 0.5).astype(np.uint8)
+        nnz4 = (rng.rand(4 * mbh, 4 * mbw) < 0.4).astype(np.int32) \
+            * rng.randint(1, 5, (4 * mbh, 4 * mbw))
+        mv4 = rng.randint(-10, 11, (4 * mbh, 4 * mbw, 2)) \
+            .astype(np.int32)
+        qpc = chroma_qp(qp)
+
+        ry, ru, rv = y.copy(), u.copy(), v.copy()
+        native.deblock_frame(ry, ru, rv, intra, nnz4, mv4, skip, qp,
+                             qpc, trans8=trans8, alpha_off=off_a,
+                             beta_off=off_b)
+
+        dy, du, dv = deblock_frame_device(
+            jnp.asarray(y, jnp.int32), jnp.asarray(u, jnp.int32),
+            jnp.asarray(v, jnp.int32), jnp.asarray(intra),
+            jnp.asarray(skip), jnp.asarray(nnz4), jnp.asarray(mv4),
+            qp, qpc, mbh, mbw,
+            qp_thresh=15 - min(off_a, off_b),
+            trans8=jnp.asarray(trans8.astype(np.int32)),
+            off_a=off_a, off_b=off_b)
+        for got, want, name in ((dy, ry, "Y"), (du, ru, "U"),
+                                (dv, rv, "V")):
+            np.testing.assert_array_equal(
+                np.asarray(got), want,
+                err_msg=f"{name} qp{qp} offA{off_a} offB{off_b}")

@@ -75,3 +75,30 @@ def test_pallas_aq_maps_and_mref():
     for a, b, name in zip(ref, got, "yuv"):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=f"plane {name}")
+
+
+def test_pallas_trans8_and_offsets():
+    """High-profile params (round 5): trans8 internal-edge rule +
+    FilterOffsetA/B, Pallas (edge_params) vs the XLA twin, which
+    test_deblock_device chains to the C++ oracle."""
+    rng = np.random.default_rng(58)
+    for qp, off_a, off_b in [(30, 6, -6), (24, -4, 4), (36, 12, 12)]:
+        mbh, mbw = 5, 9
+        y, u, v, intra, skip, nnz4, mv4 = _mk_frame(rng, mbh, mbw,
+                                                    qp=qp)
+        trans8 = jnp.asarray(
+            (rng.random((mbh, mbw)) < 0.5).astype(np.int32))
+        qpc = min(qp, 39)
+        qpt = 15 - min(off_a, off_b)
+        ref = DJ.deblock_frame_device(y, u, v, intra, skip, nnz4, mv4,
+                                      qp, qpc, mbh, mbw,
+                                      qp_thresh=qpt, trans8=trans8,
+                                      off_a=off_a, off_b=off_b)
+        got = DP.deblock_frame_pallas(y, u, v, intra, skip, nnz4, mv4,
+                                      qp, qpc, mbh, mbw,
+                                      qp_thresh=qpt, trans8=trans8,
+                                      off_a=off_a, off_b=off_b)
+        for a, b, name in zip(ref, got, "yuv"):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b),
+                err_msg=f"plane {name} qp{qp} offA{off_a} offB{off_b}")

@@ -195,6 +195,22 @@ def _nnz4_device(lev, mbh: int, mbw: int):
         .reshape(4 * mbh, 4 * mbw).astype(jnp.int32)
 
 
+@functools.partial(_jax.jit, static_argnames=("mbh", "mbw"))
+def _nnz4_t8_device(lev4, lev8, t8_eff, mbh: int, mbw: int):
+    """Per-4x4 nnz map under the 8x8 transform, on device: every 4x4
+    cell of an effective-trans8 MB carries its covering 8x8 block's
+    coefficient count (bS at 8x8 edges reads any covered cell; the
+    internal 4x4-only edges are skipped by the deblocker's trans8
+    rule). Device twin of the host merge in _p_finalize."""
+    nz4 = jnp.count_nonzero(lev4.reshape(mbh, mbw, 4, 4, 16), axis=4) \
+        .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+    nz8 = jnp.count_nonzero(lev8.reshape(mbh, mbw, 2, 2, 64), axis=4) \
+        .transpose(0, 2, 1, 3).reshape(2 * mbh, 2 * mbw)
+    t8r = jnp.repeat(jnp.repeat(t8_eff.astype(bool), 4, 0), 4, 1)
+    nz8r = jnp.repeat(jnp.repeat(nz8, 2, 0), 2, 1)
+    return jnp.where(t8r, nz8r, nz4).astype(jnp.int32)
+
+
 @dataclass
 class EncodeStats:
     frames: int = 0
@@ -953,12 +969,21 @@ class Encoder:
             qp_maps = (eff, eff_c)
         if p.deblock and self._on_tpu():
             mbh2, mbw2 = p.mb_height, p.mb_width
+            t8_i = None
+            if p.transform_8x8:
+                # I_8x8 MBs carry transform_size_8x8_flag = 1
+                # regardless of cbp (spec 7.3.5 intra I_NxN signalling)
+                t8_i = res_dev["mb_i8"]
+                nnz_i = _nnz4_t8_device(res_dev["luma_ac"],
+                                        res_dev["luma8_lev"], t8_i,
+                                        mbh2, mbw2)
+            else:
+                nnz_i = _nnz4_device(res_dev["luma_ac"], mbh2, mbw2)
             self._deblock_device(
                 res_dev, np.ones((mbh2, mbw2), np.int32),
                 np.zeros((mbh2, mbw2), np.int32),
                 np.zeros((4 * mbh2, 4 * mbw2, 2), np.int32), qp,
-                _nnz4_device(res_dev["luma_ac"], mbh2, mbw2),
-                qp_maps=qp_maps)
+                nnz_i, qp_maps=qp_maps, trans8=t8_i)
         elif p.deblock and self._native is not None:
             self._deblock(res, intra=True, qp=qp,
                           trans8=(res["mb_i8"].astype(np.uint8)
@@ -1427,15 +1452,14 @@ class Encoder:
         """True when the in-loop deblocker runs on-device (bit-exact
         wavefront twin, any backend — it is the serving config on TPU
         and the pipelined driver's requirement; on CPU it is merely
-        slower than the host C++)."""
-        return (self.p.deblock_device
-                and not self.p.transform_8x8  # device twin lacks the
-                                              # 8x8 transform-edge rule
-                and self.p.deblock_alpha == 0  # ... and alpha/beta
-                and self.p.deblock_beta == 0)  # offsets
+        slower than the host C++). Both twins speak the full High
+        profile: 8x8 transform-edge rule + alpha/beta offsets (round
+        5; previously those configs fell back to host C++ deblock +
+        per-frame plane re-upload)."""
+        return self.p.deblock_device
 
     def _deblock_device(self, res, intra, skip, mv4, qp, nnz4_dev,
-                        ref4=None, qp_maps=(None, None)):
+                        ref4=None, qp_maps=(None, None), trans8=None):
         """Device wavefront deblock (bit-exact C++ twin): the filtered
         reference never leaves the chip; recon is downloaded once for
         PSNR/dump only. qp_maps: effective per-MB (qp, qpc) grids
@@ -1456,6 +1480,7 @@ class Encoder:
         if qp_maps[0] is not None:
             qp_arg = jnp.asarray(qp_maps[0])
             qpc_arg = jnp.asarray(qp_maps[1])
+        off_a, off_b = 2 * p.deblock_alpha, 2 * p.deblock_beta
         dy, du, dv = deblock_frame_device(
             res["recon_y"].astype(jnp.int32),
             res["recon_u"].astype(jnp.int32),
@@ -1464,8 +1489,13 @@ class Encoder:
             jnp.asarray(skip.astype(np.int32)),
             nnz4_dev, jnp.asarray(mv4), qp_arg, qpc_arg,
             p.mb_height, p.mb_width,
-            qp_thresh=15 - max(0, p.chroma_qp_offset),
-            ref4=(jnp.asarray(ref4) if ref4 is not None else None))
+            # deblock.cpp qp_thresh = 15 - min(offA, offB) - max(cqo, 0)
+            qp_thresh=(15 - min(off_a, off_b)
+                       - max(0, p.chroma_qp_offset)),
+            ref4=(jnp.asarray(ref4) if ref4 is not None else None),
+            trans8=(jnp.asarray(trans8).astype(jnp.int32)
+                    if trans8 is not None else None),
+            off_a=off_a, off_b=off_b)
         self._push_ref(mc.build_ref(dy, du, dv))
         if self.p.psnr or self.p.ssim or self.keep_recon:
             self.recon_prev = (np.asarray(dy), np.asarray(du),
@@ -1995,6 +2025,19 @@ class Encoder:
         intra_kind = np.zeros((mbh, mbw), np.int32)
         intra_mask = intra_kind > 0
 
+        # trans8-aware device nnz/flag inputs for the deblocker (the
+        # effective flag is decision AND cbp_luma > 0, spec 7.4.5 —
+        # intra_mask is all-false on this path)
+        t8_dev = None
+        if p.transform_8x8 and "trans8" in res2:
+            t8_dev = (res2["trans8"].astype(bool)
+                      & (res2["cbp_luma"] != 0))
+            nnz_dev = _nnz4_t8_device(res2["luma_lev"],
+                                      res2["luma8_lev"], t8_dev,
+                                      mbh, mbw)
+        else:
+            nnz_dev = _nnz4_device(res2["luma_lev"], mbh, mbw)
+
         if pipelined:
             # enqueue the lean entropy buffer BEFORE the deblock waves
             # (FIFO device queue; the fetch happens next frame)
@@ -2005,8 +2048,7 @@ class Encoder:
             buf_dev = _pack_frame_lean(lev_in, n, has8)
             mv4 = np.repeat(np.repeat(final8, 2, 0), 2, 1)
             self._deblock_device(res2, intra_mask, skip, mv4, qp,
-                                 _nnz4_device(res2["luma_lev"], mbh,
-                                              mbw))
+                                 nnz_dev, trans8=t8_dev)
             self._p_state_update(part_np, skip, final8, intra_kind,
                                  None, intra_mask)
             return dict(buf=buf_dev, res=res2, has8=has8, qp=qp,
@@ -2036,8 +2078,7 @@ class Encoder:
             trans8_mask = t8_eff.astype(np.uint8)
         if p.deblock and self._on_tpu():
             self._deblock_device(res2, intra_mask, skip, mv4, qp,
-                                 _nnz4_device(res2["luma_lev"], mbh,
-                                              mbw))
+                                 nnz_dev, trans8=t8_dev)
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
@@ -2124,7 +2165,7 @@ class Encoder:
                 res, intra_mask, skip, mv4, qp,
                 jnp.asarray(nnz4) if nnz4 is not None else
                 _nnz4_device(res["luma_lev"], mbh, mbw), ref4=ref4,
-                qp_maps=qp_maps)
+                qp_maps=qp_maps, trans8=trans8_mask)
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=mv4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,

@@ -124,19 +124,28 @@ def _chroma_edge(samples, bs2, alpha, beta, tc0_row, strong, active):
     return p0o, q0o
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "off_a",
+                                              "off_b"))
 def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
                          mbh: int, mbw: int, ref4=None,
-                         qp_thresh: int = 15):
+                         qp_thresh: int = 15, trans8=None,
+                         off_a: int = 0, off_b: int = 0):
     """Deblock one frame on device. y/u/v: int32 planes (MB-padded);
     intra/skip: [mbh,mbw]; nnz4: [4mbh,4mbw]; mv4: [4mbh,4mbw,2];
     qp/qpc traced — scalar, or per-MB [mbh,mbw] maps (adaptive
     quantization: MB edges use qPav = (QPp + QPq + 1) >> 1 per spec
     8.7.2.2, the deblock.cpp qp_map twin); ref4: optional [4mbh,4mbw]
-    L0 refs (different-ref bS rule, spec 8.7.2.1). Returns filtered
-    (y, u, v) uint8."""
+    L0 refs (different-ref bS rule, spec 8.7.2.1); trans8: optional
+    [mbh,mbw] transform_size_8x8 flags — internal 4x4-only luma edges
+    (e = 1, 3) of those MBs are not transform edges and skip filtering
+    (deblock.cpp / reference frame.c:627-811 High-profile rule);
+    off_a/off_b: FilterOffsetA/B (2x the slice div2 values; indexA/B =
+    qp + offset per spec 8.7.2.2, in-range by the tables' +-12
+    margin). Returns filtered (y, u, v) uint8."""
     if ref4 is None:
         ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
+    if trans8 is None:
+        trans8 = jnp.zeros((mbh, mbw), jnp.int32)
     ALPHA = jnp.asarray(ALPHA_TAB)
     BETA = jnp.asarray(BETA_TAB)
     TC0 = jnp.asarray(TC0_TAB)
@@ -157,6 +166,7 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
     mvp = jnp.pad(mv4, ((1, 1), (1, 1), (0, 0)))
     rfp = jnp.pad(ref4, 1)
     intra_p = jnp.pad(intra.astype(jnp.int32), 1)
+    t8_p = jnp.pad(trans8.astype(jnp.int32), 1)
 
     mx_t, my_t, act_t = wave_tables(mbw, mbh)
     n_waves, W = mx_t.shape
@@ -189,6 +199,7 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
         left_i = intra_p[my + 1, mx] > 0
         top_i = intra_p[my, mx + 1] > 0
         cur_skip = skip[my, mx] > 0
+        cur_t8 = t8_p[my + 1, mx + 1] > 0
         # per-MB QP context (deblock.cpp deblock_mb): internal edges
         # use the MB's own QP; e==0 MB edges average with the
         # neighbour's (qPav). qp<=qp_thresh kills internal edges only
@@ -240,6 +251,11 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             if e == 0:
                 border = (mx > 0) if dir0 else (my > 0)
                 return act & border
+            if e in (1, 3):
+                # 8x8-transform MBs: internal 4x4-only luma edges are
+                # not transform edges (deblock.cpp trans8 rule; chroma
+                # runs on even edges only, so this is luma-only)
+                return internal_on & ~cur_t8
             return internal_on
 
         def edge_qp(e, dir0: bool):
@@ -261,9 +277,9 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             bs4 = bs_groups(e, True)
             strong = strong_mask(e, True)
             eq, _ = edge_qp(e, True)
-            a_e, b_e = ALPHA[eq + 12], BETA[eq + 12]
+            a_e, b_e = ALPHA[eq + off_a + 12], BETA[eq + off_b + 12]
             activ = edge_active(e, True) & (a_e > 0) & (b_e > 0)
-            tcrow = TC0[(eq + 12)[:, None],
+            tcrow = TC0[(eq + off_a + 12)[:, None],
                         jnp.clip(jnp.repeat(bs4, 4, 1), 0, 3)]
             p2o, p1o, p0o, q0o, q1o, q2o = _luma_edge(
                 tuple(s), bs4, a_e, b_e, tcrow, strong, activ)
@@ -280,9 +296,9 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             bs4 = bs_groups(e, False)
             strong = strong_mask(e, False)
             eq, _ = edge_qp(e, False)
-            a_e, b_e = ALPHA[eq + 12], BETA[eq + 12]
+            a_e, b_e = ALPHA[eq + off_a + 12], BETA[eq + off_b + 12]
             activ = edge_active(e, False) & (a_e > 0) & (b_e > 0)
-            tcrow = TC0[(eq + 12)[:, None],
+            tcrow = TC0[(eq + off_a + 12)[:, None],
                         jnp.clip(jnp.repeat(bs4, 4, 1), 0, 3)]
             p2o, p1o, p0o, q0o, q1o, q2o = _luma_edge(
                 tuple(s), bs4, a_e, b_e, tcrow, strong, activ)
@@ -302,11 +318,11 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             bs4v = bs_groups(e, True)
             strongv = strong_mask(e, True)
             eq, eqc = edge_qp(e, True)
-            a_le, b_le = ALPHA[eq + 12], BETA[eq + 12]
-            a_ce, b_ce = ALPHA[eqc + 12], BETA[eqc + 12]
+            a_le, b_le = ALPHA[eq + off_a + 12], BETA[eq + off_b + 12]
+            a_ce, b_ce = ALPHA[eqc + off_a + 12], BETA[eqc + off_b + 12]
             activv = edge_active(e, True) & (a_le > 0) & (b_le > 0)
             bs8 = jnp.repeat(bs4v, 2, 1)
-            tcv = TC0[(eqc + 12)[:, None], jnp.clip(bs8, 0, 3)]
+            tcv = TC0[(eqc + off_a + 12)[:, None], jnp.clip(bs8, 0, 3)]
             col = 4 + 2 * e
             for plane_i in range(2):
                 t = tu if plane_i == 0 else tv
@@ -323,11 +339,11 @@ def deblock_frame_device(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
             bs4h = bs_groups(e, False)
             strongh = strong_mask(e, False)
             eq, eqc = edge_qp(e, False)
-            a_le, b_le = ALPHA[eq + 12], BETA[eq + 12]
-            a_ce, b_ce = ALPHA[eqc + 12], BETA[eqc + 12]
+            a_le, b_le = ALPHA[eq + off_a + 12], BETA[eq + off_b + 12]
+            a_ce, b_ce = ALPHA[eqc + off_a + 12], BETA[eqc + off_b + 12]
             activh = edge_active(e, False) & (a_le > 0) & (b_le > 0)
             bs8h = jnp.repeat(bs4h, 2, 1)
-            tch = TC0[(eqc + 12)[:, None], jnp.clip(bs8h, 0, 3)]
+            tch = TC0[(eqc + off_a + 12)[:, None], jnp.clip(bs8h, 0, 3)]
             row = 4 + 2 * e
             for plane_i in range(2):
                 t = tu if plane_i == 0 else tv

@@ -56,14 +56,21 @@ def _round_up(x, m):
 # Host/XLA precompute: per-MB edge parameters
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "qp_thresh"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "qp_thresh",
+                                             "off_a", "off_b"))
 def edge_params(intra, skip, nnz4, mv4, qp, qpc, mbh: int, mbw: int,
-                ref4=None, qp_thresh: int = 15):
+                ref4=None, qp_thresh: int = 15, trans8=None,
+                off_a: int = 0, off_b: int = 0):
     """Batched twin of deblock_jax's per-wave bs_groups/edge_qp/
     strong_mask/edge_active, over the whole MB grid at once.
+    trans8/off_a/off_b: High-profile inputs (transform_size_8x8 flag
+    grid; FilterOffsetA/B), see deblock_jax.deblock_frame_device.
     Returns [mbh*mbw, 128] int16."""
     if ref4 is None:
         ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
+    if trans8 is None:
+        trans8 = jnp.zeros((mbh, mbw), jnp.int32)
+    t8 = trans8.astype(jnp.int32) > 0
     ALPHA = jnp.asarray(ALPHA_TAB)
     BETA = jnp.asarray(BETA_TAB)
     TC0 = jnp.asarray(TC0_TAB)
@@ -156,28 +163,32 @@ def edge_params(intra, skip, nnz4, mv4, qp, qpc, mbh: int, mbw: int,
     for d in range(2):
         for e in range(4):
             eq = jnp.where(e == 0, eqp[d], qp_w)
-            a_e = ALPHA[eq + 12]
-            b_e = BETA[eq + 12]
+            a_e = ALPHA[eq + off_a + 12]
+            b_e = BETA[eq + off_b + 12]
             act = (border[d] if e == 0 else internal_on) \
                 & (a_e > 0) & (b_e > 0)
+            if e in (1, 3):
+                # trans8 MBs: internal 4x4-only luma edges are not
+                # transform edges (deblock.cpp High-profile rule)
+                act = act & ~t8
             alpha_l = alpha_l.at[:, :, d, e].set(a_e)
             beta_l = beta_l.at[:, :, d, e].set(b_e)
             act_l = act_l.at[:, :, d, e].set(act.astype(jnp.int32))
-            tc = TC0[(eq + 12)[:, :, None],
+            tc = TC0[(eq + off_a + 12)[:, :, None],
                      jnp.clip(bs_all[:, :, d, e, :], 0, 3)]
             tc0_l = tc0_l.at[:, :, d, e].set(tc)
             if e in (0, 2):
                 ei = 0 if e == 0 else 1
                 eqc = jnp.where(e == 0, eqpc[d], qpc_w)
-                a_ce = ALPHA[eqc + 12]
-                b_ce = BETA[eqc + 12]
+                a_ce = ALPHA[eqc + off_a + 12]
+                b_ce = BETA[eqc + off_b + 12]
                 # the C++ gates each edge's chroma on the LUMA alpha/beta
                 actc = (border[d] if e == 0 else internal_on) \
                     & (a_e > 0) & (b_e > 0)
                 alpha_c = alpha_c.at[:, :, d, ei].set(a_ce)
                 beta_c = beta_c.at[:, :, d, ei].set(b_ce)
                 act_c = act_c.at[:, :, d, ei].set(actc.astype(jnp.int32))
-                tcc = TC0[(eqc + 12)[:, :, None],
+                tcc = TC0[(eqc + off_a + 12)[:, :, None],
                           jnp.clip(bs_all[:, :, d, e, :], 0, 3)]
                 tc0_c = tc0_c.at[:, :, d, ei].set(tcc)
 
@@ -453,14 +464,17 @@ def _run(yp, up, vp, par, mbh: int, mbw: int, interpret: bool = False):
     )(yp, up, vp, par)
 
 
-@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "qp_thresh"))
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "qp_thresh",
+                                             "off_a", "off_b"))
 def deblock_frame_pallas(y, u, v, intra, skip, nnz4, mv4, qp, qpc,
                          mbh: int, mbw: int, ref4=None,
-                         qp_thresh: int = 15):
+                         qp_thresh: int = 15, trans8=None,
+                         off_a: int = 0, off_b: int = 0):
     """Drop-in twin of deblock_jax.deblock_frame_device (same argument
     and return contract), one fused kernel instead of ~mbw+2*mbh waves."""
     par = edge_params(intra, skip, nnz4, mv4, qp, qpc, mbh, mbw,
-                      ref4=ref4, qp_thresh=qp_thresh)
+                      ref4=ref4, qp_thresh=qp_thresh, trans8=trans8,
+                      off_a=off_a, off_b=off_b)
     # the kernel fetches params as aligned 16-row blocks + sublane roll;
     # a ragged final block would clamp the dynamic slice and desync the
     # roll offset for the last n_mb%16 MBs — pad to a 16 multiple
