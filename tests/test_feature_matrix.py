@@ -58,6 +58,11 @@ CONFIGS = [
     # multi-ref + sub-8x8 + embedding (round-4: per-block-ref RCA
     # probe tables)
     dict(ref_frames=2, p4x4=True),
+    # multi-ref WITHOUT partitions (round-5 gate deletion: b66 allows
+    # --ref N --partitions none — 16x16-only per-ref ME + ref_idx)
+    dict(ref_frames=3, partitions=False),
+    dict(ref_frames=2, partitions=False, bframes=2, b_adapt=0,
+         cabac=True),
 ]
 
 
@@ -67,7 +72,9 @@ CONFIGS = [
                               "bmref+aq+cqm",
                               "pyramid+mref+weightb",
                               "pyramid+temporal",
-                              "mref+p4x4+stego"])
+                              "mref+p4x4+stego",
+                              "mref+noparts+stego",
+                              "mref+noparts+b+cabac"])
 def test_feature_combo_roundtrip(cfg):
     n = 8
     frames = _frames(n, seed=sum(map(ord, str(sorted(cfg.items())))))

@@ -1653,6 +1653,7 @@ class Encoder:
                     y, refs_luma, jnp.asarray(n_valid),
                     jnp.asarray(self.prev_mv), p.me_range, mbh, mbw,
                     lam, p.subpel, p.ref_frames,
+                    allow_parts=p.partitions,
                     use_pallas=jax.default_backend() == "tpu")
         elif (p.rd >= 1 and self._stego is None and not p.aq_mode):
             # partition-shape RD re-rank (x264_mb_analyse_p_rd,
@@ -3176,7 +3177,11 @@ class Encoder:
         qpc = chroma_qp(qp, p.chroma_qp_offset)
         if p.p4x4 and p.partitions:
             return self._encode_p_sub(y, u, v, qp, qpc)
-        if p.partitions:
+        if p.partitions or p.ref_frames > 1:
+            # multi-ref without partitions (b66 --ref N --partitions
+            # none): the mref machinery with the shape choice pinned
+            # to 16x16 (allow_parts=False) — per-ref 16x16 ME + te(v)
+            # ref_idx, like analyse.c:1122's per-ref loop alone
             return self._encode_p_parts(y, u, v, qp, qpc)
 
         self._p_l0_eff = 1   # unpartitioned path is single-ref

@@ -223,15 +223,17 @@ class Params:
         self.rc_lookahead = max(0, min(12, self.rc_lookahead))
         self.subpel = max(0, min(2, self.subpel))
         self.ref_frames = max(1, min(8, self.ref_frames))
-        if self.ref_frames > 1:
-            assert self.partitions, "multi-ref needs the partition path"
-            # multi-ref combines with every direct mode (temporal maps
-            # the colocated ref through map_col_to_list0 with per-ref
-            # DistScaleFactors; weightb rides per-L0-ref implicit
-            # weight tables), with b-pyramid (the BREF enters the
-            # sliding window) and with sub-8x8 embedding (the RCA
-            # probe tables are gathered from each block's own DPB
-            # entry; flips alternate MVs, never refs — analyse.c:3518)
+        # multi-ref combines with partitions ON or OFF (b66 allows
+        # --ref N --partitions none: 16x16-only per-ref ME,
+        # encoder.c:420-503 never couples them; with partitions off
+        # the mref analysis runs with allow_parts=False) and with
+        # every direct mode (temporal maps the colocated ref through
+        # map_col_to_list0 with per-ref DistScaleFactors; weightb
+        # rides per-L0-ref implicit weight tables), with b-pyramid
+        # (the BREF enters the sliding window) and with sub-8x8
+        # embedding (the RCA probe tables are gathered from each
+        # block's own DPB entry; flips alternate MVs, never refs —
+        # analyse.c:3518)
         if self.crf > 0 and self.rc_mode == 0:
             self.rc_mode = 1
         if self.bitrate > 0 and self.rc_mode == 0:
