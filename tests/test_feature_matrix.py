@@ -100,3 +100,47 @@ def test_feature_combo_roundtrip(cfg):
     assert len(got) == len(sent) > 0
     for g, s in zip(got, sent):
         np.testing.assert_array_equal(g, s)
+
+
+T8_P4_CONFIGS = [
+    dict(p4x4=True, transform_8x8=True),
+    dict(p4x4=True, transform_8x8=True, rd=1),
+    dict(p4x4=True, transform_8x8=True, cabac=True, trellis=1),
+]
+
+
+@pytest.mark.parametrize("cfg", T8_P4_CONFIGS,
+                         ids=["p4x4+8x8dct", "p4x4+8x8dct+rd",
+                              "p4x4+8x8dct+cabac+trellis"])
+def test_p4x4_with_8x8dct(cfg):
+    """Round-5 gate deletion: b66 allows --8x8dct with sub-8x8
+    partitions (x264_mb_transform_8x8_allowed, macroblock.h:462 —
+    the flag is simply absent on MBs carrying sub-8x8 partitions,
+    spec 7.3.5). Streams must decode bit-exact against the encoder
+    recon and recover the payload."""
+    n = 8
+    frames = _frames(n, seed=len(cfg))
+    stego = StegoParams(em_rate=12.0, key=33)
+    p = Params(width=W, height=H, qp=26, me_range=4, stego=stego, **cfg)
+    p.validate()
+    enc = Encoder(p)
+    enc.keep_recon = True
+    bs = b""
+    for f in frames:
+        bs += enc.encode_frame(f)
+    bs += enc.flush()
+    dec = decode_annexb(bs)
+    assert len(dec) == n
+    t8_seen = 0
+    for i, d in enumerate(dec):
+        ry, ru, rv = enc.recon_by_disp[i]
+        np.testing.assert_array_equal(
+            d.y, ry[:H, :W].astype(np.uint8), err_msg=f"frame {i} Y")
+        np.testing.assert_array_equal(
+            d.u, ru[:H // 2, :W // 2].astype(np.uint8),
+            err_msg=f"frame {i} U")
+    got = extract_from_stream(bs, em_rate=12.0, key=33)
+    sent = enc._stego.sent_messages
+    assert len(got) == len(sent) > 0
+    for g, s in zip(got, sent):
+        np.testing.assert_array_equal(g, s)

@@ -601,7 +601,10 @@ class CabacSliceParser:
         cbp_luma = self.cbp_luma(my, mx)
         cbp_chroma = self.cbp_chroma(my, mx)
         trans8 = 0
-        if self.trans8_mode and cbp_luma:
+        # flag absent when any sub-partition is < 8x8 (spec 7.3.5
+        # noSubMbPartSizeLessThan8x8Flag; sub_mb_type 0 is P_L0_8x8)
+        if self.trans8_mode and cbp_luma \
+                and (subs is None or all(st == 0 for st in subs)):
             trans8 = self.transform_size_flag(my, mx)
         self.mb_kind[my, mx] = 1
         self.cbp[my, mx] = (cbp_chroma << 4) | cbp_luma

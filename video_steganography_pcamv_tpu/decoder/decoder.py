@@ -875,6 +875,7 @@ class SliceDecoder:
             geom = mb_units(3, subs)
             ref_geom = self._UNIT_GEOM[3]
         else:
+            subs = None
             geom = self._UNIT_GEOM[mb_type]
             ref_geom = geom
         y4, x4 = 4 * my, 4 * mx
@@ -905,9 +906,12 @@ class SliceDecoder:
         cbp_code = br.read_ue()
         cbp = VT.CBP_INTER_TO_GOLOMB.index(cbp_code)
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-        # transform_size_8x8_flag between cbp and dqp (spec 7.3.5)
+        # transform_size_8x8_flag between cbp and dqp (spec 7.3.5);
+        # absent when any sub-partition is < 8x8
+        # (noSubMbPartSizeLessThan8x8Flag — sub_mb_type 0 is P_L0_8x8)
+        t8_present = subs is None or all(st == 0 for st in subs)
         trans8 = bool(self.pps.transform_8x8 and cbp_luma
-                      and br.read1())
+                      and t8_present and br.read1())
         if cbp:
             qp = (qp + br.read_se() + 52) % 52
         qpc = int(CHROMA_QP[np.clip(qp + self.pps.chroma_qp_index_offset,

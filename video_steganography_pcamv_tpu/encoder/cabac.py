@@ -902,8 +902,11 @@ class CabacSliceWriter:
         self.cbp_luma(my, mx, cbp_luma)
         self.cbp_chroma(my, mx, cbp_chroma)
         # inter MBs carry the flag after cbp when luma residual exists
-        # (reference cabac.c:974-976; all P parts here are >= 8x8)
-        if self.trans8_mode and cbp_luma:
+        # AND no sub-partition is < 8x8 (reference cabac.c:974-976 via
+        # x264_mb_transform_8x8_allowed; sub_mb_type 0 is P_L0_8x8)
+        t8_present = sub_types is None \
+            or all(int(s) == 0 for s in sub_types)
+        if self.trans8_mode and cbp_luma and t8_present:
             self.transform_size_flag(my, mx, 1 if trans8 else 0)
         self.mb_kind[my, mx] = 1
         self.cbp[my, mx] = cbp

@@ -409,9 +409,11 @@ class FrameCavlc:
         cbp = (cbp_chroma << 4) | cbp_luma
         bw.write_ue(VT.CBP_INTER_TO_GOLOMB[cbp])
         # transform_size_8x8_flag between cbp and dqp (spec 7.3.5: only
-        # when luma residual exists; our P partitions are all >= 8x8 so
-        # noSubMbPartSizeLessThan8x8Flag holds)
-        if self.trans8_mode and cbp_luma:
+        # when luma residual exists AND no sub-partition is < 8x8
+        # (noSubMbPartSizeLessThan8x8Flag; sub_mb_type 0 is P_L0_8x8)
+        t8_present = sub_types is None \
+            or all(int(s) == 0 for s in sub_types)
+        if self.trans8_mode and cbp_luma and t8_present:
             bw.write1(1 if trans8 else 0)
         if cbp:
             bw.write_se(qp_delta)

@@ -196,6 +196,29 @@ def _nnz4_device(lev, mbh: int, mbw: int):
 
 
 @functools.partial(_jax.jit, static_argnames=("mbh", "mbw"))
+def _merge_res_trans8(res4, res8, elig, mbh: int, mbw: int):
+    """Per-MB merge of the 4x4-transform sub-path encode (res4) with
+    the 8x8-capable encode (res8) on trans8-eligible MBs (all
+    partitions >= 8x8 — x264_mb_transform_8x8_allowed). For eligible
+    MBs res8's own 4x4 branch is bit-identical to res4 (same MVs ->
+    same prediction -> same levels), so res8 is taken wholesale
+    there."""
+    out = dict(res4)
+    for k in ("luma_lev", "cbp_luma", "cbp_chroma", "chroma_dc",
+              "chroma_ac"):
+        mm = elig.reshape(mbh, mbw, *([1] * (res4[k].ndim - 2)))
+        out[k] = jnp.where(mm, res8[k], res4[k])
+    m16 = jnp.repeat(jnp.repeat(elig, 16, 0), 16, 1)
+    m8 = jnp.repeat(jnp.repeat(elig, 8, 0), 8, 1)
+    out["recon_y"] = jnp.where(m16, res8["recon_y"], res4["recon_y"])
+    out["recon_u"] = jnp.where(m8, res8["recon_u"], res4["recon_u"])
+    out["recon_v"] = jnp.where(m8, res8["recon_v"], res4["recon_v"])
+    out["luma8_lev"] = res8["luma8_lev"] * elig[:, :, None]
+    out["trans8"] = res8["trans8"] & elig
+    return out
+
+
+@functools.partial(_jax.jit, static_argnames=("mbh", "mbw"))
 def _nnz4_t8_device(lev4, lev8, t8_eff, mbh: int, mbw: int):
     """Per-4x4 nnz map under the 8x8 transform, on device: every 4x4
     cell of an effective-trans8 MB carries its covering 8x8 block's
@@ -1379,7 +1402,7 @@ class Encoder:
         mbh, mbw = p.mb_height, p.mb_width
         n = mbh * mbw
         if self._native is not None and intra_res is None \
-                and self._aq_grids is None:
+                and self._aq_grids is None and not p.transform_8x8:
             from .. import native
             hdr, nbits = bw.partial_bytes()
             return native.write_slice_cabac(
@@ -1396,7 +1419,8 @@ class Encoder:
                 num_ref=self._p_l0_eff)
         while not bw.byte_aligned():
             bw.write1(1)
-        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False)
+        w = CabacSliceWriter(mbw, mbh, qp, slice_is_i=False,
+                             trans8_mode=p.transform_8x8)
         aqg = self._aq_grids[0] if self._aq_grids is not None else None
         last_qp = qp
         for a in range(n):
@@ -1443,6 +1467,13 @@ class Encoder:
                                    else self._refs_of(pt, ref8, my,
                                                       mx)),
                              num_ref=self._p_l0_eff,
+                             trans8=bool(p.transform_8x8
+                                         and "trans8" in res
+                                         and res["trans8"][my, mx]),
+                             luma8_lev=(res["luma8_lev"][my, mx]
+                                        if p.transform_8x8
+                                        and "luma8_lev" in res
+                                        else None),
                              dqp=dq)
             w.end_mb(a == n - 1)
         w.end_slice(bw)
@@ -2368,6 +2399,27 @@ class Encoder:
                 y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
                 mv4, qp_enc, qpc_enc, mbh, mbw, decimate=p.dct_decimate,
                 trellis=bool(p.trellis), nr_offset=self._nr_offset())
+        if p.transform_8x8 and not multiref:
+            # 8x8 transform on the sub-partitioned path (b66:
+            # x264_mb_transform_8x8_allowed, macroblock.h:462 — trans8
+            # coexists with p4x4; only MBs whose partitions are all
+            # >= 8x8 may use it). Re-encode those MBs through the 8x8
+            # path (same MVs -> identical 4x4 results where it decides
+            # against trans8) and merge per MB. (mref + p4x4 + 8x8dct
+            # stays 4x4-only: a legal stream, documented quality
+            # divergence — docs/PARITY.md)
+            elig = (part_np != 3) | np.all(sub_np == 0, axis=-1)
+            if elig.any():
+                mv8_e = jnp.asarray(
+                    np.ascontiguousarray(mv4_np[::2, ::2]))
+                res8 = P.encode_p_frame_device8(
+                    y, u, v, self.ref["luma"], self.ref["u"],
+                    self.ref["v"], mv8_e, qp_enc, qpc_enc, mbh, mbw,
+                    decimate=p.dct_decimate, trellis=bool(p.trellis),
+                    nr_offset=self._nr_offset(), trans8=True,
+                    rd=bool(p.rd), t8_allow=jnp.asarray(elig))
+                res = _merge_res_trans8(res, res8, jnp.asarray(elig),
+                                        mbh, mbw)
 
         intra_res = None
         intra_kind = np.zeros((mbh, mbw), np.int32)
@@ -2405,14 +2457,31 @@ class Encoder:
         res_np = _res_to_host(res, mbh, mbw, with_recon=need_recon)
 
         nnz4 = None
-        if intra_res is not None:
-            nz_inter = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
+        trans8_mask = None
+        if p.transform_8x8 and "trans8" in res_np:
+            # effective trans8 = decision AND cbp_luma > 0 AND not an
+            # intra re-decision (spec 7.4.5; see _p_finalize)
+            t8_eff = (res_np["trans8"] & (res_np["cbp_luma"] != 0)
+                      & ~intra_mask)
+            nz4 = np.count_nonzero(res_np["luma_lev"], axis=(4, 5)) \
                 .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
+            nz8 = np.count_nonzero(res_np["luma8_lev"], axis=(4, 5)) \
+                .transpose(0, 2, 1, 3).reshape(2 * mbh, 2 * mbw)
+            nnz4 = np.where(
+                np.repeat(np.repeat(t8_eff, 4, 0), 4, 1),
+                np.repeat(np.repeat(nz8, 2, 0), 2, 1),
+                nz4).astype(np.int32)
+            trans8_mask = t8_eff.astype(np.uint8)
+        if intra_res is not None:
+            if nnz4 is None:
+                nnz4 = np.count_nonzero(res_np["luma_lev"],
+                                        axis=(4, 5)) \
+                    .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
             nz_intra = np.count_nonzero(intra_res["luma_ac"],
                                         axis=(4, 5)) \
                 .transpose(0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
             m4 = np.repeat(np.repeat(intra_mask, 4, 0), 4, 1)
-            nnz4 = np.where(m4, nz_intra, nz_inter).astype(np.int32)
+            nnz4 = np.where(m4, nz_intra, nnz4).astype(np.int32)
         qp_maps = (None, None)
         if self._aq_grids is not None:
             # decoder-visible per-MB QP chain (see _p_finalize)
@@ -2429,13 +2498,14 @@ class Encoder:
                 res, intra_mask, skip, final4, qp,
                 jnp.asarray(nnz4) if nnz4 is not None else
                 _nnz4_device(res["luma_lev"], mbh, mbw),
-                qp_maps=qp_maps)
+                qp_maps=qp_maps, trans8=trans8_mask)
         elif p.deblock and self._native is not None:
             self._deblock(res_np, intra=intra_mask, mv=final4,
                           skip=skip.astype(np.uint8), qp=qp, nnz4=nnz4,
                           ref4=(np.repeat(np.repeat(ref8_np, 2, 0),
                                           2, 1)
                                 if ref8_np is not None else None),
+                          trans8=trans8_mask,
                           qp_maps=qp_maps)
         else:
             self._update_ref(res)
@@ -2467,7 +2537,7 @@ class Encoder:
                 bw, res_np, qp, part_np, sub_np, mvd, skip, intra_kind,
                 intra_res, ref8=ref8_np)
         if self._native is not None and intra_res is None \
-                and self._aq_grids is None:
+                and self._aq_grids is None and not p.transform_8x8:
             from .. import native
             n = mbh * mbw
             hdr, nbits = bw.partial_bytes()
@@ -2485,7 +2555,7 @@ class Encoder:
                 refs=(None if ref8_np is None
                       else self._refs4(part_np, ref8_np)),
                 num_ref=self._p_l0_eff)
-        fc = FrameCavlc(mbw, mbh)
+        fc = FrameCavlc(mbw, mbh, trans8_mode=p.transform_8x8)
         skip_run = 0
         aqg = self._aq_grids[0] if self._aq_grids is not None else None
         last_qp = qp
@@ -2539,7 +2609,13 @@ class Encoder:
                     sub_types=(sub_np[my, mx] if ptk == 3 else None),
                     refs=(None if ref8_np is None
                           else self._refs_of(ptk, ref8_np, my, mx)),
-                    num_ref=self._p_l0_eff)
+                    num_ref=self._p_l0_eff,
+                    trans8=bool(p.transform_8x8
+                                and "trans8" in res_np
+                                and res_np["trans8"][my, mx]),
+                    luma8_lev=(res_np["luma8_lev"][my, mx]
+                               if p.transform_8x8
+                               and "luma8_lev" in res_np else None))
         if skip_run:
             bw.write_ue(skip_run)
         bw.rbsp_trailing()

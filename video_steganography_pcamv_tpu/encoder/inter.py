@@ -411,7 +411,8 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                            decimate: bool = True, force_zero=None,
                            trellis: bool = False, nr_offset=None,
                            cbp_only: bool = False,
-                           trans8: bool = False, rd: bool = False):
+                           trans8: bool = False, rd: bool = False,
+                           t8_allow=None):
     """Partitioned final P encode: mv per 8x8 block ([2mbh,2mbw,2] qpel,
     uniform within each partition unit). Same outputs as
     encode_p_frame_device (the 16x16 path is the mv8-uniform case).
@@ -460,6 +461,10 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                          axis=(1, 2, 3, 4)) >> 1
         sa8d16 = sa8d_16x16(cur, pred)
         t8 = (sa8d16 < satd16) & ~fz
+        if t8_allow is not None:
+            # caller-side eligibility (x264_mb_transform_8x8_allowed,
+            # macroblock.h:462: sub-8x8 partitions exclude trans8)
+            t8 = t8 & t8_allow.reshape(n)
 
         blk8 = (cur - pred).reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
         pred8 = pred.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4)
@@ -518,6 +523,8 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
             cost4 = ssd4 + ((lam2 * bits4 + 128) >> 8)
             cost8 = ssd8v + ((lam2 * bits8 + 128) >> 8)
             t8 = (cost8 < cost4) & ~fz
+            if t8_allow is not None:
+                t8 = t8 & t8_allow.reshape(n)
 
         lev = lev * ~t8[:, None, None, None, None]
         lev8 = lev8 * t8[:, None, None, None, None]

@@ -245,9 +245,10 @@ class Params:
         self.keyint_min = min(self.keyint_min, self.keyint_max)
         self.deblock_alpha = max(-6, min(6, self.deblock_alpha))
         self.deblock_beta = max(-6, min(6, self.deblock_beta))
-        if self.transform_8x8:
-            assert not self.p4x4, \
-                "8x8dct excludes sub-8x8 partitions (x264 rule)"
+        # 8x8dct + p4x4 coexist (b66: x264_mb_transform_8x8_allowed,
+        # macroblock.h:462 — the per-MB transform_size_8x8_flag is
+        # simply absent on MBs carrying sub-8x8 partitions, spec 7.3.5
+        # noSubMbPartSizeLessThan8x8Flag; round-5 gate deletion)
         self.deadzone_inter = max(0, min(32, self.deadzone_inter))
         self.deadzone_intra = max(0, min(32, self.deadzone_intra))
         assert self.cqm in ("flat", "jvt"), f"unknown cqm {self.cqm}"

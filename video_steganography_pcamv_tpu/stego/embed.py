@@ -394,6 +394,27 @@ class StegoEngine:
                 jnp.asarray(final4), qp_enc, qpc_enc, mbh, mbw,
                 decimate=p.dct_decimate, force_zero=jnp.asarray(skip1),
                 trellis=bool(p.trellis), nr_offset=enc._nr_offset())
+        if p.transform_8x8 and ref8 is None:
+            # trans8-eligible MBs (all partitions >= 8x8) rejoin the
+            # 8x8-capable encode after flips — the same merge as the
+            # pass-1 sub path (core._encode_p_sub); the transform
+            # decision is re-derived post-flip, like x264's pass-2
+            # analysis re-runs x264_mb_analyse_transform
+            from ..encoder.core import _merge_res_trans8
+            elig = (part != 3) | np.all(sub_type == 0, axis=-1)
+            if elig.any():
+                mv8_e = jnp.asarray(
+                    np.ascontiguousarray(final4[::2, ::2]))
+                res8 = I.encode_p_frame_device8(
+                    y, u, v, enc.ref["luma"], enc.ref["u"],
+                    enc.ref["v"], mv8_e, qp_enc, qpc_enc, mbh, mbw,
+                    decimate=p.dct_decimate,
+                    force_zero=jnp.asarray(skip1),
+                    trellis=bool(p.trellis),
+                    nr_offset=enc._nr_offset(), trans8=True,
+                    rd=bool(p.rd), t8_allow=jnp.asarray(elig))
+                res2 = _merge_res_trans8(res2, res8,
+                                         jnp.asarray(elig), mbh, mbw)
         return final4, skip1, mvd2, res2
 
     def apply_costs_sub(self, enc, part, sub_type, mv4, skip1, rho_s,
