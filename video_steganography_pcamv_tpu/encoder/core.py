@@ -2053,7 +2053,12 @@ class Encoder:
                 jnp.asarray(final8), qp, qpc, mbh, mbw,
                 decimate=p.dct_decimate, force_zero=jnp.asarray(skip),
                 trellis=bool(p.trellis), nr_offset=self._nr_offset(),
-                trans8=p.transform_8x8, rd=bool(p.rd))
+                trans8=p.transform_8x8, rd=bool(p.rd),
+                # fast path = Pallas zero-pred scan (+-rng) + subpel
+                # (+-3 qpel) + stego flips (+-2 qpel): bounded MVs
+                mv_bound=(p.me_range + 2
+                          if _jax.default_backend() == "tpu"
+                          else None))
         intra_kind = np.zeros((mbh, mbw), np.int32)
         intra_mask = intra_kind > 0
 

@@ -377,12 +377,22 @@ def encode_p_frame_device(y, u, v, ref_luma, ref_u, ref_v, mv,
     }
 
 
-def assemble_pred_luma(ref_luma, mv8, mbh: int, mbw: int):
-    """Per-8x8-block MC -> [N,16,16] MB preds. mv8: [2mbh,2mbw,2] qpel."""
+def assemble_pred_luma(ref_luma, mv8, mbh: int, mbw: int,
+                       mv_bound=None):
+    """Per-8x8-block MC -> [N,16,16] MB preds. mv8: [2mbh,2mbw,2] qpel.
+    mv_bound: when the caller can bound |full-pel mv| (the serving
+    path's exhaustive scan is rng-bounded with a zero predictor), the
+    per-element gather is replaced by the one-hot MXU window select
+    (mc.mc_luma_mm) — bit-exact, ~10x faster on TPU (round 5)."""
     n8 = 4 * mbh * mbw
-    ys8 = (jnp.arange(n8) // (2 * mbw)) * 8
-    xs8 = (jnp.arange(n8) % (2 * mbw)) * 8
-    p8 = mc.mc_luma(ref_luma, ys8, xs8, mv8.reshape(n8, 2), bh=8, bw=8)
+    if mv_bound is not None:
+        p8 = mc.mc_luma_mm(ref_luma, mbh, mbw, mv8.reshape(n8, 2),
+                           mv_bound)
+    else:
+        ys8 = (jnp.arange(n8) // (2 * mbw)) * 8
+        xs8 = (jnp.arange(n8) % (2 * mbw)) * 8
+        p8 = mc.mc_luma(ref_luma, ys8, xs8, mv8.reshape(n8, 2),
+                        bh=8, bw=8)
     pred = p8.reshape(2 * mbh, 2 * mbw, 8, 8).transpose(0, 2, 1, 3) \
              .reshape(16 * mbh, 16 * mbw)
     n = mbh * mbw
@@ -405,14 +415,15 @@ LAMBDA2_TAB = np.array([
 
 @functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate",
                                              "trellis", "cbp_only",
-                                             "trans8", "rd"))
+                                             "trans8", "rd",
+                                             "mv_bound"))
 def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
                            qp, qpc, mbh: int, mbw: int,
                            decimate: bool = True, force_zero=None,
                            trellis: bool = False, nr_offset=None,
                            cbp_only: bool = False,
                            trans8: bool = False, rd: bool = False,
-                           t8_allow=None):
+                           t8_allow=None, mv_bound=None):
     """Partitioned final P encode: mv per 8x8 block ([2mbh,2mbw,2] qpel,
     uniform within each partition unit). Same outputs as
     encode_p_frame_device (the 16x16 path is the mv8-uniform case).
@@ -434,7 +445,8 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
           else force_zero.reshape(n))
 
     cur = y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3).reshape(n, 16, 16)
-    pred = assemble_pred_luma(ref_luma, mv8, mbh, mbw)
+    pred = assemble_pred_luma(ref_luma, mv8, mbh, mbw,
+                              mv_bound=mv_bound)
     if nr_offset is not None:
         lev, rec, nrsum = luma_p_encode(cur, pred, qp, decimate,
                                         trellis, nr_offset)
@@ -545,7 +557,11 @@ def encode_p_frame_device8(y, u, v, ref_luma, ref_u, ref_v, mv8,
     for plane, refp in ((u, ref_u), (v, ref_v)):
         curc = plane.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \
                     .reshape(n, 8, 8)
-        pc4 = mc.mc_chroma(refp, ysc, xsc, mvf8, bh=4, bw=4)
+        if mv_bound is not None:
+            pc4 = mc.mc_chroma_mm(refp, mbh, mbw, mvf8,
+                                  mv_bound // 2 + 2)
+        else:
+            pc4 = mc.mc_chroma(refp, ysc, xsc, mvf8, bh=4, bw=4)
         predc = pc4.reshape(2 * mbh, 2 * mbw, 4, 4).transpose(0, 2, 1, 3) \
                    .reshape(8 * mbh, 8 * mbw)
         predc = predc.reshape(mbh, 8, mbw, 8).transpose(0, 2, 1, 3) \

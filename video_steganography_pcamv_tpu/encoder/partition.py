@@ -180,6 +180,54 @@ def gather_windows8_jnp(planes, mvfp8, mbh: int, mbw: int):
     return planes[:, yy[:, :, None], xx[:, None, :]].transpose(1, 0, 2, 3)
 
 
+def gather_windows8_mm(planes, mvfp8, mbh: int, mbw: int, rng: int):
+    """One-hot MXU twin of gather_windows8_jnp for bounded MVs
+    (|mv| <= rng, the Pallas zero-predictor full-pel scan's contract).
+
+    The TPU's scalar gather unit moves ~0.4 GB/s on the per-element
+    window fetch (~60 ms/frame at 1080p — measured round 5, the
+    analyse stage's single largest cost). This form instead loads
+    per-block-row strips with STATIC slices and selects each block's
+    16x16 window with two one-hot contractions on the MXU (column
+    select then row select). Exact: payloads <= 255 are exact in
+    bf16, and every output element sums exactly one product
+    (fuzzed vs the gather twin in tests/test_pallas.py)."""
+    n8 = 4 * mbh * mbw
+    nq, nb = 2 * mbh, 2 * mbw
+    R = rng + QT.MARGIN
+    Hs = 8 + 2 * R
+    Wp = planes.shape[2]
+    mvf = mvfp8.reshape(nq, nb, 2)
+    strips = jnp.stack([
+        jax.lax.dynamic_slice(
+            planes, (0, 8 * q + mc.PAD - R, 0), (4, Hs, Wp))
+        for q in range(nq)])                        # [nq, 4, Hs, Wp]
+    xs = (8 * jnp.arange(nb)[None, :] + mc.PAD - QT.MARGIN
+          + mvf[..., 0])                            # [nq, nb]
+    dy = mvf[..., 1] + R - QT.MARGIN                # [nq, nb] >= 0
+    cols16 = jnp.arange(16, dtype=jnp.int32)
+    wcol = jnp.arange(Wp, dtype=jnp.int32)
+    srow = jnp.arange(Hs, dtype=jnp.int32)
+
+    def one_q(_, args):
+        strip, xq, dyq = args
+        tgt = xq[:, None] + cols16[None, :]                 # [nb,16]
+        C = (wcol[:, None, None] == tgt[None]) \
+            .reshape(Wp, nb * 16)
+        M = jnp.dot(strip.reshape(4 * Hs, Wp).astype(jnp.bfloat16),
+                    C.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        M = M.reshape(4, Hs, nb, 16).transpose(2, 0, 3, 1)  # [nb,4,16,Hs]
+        rt = dyq[:, None, None] + cols16[None, None, :]     # [nb,1,16]
+        Rh = (srow[None, :, None] == rt).astype(jnp.float32)
+        out = jnp.einsum("bpjs,bsi->bpij", M, Rh,
+                         preferred_element_type=jnp.float32)
+        return None, out                                    # [nb,4,16,16]
+
+    _, outs = jax.lax.scan(one_q, None, (strips, xs, dy))
+    return outs.reshape(n8, 4, 16, 16).astype(planes.dtype)
+
+
 def block_table8(windows):
     """[N8, 4, 16, 16] -> [169, N8, 8, 8] uint8: every qpel offset in
     [-6,6]^2 as static slice-averages (QT.block_table at 8x8). uint8
@@ -1295,14 +1343,17 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
             y, ref_luma[0], prev_mv >> 2, rng, mbh, mbw, lam)
     part, mvfp8 = decide_partition.__wrapped__(
         st, mbh, mbw, lam, allow_parts)
-    # NOTE: the banked-DMA window kernel (pallas_kernels.
-    # gather_windows8_banked) clears Mosaic's 8-aligned sublane-start
-    # rule via the 8-bank trick but trips the next one: DMA lane-slice
-    # WIDTHS must be 128-multiples, and a window is 16 wide. Until a
-    # 128-wide batching shape is worked out the XLA gather stays —
-    # from uint8 planes (the gather is byte-rate-bound: ~20% faster)
-    windows = gather_windows8_jnp(
-        ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw)
+    # window fetch: the Pallas full-pel scan searches a ZERO predictor,
+    # so |mv| <= rng and the one-hot MXU select applies (round 5:
+    # ~10x over the XLA gather, whose scalar unit runs ~0.4 GB/s);
+    # the XLA-scan path (CPU/debug) carries an unbounded prev_mv
+    # predictor and keeps the gather
+    if use_pallas:
+        windows = gather_windows8_mm(
+            ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw, rng)
+    else:
+        windows = gather_windows8_jnp(
+            ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw)
     blocks8 = block_table8(windows)                # uint8
     # WHT of uint8 blocks fits int16 (|coef| <= 16*255); flat [.., 64]
     # layout (padding-friendly); consumers promote to int32 on use
@@ -1358,7 +1409,10 @@ def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
     res = INTER.encode_p_frame_device8.__wrapped__(
         y, u, v, ref_luma, ref_u, ref_v, mv8, qp, qpc, mbh, mbw,
         decimate, None, trellis, nr_offset, cbp_only=not full_pass1,
-        trans8=trans8, rd=rd)
+        trans8=trans8, rd=rd,
+        # pallas scan = zero predictor: full-pel <= rng, subpel +-3
+        # qpel -> the one-hot MXU MC applies (see assemble_pred_luma)
+        mv_bound=(rng + 2 if use_pallas else None))
     cbp_l = res["cbp_luma"].astype(jnp.int32)
     cbp_c = res["cbp_chroma"].astype(jnp.int32)
     skip, _mvd, mvp_u, _ = _scan_p_device(part, mv8, cbp_l, cbp_c,
