@@ -533,15 +533,28 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
         reconstruct to the prediction exactly).
     Reference semantics per unit unchanged: candidate deltas apply to
     member blocks, decimation couples the whole MB, probe SATD sums
-    member blocks only (analyse.c:2391-2550 MV_SATD_FDEC_IH)."""
-    from ..stego.cost import D_MV, D_NB, rca_decide
+    member blocks only (analyse.c:2391-2550 MV_SATD_FDEC_IH).
+
+    Split into probe_maps_xla (the heavy, unit/mvp-independent SATD
+    maps) + probe_combine (the cheap per-unit RCA logic) so the Pallas
+    analyse-tail kernel can supply the maps and share probe_combine."""
+    SK, SP, sc8 = probe_maps_xla(cur_y, blocks8, wht8, r_idx8, qp,
+                                 mbh, mbw, decimate)
+    return probe_combine(SK, SP, sc8, part, mv8, mvp_u, cost_mv,
+                         mbh, mbw, decimate)
+
+
+def probe_maps_xla(cur_y, blocks8, wht8, r_idx8, qp, mbh: int,
+                   mbw: int, decimate: bool = True):
+    """Per-version probe SATD maps + decimate scores (the
+    unit-independent heavy half of the RCA probe stage).  Returns
+    (SK [13,9,n,4], SP [13,9,n,4], sc8 [13,n,4]); SP == SK when
+    decimate is off."""
+    from ..stego.cost import D_MV, D_NB
 
     n = mbh * mbw
     cur = cur_y.reshape(mbh, 16, mbw, 16).transpose(0, 2, 1, 3) \
                .reshape(n, 16, 16)
-    mvz = _sp_to_z(mv8, mbh, mbw).reshape(n, 4, 2)
-    partf = part.reshape(n)
-    block_unit = jnp.asarray(BLOCK_UNIT)[partf]           # [n,4]
 
     def didx(dy, dx):
         return dy * 13 + dx
@@ -569,9 +582,6 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
         sel_whtz[(dy, dx)] = _sp_to_z(
             w49[k].reshape(2 * mbh, 2 * mbw, 64),
             mbh, mbw).reshape(n, 4, 64)
-
-    mvpz = mvp_u.reshape(n, 4, 2)
-    member = {u: (block_unit == u) for u in range(4)}      # [n,4] bool
 
     # ---- per-(block, version) shared encode: 13 versions, each a
     # separately-fused DCT/quant/recon chain over [n*4] 8x8 blocks
@@ -608,10 +618,6 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
     WK = [o[0] for o in outs]
     WP = [o[1] for o in outs]
     sc8 = [o[2] for o in outs]
-    keep8 = [s >= 4 for s in sc8]
-    if decimate:
-        keep_mb0 = jnp.sum(jnp.where(keep8[0], sc8[0], 0), axis=1) >= 6
-        kept0 = keep8[0] & keep_mb0[:, None]
 
     nb_d = [(int(D_NB[k][1]), int(D_NB[k][0])) for k in range(9)]
     centers = [(0, 0)] + [(int(D_MV[c][1]), int(D_MV[c][0]))
@@ -630,6 +636,37 @@ def stego_costs_parts(cur_y, blocks8, wht8, r_idx8, part, mv8, mvp_u,
                           for dk0, dk1 in nb_d])       # [9,n,4,64]
         SK.append(satd_flat(WK[v][None], sels))        # [9,n,4]
         SP.append(satd_flat(WP[v][None], sels) if decimate else SK[v])
+    return jnp.stack(SK), jnp.stack(SP), jnp.stack(sc8)
+
+
+def probe_combine(SK, SP, sc8, part, mv8, mvp_u, cost_mv, mbh: int,
+                  mbw: int, decimate: bool = True):
+    """Per-unit RCA selection from precomputed probe SATD maps
+    (analyse.c:2391-2550 semantics; the cheap half of the probe
+    stage, shared by the XLA and Pallas map producers).
+
+    SK/SP: [13, 9, n, 4] kept/decimated probe SATD maps (version 0 =
+    the chosen MV, 1..12 = the D_MV candidates); sc8: [13, n, 4]
+    per-version per-8x8 decimate scores.
+    Returns (rho [mbh,mbw,4] f32, alt [mbh,mbw,4,2], valid)."""
+    from ..stego.cost import D_MV, D_NB, rca_decide
+
+    n = mbh * mbw
+    mvz = _sp_to_z(mv8, mbh, mbw).reshape(n, 4, 2)
+    partf = part.reshape(n)
+    block_unit = jnp.asarray(BLOCK_UNIT)[partf]           # [n,4]
+    mvpz = mvp_u.reshape(n, 4, 2)
+    member = {u: (block_unit == u) for u in range(4)}      # [n,4] bool
+
+    keep8 = [sc8[v] >= 4 for v in range(13)]
+    if decimate:
+        keep_mb0 = jnp.sum(jnp.where(keep8[0], sc8[0], 0), axis=1) >= 6
+        kept0 = keep8[0] & keep_mb0[:, None]
+
+    nb_d = [(int(D_NB[k][1]), int(D_NB[k][0])) for k in range(9)]
+    centers = [(0, 0)] + [(int(D_MV[c][1]), int(D_MV[c][0]))
+                          for c in range(12)]
+
     # version-0 decimation is combination-independent
     P0 = jnp.where(kept0[None], SK[0], SP[0]) if decimate else SK[0]
 
