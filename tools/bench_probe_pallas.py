@@ -54,13 +54,24 @@ def main(width=1920, height=1088, qp=26):
     windows = windows.astype(jnp.uint8)
     windows.block_until_ready()
 
-    # ---- XLA oracle chain
-    blocks8 = PT.block_table8(windows)
-    wht8 = PT.wht8_flat(blocks8).astype(jnp.int16)
-    mv8_x, ridx_x, _ = PT.subpel_parts(y, wht8, part, mvfp8, prev,
-                                       mbh, mbw, lam, 2)
-    SK_x, SP_x, sc8_x = PT.probe_maps_xla(y, blocks8, wht8, ridx_x,
-                                          qp, mbh, mbw, True)
+    # ---- XLA oracle chain (jitted whole: eager per-op dispatch over
+    # the tunnel takes minutes at 1080p)
+    @jax.jit
+    def xla_tail(windows, part, mvfp8, prev):
+        blocks8 = PT.block_table8(windows)
+        wht8 = PT.wht8_flat(blocks8).astype(jnp.int16)
+        # layout barrier — same trap as analyse_p_frame_parts: without
+        # it XLA's remat materializes each 169-slice as its own
+        # 128x-padded copy (observed 255 MB per slice at 1080p)
+        blocks8, wht8 = jax.lax.optimization_barrier((blocks8, wht8))
+        mv8, ridx, _ = PT.subpel_parts.__wrapped__(
+            y, wht8, part, mvfp8, prev, mbh, mbw, lam, 2)
+        SK, SP, sc8 = PT.probe_maps_xla(y, blocks8, wht8, ridx, qp,
+                                        mbh, mbw, True)
+        return mv8, ridx, SK, SP, sc8
+
+    mv8_x, ridx_x, SK_x, SP_x, sc8_x = xla_tail(windows, part, mvfp8,
+                                                prev)
 
     # ---- Pallas chain
     mv8_p, ridx_p, SK_p, SP_p, sc8_p = analyse_tail_pallas(
@@ -80,13 +91,8 @@ def main(width=1920, height=1088, qp=26):
             sys.exit(1)
 
     def xla_chain():
-        b8 = PT.block_table8(windows)
-        w8 = PT.wht8_flat(b8).astype(jnp.int16)
-        mv8, ridx, _ = PT.subpel_parts(y, w8, part, mvfp8, prev,
-                                       mbh, mbw, lam, 2)
-        SK, SP, sc = PT.probe_maps_xla(y, b8, w8, ridx, qp, mbh,
-                                       mbw, True)
-        return np.asarray(SK[0, 0, 0, 0])
+        out = xla_tail(windows, part, mvfp8, prev)
+        return np.asarray(out[2][0, 0, 0, 0])
 
     def pallas_chain():
         out = analyse_tail_pallas(y, windows, part, mvfp8, prev, lam,
@@ -112,7 +118,7 @@ def main(width=1920, height=1088, qp=26):
     timeit("  glue: window z-transpose", lambda: np.asarray(
         prep(windows)[0, 0]))
     timeit("  K1 tables", lambda: np.asarray(
-        PP.qpel_tables_pallas(w1024)[1][0, 0, 0]))
+        PP.qpel_tables_pallas(w1024)[1][0, 0]))
     b169, w169 = PP.qpel_tables_pallas(w1024)
     cur8 = y.reshape(2 * mbh, 8, 2 * mbw, 8).transpose(0, 2, 1, 3) \
         .reshape(n8, 64)
@@ -130,6 +136,13 @@ def main(width=1920, height=1088, qp=26):
     ridx = PP.subpel_pallas(cur64, w169, partz, mvfz, predz, lam)
     timeit("  K3 probe maps", lambda: np.asarray(
         PP.probe_maps_pallas(cur64, b169, w169, ridx, qp)[0][0, 0]))
+    # fused-at-once: one sync over the three kernels
+    timeit("  K1+K2+K3 (one sync)", lambda: np.asarray(
+        PP.probe_maps_pallas(
+            cur64, *PP.qpel_tables_pallas(w1024),
+            PP.subpel_pallas(cur64, PP.qpel_tables_pallas(w1024)[1],
+                             partz, mvfz, predz, lam),
+            qp)[0][0, 0]))
 
 
 if __name__ == "__main__":

@@ -1998,13 +1998,15 @@ class Encoder:
         incr_ok = (p.incremental and not p.trellis
                    and p.noise_reduction == 0
                    and not p.transform_8x8 and self._aq_grids is None)
+        on_tpu = jax.default_backend() == "tpu"
         packed_dev, res, blocks8, wht8, r_idx8 = PT.p_stage1_stego(
             y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
             jnp.asarray(self.prev_mv), qp, qpc, lam, cmv,
             p.me_range, mbh, mbw, p.subpel,
-            jax.default_backend() == "tpu", p.dct_decimate,
+            on_tpu, p.dct_decimate,
             bool(p.trellis), nr_offset=self._nr_offset(), extra=extra,
-            trans8=p.transform_8x8, rd=bool(p.rd), full_pass1=incr_ok)
+            trans8=p.transform_8x8, rd=bool(p.rd), full_pass1=incr_ok,
+            tail_kernel=bool(p.tail_kernel) and on_tpu)
         self._ptables8 = {"blocks": blocks8, "wht": wht8,
                           "r_idx": r_idx8}
         return dict(packed=packed_dev, res=res, y=y, u=u, v=v,

@@ -1413,13 +1413,15 @@ def analyse_p_frame_parts(y, ref_luma, prev_mv, rng: int, mbh: int,
                                              "subpel", "use_pallas",
                                              "decimate", "trellis",
                                              "trans8", "rd",
-                                             "full_pass1"))
+                                             "full_pass1",
+                                             "tail_kernel"))
 def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
                    lam, cost_mv, rng: int, mbh: int, mbw: int,
                    subpel: int, use_pallas: bool, decimate: bool,
                    trellis: bool, nr_offset=None, extra=None,
                    trans8: bool = False, rd: bool = False,
-                   full_pass1: bool = False):
+                   full_pass1: bool = False,
+                   tail_kernel: bool = False):
     """Fused P-frame stage 1 for the stego serving path: analyse ->
     pass-1 encode -> device scan (MVP/P_SKIP/skip) -> per-unit RCA
     stego costs, ONE dispatch. Everything the host STC step needs
@@ -1436,10 +1438,31 @@ def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
     from . import inter as INTER
     from .scan_device import _scan_p_device
 
-    part, mv8, r_idx8, blocks8, wht8, _mb_cost = \
-        analyse_p_frame_parts.__wrapped__(
-            y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
-            use_pallas=use_pallas)
+    if tail_kernel and use_pallas and subpel == 2:
+        # Pallas analyse tail (ops/probe_pallas.py): the qpel tables,
+        # subpel refine and RCA probe SATD maps run in VMEM with
+        # blocks in lanes — the [169, N8, 64] HBM tables and XLA's
+        # small-trailing-dim padding disappear.  probe_combine (the
+        # cheap per-unit RCA logic) stays XLA and is shared with the
+        # oracle path.
+        from ..ops.pallas_kernels import fullpel_parts_pallas
+        from ..ops.probe_pallas import analyse_tail_pallas
+        st = fullpel_parts_pallas.__wrapped__(
+            y, ref_luma[0], rng, mbh, mbw, lam)
+        part, mvfp8 = decide_partition.__wrapped__(st, mbh, mbw, lam)
+        windows = gather_windows8_mm(
+            ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw, rng
+        ).astype(jnp.uint8)
+        mv8, r_idx8, SK, SP, sc8 = analyse_tail_pallas(
+            y, windows, part, mvfp8, prev_mv, lam, qp, mbh, mbw,
+            decimate=decimate)
+        blocks8 = wht8 = None
+    else:
+        part, mv8, r_idx8, blocks8, wht8, _mb_cost = \
+            analyse_p_frame_parts.__wrapped__(
+                y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
+                use_pallas=use_pallas)
+        SK = SP = sc8 = None
     # full_pass1: materialize levels/recon so the pass-2 re-encode can
     # be incremental (inter_incr.py) — the cbp-only DCE saves little
     # (the DCT/quant dominates, not the level/recon stores)
@@ -1454,9 +1477,13 @@ def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
     cbp_c = res["cbp_chroma"].astype(jnp.int32)
     skip, _mvd, mvp_u, _ = _scan_p_device(part, mv8, cbp_l, cbp_c,
                                           mbh, mbw)
-    rho, alt, _valid = stego_costs_parts.__wrapped__(
-        y, blocks8, wht8, r_idx8, part, mv8, mvp_u, cost_mv, qp,
-        mbh, mbw, decimate)
+    if SK is not None:
+        rho, alt, _valid = probe_combine(
+            SK, SP, sc8, part, mv8, mvp_u, cost_mv, mbh, mbw, decimate)
+    else:
+        rho, alt, _valid = stego_costs_parts.__wrapped__(
+            y, blocks8, wht8, r_idx8, part, mv8, mvp_u, cost_mv, qp,
+            mbh, mbw, decimate)
     f32 = jnp.float32
     pieces = [
         part.reshape(-1).astype(f32),

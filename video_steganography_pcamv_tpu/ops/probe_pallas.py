@@ -20,7 +20,7 @@ chain runs on chunks of 8x8 blocks held in VMEM:
 
 Three kernels (fused later if profitable):
   K1 qpel_tables_pallas : windows -> blocks169/wht169 tables (HBM,
-     [169, 64, N8] i16 — flat block-lane layout, no 128x padding)
+     [169*64, N8] i16 — flat block-lane layout, no 128x padding)
   K2 subpel_pallas      : wht169 + mv costs -> per-block table index
      (bit-exact twin of subpel_parts' argmin for subpel=2)
   K3 probe_maps_pallas  : tables + r_idx -> SK/SP probe SATD maps +
@@ -158,7 +158,7 @@ def _se_bits_wide(v):
 
 
 def _mask_select(tab_ref, ridx_oy, ridx_ox, t1_ref, a_range, B):
-    """Two-stage masked row select from a (169, 64, B) VMEM table into
+    """Two-stage masked row select from a flat (169*64, B) VMEM table into
     t1_ref (len(a_range)*13, 64, B): t1[(a, xc)] = tab[(oy+a+6)*13+xc]
     masked over the block's subpel row oy (7 possible values)."""
     for ai, a in enumerate(a_range):
@@ -169,9 +169,12 @@ def _mask_select(tab_ref, ridx_oy, ridx_ox, t1_ref, a_range, B):
                 if row < 0 or row > 168:
                     continue
                 m = (ridx_oy == oy)
-                v = jnp.where(m, tab_ref[row].astype(jnp.int32), 0)
+                v = jnp.where(
+                    m, tab_ref[64 * row:64 * row + 64, :]
+                    .astype(jnp.int32), 0)
                 acc = v if acc is None else acc + v
-            t1_ref[ai * 13 + xc] = acc.astype(jnp.int16)
+            r0 = 64 * (ai * 13 + xc)
+            t1_ref[r0:r0 + 64, :] = acc.astype(jnp.int16)
 
 
 def _stage2_select(t1_ref, ridx_ox, ai, b):
@@ -182,7 +185,8 @@ def _stage2_select(t1_ref, ridx_ox, ai, b):
         if xc < 0 or xc > 12:
             continue
         m = (ridx_ox == ox)
-        v = jnp.where(m, t1_ref[ai * 13 + xc].astype(jnp.int32), 0)
+        r0 = 64 * (ai * 13 + xc)
+        v = jnp.where(m, t1_ref[r0:r0 + 64, :].astype(jnp.int32), 0)
         acc = v if acc is None else acc + v
     return acc
 
@@ -207,22 +211,22 @@ def _tables_kernel(w_ref, mwht_ref, blk_ref, wht_ref):
                 rows.append(
                     (a.astype(jnp.int32) + b.astype(jnp.int32) + 1) >> 1)
             blk = jnp.concatenate(rows, axis=0)          # [64, B] pix
-            blk_ref[o] = blk.astype(jnp.int16)
+            blk_ref[64 * o:64 * o + 64, :] = blk.astype(jnp.int16)
             w = jnp.dot(mwht_ref[...], blk.astype(jnp.bfloat16),
                         preferred_element_type=jnp.float32)
-            wht_ref[o] = w.astype(jnp.int16)
+            wht_ref[64 * o:64 * o + 64, :] = w.astype(jnp.int16)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "blk_b"))
 def qpel_tables_pallas(w1024: jnp.ndarray, interpret: bool = False,
                        blk_b: int = 128):
     """w1024: [1024, N8] int16 window rows (z-order block lanes,
-    N8 % blk_b == 0).  Returns (blocks169, wht169): [169, 64, N8] i16."""
+    N8 % blk_b == 0).  Returns (blocks169, wht169): [169*64, N8] i16."""
     n8 = w1024.shape[1]
     g = n8 // blk_b
     mwht = jnp.asarray(_m_wht_pix(), jnp.bfloat16)
-    out_shape = [jax.ShapeDtypeStruct((169, 64, n8), jnp.int16),
-                 jax.ShapeDtypeStruct((169, 64, n8), jnp.int16)]
+    out_shape = [jax.ShapeDtypeStruct((169 * 64, n8), jnp.int16),
+                 jax.ShapeDtypeStruct((169 * 64, n8), jnp.int16)]
     return pl.pallas_call(
         _tables_kernel,
         grid=(g,),
@@ -233,9 +237,9 @@ def qpel_tables_pallas(w1024: jnp.ndarray, interpret: bool = False,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((169, 64, blk_b), lambda i: (0, 0, i),
+            pl.BlockSpec((169 * 64, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((169, 64, blk_b), lambda i: (0, 0, i),
+            pl.BlockSpec((169 * 64, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
@@ -274,7 +278,8 @@ def _subpel_kernel(cur_ref, wht_ref, part_ref, mvf_ref, pred_ref,
     ridx = jnp.zeros((1, B), jnp.int32)
     for oy, ox in _SUBPEL_OFFS:
         o = (oy + 6) * 13 + (ox + 6)
-        d = jnp.abs(wcur - wht_ref[o].astype(jnp.int32))
+        d = jnp.abs(wcur - wht_ref[64 * o:64 * o + 64, :]
+                    .astype(jnp.int32))
         sat = _satd_from_diff(d)                         # [1, B]
         p2 = sat + swap(sat, 1)                          # 16x8 pairs
         e2 = sat + swap(sat, 2)                          # 8x16 pairs
@@ -295,7 +300,7 @@ def _subpel_kernel(cur_ref, wht_ref, part_ref, mvf_ref, pred_ref,
 @functools.partial(jax.jit, static_argnames=("interpret", "blk_b"))
 def subpel_pallas(cur64, wht169, part_l, mvf_l, pred_l, lam,
                   interpret: bool = False, blk_b: int = 128):
-    """cur64: [64, N8] i16 pix; wht169: [169, 64, N8] i16; part_l:
+    """cur64: [64, N8] i16 pix; wht169: [169*64, N8] i16; part_l:
     [1, N8] i32; mvf_l/pred_l: [2, N8] i32.  Returns r_idx [N8] i32."""
     n8 = cur64.shape[1]
     g = n8 // blk_b
@@ -307,7 +312,7 @@ def subpel_pallas(cur64, wht169, part_l, mvf_l, pred_l, lam,
         in_specs=[
             pl.BlockSpec((64, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((169, 64, blk_b), lambda i: (0, 0, i),
+            pl.BlockSpec((169 * 64, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -360,7 +365,8 @@ def _probe_kernel(cur_ref, blk_ref, wht_ref, roy_ref, rox_ref,
     _mask_select(wht_ref, roy, rox, t1_ref, range(-3, 4), cur.shape[1])
     for ai, a in enumerate(range(-3, 4)):
         for b in range(-3, 4):
-            sel_ref[(a + 3) * 7 + (b + 3)] = _stage2_select(
+            r0 = 64 * ((a + 3) * 7 + (b + 3))
+            sel_ref[r0:r0 + 64, :] = _stage2_select(
                 t1_ref, rox, ai, b).astype(jnp.int16)
 
     # ---- stage-1 masked selects for the 13 pred-block versions
@@ -457,7 +463,8 @@ def _probe_kernel(cur_ref, blk_ref, wht_ref, roy_ref, rox_ref,
             ndx, ndy = _D_NB[k]
             a = dy + ndy + 3
             b = dx + ndx + 3
-            selw = sel_ref[a * 7 + b].astype(jnp.int32)
+            r0 = 64 * (a * 7 + b)
+            selw = sel_ref[r0:r0 + 64, :].astype(jnp.int32)
             skv = _satd_from_diff(jnp.abs(wk - selw))
             sk_ref[v * 9 + k:v * 9 + k + 1, :] = skv
             if decimate:
@@ -475,7 +482,7 @@ def probe_maps_pallas(cur64, blocks169, wht169, r_idx, qp,
                       decimate: bool = True, interpret: bool = False,
                       blk_b: int = 128):
     """cur64: [64, N8] i16 pix (z-order lanes); blocks169/wht169:
-    [169, 64, N8] i16; r_idx: [N8] i32 table index; qp traced scalar.
+    [169*64, N8] i16; r_idx: [N8] i32 table index; qp traced scalar.
     Returns (SK [117, N8], SP [117, N8], sc8 [13, N8]) i32."""
     from ..ops import transform as T
 
@@ -510,9 +517,9 @@ def probe_maps_pallas(cur64, blocks169, wht169, r_idx, qp,
         in_specs=[
             pl.BlockSpec((64, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((169, 64, blk_b), lambda i: (0, 0, i),
+            pl.BlockSpec((169 * 64, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((169, 64, blk_b), lambda i: (0, 0, i),
+            pl.BlockSpec((169 * 64, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk_b), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -542,8 +549,8 @@ def probe_maps_pallas(cur64, blocks169, wht169, r_idx, qp,
         out_shape=[jax.ShapeDtypeStruct((117, n8), jnp.int32),
                    jax.ShapeDtypeStruct((117, n8), jnp.int32),
                    jax.ShapeDtypeStruct((13, n8), jnp.int32)],
-        scratch_shapes=[pltpu.VMEM((91, 64, blk_b), jnp.int16),
-                        pltpu.VMEM((49, 64, blk_b), jnp.int16)],
+        scratch_shapes=[pltpu.VMEM((91 * 64, blk_b), jnp.int16),
+                        pltpu.VMEM((49 * 64, blk_b), jnp.int16)],
         interpret=interpret,
     )(cur64, blocks169, wht169, roy, rox, mf, bias, dmf, qb,
       mwhtp, mdct, mperm, mwhtr)
@@ -577,27 +584,30 @@ def analyse_tail_pallas(cur_y, windows_sp, part, mvfp8, prev_mv, lam,
     subpel_parts + probe_maps_xla for subpel=2."""
     n = mbh * mbw
     n8 = 4 * n
-    lane = _z_lane_order(mbh, mbw)                 # spatial -> z lane
-    inv = np.empty_like(lane)
-    inv[lane] = np.arange(n8)                      # z lane -> spatial
-
-    # lanes padded to a 128 multiple; 64-lane blocks keep each kernel's
-    # VMEM residency (tables + double-buffering) inside the 16 MB core
+    # lanes padded to a 128 multiple (Mosaic lane-block divisibility)
     pad = (-n8) % 128
     blk_b = 128
 
+    def sp_to_z_rows(a):
+        """[2mbh*2mbw, ...] spatial row-major -> [n8, ...] z-order,
+        pure reshape/transpose (no gathers)."""
+        rest = a.shape[1:]
+        return a.reshape(mbh, 2, mbw, 2, *rest) \
+            .transpose(0, 2, 1, 3, *range(4, 4 + len(rest))) \
+            .reshape(n8, *rest)
+
     # [N8sp, 4, 16, 16] -> [1024, N8z]
-    wz = windows_sp[jnp.asarray(inv)]              # z-order rows
-    w1024 = wz.reshape(n8, 1024).T.astype(jnp.int16)
+    wz = sp_to_z_rows(windows_sp.reshape(n8, 1024))
+    w1024 = wz.T.astype(jnp.int16)
 
     cur8 = cur_y.reshape(2 * mbh, 8, 2 * mbw, 8).transpose(0, 2, 1, 3) \
         .reshape(n8, 64)                           # spatial, pix rows
-    cur64 = cur8[jnp.asarray(inv)].T.astype(jnp.int16)
+    cur64 = sp_to_z_rows(cur8).T.astype(jnp.int16)
 
     partz = jnp.repeat(part.reshape(n), 4).reshape(1, n8)
-    mvfz = mvfp8.reshape(n8, 2)[jnp.asarray(inv)].T  # [2, N8z] (x, y)
-    predz = jnp.repeat(jnp.repeat(prev_mv, 2, 0), 2, 1) \
-        .reshape(n8, 2)[jnp.asarray(inv)].T
+    mvfz = sp_to_z_rows(mvfp8.reshape(n8, 2)).T    # [2, N8z] (x, y)
+    predz = sp_to_z_rows(
+        jnp.repeat(jnp.repeat(prev_mv, 2, 0), 2, 1).reshape(n8, 2)).T
 
     if pad:
         w1024 = jnp.pad(w1024, ((0, 0), (0, pad)))
@@ -621,10 +631,16 @@ def analyse_tail_pallas(cur_y, windows_sp, part, mvfp8, prev_mv, lam,
     sc8 = scf[:, :n8].reshape(13, n, 4)
 
     # mv8 / r_idx8 exactly as subpel_parts derives them
+    def z_to_sp_rows(a):
+        rest = a.shape[1:]
+        return a.reshape(mbh, mbw, 2, 2, *rest) \
+            .transpose(0, 2, 1, 3, *range(4, 4 + len(rest))) \
+            .reshape(n8, *rest)
+
     oy = ridx_z // 13 - 6
     ox = ridx_z % 13 - 6
-    mvz = mvfp8.reshape(n8, 2)[jnp.asarray(inv)]   # [N8z, 2] full-pel
+    mvz = sp_to_z_rows(mvfp8.reshape(n8, 2))       # [N8z, 2] full-pel
     mvq = jnp.stack([4 * mvz[:, 0] + ox, 4 * mvz[:, 1] + oy], axis=-1)
-    mv8 = mvq[jnp.asarray(lane)].reshape(2 * mbh, 2 * mbw, 2)
-    r_idx8 = ridx_z[jnp.asarray(lane)]             # spatial order
+    mv8 = z_to_sp_rows(mvq).reshape(2 * mbh, 2 * mbw, 2)
+    r_idx8 = z_to_sp_rows(ridx_z[:, None])[:, 0]   # spatial order
     return mv8, r_idx8, SK, SP, sc8

@@ -210,6 +210,11 @@ class Params:
                                # Engages only on the fast IPP path with
                                # metrics off + device deblock; output
                                # AUs lag one frame (flush() drains).
+    tail_kernel: bool = True   # Pallas analyse-tail kernels (qpel
+                               # tables + subpel + RCA probe maps in
+                               # VMEM, ops/probe_pallas.py) on the TPU
+                               # serving path; False keeps the XLA
+                               # table pipeline (A/B + debugging)
 
     def validate(self) -> None:
         """Clamp/check (reference: x264_validate_parameters encoder.c:342)."""
@@ -370,6 +375,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.pipeline = _BOOL[value.lower()]
     elif name == "incremental":
         p.incremental = _BOOL[value.lower()]
+    elif name == "tail_kernel":
+        p.tail_kernel = _BOOL[value.lower()]
     elif name in ("deblock", "filter"):
         # x264 common.c OPT2("deblock","filter"): ints set the
         # alpha/beta offsets (and enable the filter); a bool word
