@@ -100,14 +100,33 @@ def main(width=1920, height=1088):
             y, u, v, ref["luma"], ref["u"], ref["v"], prev, qp, qpc,
             lam, cmv, rng, mbh, mbw, subpel, True, True, False)
         return sync(packed)
-    timeit("p_stage1_stego (fused)", a_fused)
+    timeit("p_stage1_stego (fused, XLA tail)", a_fused)
+
+    def a_fused_k():
+        packed, res2, b8, w8, r8 = PT.p_stage1_stego(
+            y, u, v, ref["luma"], ref["u"], ref["v"], prev, qp, qpc,
+            lam, cmv, rng, mbh, mbw, subpel, True, True, False,
+            tail_kernel=True)
+        return sync(packed)
+    timeit("p_stage1_stego (fused, Pallas tail)", a_fused_k)
 
     def a_fused_pull():
         packed, res2, b8, w8, r8 = PT.p_stage1_stego(
             y, u, v, ref["luma"], ref["u"], ref["v"], prev, qp, qpc,
-            lam, cmv, rng, mbh, mbw, subpel, True, True, False)
+            lam, cmv, rng, mbh, mbw, subpel, True, True, False,
+            tail_kernel=True)
         return np.asarray(packed)
-    timeit("fused + full packed pull", a_fused_pull)
+    timeit("fused (Pallas tail) + packed pull", a_fused_pull)
+
+    # the serving path's MC/window one-hot selects, alone
+    from video_steganography_pcamv_tpu.encoder.partition import (
+        gather_windows8_mm)
+    planes_u8 = ref["luma"].astype(jnp.uint8)
+    j_wmm = jax.jit(lambda m: gather_windows8_mm(planes_u8, m, mbh,
+                                                 mbw, rng))
+    mvfp8 = jnp.zeros((2 * mbh, 2 * mbw, 2), jnp.int32)
+    timeit("gather_windows8_mm (one-hot MXU)",
+           lambda: sync(j_wmm(mvfp8)))
 
 
 if __name__ == "__main__":

@@ -354,11 +354,80 @@ def _fullpel_parts_kernel(cur_ref, win_ref, se_ref, so_ref, lam_ref,
         out_ref[0, 2 * u + 1, :] = carry[9 + u][0]
 
 
+def _fullpel_parts_kernel2(cur_ref, win_ref, s2_ref, red_ref, lam_ref,
+                           out_ref, *, rng: int, mbw: int):
+    """dx-grouped rewrite of _fullpel_parts_kernel: 8 displacements'
+    |d| stacked to [128, w] feed ONE bf16 MXU dot against the combined
+    even|odd column-group matrix (the M=8 dots of v1 left 15/16 of the
+    systolic array idle — measured ~45 ms/frame at 1080p, ~8x off the
+    matmul roofline).  Row-group sums then ride a small
+    highest-precision f32 dot (values <= 2040 > bf16's exact-int
+    range).  Bit-identical unit costs/argmins; same output format."""
+    cur = cur_ref[...].astype(jnp.float32)          # [16, w]
+    s2 = s2_ref[...]                                 # [w, 2*mbw] bf16
+    red = red_ref[...]                               # [16, 128] f32
+    lam = lam_ref[0, 0]
+    w = cur.shape[1]
+    span = 2 * rng + 1
+    big = jnp.full((1, mbw), 1e30, jnp.float32)
+    zed = jnp.zeros((1, mbw), jnp.int32)
+    carry = tuple([big] * 9 + [zed] * 9)
+
+    for dy in range(span):
+        strip = win_ref[0, dy:dy + 16, :].astype(jnp.float32)
+        mvc_y = lam * _se_bits(jnp.int32(4 * (dy - rng)))
+
+        def body(gi, c, strip=strip, mvc_y=mvc_y, dy=dy):
+            costs = list(c[:9])
+            mvs = list(c[9:])
+            dxg = gi * 8
+            parts = []
+            for j in range(8):
+                wp = strip.shape[1]
+                rolled = pltpu.roll(strip, (-(dxg + j)) % wp, axis=1)
+                parts.append(jnp.abs(cur - rolled[:, :w]))
+            T = jnp.concatenate(parts, axis=0)       # [128, w] |d|<=255
+            P = jnp.dot(T.astype(jnp.bfloat16), s2,
+                        preferred_element_type=jnp.float32)
+            # row-group sums (<= 2040: exact only at f32 precision)
+            Q = jax.lax.dot(red, P,
+                            precision=jax.lax.Precision.HIGHEST)
+            for j in range(8):
+                dx = dxg + j
+                q00 = Q[2 * j:2 * j + 1, :mbw]
+                q10 = Q[2 * j + 1:2 * j + 2, :mbw]
+                q01 = Q[2 * j:2 * j + 1, mbw:]
+                q11 = Q[2 * j + 1:2 * j + 2, mbw:]
+                mvc = (mvc_y + lam * _se_bits(4 * (dx - rng))) \
+                    .astype(jnp.float32)
+                # displacements beyond the span exist only as group
+                # padding: mask them out of the argmin
+                mvc = mvc + jnp.where(dx >= span,
+                                      jnp.float32(1e30), 0.0)
+                unit = [q00 + q01 + q10 + q11,
+                        q00 + q01, q10 + q11,
+                        q00 + q10, q01 + q11,
+                        q00, q01, q10, q11]
+                packed = (dx - rng + 64) | ((dy - rng + 64) << 8)
+                for u in range(9):
+                    cost = unit[u] + mvc
+                    better = cost < costs[u]
+                    costs[u] = jnp.where(better, cost, costs[u])
+                    mvs[u] = jnp.where(better, packed, mvs[u])
+            return tuple(costs + mvs)
+
+        carry = jax.lax.fori_loop(0, (span + 7) // 8, body, carry)
+
+    for u in range(9):
+        out_ref[0, 2 * u, :] = carry[u][0].astype(jnp.int32)
+        out_ref[0, 2 * u + 1, :] = carry[9 + u][0]
+
+
 @functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
-                                             "interpret"))
+                                             "interpret", "grouped"))
 def fullpel_parts_pallas(cur_y: jnp.ndarray, ref_padded: jnp.ndarray,
                          rng: int, mbh: int, mbw: int, lam=1,
-                         interpret: bool = False):
+                         interpret: bool = False, grouped: bool = True):
     """Partition-unit exhaustive full-pel search (Pallas twin of
     encoder/partition.py fullpel_search_parts with a zero MV predictor).
     Returns the same st dict: c16/mv16, c16x8/mv16x8, c8x16/mv8x16,
@@ -384,29 +453,61 @@ def fullpel_parts_pallas(cur_y: jnp.ndarray, ref_padded: jnp.ndarray,
         else:
             s_o[i, i // 16] = 1.0
 
-    kern = functools.partial(_fullpel_parts_kernel, rng=rng, mbw=mbw)
     lam_arr = jnp.asarray(lam, jnp.int32).reshape(1, 1)
-    out = pl.pallas_call(
-        kern,
-        grid=(mbh,),
-        in_specs=[
-            pl.BlockSpec((16, w), lambda r: (r, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 16 + span, wins.shape[2]),
-                         lambda r: (r, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, mbw), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, mbw), lambda r: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda r: (0, 0),
-                         memory_space=pltpu.SMEM),
-        ],
-        out_specs=pl.BlockSpec((1, 18, mbw), lambda r: (r, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mbh, 18, mbw), jnp.int32),
-        interpret=interpret,
-    )(cur_y, wins, jnp.asarray(s_e), jnp.asarray(s_o), lam_arr)
+    if grouped and not interpret:
+        red = np.zeros((16, 128), np.float32)
+        for j in range(8):
+            for h in range(2):
+                red[2 * j + h, 16 * j + 8 * h:16 * j + 8 * h + 8] = 1.0
+        kern = functools.partial(_fullpel_parts_kernel2, rng=rng,
+                                 mbw=mbw)
+        out = pl.pallas_call(
+            kern,
+            grid=(mbh,),
+            in_specs=[
+                pl.BlockSpec((16, w), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16 + span, wins.shape[2]),
+                             lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, 2 * mbw), lambda r: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((16, 128), lambda r: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda r: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 18, mbw), lambda r: (r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mbh, 18, mbw), jnp.int32),
+            interpret=interpret,
+        )(cur_y, wins,
+          jnp.asarray(np.concatenate([s_e, s_o], 1), jnp.bfloat16),
+          jnp.asarray(red), lam_arr)
+    else:
+        kern = functools.partial(_fullpel_parts_kernel, rng=rng,
+                                 mbw=mbw)
+        out = pl.pallas_call(
+            kern,
+            grid=(mbh,),
+            in_specs=[
+                pl.BlockSpec((16, w), lambda r: (r, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 16 + span, wins.shape[2]),
+                             lambda r: (r, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, mbw), lambda r: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((w, mbw), lambda r: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda r: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 18, mbw), lambda r: (r, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((mbh, 18, mbw), jnp.int32),
+            interpret=interpret,
+        )(cur_y, wins, jnp.asarray(s_e), jnp.asarray(s_o), lam_arr)
 
     def unpack(u):
         cost = out[:, 2 * u]                       # [mbh, mbw]
