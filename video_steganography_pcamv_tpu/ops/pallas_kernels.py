@@ -369,26 +369,31 @@ def _fullpel_parts_kernel2(cur_ref, win_ref, s2_ref, red_ref, lam_ref,
     lam = lam_ref[0, 0]
     w = cur.shape[1]
     span = 2 * rng + 1
+    w_all = win_ref[0].astype(jnp.float32)           # [16+2rng, wp]
+    hs = w_all.shape[0]
+    wp = w_all.shape[1]
     big = jnp.full((1, mbw), 1e30, jnp.float32)
     zed = jnp.zeros((1, mbw), jnp.int32)
     carry = tuple([big] * 9 + [zed] * 9)
 
-    for dy in range(span):
-        strip = win_ref[0, dy:dy + 16, :].astype(jnp.float32)
-        mvc_y = lam * _se_bits(jnp.int32(4 * (dy - rng)))
+    # both sweeps are fori_loops (an unrolled dy sweep held 33 live
+    # [128, w] stacks and blew the 16 MB scoped-vmem budget); the
+    # traced-dy strip comes from a dynamic sublane rotate
+    def dy_body(dy, cdy):
+        strip = pltpu.roll(w_all, (-dy) % hs, axis=0)[0:16, :]
+        mvc_y = lam * _se_bits(4 * (dy - rng))
 
-        def body(gi, c, strip=strip, mvc_y=mvc_y, dy=dy):
+        def body(gi, c):
             costs = list(c[:9])
             mvs = list(c[9:])
             dxg = gi * 8
             parts = []
             for j in range(8):
-                wp = strip.shape[1]
                 rolled = pltpu.roll(strip, (-(dxg + j)) % wp, axis=1)
-                parts.append(jnp.abs(cur - rolled[:, :w]))
+                parts.append(
+                    jnp.abs(cur - rolled[:, :w]).astype(jnp.bfloat16))
             T = jnp.concatenate(parts, axis=0)       # [128, w] |d|<=255
-            P = jnp.dot(T.astype(jnp.bfloat16), s2,
-                        preferred_element_type=jnp.float32)
+            P = jnp.dot(T, s2, preferred_element_type=jnp.float32)
             # row-group sums (<= 2040: exact only at f32 precision)
             Q = jax.lax.dot(red, P,
                             precision=jax.lax.Precision.HIGHEST)
@@ -398,7 +403,7 @@ def _fullpel_parts_kernel2(cur_ref, win_ref, s2_ref, red_ref, lam_ref,
                 q10 = Q[2 * j + 1:2 * j + 2, :mbw]
                 q01 = Q[2 * j:2 * j + 1, mbw:]
                 q11 = Q[2 * j + 1:2 * j + 2, mbw:]
-                mvc = (mvc_y + lam * _se_bits(4 * (dx - rng))) \
+                mvc = (mvc_y + lam * _se_bits(dx * 4 - 4 * rng)) \
                     .astype(jnp.float32)
                 # displacements beyond the span exist only as group
                 # padding: mask them out of the argmin
@@ -416,7 +421,9 @@ def _fullpel_parts_kernel2(cur_ref, win_ref, s2_ref, red_ref, lam_ref,
                     mvs[u] = jnp.where(better, packed, mvs[u])
             return tuple(costs + mvs)
 
-        carry = jax.lax.fori_loop(0, (span + 7) // 8, body, carry)
+        return jax.lax.fori_loop(0, (span + 7) // 8, body, cdy)
+
+    carry = jax.lax.fori_loop(0, span, dy_body, carry)
 
     for u in range(9):
         out_ref[0, 2 * u, :] = carry[u][0].astype(jnp.int32)
