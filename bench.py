@@ -75,6 +75,10 @@ def run(width=1920, height=1088, n_measure=8, qp=26, em_rate=64.0,
     p = Params(width=width, height=height, qp=qp, me_range=16,
                deblock_device=True, psnr=False,
                stego=StegoParams(em_rate=em_rate, key=99))
+    # deep pipeline (speculative analysis + patch; hides the per-frame
+    # pull RTT): on by default for the serving bench, PCAMV_BENCH_DEEP=0
+    # reverts to the standard pipelined driver
+    p.pipeline_deep = os.environ.get("PCAMV_BENCH_DEEP", "1") != "0"
     enc = Encoder(p)
 
     # warmup / compile: I frame + first P frame

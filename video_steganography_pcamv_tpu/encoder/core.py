@@ -573,7 +573,8 @@ class Encoder:
         """Emit any frames still buffered for B reordering or deferred
         by the pipelined driver (call after the last encode_frame;
         x264's delayed-frames drain)."""
-        out = self._drain_pending()
+        out = self._deep_drain()
+        out += self._drain_pending()
         # b-adapt 2 windows can hold more than bframes+1 frames: keep
         # running the placement DP until one GOP remains
         while len(self._bbuf) > self.p.bframes + 1:
@@ -795,10 +796,16 @@ class Encoder:
                 and self.ref is not None
                 and self.lookahead.prev_lr is not None
                 and self.rc.forced(self._frame_idx) is None):
+            if (p.pipeline_deep and p.pipeline and p.deblock
+                    and self._on_tpu() and not p.trellis
+                    and not p.transform_8x8 and not p.rd
+                    and self.p.noise_reduction == 0
+                    and not (p.psnr or p.ssim or self.keep_recon)):
+                return self._encode_frame_ipp_deep(frame, y, u, v, t0)
             return self._encode_frame_ipp_fast(frame, y, u, v, t0)
         # leaving the fast path (forced frame / config change): keep AU
         # order by draining any deferred entropy first
-        out_pend = self._drain_pending()
+        out_pend = self._deep_drain() + self._drain_pending()
         # slicetype decision: lookahead scenecut/keyint (slicetype.c:578)
         is_idr, satd = self.lookahead.decide(y)
         if self.ref is None:
@@ -858,6 +865,7 @@ class Encoder:
         pull per steady-state frame. Output AUs lag one frame; flush()
         drains the tail (same contract as the B pipe)."""
         p = self.p
+        out_spec = self._deep_drain()   # mode switch: drain the spec
         pipelined = (p.pipeline and p.deblock and self._on_tpu()
                      and not (p.psnr or p.ssim or self.keep_recon))
         lr2 = self.lookahead.costs_device(y)     # dispatch only
@@ -868,7 +876,7 @@ class Encoder:
         d = self._fused_dispatch(y, u, v, qp, qpc, extra=lr2)
         # previous frame's entropy runs while the device is busy with
         # this frame's stage-1
-        out_prev = self._drain_pending()
+        out_prev = out_spec + self._drain_pending()
         n = p.mb_height * p.mb_width
         packed = np.asarray(d["packed"])         # ONE pull, costs ride
         ci, cp = int(packed[24 * n]), int(packed[24 * n + 1])
@@ -951,6 +959,170 @@ class Encoder:
         self.rc.end(8 * len(out))
         self.stats.elapsed += time.time() - t0
         return out
+
+    # ------------------------------------------------------------------
+    # Deep-pipelined IPP serving step (Params.pipeline_deep; design
+    # note at partition.py p_stage1_spec): the NEXT frame's analysis
+    # is speculated against the previous frame's PASS-1 (pre-flip)
+    # reconstruction so the packed pull's tunnel RTT and the host STC
+    # overlap device work; once the previous frame's flips land, a
+    # PATCH re-runs this frame's pass-1 encode against the TRUE
+    # deblocked reference — levels/cbp/skip and the packed stego
+    # inputs are exact; only the mv/partition choices and probe SATD
+    # maps saw the pre-flip recon (conformant bitstream, blind
+    # extraction contract intact). Output AUs lag TWO frames.
+    # ------------------------------------------------------------------
+    def _encode_frame_ipp_deep(self, frame: Frame, y, u, v,
+                               t0) -> bytes:
+        from . import partition as PT
+        import jax
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        on_tpu = jax.default_backend() == "tpu"
+        tailk = bool(p.tail_kernel) and on_tpu
+        qp = self._zone_qp(self.rc.start(SLICE_P, 1), self._frame_idx)
+        qpc = chroma_qp(qp, p.chroma_qp_offset)
+        lam = ME.lambda_tab(qp)
+        spec = getattr(self, "_spec", None)
+        if spec is None:
+            spec = self._spec = dict(ref=None, prev_mv=None, pend=None)
+        ref_s = spec["ref"] if spec["ref"] is not None else self.ref
+        pmv = spec["prev_mv"]
+        if pmv is None:
+            pmv = jnp.asarray(self.prev_mv)
+        part, mv8, SK, SP, sc8 = PT.p_stage1_spec(
+            y, ref_s["luma"], pmv, qp, lam, p.me_range, mbh, mbw,
+            p.subpel, on_tpu, p.dct_decimate, tail_kernel=tailk)
+        out = self._drain_pending()
+
+        pend = spec["pend"]
+        spec["pend"] = None
+        if pend is not None:
+            done, idr_bytes = self._deep_complete(pend)
+            out += idr_bytes
+            if not done:
+                # IDR fallback invalidated this frame's speculative
+                # analysis (stale reference): redo it against the IDR
+                part, mv8, SK, SP, sc8 = PT.p_stage1_spec(
+                    y, self.ref["luma"], jnp.asarray(self.prev_mv),
+                    qp, lam, p.me_range, mbh, mbw, p.subpel, on_tpu,
+                    p.dct_decimate, tail_kernel=tailk)
+
+        # ---- patch this frame against the TRUE reference + pack ----
+        lr2 = self.lookahead.costs_device(y)   # prev_lr is now F_{k-1}
+        cmv = self._cost_mv_dev(qp, lam)
+        packed2, res = PT.p_patch_pack(
+            y, u, v, self.ref["luma"], self.ref["u"], self.ref["v"],
+            part, mv8, SK, SP, sc8, qp, qpc, cmv, lr2, mbh, mbw,
+            p.dct_decimate, False, nr_offset=None,
+            mv_bound=(p.me_range + 2 if on_tpu else None))
+        n = mbh * mbw
+        skip_dev = packed2[11 * n:12 * n].astype(jnp.int32) \
+            .reshape(mbh, mbw)
+        spec["ref"] = self._spec_deblock_ref(res, skip_dev, mv8, qp,
+                                             qpc)
+        spec["prev_mv"] = mv8[::2, ::2]
+        incr_ok = p.incremental and not p.trellis \
+            and p.noise_reduction == 0 and not p.transform_8x8 \
+            and self._aq_grids is None
+        spec["pend"] = dict(
+            d=dict(packed=packed2, res=res, y=y, u=u, v=v, qp=qp,
+                   qpc=qpc, incr_ok=incr_ok),
+            disp=self._frame_idx, frame_num=self.frame_num,
+            poc_lsb=self._poc_lsb, aud=self._aud(SLICE_P))
+        self.frame_num += 1
+        self._frame_idx += 1
+        self.stats.frames += 1
+        self.stats.elapsed += time.time() - t0
+        return out
+
+    def _deep_complete(self, pend) -> tuple:
+        """Finish a speculated frame: pull its patched packed array,
+        decide its slice type, and either run the pipelined completion
+        (STC + flips + re-encode + deblock; entropy deferred to
+        _drain_pending) or fall back to an IDR encode (speculative
+        work discarded — keyint/scenecut, rare). Returns
+        (completed_as_p, idr_bytes)."""
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        n = mbh * mbw
+        d = pend["d"]
+        packed = np.asarray(d["packed"])
+        ci, cp = int(packed[24 * n]), int(packed[24 * n + 1])
+        is_idr, satd = self.lookahead.decide_from_costs(ci, cp)
+        if is_idr:
+            qp_i = self._zone_qp(self.rc.start(SLICE_I, satd),
+                                 pend["disp"])
+            self._cur_qp = qp_i
+            self.frame_num = 0
+            self.dpb = []
+            self._dpb_store = []
+            self._dpb_disps = []
+            out = self._aud(SLICE_I) + self.headers()
+            self._ref_meta = (pend["disp"], 0, True, [])
+            nal = self._encode_i(d["y"], d["u"], d["v"], qp_i)
+            out += nal_unit(NAL_SLICE_IDR, NAL_PRIORITY_HIGHEST, nal)
+            self.stats.i_frames += 1
+            self.frame_num = 1
+            self._emit_au(pend["disp"], out, "I")
+            self.stats.bits += 8 * len(out)
+            self.rc.end(8 * len(out))
+            # the spec chain restarts from the IDR reference
+            self._spec.update(ref=None, prev_mv=None)
+            return False, out
+        d["packed"] = packed
+        self._cur_qp = d["qp"]
+        self._ref_meta = (pend["disp"], pend["frame_num"], True, [])
+        rec = self._fused_complete(d, pipelined=True)
+        rec.update(frame_num=pend["frame_num"],
+                   poc_lsb=pend["poc_lsb"], disp=pend["disp"],
+                   aud=pend["aud"])
+        self._pending_p = rec
+        self.stats.p_frames += 1
+        return True, b""
+
+    def _deep_drain(self) -> bytes:
+        """Complete + drain any speculated frame (flush / fast-path
+        exit)."""
+        spec = getattr(self, "_spec", None)
+        if spec is None or spec["pend"] is None:
+            return b""
+        pend = spec["pend"]
+        spec["pend"] = None
+        # the deferred entropy slot may still hold the PREVIOUS frame:
+        # drain it before the completion claims the slot
+        out = self._drain_pending()
+        done, idr_bytes = self._deep_complete(pend)
+        out += idr_bytes
+        out += self._drain_pending()
+        spec.update(ref=None, prev_mv=None)
+        return out
+
+    def _spec_deblock_ref(self, res, skip_dev, mv8, qp, qpc):
+        """Deblock the (patched) pass-1 recon into the speculative
+        reference for the next frame's analysis (device-resident;
+        mirrors _deblock_device without touching the DPB)."""
+        import jax
+        if jax.default_backend() == "tpu":
+            from ..ops.deblock_pallas import \
+                deblock_frame_pallas as deblock_frame_device
+        else:
+            from ..ops.deblock_jax import deblock_frame_device
+        p = self.p
+        mbh, mbw = p.mb_height, p.mb_width
+        nnz_dev = _nnz4_device(res["luma_lev"], mbh, mbw)
+        mv4 = jnp.repeat(jnp.repeat(mv8, 2, 0), 2, 1)
+        intra = jnp.zeros((mbh, mbw), jnp.int32)
+        off_a, off_b = 2 * p.deblock_alpha, 2 * p.deblock_beta
+        dy, du, dv = deblock_frame_device(
+            res["recon_y"].astype(jnp.int32),
+            res["recon_u"].astype(jnp.int32),
+            res["recon_v"].astype(jnp.int32),
+            intra, skip_dev, nnz_dev, mv4, qp, qpc, mbh, mbw,
+            qp_thresh=(15 - min(off_a, off_b)
+                       - max(0, p.chroma_qp_offset)),
+            ref4=None, trans8=None, off_a=off_a, off_b=off_b)
+        return mc.build_ref(dy, du, dv)
 
     # ------------------------------------------------------------------
     def _encode_i(self, y, u, v, qp: int) -> bytes:

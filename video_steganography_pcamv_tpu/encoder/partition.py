@@ -1505,6 +1505,99 @@ def p_stage1_stego(y, u, v, ref_luma, ref_u, ref_v, prev_mv, qp, qpc,
 
 
 # ---------------------------------------------------------------------------
+# Deep-pipelined serving path (Params.pipeline_deep): the per-frame
+# blocking pull + host STC sit on the critical path of the standard
+# pipelined driver (~100 ms tunnel RTT + host per frame, the device
+# idle the whole time — docs/PERF.md round 5). The deep driver
+# speculates the NEXT frame's analysis against the PREVIOUS frame's
+# PASS-1 (pre-flip) reconstruction, so the device is busy with frame
+# N+1's analysis while frame N's packed pull rides the tunnel. After
+# frame N's flips land, a PATCH re-runs frame N+1's pass-1 encode
+# against the TRUE (post-flip, deblocked) reference — levels, cbp,
+# skip and the packed stego inputs are therefore exact; the only
+# divergence from the canonical path is the ANALYSIS (mv/partition
+# choices and the probe SATD maps), which saw the pre-flip recon.
+# The bitstream stays conformant, forced pass-2 MVs keep the blind
+# extraction contract, and x264 itself ships analysis-divergent speed
+# modes (--non-deterministic; sliced-threads MV range cuts).
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("rng", "mbh", "mbw",
+                                             "subpel", "use_pallas",
+                                             "decimate",
+                                             "tail_kernel"))
+def p_stage1_spec(y, ref_luma, prev_mv, qp, lam, rng: int, mbh: int,
+                  mbw: int, subpel: int, use_pallas: bool,
+                  decimate: bool, tail_kernel: bool = False):
+    """Speculative analyse half of the deep pipeline: partition
+    decision + subpel MVs + the mvp-independent RCA probe SATD maps,
+    all against the (possibly pre-flip) reference. No pass-1 encode,
+    no scan, no packing — those happen post-patch (p_patch_pack).
+    Returns (part, mv8, SK, SP, sc8), all device-resident."""
+    if tail_kernel and use_pallas and subpel == 2:
+        from ..ops.pallas_kernels import fullpel_parts_pallas
+        from ..ops.probe_pallas import analyse_tail_pallas
+        st = fullpel_parts_pallas.__wrapped__(
+            y, ref_luma[0], rng, mbh, mbw, lam)
+        part, mvfp8 = decide_partition.__wrapped__(st, mbh, mbw, lam)
+        windows = gather_windows8_mm(
+            ref_luma.astype(jnp.uint8), mvfp8, mbh, mbw, rng
+        ).astype(jnp.uint8)
+        mv8, _r_idx8, SK, SP, sc8 = analyse_tail_pallas(
+            y, windows, part, mvfp8, prev_mv, lam, qp, mbh, mbw,
+            decimate=decimate)
+    else:
+        part, mv8, r_idx8, blocks8, wht8, _mb_cost = \
+            analyse_p_frame_parts.__wrapped__(
+                y, ref_luma, prev_mv, rng, mbh, mbw, lam, subpel,
+                use_pallas=use_pallas)
+        SK, SP, sc8 = probe_maps_xla(y, blocks8, wht8, r_idx8, qp,
+                                     mbh, mbw, decimate)
+    return part, mv8, SK, SP, sc8
+
+
+@functools.partial(jax.jit, static_argnames=("mbh", "mbw", "decimate",
+                                             "trellis", "mv_bound"))
+def p_patch_pack(y, u, v, ref_luma, ref_u, ref_v, part, mv8, SK, SP,
+                 sc8, qp, qpc, cost_mv, extra, mbh: int, mbw: int,
+                 decimate: bool, trellis: bool, nr_offset=None,
+                 mv_bound=None):
+    """Patch half of the deep pipeline: once the previous frame's
+    flips are applied and its TRUE deblocked reference exists, re-run
+    this frame's pass-1 encode against it (a full frame encode — the
+    conservative superset of the flip-dirty MB set, ~40 ms standalone
+    on the one-hot MC path), derive scan/skip from the patched cbp,
+    finish the RCA costs with the true-ref MVPs, and assemble the SAME
+    packed layout as p_stage1_stego. Returns (packed, res)."""
+    from . import inter as INTER
+    from .scan_device import _scan_p_device
+
+    res = INTER.encode_p_frame_device8.__wrapped__(
+        y, u, v, ref_luma, ref_u, ref_v, mv8, qp, qpc, mbh, mbw,
+        decimate, None, trellis, nr_offset, cbp_only=False,
+        trans8=False, rd=False, mv_bound=mv_bound)
+    cbp_l = res["cbp_luma"].astype(jnp.int32)
+    cbp_c = res["cbp_chroma"].astype(jnp.int32)
+    skip, _mvd, mvp_u, _ = _scan_p_device(part, mv8, cbp_l, cbp_c,
+                                          mbh, mbw)
+    rho, alt, _valid = probe_combine(SK, SP, sc8, part, mv8, mvp_u,
+                                     cost_mv, mbh, mbw, decimate)
+    f32 = jnp.float32
+    pieces = [
+        part.reshape(-1).astype(f32),
+        mv8.reshape(-1).astype(f32),
+        cbp_l.reshape(-1).astype(f32),
+        cbp_c.reshape(-1).astype(f32),
+        skip.reshape(-1).astype(f32),
+        alt.reshape(-1).astype(f32),
+        rho.reshape(-1).astype(f32),
+        extra.reshape(-1).astype(f32),
+    ]
+    packed = jnp.concatenate(pieces)
+    return packed, res
+
+
+# ---------------------------------------------------------------------------
 # Partition-shape RD re-rank (--rd >= 1)
 #
 # Reference: x264_mb_analyse_p_rd (analyse.c:2117-2186) — after the

@@ -215,6 +215,17 @@ class Params:
                                # VMEM, ops/probe_pallas.py) on the TPU
                                # serving path; False keeps the XLA
                                # table pipeline (A/B + debugging)
+    pipeline_deep: bool = False  # speculative deep pipeline: next
+                               # frame's ANALYSIS runs against the
+                               # pre-flip recon (then a pass-1 patch
+                               # vs the true reference) so the packed
+                               # pull's tunnel RTT overlaps device
+                               # work. Conformant + extraction-exact;
+                               # mv/partition decisions may differ
+                               # from the canonical path near flipped
+                               # MBs (x264 --non-deterministic class).
+                               # AUs lag 2 frames; IPP/CQP fast path
+                               # only.
 
     def validate(self) -> None:
         """Clamp/check (reference: x264_validate_parameters encoder.c:342)."""
@@ -377,6 +388,8 @@ def param_parse(p: Params, name: str, value: str) -> None:
         p.incremental = _BOOL[value.lower()]
     elif name == "tail_kernel":
         p.tail_kernel = _BOOL[value.lower()]
+    elif name == "pipeline_deep":
+        p.pipeline_deep = _BOOL[value.lower()]
     elif name in ("deblock", "filter"):
         # x264 common.c OPT2("deblock","filter"): ints set the
         # alpha/beta offsets (and enable the filter); a bool word
