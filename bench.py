@@ -79,6 +79,7 @@ def run(width=1920, height=1088, n_measure=8, qp=26, em_rate=64.0,
     # pull RTT): on by default for the serving bench, PCAMV_BENCH_DEEP=0
     # reverts to the standard pipelined driver
     p.pipeline_deep = os.environ.get("PCAMV_BENCH_DEEP", "1") != "0"
+    p.tail_kernel = os.environ.get("PCAMV_BENCH_TAILK", "1") != "0"
     enc = Encoder(p)
 
     # warmup / compile: I frame + first P frame

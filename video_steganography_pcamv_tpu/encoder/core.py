@@ -1025,6 +1025,15 @@ class Encoder:
         incr_ok = p.incremental and not p.trellis \
             and p.noise_reduction == 0 and not p.transform_8x8 \
             and self._aq_grids is None
+        # start the D2H now: transfers ride the FIFO device queue on
+        # the tunnel runtime, so a pull issued next call would queue
+        # BEHIND the next frame's speculative analysis — enqueued here
+        # it sits right after the patch and overlaps the RTT with the
+        # next call's device work
+        try:
+            packed2.copy_to_host_async()
+        except (AttributeError, RuntimeError):
+            pass
         spec["pend"] = dict(
             d=dict(packed=packed2, res=res, y=y, u=u, v=v, qp=qp,
                    qpc=qpc, incr_ok=incr_ok),
