@@ -32,6 +32,10 @@ def run(S, width=1920, height=1088, n_measure=6, qp=26, em_rate=64.0):
                keyint_max=250, scenecut_threshold=0, psnr=False,
                deblock_device=True,
                stego=StegoParams(em_rate=em_rate, key=3))
+    # deep pipeline per stream: each stream's packed pull otherwise
+    # idles the device (round-5 measurement: S=2 aggregate BELOW
+    # single-stream on the standard pipelined driver)
+    p.pipeline_deep = os.environ.get("PCAMV_BENCH_DEEP", "0") != "0"
     p.validate()
     me = PipelinedMultiEncoder(p, S)
     streams = [synthetic_sequence(width, height, 4 + n_measure,
