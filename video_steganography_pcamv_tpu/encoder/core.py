@@ -10,6 +10,7 @@ ever needed — stego flips are applied to the analysis results before the
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -1025,15 +1026,16 @@ class Encoder:
         incr_ok = p.incremental and not p.trellis \
             and p.noise_reduction == 0 and not p.transform_8x8 \
             and self._aq_grids is None
-        # start the D2H now: transfers ride the FIFO device queue on
-        # the tunnel runtime, so a pull issued next call would queue
-        # BEHIND the next frame's speculative analysis — enqueued here
-        # it sits right after the patch and overlaps the RTT with the
-        # next call's device work
-        try:
+        # NOTE on pull scheduling: an eager copy_to_host_async() here
+        # (to enqueue the D2H right after the patch, ahead of the next
+        # call's speculative dispatches) CRASHES the axon TPU worker
+        # at 1080p shapes — reproducibly ("TPU worker process crashed
+        # or restarted", 4/4 bench attempts), while the same driver
+        # without it is stable. The pull happens at the next call's
+        # completion step instead; PCAMV_DEEP_ASYNC_PULL=1 re-enables
+        # the async copy for future runtimes.
+        if os.environ.get("PCAMV_DEEP_ASYNC_PULL") == "1":
             packed2.copy_to_host_async()
-        except (AttributeError, RuntimeError):
-            pass
         spec["pend"] = dict(
             d=dict(packed=packed2, res=res, y=y, u=u, v=v, qp=qp,
                    qpc=qpc, incr_ok=incr_ok),
