@@ -76,9 +76,10 @@ def run(width=1920, height=1088, n_measure=8, qp=26, em_rate=64.0,
                deblock_device=True, psnr=False,
                stego=StegoParams(em_rate=em_rate, key=99))
     # deep pipeline (speculative analysis + patch; hides the per-frame
-    # pull RTT): on by default for the serving bench, PCAMV_BENCH_DEEP=0
-    # reverts to the standard pipelined driver
-    p.pipeline_deep = os.environ.get("PCAMV_BENCH_DEEP", "1") != "0"
+    # pull RTT): validated end-to-end at 640x352 + on CPU, but the
+    # 1080p deep program reproducibly crashes the axon TPU worker
+    # (open issue, docs/ROUND5.md) — opt-in via PCAMV_BENCH_DEEP=1
+    p.pipeline_deep = os.environ.get("PCAMV_BENCH_DEEP", "0") == "1"
     p.tail_kernel = os.environ.get("PCAMV_BENCH_TAILK", "1") != "0"
     enc = Encoder(p)
 
